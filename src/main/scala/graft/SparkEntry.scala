@@ -1,13 +1,765 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators._
+import graft.pipeline.IngestionPipeline
+import graft.sinks.{VectorStoreWriter => VSW}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every `queries` entry is one operator from the inventory; entries
+  * with a DuckDB-portable result also appear in `oracleSql`. Oracle
+  * portability rules (SURVEY §6): decimal casts before SUM (exact,
+  * order-independent), integer arithmetic for threshold compares,
+  * explicit ORDER BY with unique tiebreaks, identical left-fold
+  * sequences for float math, no engine-specific hash functions in
+  * compared values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark
+    * only reads as a long (nanos since epoch) with the legacy flag.
+    * Exposes `sec` (epoch seconds, exact integer division — matches
+    * DuckDB `epoch_us(ts) // 1000000`).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, dir, "events").withColumn("sec", expr("ts div 1000000000"))
+  }
+
+  /** Documents corpus with induced duplicates, shared by the dedup
+    * queries (the synthetic corpus has no natural dups): every 10th doc
+    * reappears verbatim at id+1000000 (exact dup) and with one token
+    * appended at id+2000000 (near dup).
+    */
+  private def corpusWithDups(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base
+      .union(base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .union(base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" graftdup")).as("text")))
+  }
+
+  private val corpusWithDupsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL SELECT doc_id + 2000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** DuckDB twin of TextFunctions.tokens. */
+  private def sqlToks(textExpr: String): String =
+    s"list_filter(regexp_split_to_array($textExpr, '\\s+'), x -> length(x) > 0)"
+
+  /** DuckDB twin of TextFunctions.portableHash (polynomial char hash). */
+  private def sqlHash(strExpr: String): String =
+    s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(list_filter(regexp_split_to_array($strExpr, ''), c -> length(c) > 0), c -> CAST(unicode(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
+
+  // ==================================================================
+  // Flagship: 5-way star join (region⋈nation⋈customer⋈orders⋈lineitem
+  // ⋈supplier) with broadcast dims — driver smoke-checks rows > 0.
+  // ==================================================================
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q05(spark, "/root/testdata/sf0.001")
+
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val region = tbl(s, dir, "region").where(col("r_name") === "ASIA")
+    val nation = tbl(s, dir, "nation")
+    val customer = tbl(s, dir, "customer")
+    val supplier = tbl(s, dir, "supplier")
+    val orders = tbl(s, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val lineitem = tbl(s, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // ==================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------- relational core
+    "q01_pricing_summary" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          // scale-4 / scale-6 casts: the products of 2-decimal values have
+          // exactly 4 (resp. 6) true decimal digits, so casting at (or
+          // above) that scale is never a rounding tie and Spark's exact
+          // BigDecimal conversion agrees bit-for-bit with DuckDB's
+          // scaled-double conversion. Scale-2 casts of these products DID
+          // diverge (half-up vs scaled-double ties).
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .cast("decimal(18,6)")).as("sum_charge"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q03_top_orders" -> ((s, dir) => {
+      val customer = tbl(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val orders = tbl(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      val lineitem = tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q05_region_revenue" -> ((s, dir) => q05(s, dir)),
+
+    "q06_forecast_filter" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+          && col("l_discount") >= 0.03 && col("l_discount") <= 0.07
+          && col("l_quantity") < 25)
+        .agg(
+          sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")).as("revenue"),
+          count(lit(1)).as("n_items")
+        )
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      val bigOrders = tbl(s, dir, "orders").where(col("o_totalprice") > 400000)
+      tbl(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_window_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      tbl(s, dir, "customer")
+        .withColumn("rnk", rank().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("c_nationkey"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_nationkey"), col("rnk"), col("c_custkey"))
+    }),
+
+    "q_window_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      tbl(s, dir, "orders")
+        .where(col("o_custkey") < 150)
+        .withColumn("running_total", sum(col("o_totalprice").cast("decimal(18,2)")).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q_distinct_agg" -> ((s, dir) => {
+      tbl(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_nationkey")).as("n_nations"),
+          sum(when(col("c_acctbal") > 0, 1L).otherwise(0L)).as("n_positive"),
+          sum(when(col("c_acctbal") <= 0, 1L).otherwise(0L)).as("n_nonpositive"),
+          count(lit(1)).as("n_customers")
+        )
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      tbl(s, dir, "customer")
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("sec"))
+        .withColumn("prev", lag(col("sec"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev").isNull || col("sec") - col("prev") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    "q_event_windows" -> ((s, dir) => {
+      val hourStart = expr("(sec div 3600) * 3600")
+      events(s, dir)
+        .select(col("event_type"), col("value"), hourStart.as("hour_start"))
+        .groupBy(col("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      tbl(s, dir, "part")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
+        .orderBy(col("p_brand"), col("rn"))
+    }),
+
+    "q_union_dedup" -> ((s, dir) => {
+      tbl(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+        .union(tbl(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey"))
+    }),
+
+    // ---------------------------------------------- ingestion surface
+    "i_markdown_elements" -> ((s, dir) => {
+      graft.sources.MarkdownElementReader.elements(s, tbl(s, dir, "documents"))
+        .toDF()
+        .select(col("doc_id"), col("seq"), col("kind"), col("level"), col("text"))
+        .orderBy(col("doc_id"), col("seq"))
+    }),
+
+    "i_removal_processor" -> ((s, dir) => {
+      val elems = graft.sources.MarkdownElementReader.elements(s, tbl(s, dir, "documents")).toDF()
+      Processors.removeEmpty(Processors.removeFooters(elems))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_elements"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "i_chunk_token" -> ((s, dir) => {
+      Chunkers.tokenChunks(tbl(s, dir, "documents"), ChunkerOptions(maxTokens = 64, overlap = 16))
+        .select(col("doc_id"), col("chunk_id"), col("content"), col("token_count"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "i_chunk_header" -> ((s, dir) => {
+      Chunkers.headerChunks(s, tbl(s, dir, "documents"), ChunkerOptions(maxTokens = 64, overlap = 0))
+        .toDF()
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "i_chunk_section" -> ((s, dir) => {
+      Chunkers.sectionChunks(s, tbl(s, dir, "documents"), ChunkerOptions(maxTokens = 64, overlap = 0))
+        .toDF()
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "i_chunk_markdown" -> ((s, dir) => {
+      Chunkers.markdownChunks(s, tbl(s, dir, "documents"))
+        .toDF()
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "i_chunk_semantic" -> ((s, dir) => {
+      Chunkers.semanticChunks(s, tbl(s, dir, "documents"), ChunkerOptions(maxTokens = 64, overlap = 0))
+        .toDF()
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "i_enrich_summary" -> ((s, dir) => {
+      Processors.withSummary(tbl(s, dir, "documents"), textCol = "text", maxWords = 20)
+        .select(col("doc_id"), col("summary"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "i_enrich_keywords" -> ((s, dir) => {
+      Processors.withKeywords(tbl(s, dir, "documents"),
+          vocabulary = Seq("spark", "data", "join", "query", "stream", "table", "vector", "window"),
+          textCol = "text", maxKeywords = 5)
+        .select(col("doc_id"), col("keywords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "i_enrich_classification" -> ((s, dir) => {
+      Processors.withClassification(tbl(s, dir, "documents"),
+          classes = Map(
+            "analytics" -> Seq("query", "join", "agg", "group", "sort"),
+            "storage" -> Seq("table", "row", "column", "part", "key"),
+            "streaming" -> Seq("stream", "batch", "window", "watermark")
+          ),
+          textCol = "text")
+        .select(col("doc_id"), col("classification"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "i_enrich_sentiment" -> ((s, dir) => {
+      Processors.withSentiment(tbl(s, dir, "documents"), textCol = "text",
+          positive = Seq("fast", "small", "big"), negative = Seq("slow", "dup"))
+        .select(col("doc_id"), col("sentiment"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "i_vector_store" -> ((s, dir) => {
+      val chunks = Chunkers.tokenChunks(tbl(s, dir, "documents"),
+        ChunkerOptions(maxTokens = 64, overlap = 16))
+        .withColumn("context", lit(""))
+      VSW.toVectorRecords(chunks, dim = 16)
+        .orderBy(col("documentid").cast("long"), col("key"))
+    }),
+
+    "i_pipeline_e2e" -> ((s, dir) => {
+      IngestionPipeline.canonical.chunks(s, tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("chunk_id"), col("token_count"),
+          col("summary"), col("sentiment"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // ---------------------------------------------- dedup family
+    "d_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(corpusWithDups(tbl(s, dir, "documents")))
+        .orderBy(col("keeper"))
+    }),
+
+    "d_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(corpusWithDups(tbl(s, dir, "documents")), n = 3, threshold = 0.8)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "d_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLshPairs(corpusWithDups(tbl(s, dir, "documents")),
+          n = 3, k = 16, rowsPerBand = 4, threshold = 0.8)
+        .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "d_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(corpusWithDups(tbl(s, dir, "documents")), maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    "d_dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingCosinePairs(tbl(s, dir, "embeddings"), dim = 64,
+          threshold = 0.9, nPlanes = 8)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ---------------------------------------------- similarity search
+    "s_knn_bruteforce" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val query = emb.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      Similarity.knnBruteForce(emb, query, k = 10)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
+
+    "s_knn_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.knnLsh(emb, queries, dim = 64, k = 5)
+        .select(col("query_id"), col("rank"), col("nbr_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "s_pairwise_dups" -> ((s, dir) => {
+      Similarity.pairwiseHighCosine(tbl(s, dir, "embeddings"), dim = 64, threshold = 0.85)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // ---------------------------------------------- text analysis
+    "t_token_count" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("n_pieces"),
+        length(col("text")).as("n_chars")
+      ).orderBy(col("doc_id"))
+    }),
+
+    "t_lang_id" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t_quality_score" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t_fingerprint" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------------------------------------- multimodal
+    "m_multimodal_meta" -> ((s, dir) => {
+      val media = tbl(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit("text/plain").as("media_type")
+      )
+      Multimodal.mediaMetadata(media)
+        .select(col("media_id"), col("byte_length"), col("sniffed_type"))
+        .orderBy(col("media_id"))
+    }),
+
+    "m_image_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit("application/octet-stream").as("media_type"),
+        lit("").as("alt_text")
+      ).as[Multimodal.MediaRecord]
+      Multimodal.extractFeatures(s, media)
+        .toDF()
+        .select(col("media_id"), col("byte_length"), col("sniffed_type"), col("feature"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  // ==================================================================
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT l_orderkey,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q05_region_revenue" ->
+      """SELECT n_name,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |JOIN lineitem ON l_suppkey = s_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q06_forecast_filter" ->
+      """SELECT
+        |  sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07
+        |  AND l_quantity < 25""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT c_nationkey, rnk, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer)
+        |WHERE rnk <= 3
+        |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |FROM orders WHERE o_custkey < 150
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT c_mktsegment,
+        |  count(DISTINCT c_nationkey) AS n_nations,
+        |  CAST(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+        |  CAST(sum(CASE WHEN c_acctbal <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpositive,
+        |  count(*) AS n_customers
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, sec,
+        |    lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM e),
+        |s AS (
+        |  SELECT user_id, event_id, sec,
+        |    CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS is_new FROM l),
+        |g AS (
+        |  SELECT user_id, sec,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(sec) AS start_sec, max(sec) AS end_sec
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_event_windows" ->
+      """SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part)
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+    "q_union_dedup" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+
+    "i_removal_processor" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS n_elements FROM documents
+        |WHERE length(trim(text)) > 0 ORDER BY doc_id""".stripMargin,
+
+    "i_chunk_token" -> {
+      val step = 48; val maxT = 64; val overlap = 16
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+         |n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+         |chunks AS (
+         |  SELECT doc_id, CAST(u.i AS INT) AS chunk_id,
+         |    array_to_string(t[u.i*$step+1 : u.i*$step+$maxT], ' ') AS content
+         |  FROM n, unnest(range(0, greatest(CAST(ceil(n / $step.0) AS BIGINT), 1))) AS u(i))
+         |SELECT doc_id, chunk_id, content,
+         |  CAST(len(${sqlToks("content")}) AS INT) AS token_count
+         |FROM chunks WHERE length(content) > 0
+         |ORDER BY doc_id, chunk_id""".stripMargin
+    },
+
+    "i_enrich_summary" ->
+      s"""SELECT doc_id,
+         |  array_to_string((${sqlToks("text")})[1:20], ' ') AS summary
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "i_enrich_classification" -> {
+      def hits(words: Seq[String]) =
+        s"len(list_filter(${sqlToks("lower(text)")}, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"
+      val a = hits(Seq("query", "join", "agg", "group", "sort"))
+      val st = hits(Seq("table", "row", "column", "part", "key"))
+      val sm = hits(Seq("stream", "batch", "window", "watermark"))
+      s"""SELECT doc_id,
+         |  CASE WHEN ca = 0 AND cst = 0 AND csm = 0 THEN 'Unknown'
+         |       WHEN ca >= cst AND ca >= csm THEN 'analytics'
+         |       WHEN cst >= csm THEN 'storage'
+         |       ELSE 'streaming' END AS classification
+         |FROM (SELECT doc_id, $a AS ca, $st AS cst, $sm AS csm FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "i_enrich_sentiment" -> {
+      val pos = s"len(list_filter(${sqlToks("lower(text)")}, x -> list_contains(['fast','small','big'], x)))"
+      val neg = s"len(list_filter(${sqlToks("lower(text)")}, x -> list_contains(['slow','dup'], x)))"
+      s"""SELECT doc_id,
+         |  CASE WHEN p + n = 0 THEN 'Unknown'
+         |       WHEN p > n THEN 'Positive'
+         |       WHEN n > p THEN 'Negative'
+         |       ELSE 'Neutral' END AS sentiment
+         |FROM (SELECT doc_id, $pos AS p, $neg AS n FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "d_dedup_exact" ->
+      s"""WITH corpus AS ($corpusWithDupsSql)
+         |SELECT min(doc_id) AS keeper, count(*) AS dup_count
+         |FROM corpus GROUP BY text HAVING count(*) > 1
+         |ORDER BY keeper""".stripMargin,
+
+    "d_dedup_ngram" -> {
+      // shingle hashes (3-gram, portable hash), distinct per doc;
+      // pairwise intersection via self-join, integer jaccard threshold
+      s"""WITH corpus AS ($corpusWithDupsSql),
+         |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [${sqlHash("array_to_string(t, ' ')")}]
+         |    ELSE list_transform(range(0, len(t) - 2),
+         |         i -> ${sqlHash("array_to_string(t[i+1:i+3], ' ')")}) END) AS hashes
+         |  FROM toks),
+         |ex AS (SELECT doc_id, len(hashes) AS n_sh, unnest(hashes) AS shingle FROM sh),
+         |capped AS (
+         |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM ex)
+         |  WHERE df <= 1000),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb, count(*) AS inter
+         |  FROM capped x JOIN capped y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT a, b, inter, na, nb FROM pairs
+         |WHERE inter * 100 >= 80 * (na + nb - inter)
+         |ORDER BY a, b""".stripMargin
+    },
+
+    "d_dedup_minhash" -> {
+      val k = 16; val rpb = 4
+      val sigParts = (0 until k).map { i =>
+        val a = 2L * i + 1
+        val b = 12582917L * (i + 1) % 1000000007L
+        s"list_min(list_transform(hashes, x -> (x * $a + $b) % 1000000007))"
+      }.mkString(", ")
+      val bandKeys = (0 until k / rpb).map { band =>
+        s"list_reduce(list_concat([CAST($band AS BIGINT)], sig[${band * rpb + 1}:${band * rpb + rpb}]), (acc, x) -> (acc * 31 + x) % 1000000007)"
+      }.mkString(", ")
+      s"""WITH corpus AS ($corpusWithDupsSql),
+         |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [${sqlHash("array_to_string(t, ' ')")}]
+         |    ELSE list_transform(range(0, len(t) - 2),
+         |         i -> ${sqlHash("array_to_string(t[i+1:i+3], ' ')")}) END) AS hashes
+         |  FROM toks WHERE len(t) > 0),
+         |sigs AS (SELECT doc_id, hashes, [$sigParts] AS sig FROM sh WHERE len(hashes) > 0),
+         |banded AS (SELECT doc_id, hashes, unnest([$bandKeys]) AS key,
+         |           unnest(range(0, ${k / rpb})) AS band FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |verified AS (
+         |  SELECT a, b,
+         |    len(list_intersect(sa.hashes, sb.hashes)) AS inter,
+         |    len(sa.hashes) AS na, len(sb.hashes) AS nb
+         |  FROM cand JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b)
+         |SELECT a, b, inter, na, nb FROM verified
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+         |ORDER BY a, b""".stripMargin
+    },
+
+    "s_knn_bruteforce" -> {
+      val dot = "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))), (x, y) -> x + y)"
+      val na = "sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)], list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (x, y) -> x + y))"
+      val nb = "sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)], list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))), (x, y) -> x + y))"
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, round(CASE WHEN $na * $nb = 0 THEN 0.0 ELSE $dot / ($na * $nb) END, 6) AS cos
+         |FROM embeddings e, q
+         |ORDER BY CASE WHEN $na * $nb = 0 THEN 0.0 ELSE $dot / ($na * $nb) END DESC, e.vec_id
+         |LIMIT 10""".stripMargin
+    },
+
+    "t_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${sqlToks("text")}) AS INT) AS n_tokens,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> length(x) > 0))
+         |    + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS INT) AS n_pieces,
+         |  CAST(length(text) AS INT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_lang_id" -> {
+      def hits(words: Seq[String]) =
+        s"len(list_filter(${sqlToks("lower(text)")}, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"
+      val de = hits(TextAnalysis.Stopwords("de"))
+      val en = hits(TextAnalysis.Stopwords("en"))
+      val es = hits(TextAnalysis.Stopwords("es"))
+      val fr = hits(TextAnalysis.Stopwords("fr"))
+      s"""SELECT doc_id,
+         |  CASE WHEN cde = 0 AND cen = 0 AND ces = 0 AND cfr = 0 THEN 'und'
+         |       WHEN cde >= cen AND cde >= ces AND cde >= cfr THEN 'de'
+         |       WHEN cen >= ces AND cen >= cfr THEN 'en'
+         |       WHEN ces >= cfr THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM (SELECT doc_id, $de AS cde, $en AS cen, $es AS ces, $fr AS cfr FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "t_quality_score" -> {
+      val allStop = TextAnalysis.Stopwords.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString(",")
+      s"""SELECT doc_id, CAST(
+         |  (CASE WHEN n_tok >= 20 AND n_tok <= 5000 THEN 40.0 WHEN n_tok > 0 THEN 20.0 ELSE 0.0 END)
+         |  + (CASE WHEN n_chars = 0 THEN 0.0
+         |          WHEN punct / n_chars <= 0.1 THEN 30.0
+         |          WHEN punct / n_chars <= 0.3 THEN 15.0 ELSE 0.0 END)
+         |  + (CASE WHEN n_tok = 0 THEN 0.0
+         |          WHEN stop_hits / n_tok >= 0.05 THEN 30.0
+         |          WHEN stop_hits > 0 THEN 15.0 ELSE 0.0 END) AS INT) AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(${sqlToks("text")}) AS DOUBLE) AS n_tok,
+         |    CAST(length(text) AS DOUBLE) AS n_chars,
+         |    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |    CAST(len(list_filter(${sqlToks("lower(text)")}, x -> list_contains([$allStop], x))) AS DOUBLE) AS stop_hits
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "t_fingerprint" ->
+      s"""SELECT doc_id, ${sqlHash("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_length,
+        |  'application/octet-stream' AS sniffed_type
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
 }

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives.
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions`
+  * (no UDFs): each function returns a Column expression that Catalyst
+  * can optimize, push down around, and evaluate without serialization
+  * overhead. Higher-order functions (transform/aggregate/filter) keep
+  * per-document work narrow — a 100 TB corpus runs these as a map-only
+  * stage.
+  *
+  * Hash choices: `portableHash` is a 31-base polynomial rolling hash
+  * over unicode code points, mod 1e9+7. It is deliberately *portable*
+  * (DuckDB can replicate it with list_reduce) so the driver's oracle
+  * can verify fingerprints/minhash byte-for-byte. Hot paths that don't
+  * need oracle portability (SimHash) use the built-in xxhash64, which
+  * is codegen'd and faster.
+  */
+object TextFunctions {
+
+  val HashMod: Long = 1000000007L
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword-count approximation: word-chars runs, digits and
+    * punctuation counted separately (a cheap stand-in for a real BPE
+    * vocab: counts regex token pieces, not bytes).
+    */
+  def regexTokens(text: Column): Column =
+    filter(
+      split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => length(trim(t)) > 0
+    )
+
+  /** Portable polynomial string hash: fold chars, acc = (acc*31 + codepoint) mod 1e9+7.
+    * DuckDB equivalent:
+    *   list_reduce(list_concat([0], [unicode(c) for c in regexp_split_to_array(s,'')]),
+    *               (acc, c) -> (acc*31 + c) % 1000000007)
+    */
+  def portableHash(s: Column): Column =
+    aggregate(
+      filter(split(s, ""), c => length(c) > 0),
+      lit(0L),
+      (acc, c) => pmod(acc * 31 + ascii(c), lit(HashMod))
+    )
+
+  /** Affine re-hash family for MinHash: h_i(x) = (a_i*x + b_i) mod p. */
+  def affineHash(x: Column, a: Long, b: Long): Column =
+    pmod(x * a + b, lit(HashMod))
+
+  /** Word n-gram shingles as strings ("w1 w2 ... wn"). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(array_join(toks, " "))).otherwise(
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")
+      )
+    )
+  }
+
+  /** Distinct hashed shingles (the MinHash input set). */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(wordShingles(text, n), portableHash(_)))
+
+  /** MinHash signature: for each of k affine re-hashes of the shingle
+    * set, keep the minimum. Deterministic (a_i, b_i) derived from i so
+    * Spark and the DuckDB oracle agree. Returns array<bigint> length k.
+    */
+  def minHashSignature(shingles: Column, k: Int): Column = {
+    val mins = (0 until k).map { i =>
+      val a = 2L * i + 1
+      val b = 12582917L * (i + 1) % HashMod
+      array_min(transform(shingles, x => affineHash(x, a, b)))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH band keys: signature split into bands of `rowsPerBand`, each
+    * band reduced to a single portable hash. Returns array<bigint> of
+    * length k/rowsPerBand. Two docs sharing any band key are candidates.
+    */
+  def lshBandKeys(signature: Column, k: Int, rowsPerBand: Int): Column = {
+    val keys = (0 until k / rowsPerBand).map { band =>
+      val slice0 = slice(signature, band * rowsPerBand + 1, rowsPerBand)
+      // fold band rows into one key; include band index so bands don't collide
+      aggregate(
+        slice0,
+        lit(band.toLong),
+        (acc, x) => pmod(acc * 31 + x, lit(HashMod))
+      )
+    }
+    array(keys: _*)
+  }
+
+  /** SimHash-64 over whitespace tokens (xxhash64 — codegen'd, not
+    * oracle-portable by design). Sign of per-bit vote sum.
+    */
+  def simHash64(text: Column): Column = {
+    val toks = tokens(text)
+    val bits = (0 until 64).map { bit =>
+      // vote: +1 if bit set else -1, summed over tokens; bit set in result if sum > 0
+      val vote = aggregate(
+        toks,
+        lit(0L),
+        (acc, t) =>
+          acc + when(
+            (shiftright(xxhash64(t), bit).bitwiseAND(1)) === 1,
+            1L
+          ).otherwise(-1L)
+      )
+      when(vote > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two long bitmasks. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of two pre-hashed shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** Rolling-hash document fingerprint: portable polynomial hash over
+    * the whole text (chars), mod 1e9+7 — see portableHash docs for the
+    * DuckDB twin.
+    */
+  def fingerprint(text: Column): Column = portableHash(text)
+}

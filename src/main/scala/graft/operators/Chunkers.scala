@@ -1,0 +1,339 @@
+package graft.operators
+
+import graft.model.{Chunk, DocElement}
+import graft.sources.MarkdownElementReader
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Chunker options — defaults mirror the reference
+  * (Chunkers/IngestionChunkerOptions.cs:12-14: maxTokensPerChunk=2000,
+  * overlap=500). "Tokens" are whitespace tokens here; the reference
+  * uses a pluggable ML tokenizer, and the token-count hook is a single
+  * function swap.
+  */
+final case class ChunkerOptions(maxTokens: Int = 2000, overlap: Int = 500) {
+  require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens)
+}
+
+/** Document chunkers, re-expressed for Spark.
+  *
+  * Every chunker is a narrow transform: one document row in, N chunk
+  * rows out, parsing and packing inside the row — no shuffle anywhere
+  * in the chunking path, so it scales linearly with input splits.
+  *
+  * Reference semantics ported from:
+  *  - Chunkers/DocumentTokenChunker.cs (flat token windows + overlap)
+  *  - HeaderChunker.cs (header-path context, level stack)
+  *  - SectionChunker.cs (per-section chunks, first-header context)
+  *  - MarkdownChunker.cs (split at header level ≤ N, "h1;h2" context)
+  *  - SemanticSimilarityChunker.cs (percentile cosine-distance split)
+  *  - ElementsChunker.cs (token-budget packing, oversized-element split)
+  */
+object Chunkers {
+
+  // ---------------------------------------------------------------- token
+  /** DocumentTokenChunker as pure column ops (whole-stage codegen,
+    * SQL-oracle verifiable): overlapping whitespace-token windows.
+    * Output: (doc_id, chunk_id, content, token_count).
+    */
+  def tokenChunks(documents: DataFrame, opts: ChunkerOptions = ChunkerOptions()): DataFrame = {
+    val step = opts.maxTokens - opts.overlap
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    documents
+      .select(col("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            // reference loop: for (i = 0; i < n; i += step) — a trailing
+            // overlap-only window IS emitted (DocumentTokenChunker.cs:54-57)
+            sequence(lit(0), greatest(ceil(size(col("toks")).cast("double") / step).cast("int") - 1, lit(0))),
+            i => array_join(slice(col("toks"), i * step + 1, lit(opts.maxTokens)), " ")
+          )
+        ).as(Seq("chunk_id", "content"))
+      )
+      .where(length(col("content")) > 0)
+      .withColumn("token_count", size(graft.functions.TextFunctions.tokens(col("content"))))
+  }
+
+  // ------------------------------------------------------------- elements
+  /** Scala-side token count (whitespace), the flatMap twin of
+    * TextFunctions.tokens.
+    */
+  private def countTokens(s: String): Int = {
+    var n = 0; var inTok = false
+    var i = 0
+    while (i < s.length) {
+      val ws = Character.isWhitespace(s.charAt(i))
+      if (!ws && !inTok) { n += 1; inTok = true }
+      else if (ws) inTok = false
+      i += 1
+    }
+    n
+  }
+
+  /** ElementsChunker.cs re-expressed: greedily pack elements into
+    * chunks of ≤ maxTokens (counting the context prefix), splitting an
+    * oversized paragraph by sentence and an oversized table by row
+    * (repeating its header row), exactly the two "split intelligently"
+    * cases of ElementsChunker.cs:33-36.
+    */
+  private[graft] def packElements(
+      docId: Long,
+      context: String,
+      elements: Seq[(String, String)], // (kind, semanticText)
+      opts: ChunkerOptions,
+      startId: Int
+  ): Seq[Chunk] = {
+    val ctxTokens = countTokens(context)
+    val budget = opts.maxTokens - ctxTokens
+    require(budget > 0, s"context exceeds maxTokens for doc $docId")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+    val cur = new StringBuilder
+    var curTokens = 0
+    var nextId = startId
+
+    def commit(): Unit = {
+      if (cur.nonEmpty) {
+        val content =
+          if (context.nonEmpty) context + "\n" + cur.toString else cur.toString
+        out += Chunk(docId, nextId, content, context, curTokens + ctxTokens)
+        nextId += 1
+        cur.clear(); curTokens = 0
+      }
+    }
+    def append(piece: String, tokens: Int): Unit = {
+      if (cur.nonEmpty) cur.append('\n')
+      cur.append(piece); curTokens += tokens
+    }
+
+    for ((kind, text) <- elements if text.nonEmpty) {
+      val n = countTokens(text)
+      if (curTokens + n <= budget) append(text, n)
+      else if (kind == "table") {
+        val rows = text.split("\n").toSeq
+        val header = rows.take(2) // header + separator
+        val headerTok = countTokens(header.mkString(" "))
+        commit()
+        var acc = scala.collection.mutable.ArrayBuffer(header: _*)
+        var accTok = headerTok
+        for (row <- rows.drop(2)) {
+          val rt = countTokens(row)
+          if (accTok + rt > budget && acc.length > 2) {
+            append(acc.mkString("\n"), accTok); commit()
+            acc = scala.collection.mutable.ArrayBuffer(header: _*); accTok = headerTok
+          }
+          acc += row; accTok += rt
+        }
+        if (acc.length > 2) { append(acc.mkString("\n"), accTok); commit() }
+      } else {
+        // split by sentence boundaries, then hard-split any giant sentence
+        val sentences = text.split("(?<=[.!?])\\s+").toSeq.flatMap { s =>
+          val st = countTokens(s)
+          if (st <= budget) Seq(s)
+          else s.split("\\s+").grouped(budget).map(_.mkString(" ")).toSeq
+        }
+        for (s <- sentences) {
+          val st = countTokens(s)
+          if (curTokens + st > budget) commit()
+          append(s, st)
+        }
+      }
+      if (curTokens >= budget) commit()
+    }
+    commit()
+    out.toSeq
+  }
+
+  private def semanticText(kind: String, text: String): String = text
+
+  // --------------------------------------------------------------- header
+  /** HeaderChunker.cs: walk elements in order; headers update a level
+    * stack (clearing deeper levels) and become context ("h1 h2 h3"
+    * joined by spaces), never content; element runs between headers are
+    * packed by the elements packer.
+    */
+  def headerChunks(spark: SparkSession, documents: DataFrame,
+                   opts: ChunkerOptions = ChunkerOptions()): Dataset[Chunk] = {
+    import spark.implicits._
+    documents.select("doc_id", "text").as[(Long, String)].flatMap { case (id, text) =>
+      val blocks = MarkdownElementReader.parseBlocks(Option(text).getOrElse(""))
+      val headers = new Array[String](11)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+      val run = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var nextId = 0
+      def flush(): Unit = if (run.nonEmpty) {
+        val ctx = headers.filter(h => h != null && h.nonEmpty).mkString(" ")
+        val chunks = packElements(id, ctx, run.toSeq, opts, nextId)
+        nextId += chunks.size
+        out ++= chunks
+        run.clear()
+      }
+      for ((kind, level, md, txt) <- blocks) {
+        if (kind == "header") {
+          flush()
+          val lvl = math.min(level, 10)
+          headers(lvl) = md
+          for (l <- lvl + 1 to 10) headers(l) = null
+        } else run += ((kind, txt))
+      }
+      flush()
+      out.toSeq
+    }
+  }
+
+  // -------------------------------------------------------------- section
+  /** SectionChunker.cs: one chunk run per section; a section's leading
+    * header becomes (appends to) the context. Markdown has no explicit
+    * sections, so graft treats each h1 boundary (and the preamble) as a
+    * section — the same observable behavior for documents whose
+    * sections are h1-delimited.
+    */
+  def sectionChunks(spark: SparkSession, documents: DataFrame,
+                    opts: ChunkerOptions = ChunkerOptions()): Dataset[Chunk] = {
+    import spark.implicits._
+    documents.select("doc_id", "text").as[(Long, String)].flatMap { case (id, text) =>
+      val blocks = MarkdownElementReader.parseBlocks(Option(text).getOrElse(""))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+      var nextId = 0
+      var context = ""
+      val run = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var isFirstInSection = true
+      def flush(): Unit = if (run.nonEmpty) {
+        val chunks = packElements(id, context, run.toSeq, opts, nextId)
+        nextId += chunks.size
+        out ++= chunks
+        run.clear()
+      }
+      for ((kind, level, md, txt) <- blocks) {
+        if (kind == "header" && level == 1) {
+          flush()
+          context = md // new section; header is its context (SectionChunker.cs:49-54)
+          isFirstInSection = false
+        } else {
+          run += ((kind, txt))
+        }
+      }
+      flush()
+      out.toSeq
+    }
+  }
+
+  // ------------------------------------------------------------- markdown
+  /** MarkdownChunker.cs: split whenever a header of level ≤ N appears;
+    * context is the ";"-joined chain of ancestor headers (h1;h2;…).
+    * stripHeaders=false prepends the context to the content.
+    */
+  def markdownChunks(spark: SparkSession, documents: DataFrame,
+                     headerLevelToSplitOn: Int = 3,
+                     stripHeaders: Boolean = true): Dataset[Chunk] = {
+    import spark.implicits._
+    documents.select("doc_id", "text").as[(Long, String)].flatMap { case (id, text) =>
+      val blocks = MarkdownElementReader.parseBlocks(Option(text).getOrElse(""))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+      val chain = new Array[String](headerLevelToSplitOn + 1) // chain(l) = last header at level l
+      var nextId = 0
+      val cur = new StringBuilder
+      def ctx(): String = chain.filter(h => h != null && h.nonEmpty).mkString(";")
+      def flush(): Unit = {
+        val body = cur.toString.trim
+        if (body.nonEmpty) {
+          val c = ctx()
+          val content = if (stripHeaders) body else (if (c.nonEmpty) c + "\n" + body else body)
+          out += Chunk(id, nextId, content, c, countTokens(content))
+          nextId += 1
+        }
+        cur.setLength(0)
+      }
+      for ((kind, level, md, txt) <- blocks) {
+        if (kind == "header" && level <= headerLevelToSplitOn) {
+          flush()
+          chain(level) = md
+          for (l <- level + 1 to headerLevelToSplitOn) chain(l) = null
+        } else {
+          if (cur.nonEmpty) cur.append('\n')
+          cur.append(md)
+        }
+      }
+      flush()
+      out.toSeq
+    }
+  }
+
+  // ------------------------------------------------------------- semantic
+  /** SemanticSimilarityChunker.cs: embed each element, compute cosine
+    * distance between consecutive elements, split where distance
+    * exceeds the P-th percentile (linear interpolation, exactly
+    * SemanticSimilarityChunker.cs:117-140), then pack each group.
+    * Embeddings come from the deterministic feature-hashing embedder;
+    * a model-backed embedder swaps in per partition.
+    */
+  def semanticChunks(spark: SparkSession, documents: DataFrame,
+                     opts: ChunkerOptions = ChunkerOptions(),
+                     thresholdPercentile: Double = 95.0,
+                     dim: Int = 64): Dataset[Chunk] = {
+    import spark.implicits._
+    require(thresholdPercentile >= 0 && thresholdPercentile <= 100)
+    documents.select("doc_id", "text").as[(Long, String)].flatMap { case (id, text) =>
+      val blocks = MarkdownElementReader.parseBlocks(Option(text).getOrElse(""))
+        .filter(_._4.nonEmpty)
+      if (blocks.isEmpty) Seq.empty[Chunk]
+      else {
+        val embs = blocks.map(b => embed(b._4, dim))
+        // distance[i] between element i and i+1; last element has none
+        val distances = embs.indices.map { i =>
+          if (i == embs.length - 1) 0.0
+          else 1.0 - cosineD(embs(i), embs(i + 1))
+        }
+        val threshold = percentile(distances.dropRight(1), thresholdPercentile) match {
+          case Some(t) => t
+          case None    => Double.MaxValue // single element: one group
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+        val run = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var nextId = 0
+        for (i <- blocks.indices) {
+          run += ((blocks(i)._1, blocks(i)._4))
+          if (i < blocks.length - 1 && distances(i) > threshold) {
+            val chunks = packElements(id, "", run.toSeq, opts, nextId)
+            nextId += chunks.size; out ++= chunks; run.clear()
+          }
+        }
+        if (run.nonEmpty) out ++= packElements(id, "", run.toSeq, opts, nextId)
+        out.toSeq
+      }
+    }
+  }
+
+  /** Deterministic per-string feature-hash embedding (Scala twin of
+    * VectorFunctions.hashEmbed — same bucketing, local evaluation).
+    */
+  private[graft] def embed(text: String, dim: Int): Array[Double] = {
+    val v = new Array[Double](dim)
+    for (tok <- text.split("\\s+") if tok.nonEmpty) {
+      var h = 0L
+      for (c <- tok) h = (h * 31 + c.toInt) % graft.functions.TextFunctions.HashMod
+      v((h % dim).toInt) += 1.0
+    }
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    if (norm > 0) v.map(_ / norm) else v
+  }
+
+  private def cosineD(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); i += 1 }
+    d // inputs are L2-normalized
+  }
+
+  /** Linear-interpolation percentile (SemanticSimilarityChunker.cs:117). */
+  private[graft] def percentile(xs: Seq[Double], p: Double): Option[Double] =
+    if (xs.isEmpty) None
+    else if (xs.length == 1) Some(xs.head)
+    else {
+      val sorted = xs.sorted.toArray
+      val i = (p / 100.0) * (sorted.length - 1)
+      val i0 = i.toInt
+      val i1 = math.min(i0 + 1, sorted.length - 1)
+      Some(sorted(i0) + (i - i0) * (sorted(i1) - sorted(i0)))
+    }
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale posture: none of these ever materializes all-pairs. Exact
+  * dedup is one hash aggregate; the near-dup family shuffles once on a
+  * derived key (shingle hash, LSH band, simhash block, hyperplane
+  * bucket) and generates candidate pairs only *within* buckets, so the
+  * join fan-out is bounded by bucket size, not corpus size. This is
+  * the standard MinHash-LSH construction (Broder; Leskovec et al.,
+  * Mining of Massive Datasets ch. 3).
+  */
+object Dedup {
+
+  /** Exact duplicates: group by content, keep the smallest id as the
+    * canonical representative. Output one row per duplicate *group*
+    * (keeper, dup_count) — at 100 TB this is a single map-side-combined
+    * hash aggregate on a fingerprint, never on the raw text.
+    */
+  def exactGroups(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_count"))
+      .where(col("dup_count") > 1)
+      .select(col("keeper"), col("dup_count"))
+
+  /** Exact-dedup the corpus: keep one row (min doc_id) per distinct text. */
+  def exactDedup(documents: DataFrame): DataFrame = {
+    val keep = documents.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    documents.join(keep, Seq("doc_id", "text"), "left_semi")
+  }
+
+  /** N-gram Jaccard near-duplicate pairs (a < b, jaccard ≥ threshold).
+    *
+    * Plan: distinct shingle hashes per doc → explode → self-join on
+    * shingle (co-occurrence count per pair) → jaccard from
+    * |A∩B| / (|A|+|B|-|A∩B|) with integer arithmetic. The explode/join
+    * shuffles on the shingle hash; hot shingles are capped by
+    * `maxDocsPerShingle` (drop shingles shared by too many docs — they
+    * carry no discriminative signal and would otherwise create
+    * quadratic fan-out; standard df-cut).
+    */
+  def ngramJaccardPairs(documents: DataFrame, n: Int = 3,
+                        threshold: Double = 0.8,
+                        maxDocsPerShingle: Int = 1000): DataFrame = {
+    val shingled = documents
+      .select(col("doc_id"), TextFunctions.shingleHashes(col("text"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    val capped = shingled
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .where(col("df") <= maxDocsPerShingle)
+      .drop("df")
+    val a = capped.select(col("doc_id").as("a"), col("n_sh").as("na"), col("shingle"))
+    val b = capped.select(col("doc_id").as("b"), col("n_sh").as("nb"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      // jaccard >= t  ⇔  inter >= t * (na + nb - inter); scaled to ints
+      .where(col("inter") * lit(100) >= lit((threshold * 100).round) * (col("na") + col("nb") - col("inter")))
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
+  }
+
+  /** MinHash + LSH near-duplicate pairs: k-minhash signature, banded
+    * into `k/rowsPerBand` keys; docs sharing a band key are candidates;
+    * candidates are verified with true shingle Jaccard. One shuffle on
+    * band keys (tiny rows), one candidate-pair verify join.
+    */
+  def minhashLshPairs(documents: DataFrame, n: Int = 3, k: Int = 16,
+                      rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val withSig = documents.select(
+      col("doc_id"),
+      TextFunctions.shingleHashes(col("text"), n).as("sh")
+    ).where(size(col("sh")) > 0)
+      .withColumn("bands", TextFunctions.lshBandKeys(
+        TextFunctions.minHashSignature(col("sh"), k), k, rowsPerBand))
+
+    val banded = withSig.select(
+      col("doc_id"), col("sh"),
+      posexplode(col("bands")).as(Seq("band", "key"))
+    )
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("a"), col("sh").as("sha"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("b"), col("sh").as("shb"))
+    a.join(b, Seq("band", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sha"), col("shb"))
+      .dropDuplicates("a", "b")
+      .withColumn("jaccard", TextFunctions.jaccard(col("sha"), col("shb")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sha"), col("shb"))).as("inter"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit simhash per doc; by the
+    * pigeonhole principle two hashes within hamming distance d share at
+    * least one of d+1 equal-width blocks, so bucketing on each 16-bit
+    * block finds every pair with distance ≤ 3 with one shuffle.
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashed = documents.select(
+      col("doc_id"),
+      TextFunctions.simHash64(col("text")).as("sim")
+    )
+    val blocks = hashed.select(
+      col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(blk =>
+        struct(lit(blk).as("blk"),
+          shiftright(col("sim"), blk * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b")
+    ).select(col("doc_id"), col("sim"), col("b.blk"), col("b.key"))
+    val a = blocks.select(col("blk"), col("key"), col("doc_id").as("a"), col("sim").as("sima"))
+    val b = blocks.select(col("blk"), col("key"), col("doc_id").as("b"), col("sim").as("simb"))
+    a.join(b, Seq("blk", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sima"), col("simb"))
+      .dropDuplicates("a", "b")
+      .withColumn("hamming", TextFunctions.hamming64(col("sima"), col("simb")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs over a vector table
+    * (vec_id, embedding): random-hyperplane LSH buckets (same-bucket
+    * candidates only) verified by exact cosine. `nPlanes` trades recall
+    * for bucket size; 8 planes → 256 buckets.
+    */
+  def embeddingCosinePairs(vectors: DataFrame, dim: Int,
+                           threshold: Double = 0.95,
+                           nPlanes: Int = 8): DataFrame = {
+    val bucketed = vectors.select(
+      col("vec_id"),
+      col("embedding"),
+      VectorFunctions.hyperplaneBucket(col("embedding"), dim, nPlanes).as("bucket")
+    )
+    val a = bucketed.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
+    a.join(b, Seq("bucket"))
+      .where(col("a") < col("b"))
+      .withColumn("cos", VectorFunctions.cosine(col("ea"), col("eb")))
+      .where(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns
+  * with typed metadata, mirroring IngestionDocumentImage
+  * (IngestionDocument.cs:215-243: Content bytes + MediaType +
+  * AlternativeText).
+  *
+  * The decode step is STUBBED (no image/audio libraries in this
+  * container): `decodeStub` produces deterministic fake features. The
+  * Spark-side plumbing — binary schema, magic-byte sniffing, batched
+  * per-partition UDF shape, partition sizing — is real, and a
+  * production decoder (pillow/ffmpeg via mapInPandas, or a JVM codec)
+  * swaps in behind the same row contract.
+  */
+object Multimodal {
+
+  /** Media record: the multimodal row contract. */
+  final case class MediaRecord(
+      media_id: Long,
+      content: Array[Byte],
+      media_type: String,
+      alt_text: String
+  )
+
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      byte_length: Int,
+      sniffed_type: String,
+      feature: Array[Float]
+  )
+
+  /** Magic-byte media sniffing as a pure column expression (PNG, JPEG,
+    * GIF, RIFF/WAV, PDF; else octet-stream).
+    */
+  def sniffMediaType(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(hex(substring(content, 1, 4)) === "89504E47", "image/png")
+      .when(hex(substring(content, 1, 3)) === "FFD8FF", "image/jpeg")
+      .when(hex(substring(content, 1, 3)) === "474946", "image/gif")
+      .when(hex(substring(content, 1, 4)) === "52494646", "audio/wav")
+      .when(hex(substring(content, 1, 4)) === "25504446", "application/pdf")
+      .otherwise("application/octet-stream")
+
+  /** Typed metadata extraction over a binary column — pure column ops
+    * (length, sniffed type, content hash): the non-stub half of the
+    * multimodal surface.
+    */
+  def mediaMetadata(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      col("media_type"),
+      length(col("content")).as("byte_length"),
+      sniffMediaType(col("content")).as("sniffed_type"),
+      xxhash64(col("content")).as("content_hash")
+    )
+
+  /** Deterministic fake "decode": byte histogram over 16 buckets,
+    * L2-normalized — stands in for a real image decode + model
+    * embedding. Runs per partition in fixed-size batches (the same
+    * shape a mapInPandas/Arrow decoder would use, so swapping in a real
+    * decoder changes only this function).
+    */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xFF) >> 4) += 1f
+      i += 1
+    }
+    val norm = math.sqrt(hist.map(x => x.toDouble * x).sum).toFloat
+    if (norm > 0) hist.map(_ / norm) else hist
+  }
+
+  /** Batched feature extraction: mapPartitions with an explicit batch
+    * size (the JVM twin of mapInPandas batches — a real decoder would
+    * amortize model setup per batch exactly like this).
+    */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRecord],
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would happen here (decoder/model init)
+        batch.map { r =>
+          val sniffed = sniff(r.content)
+          MediaFeatures(r.media_id, r.media_type, r.content.length, sniffed,
+            decodeStub(r.content))
+        }
+      }
+    }
+  }
+
+  private def sniff(b: Array[Byte]): String = {
+    def is(sig: Int*): Boolean =
+      b.length >= sig.length && sig.zipWithIndex.forall { case (s, i) => (b(i) & 0xFF) == s }
+    if (is(0x89, 0x50, 0x4E, 0x47)) "image/png"
+    else if (is(0xFF, 0xD8, 0xFF)) "image/jpeg"
+    else if (is(0x47, 0x49, 0x46)) "image/gif"
+    else if (is(0x52, 0x49, 0x46, 0x46)) "audio/wav"
+    else if (is(0x25, 0x50, 0x44, 0x46)) "application/pdf"
+    else "application/octet-stream"
+  }
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document/chunk processors — the reference's enrichers, re-expressed
+  * as deterministic column transforms.
+  *
+  * The reference enrichers (Processors/SummaryEnricher.cs,
+  * KeywordEnricher.cs, ClassificationEnricher.cs, SentimentEnricher.cs)
+  * call an LLM per chunk and attach a metadata key. graft keeps the
+  * exact contract — one new column per enricher, same key names
+  * (`summary`, `keywords`, `classification`, `sentiment`) — but
+  * computes hermetic, deterministic values (extractive summary, tf
+  * keywords, vocabulary classification, lexicon sentiment) so the
+  * pipeline runs with zero external calls at any scale. An LLM-backed
+  * variant plugs in by swapping the column expression for a
+  * mapInPandas/foreachBatch call — the pipeline shape is unchanged.
+  */
+object Processors {
+
+  /** RemovalProcessor.cs: drop elements matching a predicate; the two
+    * canned predicates are footers and empty sections.
+    */
+  def removeElements(elements: DataFrame, shouldRemove: Column): DataFrame =
+    elements.where(!shouldRemove)
+
+  def removeFooters(elements: DataFrame): DataFrame =
+    removeElements(elements, col("kind") === "footer")
+
+  def removeEmpty(elements: DataFrame): DataFrame =
+    removeElements(elements, length(trim(col("text"))) === 0)
+
+  /** SummaryEnricher (metadata key "summary", maxWordCount default 100
+    * — SummaryEnricher.cs:36): extractive summary = first maxWords
+    * whitespace tokens.
+    */
+  def withSummary(df: DataFrame, textCol: String = "content", maxWords: Int = 100): DataFrame =
+    df.withColumn(
+      "summary",
+      array_join(slice(TextFunctions.tokens(col(textCol)), 1, maxWords), " ")
+    )
+
+  /** KeywordEnricher (key "keywords", maxKeywords default 5 —
+    * KeywordEnricher.cs:38): top-k terms from a predefined vocabulary,
+    * by in-document frequency, ties broken alphabetically. Returns an
+    * array<string> column like the reference's string[].
+    */
+  def withKeywords(df: DataFrame, vocabulary: Seq[String],
+                   textCol: String = "content", maxKeywords: Int = 5): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val scored = vocabulary.distinct.sorted.map { w =>
+      struct(
+        (-size(filter(toks, t => t === w))).cast("long").as("negCount"),
+        lit(w).as("word")
+      )
+    }
+    df.withColumn(
+      "keywords",
+      transform(
+        slice(
+          filter(array_sort(array(scored: _*)), s => s.getField("negCount") < 0),
+          1, maxKeywords
+        ),
+        s => s.getField("word")
+      )
+    )
+  }
+
+  /** ClassificationEnricher (key "classification", fallback "Unknown" —
+    * ClassificationEnricher.cs:37): each class is defined by trigger
+    * words; the class with the highest hit count wins (ties:
+    * alphabetical class name), fallback when nothing matches.
+    */
+  def withClassification(df: DataFrame, classes: Map[String, Seq[String]],
+                         textCol: String = "content",
+                         fallback: String = "Unknown"): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val scored = classes.toSeq.sortBy(_._1).map { case (name, words) =>
+      val hits = words.map(w => size(filter(toks, t => t === w.toLowerCase))).reduce(_ + _)
+      struct((-hits).cast("long").as("negHits"), lit(name).as("cls"))
+    }
+    val best = element_at(array_sort(array(scored: _*)), 1)
+    df.withColumn(
+      "classification",
+      when(best.getField("negHits") < 0, best.getField("cls")).otherwise(lit(fallback))
+    )
+  }
+
+  /** Default sentiment lexica (small, deterministic). */
+  val PositiveWords: Seq[String] = Seq(
+    "good", "great", "excellent", "fast", "love", "best", "happy",
+    "win", "positive", "improve", "success", "easy", "clean", "nice"
+  )
+  val NegativeWords: Seq[String] = Seq(
+    "bad", "slow", "terrible", "worst", "hate", "fail", "negative",
+    "bug", "broken", "hard", "dirty", "poor", "wrong", "error"
+  )
+
+  /** SentimentEnricher (key "sentiment", values Positive/Negative/
+    * Neutral/Unknown — SentimentEnricher.cs:17): lexicon polarity.
+    * Unknown when no lexicon word appears (the reference's
+    * below-confidence case); else sign of (pos - neg).
+    */
+  def withSentiment(df: DataFrame, textCol: String = "content",
+                    positive: Seq[String] = PositiveWords,
+                    negative: Seq[String] = NegativeWords): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val pos = size(filter(toks, t => array_contains(lit(positive.toArray), t)))
+    val neg = size(filter(toks, t => array_contains(lit(negative.toArray), t)))
+    df.withColumn(
+      "sentiment",
+      when(pos + neg === 0, "Unknown")
+        .when(pos > neg, "Positive")
+        .when(neg > pos, "Negative")
+        .otherwise("Neutral")
+    )
+  }
+
+  /** ImageAlternativeTextEnricher.cs: fills AlternativeText for image
+    * elements. Hermetic stand-in: derive alt text from the image
+    * markdown's existing alt + a deterministic caption tag. A real
+    * vision model plugs in via mapInPandas over the binary column.
+    */
+  def withImageAltText(elements: DataFrame): DataFrame =
+    elements.withColumn(
+      "text",
+      when(
+        col("kind") === "image" and length(col("text")) === 0,
+        concat(lit("image:"), regexp_extract(col("markdown"), "\\(([^)]*)\\)", 1))
+      ).otherwise(col("text"))
+    )
+}

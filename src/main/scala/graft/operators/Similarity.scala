@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column.
+  *
+  * Scale posture: the brute-force path broadcasts the (small) query
+  * set and scans the corpus once — a map + top-k aggregate, no corpus
+  * shuffle. The LSH path buckets both sides on hyperplane signatures so
+  * only same-bucket pairs are scored (one shuffle on bucket id). An IVF
+  * variant would cluster first; hyperplane LSH gives the same
+  * bucket-join shape without an iterative training step.
+  */
+object Similarity {
+
+  /** Brute-force top-k cosine neighbors for one query vector (given as
+    * a literal array). Returns (vec_id, cos) ordered by (cos desc,
+    * vec_id) — deterministic tie-break.
+    */
+  def knnBruteForce(vectors: DataFrame, query: Array[Float], k: Int = 10,
+                    excludeSelf: Option[Long] = None): DataFrame = {
+    val q = lit(query)
+    val scored = vectors
+      .select(col("vec_id"), VectorFunctions.cosine(col("embedding"), q).as("cos"))
+    val filtered = excludeSelf.map(id => scored.where(col("vec_id") =!= id)).getOrElse(scored)
+    filtered.orderBy(col("cos").desc, col("vec_id").asc).limit(k)
+  }
+
+  /** Batch brute-force: top-k neighbors for EVERY query row in
+    * `queries` (vec_id, embedding). The query side is broadcast; the
+    * corpus is scanned once; per-query top-k via window rank. Use for
+    * query sets that fit in a broadcast (≤ ~100 MB); for larger query
+    * sets switch to knnLsh.
+    */
+  def knnBruteForceBatch(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val joined = corpus
+      .select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(
+        col("query_id"), col("nbr_id"),
+        VectorFunctions.cosine(col("q_emb"), col("nbr_emb")).as("cos")
+      )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN: hyperplane-bucket both corpus and queries, score
+    * only same-bucket pairs, per-query top-k. Multi-probe via
+    * `nTables` independent plane sets raises recall; candidates are
+    * deduped before scoring.
+    */
+  def knnLsh(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
+             nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
+    def bucketize(df: DataFrame, idName: String, embName: String): DataFrame = {
+      val buckets = array((0 until nTables).map { t =>
+        struct(
+          lit(t).as("table"),
+          VectorFunctions
+            .hyperplaneBucket(col("embedding"), dim, nPlanes + t) // vary planes per table
+            .as("bucket")
+        )
+      }: _*)
+      df.select(
+        col("vec_id").as(idName), col("embedding").as(embName),
+        explode(buckets).as("tb")
+      ).select(col(idName), col(embName), col("tb.table"), col("tb.bucket"))
+    }
+    val c = bucketize(corpus, "nbr_id", "nbr_emb")
+    val q = bucketize(queries, "query_id", "q_emb")
+    val candidates = q.join(c, Seq("table", "bucket"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("q_emb"), col("nbr_id"), col("nbr_emb"))
+      .dropDuplicates("query_id", "nbr_id")
+      .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("nbr_emb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
+  }
+
+  /** All-pairs high-cosine detection — alias of the dedup primitive
+    * (bucket-prefiltered, never all-pairs).
+    */
+  def pairwiseHighCosine(vectors: DataFrame, dim: Int, threshold: Double,
+                         nPlanes: Int = 8): DataFrame =
+    Dedup.embeddingCosinePairs(vectors, dim, threshold, nPlanes)
+}

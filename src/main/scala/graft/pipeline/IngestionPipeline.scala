@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import graft.model.Chunk
+import graft.operators.{Chunkers, ChunkerOptions, Processors}
+import graft.sinks.VectorStoreWriter
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The pipeline composer — graft's twin of IngestionPipeline.cs:
+  * reader → documentProcessors* → chunker → chunkProcessors* → writer.
+  *
+  * Where the reference threads one document at a time through
+  * IAsyncEnumerable stages, graft composes DataFrame transforms: the
+  * whole pipeline is ONE lazy plan, so Catalyst sees every stage at
+  * once (it can prune document columns the chunker never reads, push
+  * document filters into the scan, etc.) and the job runs as a single
+  * map-only stage until the writer.
+  *
+  * Stage contracts (column-level):
+  *  - document processor: DataFrame(doc_id, text, …) → same shape
+  *  - chunker:            documents → (doc_id, chunk_id, content, context, token_count)
+  *  - chunk processor:    chunks → chunks (+ metadata columns)
+  *  - writer:             chunks → sink
+  */
+final case class IngestionPipeline(
+    documentProcessors: Seq[DataFrame => DataFrame] = Seq.empty,
+    chunker: (SparkSession, DataFrame) => DataFrame = IngestionPipeline.defaultChunker,
+    chunkProcessors: Seq[DataFrame => DataFrame] = Seq.empty
+) {
+
+  def withDocumentProcessor(p: DataFrame => DataFrame): IngestionPipeline =
+    copy(documentProcessors = documentProcessors :+ p)
+
+  def withChunker(c: (SparkSession, DataFrame) => DataFrame): IngestionPipeline =
+    copy(chunker = c)
+
+  def withChunkProcessor(p: DataFrame => DataFrame): IngestionPipeline =
+    copy(chunkProcessors = chunkProcessors :+ p)
+
+  /** Compose the full lazy plan: documents in, enriched chunks out. */
+  def chunks(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val processed = documentProcessors.foldLeft(documents)((df, p) => p(df))
+    val chunked = chunker(spark, processed)
+    chunkProcessors.foldLeft(chunked)((df, p) => p(df))
+  }
+
+  /** Run end-to-end into a vector store path. */
+  def run(spark: SparkSession, documents: DataFrame, sinkPath: String,
+          dim: Int = 64): Unit = {
+    val out = VectorStoreWriter.toVectorRecords(chunks(spark, documents), dim)
+    VectorStoreWriter.write(out, sinkPath)
+  }
+}
+
+object IngestionPipeline {
+  /** Default chunker: header-aware chunking (the reference's most
+    * featureful structural chunker).
+    */
+  def defaultChunker(spark: SparkSession, documents: DataFrame): DataFrame =
+    Chunkers.headerChunks(spark, documents, ChunkerOptions()).toDF()
+
+  /** The reference Samples' canonical pipeline: remove footers, chunk
+    * by headers, enrich with summary+sentiment, embed, write.
+    */
+  def canonical: IngestionPipeline =
+    IngestionPipeline()
+      .withChunkProcessor(df => Processors.withSummary(df))
+      .withChunkProcessor(df => Processors.withSentiment(df))
+}

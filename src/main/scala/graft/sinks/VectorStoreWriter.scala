@@ -1,0 +1,62 @@
+package graft.sinks
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Vector-store writer — the Spark twin of Writers/VectorStoreWriter.cs.
+  *
+  * The reference embeds each chunk's content and upserts records with
+  * columns (key, embedding, content, context, documentid) — lowercase,
+  * no special characters, for cross-store compatibility
+  * (VectorStoreWriter.cs:15-20). Its IncrementalIngestion option
+  * deletes a document's previous records before writing new ones.
+  *
+  * graft writes the same record schema to parquet partitioned by a
+  * *bucket* of the document id (never by raw documentid — billions of
+  * one-file partitions would kill any file listing at 100 TB). With
+  * dynamic partition overwrite, re-ingesting a batch atomically
+  * replaces the buckets it touches; per-document upsert inside a
+  * bucket is the job of a table format (Delta/Iceberg MERGE) or the
+  * target vector store's own upsert — `key` is deterministic
+  * (documentid:chunkid) precisely so that upsert is idempotent.
+  */
+object VectorStoreWriter {
+
+  val NumBuckets = 256
+
+  /** Chunks (doc_id, chunk_id, content, context) → vector records.
+    * Embedding is the hermetic hash embedder (swap for a model UDF in
+    * production).
+    */
+  def toVectorRecords(chunks: DataFrame, dim: Int = 64): DataFrame =
+    chunks.select(
+      concat(col("doc_id").cast("string"), lit(":"), col("chunk_id").cast("string")).as("key"),
+      VectorFunctions.hashEmbed(col("content"), dim).as("embedding"),
+      col("content"),
+      coalesce(col("context"), lit("")).as("context"),
+      col("doc_id").cast("string").as("documentid")
+    )
+
+  /** Write records bucketed by document, overwriting only the buckets
+    * present in this batch (incremental ingestion).
+    */
+  def write(records: DataFrame, path: String, incremental: Boolean = true): Unit = {
+    val session = records.sparkSession
+    val previous = session.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    session.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      records
+        .withColumn("doc_bucket", pmod(xxhash64(col("documentid")), lit(NumBuckets)))
+        .write
+        .mode(if (incremental) SaveMode.Overwrite else SaveMode.Append)
+        .partitionBy("doc_bucket")
+        .parquet(path)
+    } finally {
+      previous match {
+        case Some(v) => session.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None    => session.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.model.Chunk
+import graft.operators.{Chunkers, ChunkerOptions}
+import org.apache.spark.sql.functions._
+
+/** Chunker semantics, mirroring the reference's chunker tests
+  * (test/.../DocumentTokenChunkerTests.cs, HeaderChunkerTests.cs,
+  * MarkdownChunkerTests.cs, SemanticSimilarityChunkerTests.cs).
+  */
+class ChunkersSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // ------------------------------------------------------------- token
+  test("tokenChunks: windows with overlap cover all tokens") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val out = Chunkers.tokenChunks(docs(1L -> text), ChunkerOptions(maxTokens = 40, overlap = 10))
+      .orderBy("chunk_id").collect()
+    // step = 30 → starts at 0, 30, 60, 90 → 4 chunks
+    assert(out.length == 4)
+    val first = out(0).getAs[String]("content").split(" ")
+    assert(first.head == "w1" && first.length == 40)
+    val second = out(1).getAs[String]("content").split(" ")
+    assert(second.head == "w31") // overlap of 10
+    val last = out(3).getAs[String]("content").split(" ")
+    assert(last.head == "w91" && last.last == "w100" && last.length == 10)
+    assert(out.forall(r => r.getAs[Int]("token_count") == r.getAs[String]("content").split(" ").length))
+  }
+
+  test("tokenChunks: short doc yields one chunk; empty doc none") {
+    val out = Chunkers.tokenChunks(docs(1L -> "a b c", 2L -> "  "),
+      ChunkerOptions(maxTokens = 40, overlap = 10)).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("content") == "a b c")
+  }
+
+  // ----------------------------------------------------------- elements
+  test("packElements: respects token budget and context prefix") {
+    val elems = Seq(("paragraph", "one two three"), ("paragraph", "four five"), ("paragraph", "six"))
+    val chunks = Chunkers.packElements(7L, "CTX", elems, ChunkerOptions(maxTokens = 5, overlap = 0), 0)
+    // budget = 5 - 1(ctx) = 4: [one two three] | [four five six]
+    assert(chunks.map(_.chunk_id) == Seq(0, 1))
+    assert(chunks.forall(_.content.startsWith("CTX\n")))
+    assert(chunks.forall(_.token_count <= 5))
+    assert(chunks(0).content == "CTX\none two three")
+    assert(chunks(1).content == "CTX\nfour five\nsix")
+  }
+
+  test("packElements: oversized paragraph splits by sentence, repacks greedily") {
+    val big = "First sentence here. Second sentence too. Third one closes."
+    val chunks = Chunkers.packElements(1L, "", Seq(("paragraph", big)),
+      ChunkerOptions(maxTokens = 6, overlap = 0), 0)
+    // 3-token sentences packed two-per-chunk under the 6-token budget
+    assert(chunks.map(_.content) ==
+      Seq("First sentence here.\nSecond sentence too.", "Third one closes."))
+    assert(chunks.forall(_.token_count <= 6))
+  }
+
+  test("packElements: oversized table splits by row, repeating header") {
+    val table = "| h1 | h2 |\n|---|---|\n| a | b |\n| c | d |\n| e | f |"
+    val rows = table.split("\n")
+    val chunks = Chunkers.packElements(1L, "", Seq(("table", table)),
+      ChunkerOptions(maxTokens = 14, overlap = 0), 0)
+    assert(chunks.length > 1)
+    // every chunk repeats the header + separator rows
+    assert(chunks.forall(_.content.startsWith(rows(0) + "\n" + rows(1))))
+    // every data row appears exactly once across chunks
+    val dataRows = rows.drop(2)
+    for (r <- dataRows)
+      assert(chunks.count(_.content.contains(r)) == 1)
+  }
+
+  // ------------------------------------------------------------- header
+  test("headerChunks: header-path context, headers never in content") {
+    val md = "# A\n\npara one\n\n## B\n\npara two\n\n# C\n\npara three"
+    val out = Chunkers.headerChunks(spark, docs(1L -> md), ChunkerOptions(maxTokens = 50, overlap = 0))
+      .collect().sortBy(_.chunk_id)
+    assert(out.map(_.context).toSeq == Seq("# A", "# A ## B", "# C"))
+    assert(out.map(_.content).toSeq ==
+      Seq("# A\npara one", "# A ## B\npara two", "# C\npara three"))
+  }
+
+  test("headerChunks: deeper levels cleared when a shallower header arrives") {
+    val md = "# A\n\n## B\n\n### C\n\nx\n\n## D\n\ny"
+    val out = Chunkers.headerChunks(spark, docs(1L -> md), ChunkerOptions(maxTokens = 50, overlap = 0))
+      .collect().sortBy(_.chunk_id)
+    assert(out.map(_.context).toSeq == Seq("# A ## B ### C", "# A ## D"))
+  }
+
+  // ------------------------------------------------------------ section
+  test("sectionChunks: h1 delimits sections, header is context") {
+    val md = "intro\n\n# S1\n\nbody one\n\n# S2\n\nbody two"
+    val out = Chunkers.sectionChunks(spark, docs(1L -> md), ChunkerOptions(maxTokens = 50, overlap = 0))
+      .collect().sortBy(_.chunk_id)
+    assert(out.map(_.context).toSeq == Seq("", "# S1", "# S2"))
+    assert(out(0).content == "intro")
+  }
+
+  // ----------------------------------------------------------- markdown
+  test("markdownChunks: split at level<=N, chained context") {
+    val md = "# A\n\np1\n\n## B\n\np2\n\n#### Deep\n\np3"
+    val out = Chunkers.markdownChunks(spark, docs(1L -> md), headerLevelToSplitOn = 3)
+      .collect().sortBy(_.chunk_id)
+    // h4 does NOT split: p2 + "#### Deep" + p3 stay together
+    assert(out.length == 2)
+    assert(out(0).context == "# A" && out(0).content == "p1")
+    assert(out(1).context == "# A;## B")
+    assert(out(1).content.contains("p2") && out(1).content.contains("p3"))
+  }
+
+  // ----------------------------------------------------------- semantic
+  test("semanticChunks: repeated-vocab runs split where vocab shifts") {
+    // two homogeneous runs with an abrupt vocabulary change
+    val a = (1 to 6).map(_ => "alpha beta gamma delta").mkString("\n\n")
+    val md = a + "\n\nzebra yak xylophone walrus vulture unicorn"
+    val out = Chunkers.semanticChunks(spark, docs(1L -> md),
+      ChunkerOptions(maxTokens = 100, overlap = 0), thresholdPercentile = 90.0)
+      .collect().sortBy(_.chunk_id)
+    assert(out.length == 2)
+    assert(out(0).content.contains("alpha") && !out(0).content.contains("zebra"))
+    assert(out(1).content.contains("zebra"))
+  }
+
+  test("percentile: linear interpolation matches reference semantics") {
+    assert(Chunkers.percentile(Seq(1.0, 2.0, 3.0, 4.0), 50.0).contains(2.5))
+    assert(Chunkers.percentile(Seq(1.0, 2.0, 3.0, 4.0), 100.0).contains(4.0))
+    assert(Chunkers.percentile(Seq(5.0), 95.0).contains(5.0))
+    assert(Chunkers.percentile(Nil, 95.0).isEmpty)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank now"),   // near dup of 1
+    (4L, "completely different content about spark clusters and shuffle partitions"),
+    (5L, "another unrelated document mentioning window functions and broadcast joins")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds the verbatim pair, keeps min id") {
+    val got = Dedup.exactGroups(corpus).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("keeper") == 1L)
+    assert(got.head.getAs[Long]("dup_count") == 2L)
+  }
+
+  test("exactDedup keeps one representative per text") {
+    val kept = Dedup.exactDedup(corpus).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("ngramJaccardPairs finds exact and near dups, no false pairs") {
+    val got = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) && got.contains((2L, 3L)))
+    assert(!got.exists { case (a, b) => a >= 4L || b >= 4L })
+  }
+
+  test("minhashLshPairs candidates verified by true jaccard") {
+    val got = Dedup.minhashLshPairs(corpus, n = 3, k = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L))) // identical shingle sets always collide
+    assert(!got.exists { case (a, b) => b >= 4L && a >= 4L })
+  }
+
+  test("simhashPairs finds near-identical docs only") {
+    val got = Dedup.simhashPairs(corpus, maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.contains((1L, 4L)) && !got.contains((4L, 5L)))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.98f, 0.2f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("embeddingCosinePairs: same-direction vectors pair up") {
+    val got = Dedup.embeddingCosinePairs(vecs, dim = 4, threshold = 0.9, nPlanes = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // (0,1) and (2,3) are >0.9 cosine; LSH same-bucket is guaranteed for
+    // identical sign patterns, which these share
+    assert(got.contains((0L, 1L)))
+    assert(got.contains((2L, 3L)))
+    assert(!got.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("knnBruteForce: exact ranking by cosine") {
+    val got = Similarity.knnBruteForce(vecs, Array(1.0f, 0.0f, 0.0f, 0.0f), k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L, 2L)) // cos: 1.0, ~0.995, 0.0 (ties → min id)
+  }
+
+  test("knnBruteForceBatch: per-query top-k, self excluded") {
+    val queries = vecs.where(col("vec_id") < 2)
+    val got = Similarity.knnBruteForceBatch(vecs, queries, k = 2)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got(0L).head == 1L) // nearest to e1 is its near-copy
+    assert(got(1L).head == 0L)
+    assert(got.values.forall(_.length == 2))
+  }
+
+  test("knnLsh: returns correctly-scored subset with ranks") {
+    val got = Similarity.knnLsh(vecs, vecs.where(col("vec_id") === 0), dim = 4, k = 3)
+      .collect()
+    assert(got.nonEmpty)
+    // rank 1 must be the true nearest among candidates, and cosines exact
+    val byRank = got.sortBy(_.getAs[Int]("rank"))
+    assert(byRank.head.getAs[Long]("nbr_id") == 1L)
+    assert(math.abs(byRank.head.getAs[Double]("cos") - 0.99 / math.sqrt(0.99 * 0.99 + 0.01)) < 1e-6)
+  }
+}

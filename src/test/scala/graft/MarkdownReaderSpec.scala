@@ -1,0 +1,62 @@
+package graft
+
+import graft.sources.MarkdownElementReader
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's MarkdownReaderTests
+  * (test/Microsoft.Extensions.DataIngestion.Tests/MarkdownReaderTests.cs):
+  * headers with levels, paragraphs, fenced code, pipe tables (cell
+  * text), images (alt text), quotes, lists, thematic breaks skipped.
+  */
+class MarkdownReaderSpec extends AnyFunSuite {
+
+  test("headers and paragraphs in document order") {
+    val md = "# Title\n\nHello world.\n\n## Sub *section*\n\nMore text\nsame paragraph."
+    val blocks = MarkdownElementReader.parseBlocks(md)
+    assert(blocks.map(b => (b._1, b._2)) ==
+      Seq(("header", 1), ("paragraph", 0), ("header", 2), ("paragraph", 0)))
+    assert(blocks(0)._4 == "Title")
+    assert(blocks(2)._4 == "Sub section") // inline markdown stripped
+    assert(blocks(3)._4 == "More text same paragraph.") // soft wrap joined
+  }
+
+  test("fenced code keeps body text without fences") {
+    val md = "```scala\nval x = 1\nval y = 2\n```"
+    val blocks = MarkdownElementReader.parseBlocks(md)
+    assert(blocks.map(_._1) == Seq("code"))
+    assert(blocks.head._4 == "val x = 1\nval y = 2")
+    assert(blocks.head._3.startsWith("```scala"))
+  }
+
+  test("pipe table: cells extracted, separator row dropped") {
+    val md = "| a | b |\n|---|---|\n| 1 | 2 |\n| 3 | 4 |"
+    val blocks = MarkdownElementReader.parseBlocks(md)
+    assert(blocks.map(_._1) == Seq("table"))
+    assert(blocks.head._4 == "a b 1 2 3 4")
+  }
+
+  test("image yields alt text; thematic break skipped") {
+    val md = "![the alt](http://x/y.png)\n\n---\n\ntext"
+    val blocks = MarkdownElementReader.parseBlocks(md)
+    assert(blocks.map(_._1) == Seq("image", "paragraph"))
+    assert(blocks.head._4 == "the alt")
+  }
+
+  test("quote and list text extraction") {
+    val md = "> quoted line\n> second\n\n- item one\n- item two\n1. third"
+    val blocks = MarkdownElementReader.parseBlocks(md)
+    assert(blocks.map(_._1) == Seq("quote", "list", "list"))
+    assert(blocks(0)._4 == "quoted line second")
+    assert(blocks(1)._4 == "item one item two")
+  }
+
+  test("inline markdown stripping") {
+    assert(MarkdownElementReader.stripInline("**bold** and *em* and `code` and [link](u)") ==
+      "bold and em and code and link")
+  }
+
+  test("empty and null-ish inputs") {
+    assert(MarkdownElementReader.parseBlocks("").isEmpty)
+    assert(MarkdownElementReader.parseBlocks("\n\n\n").isEmpty)
+  }
+}

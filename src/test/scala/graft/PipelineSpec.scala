@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Processors
+import graft.pipeline.IngestionPipeline
+import graft.sinks.VectorStoreWriter
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Pipeline composition + vector-store writer, mirroring the reference's
+  * IngestionPipelineTests: reader → processors → chunker → enrichers →
+  * writer, incremental re-ingestion replaces a document's records.
+  */
+class PipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "# Title\n\ngood content here\n\n## Sub\n\nmore good text"),
+    (2L, "plain document with bad and broken words")
+  ).toDF("doc_id", "text")
+
+  test("canonical pipeline: chunks carry summary + sentiment") {
+    val out = IngestionPipeline.canonical.chunks(spark, docs)
+    val rows = out.orderBy("doc_id", "chunk_id").collect()
+    assert(rows.nonEmpty)
+    assert(out.columns.contains("summary") && out.columns.contains("sentiment"))
+    val d2 = rows.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(d2.forall(_.getAs[String]("sentiment") == "Negative"))
+  }
+
+  test("document processors run before the chunker") {
+    val p = IngestionPipeline()
+      .withDocumentProcessor(df => df.where(col("doc_id") === 1L))
+    val rows = p.chunks(spark, docs).select("doc_id").as[Long].collect()
+    assert(rows.nonEmpty && rows.forall(_ == 1L))
+  }
+
+  test("toVectorRecords: schema, deterministic keys, unit-norm embeddings") {
+    val chunks = Seq((1L, 0, "hello world", "ctx")).toDF("doc_id", "chunk_id", "content", "context")
+    val rec = VectorStoreWriter.toVectorRecords(chunks, dim = 16).head()
+    assert(rec.getAs[String]("key") == "1:0")
+    assert(rec.getAs[String]("documentid") == "1")
+    val emb = rec.getSeq[Float](rec.fieldIndex("embedding"))
+    assert(emb.length == 16)
+    assert(math.abs(emb.map(v => v.toDouble * v).sum - 1.0) < 1e-6)
+  }
+
+  test("incremental write: re-ingesting a document replaces its records") {
+    val dir = Files.createTempDirectory("graft-vsw").toString
+    val batch1 = Seq((1L, 0, "v1 content", ""), (2L, 0, "other doc", ""))
+      .toDF("doc_id", "chunk_id", "content", "context")
+    VectorStoreWriter.write(VectorStoreWriter.toVectorRecords(batch1, 16), dir)
+    // re-ingest doc 1 with different content (same bucket → replaced;
+    // doc 2 lives in a different bucket → untouched)
+    val batch2 = Seq((1L, 0, "v2 content", ""))
+      .toDF("doc_id", "chunk_id", "content", "context")
+    VectorStoreWriter.write(VectorStoreWriter.toVectorRecords(batch2, 16), dir)
+    val after = spark.read.parquet(dir)
+    val contents = after.select("documentid", "content").as[(String, String)].collect().toMap
+    assert(contents("1") == "v2 content")
+    assert(contents("2") == "other doc")
+  }
+
+  test("pipeline run end-to-end writes vector records") {
+    val dir = Files.createTempDirectory("graft-e2e").toString
+    IngestionPipeline.canonical.run(spark, docs, dir, dim = 16)
+    val out = spark.read.parquet(dir)
+    assert(out.count() > 0)
+    assert(out.columns.toSet.contains("embedding"))
+  }
+}

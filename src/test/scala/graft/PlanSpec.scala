@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions — the 100 TB posture, checked in CI:
+  * filters reach the parquet scan, projections prune columns, small
+  * dims broadcast, dedup plans contain no cartesian product, and the
+  * hot relational path stays inside whole-stage codegen.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def executed(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q06: filters pushed to the parquet scan, columns pruned") {
+    val df = SparkEntry.queries("q06_forecast_filter")(spark, sf())
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("l_shipdate"), "shipdate filter should reach the scan")
+    // projection pruning: the scan must not read all 11 lineitem columns
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema:")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"))
+  }
+
+  test("q05: dimension joins are broadcast, no shuffle of small sides") {
+    val plan = executed(SparkEntry.queries("q05_region_revenue")(spark, sf())).toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // the single fact-fact join (lineitem ⋈ orders) may shuffle; dims must not
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q01: partial (map-side) aggregation before the shuffle") {
+    val plan = executed(SparkEntry.queries("q01_pricing_summary")(spark, sf())).toString
+    assert(plan.contains("HashAggregate"))
+    assert("partial_sum".r.findFirstIn(plan).isDefined, "map-side combine expected")
+    // AQE plans don't render codegen spans until finalized; check the
+    // codegen explain instead
+    val codegen = SparkEntry.queries("q01_pricing_summary")(spark, sf())
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(codegen.contains("WholeStageCodegen"), "agg path should be codegen'd")
+  }
+
+  test("dedup plans never contain a cartesian product") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    for (df <- Seq(
+      Dedup.ngramJaccardPairs(docs, 3, 0.8),
+      Dedup.minhashLshPairs(docs, 3, 16, 4, 0.8),
+      Dedup.simhashPairs(docs, 3))) {
+      val plan = executed(df).toString
+      assert(!plan.contains("CartesianProduct"), "bucketed join expected, got cartesian")
+    }
+  }
+
+  test("token chunker is a shuffle-free narrow plan") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = executed(graft.operators.Chunkers.tokenChunks(docs)).toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("ingestion pipeline plan is map-only until the sink") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = executed(
+      graft.pipeline.IngestionPipeline.canonical.chunks(spark, docs)).toString
+    assert(!plan.contains("Exchange"), s"pipeline must not shuffle:\n$plan")
+  }
+
+  test("brute-force knn batch broadcasts the query side") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val plan = executed(graft.operators.Similarity.knnBruteForceBatch(
+      emb, emb.where(col("vec_id") < 3), k = 5)).toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
+}

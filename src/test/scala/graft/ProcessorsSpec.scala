@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{Processors, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class ProcessorsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "content")
+
+  test("withSummary: first-N-token extractive summary") {
+    val got = Processors.withSummary(docs(1L -> "a b c d e f"), textCol = "content", maxWords = 3)
+      .select("summary").as[String].head()
+    assert(got == "a b c")
+  }
+
+  test("withKeywords: vocabulary terms ranked by tf, ties alphabetical") {
+    val got = Processors.withKeywords(
+      docs(1L -> "spark spark data join join join missing"),
+      vocabulary = Seq("join", "spark", "data", "stream"),
+      textCol = "content", maxKeywords = 2)
+      .select("keywords").as[Seq[String]].head()
+    assert(got == Seq("join", "spark"))
+  }
+
+  test("withClassification: max-hits class, Unknown fallback") {
+    val classes = Map("a" -> Seq("alpha"), "b" -> Seq("beta"))
+    val got = Processors.withClassification(
+      docs(1L -> "alpha alpha beta", 2L -> "beta", 3L -> "gamma"),
+      classes, textCol = "content")
+      .orderBy("doc_id").select("classification").as[String].collect()
+    assert(got.toSeq == Seq("a", "b", "Unknown"))
+  }
+
+  test("withSentiment: polarity and Unknown") {
+    val got = Processors.withSentiment(
+      docs(1L -> "good good bad", 2L -> "bad", 3L -> "meh", 4L -> "good bad"),
+      textCol = "content")
+      .orderBy("doc_id").select("sentiment").as[String].collect()
+    assert(got.toSeq == Seq("Positive", "Negative", "Unknown", "Neutral"))
+  }
+
+  test("removeFooters / removeEmpty on elements") {
+    val elems = Seq(
+      (1L, 0, "footer", "page 1"), (1L, 1, "paragraph", "keep"), (1L, 2, "paragraph", "  ")
+    ).toDF("doc_id", "seq", "kind", "text")
+    val got = Processors.removeEmpty(Processors.removeFooters(elems))
+      .select("text").as[String].collect()
+    assert(got.toSeq == Seq("keep"))
+  }
+
+  test("withImageAltText fills empty image alt from markdown url") {
+    val elems = Seq(
+      (1L, "image", "![](http://u/pic.png)", ""), (2L, "image", "![has alt](u)", "has alt")
+    ).toDF("doc_id", "kind", "markdown", "text")
+    val got = Processors.withImageAltText(elems).orderBy("doc_id").select("text").as[String].collect()
+    assert(got(0) == "image:http://u/pic.png")
+    assert(got(1) == "has alt")
+  }
+
+  test("langId picks the stopword-dominant language") {
+    val got = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der Hund und die Katze ist nicht da"),
+      (3L, "xyzzy qwerty")
+    ).toDF("doc_id", "text")
+      .select(TextAnalysis.langId(col("text")).as("l")).as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("qualityScore components") {
+    val goodText = (1 to 30).map(_ => "the words and more of it").mkString(" ")
+    val got = Seq((1L, goodText), (2L, "!!! ??? ***"), (3L, "")).toDF("doc_id", "text")
+      .select(TextAnalysis.qualityScore(col("text")).as("q")).as[Int].collect()
+    assert(got(0) == 100) // mid-length + low punct + stopword-rich
+    assert(got(1) < 40)
+    assert(got(2) == 0)
+  }
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local pre-flight replica of the driver's correctness gate:
+run graft.Verify (Spark) at a given SF, then run each oracle SQL in
+DuckDB over the same parquet tables, and diff results.
+
+Usage: python3 tools/check_oracle.py <sfDir> <outDir> [query ...]
+(assumes Verify already wrote <outDir>; pass query names to limit)
+"""
+import json, math, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    return v
+
+
+def table_rows(tbl):
+    cols = sorted(tbl.column_names)
+    data = {c: tbl.column(c).to_pylist() for c in cols}
+    n = tbl.num_rows
+    return [tuple(norm(data[c][i]) for c in cols) for i in range(n)], cols
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        spark_path = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_path):
+            print(f"FAIL {name}: no spark output dir")
+            n_fail += 1
+            continue
+        try:
+            spark_tbl = pq.read_table(spark_path)
+            srows, scols = table_rows(spark_tbl)
+            duck_tbl = con.execute(sql).arrow()
+            drows, dcols = table_rows(duck_tbl)
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if scols != dcols:
+            print(f"FAIL {name}: columns differ spark={scols} duck={dcols}")
+            n_fail += 1
+            continue
+        if srows == drows:
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows differ (spark {len(srows)} vs duck {len(drows)})")
+            sset, dset = set(srows), set(drows)
+            for r in list(sset - dset)[:3]:
+                print(f"   spark-only: {r}")
+            for r in list(dset - sset)[:3]:
+                print(f"   duck-only:  {r}")
+            if sset == dset:
+                print("   (same set, order differs)")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
