@@ -1,0 +1,301 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for graft's hot text/vector kernels.
+  *
+  * The composable higher-order-function versions in TextFunctions /
+  * VectorFunctions are correct but evaluate one interpreted lambda per
+  * array element; for per-character work (polynomial hashing) or
+  * per-(token × bit) work (simhash votes) that costs 10-100× a fused
+  * loop. Each expression here is the same function as its HOF twin —
+  * bit-for-bit, so the DuckDB oracles and specs are unchanged — but
+  * evaluated in one tight JVM pass per row. They are deterministic,
+  * null-propagating scalar expressions, so Catalyst can still push
+  * filters around them, prune inputs, and pipeline them inside the
+  * scan stage; `mapPartitions` would hide all of that.
+  */
+object native {
+
+  val P: Long = 1000000007L
+
+  private def isWs(c: Char): Boolean = // Java regex \s (ASCII), the twin of split(text, "\\s+")
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Polynomial code-point hash, the kernel of TextFunctions.portableHash. */
+  def polyHash(s: String, from: Int, until: Int, init: Long): Long = {
+    var acc = init
+    var i = from
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  def polyHash(s: String): Long = polyHash(s, 0, s.length, 0L)
+
+  /** Token [start, end) offsets under ASCII-whitespace splitting. */
+  def tokenOffsets(s: String): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int](16)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(s.charAt(i))) i += 1
+        out += start; out += i
+      }
+    }
+    out.toArray
+  }
+
+  /** Distinct hashed word n-gram shingles (twin of
+    * TextFunctions.shingleHashes): windows of n tokens joined by a
+    * single space, polynomial-hashed; texts with fewer than n tokens
+    * yield ONE shingle of all tokens (hash 0 for empty text, matching
+    * the HOF/DuckDB behavior).
+    */
+  def shingleHashes(s: String, n: Int): Array[Long] = {
+    val offs = tokenOffsets(s)
+    val nTok = offs.length / 2
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val space = ' '.toInt
+    def windowHash(from: Int, len: Int): Long = {
+      var acc = 0L
+      var t = from
+      while (t < from + len) {
+        if (t > from) acc = (acc * 31 + space) % P
+        acc = polyHash(s, offs(2 * t), offs(2 * t + 1), acc)
+        t += 1
+      }
+      acc
+    }
+    if (nTok < n) seen.add(windowHash(0, nTok))
+    else {
+      var w = 0
+      while (w <= nTok - n) { seen.add(windowHash(w, n)); w += 1 }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** k-permutation MinHash signature (twin of
+    * TextFunctions.minHashSignature): min over (x*(2i+1) + b_i) mod P.
+    */
+  def minHashSig(shingles: ArrayData, k: Int): Array[Long] = {
+    val n = shingles.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val x = shingles.getLong(j)
+      var i = 0
+      while (i < k) {
+        val a = 2L * i + 1
+        val b = 12582917L * (i + 1) % P
+        val h = (x * a + b) % P
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    mins
+  }
+
+  /** SimHash-64 (twin of TextFunctions.simHash64): xxhash64(seed=42)
+    * per whitespace token — identical to the built-in xxhash64() on the
+    * token substring — per-bit ±1 votes, sign → bit.
+    */
+  def simHash64(s: UTF8String): Long = {
+    val bytes = s.getBaseObject
+    val offset = s.getBaseOffset
+    val n = s.numBytes()
+    val votes = new Array[Int](64)
+    var i = 0
+    def isWsB(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+    while (i < n) {
+      while (i < n && isWsB(Platform.getByte(bytes, offset + i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWsB(Platform.getByte(bytes, offset + i))) i += 1
+        val h = XXH64.hashUnsafeBytes(bytes, offset + start, i - start, 42L)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** Random-hyperplane LSH bucket (twin of
+    * VectorFunctions.hyperplaneBucket): deterministic ±1 plane weights
+    * from an integer mix of (plane, coordinate).
+    */
+  def hyperplaneBucket(vec: ArrayData, isDouble: Boolean, nPlanes: Int): Long = {
+    val dim = vec.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var proj = 0.0
+      var i = 0
+      while (i < dim) {
+        val v = if (isDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
+        val mixed = (p * 1315423911L + i * 2654435761L) % 1000003L
+        proj += (if ((mixed & 1L) == 0L) v else -v)
+        i += 1
+      }
+      if (proj > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** Feature-hash embedding (twin of VectorFunctions.hashEmbed):
+    * token → bucket polyHash(token) mod dim, counts L2-normalized.
+    */
+  def hashEmbed(s: String, dim: Int): Array[Float] = {
+    val offs = tokenOffsets(s)
+    val counts = new Array[Double](dim)
+    var t = 0
+    while (t < offs.length) {
+      val h = polyHash(s, offs(t), offs(t + 1), 0L)
+      counts((h % dim).toInt) += 1.0
+      t += 2
+    }
+    var norm2 = 0.0
+    var i = 0
+    while (i < dim) { norm2 += counts(i) * counts(i); i += 1 }
+    val norm = math.sqrt(norm2)
+    val out = new Array[Float](dim)
+    if (norm > 0) {
+      i = 0
+      while (i < dim) { out(i) = (counts(i) / norm).toFloat; i += 1 }
+    }
+    out
+  }
+
+  /** Cosine similarity with the HOF's exact accumulation order:
+    * sequential left-fold dot and norms, denom = sqrt(na)*sqrt(nb),
+    * 0.0 on zero denom.
+    */
+  def cosine(a: ArrayData, aDouble: Boolean, b: ArrayData, bDouble: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  // ---------------------------------------------------------------- exprs
+
+  case class PolyHashExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      polyHash(input.asInstanceOf[UTF8String].toString)
+    override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
+      copy(child = newChild)
+  }
+
+  case class ShingleHashesExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      new GenericArrayData(shingleHashes(input.asInstanceOf[UTF8String].toString, n))
+    override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+      copy(child = newChild)
+  }
+
+  case class MinHashSigExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      new GenericArrayData(minHashSig(input.asInstanceOf[ArrayData], k))
+    override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+      copy(child = newChild)
+  }
+
+  case class SimHash64Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      simHash64(input.asInstanceOf[UTF8String])
+    override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+      copy(child = newChild)
+  }
+
+  case class HyperplaneBucketExpr(child: Expression, nPlanes: Int)
+      extends UnaryExpression with CodegenFallback {
+    private lazy val isDouble =
+      child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      hyperplaneBucket(input.asInstanceOf[ArrayData], isDouble, nPlanes)
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
+      copy(child = newChild)
+  }
+
+  case class HashEmbedExpr(child: Expression, dim: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      new GenericArrayData(hashEmbed(input.asInstanceOf[UTF8String].toString, dim))
+    override protected def withNewChildInternal(newChild: Expression): HashEmbedExpr =
+      copy(child = newChild)
+  }
+
+  case class CosineExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    private lazy val lDouble =
+      left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    private lazy val rDouble =
+      right.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      cosine(a.asInstanceOf[ArrayData], lDouble, b.asInstanceOf[ArrayData], rDouble)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): CosineExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // ------------------------------------------------------------- columns
+
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+
+  def polyHash(s: Column): Column = col(PolyHashExpr(ex(s)))
+  def shingleHashes(text: Column, n: Int): Column = col(ShingleHashesExpr(ex(text), n))
+  def minHashSig(shingles: Column, k: Int): Column = col(MinHashSigExpr(ex(shingles), k))
+  def simHash64(text: Column): Column = col(SimHash64Expr(ex(text)))
+  def hyperplaneBucket(vec: Column, nPlanes: Int): Column =
+    col(HyperplaneBucketExpr(ex(vec), nPlanes))
+  def hashEmbed(text: Column, dim: Int): Column = col(HashEmbedExpr(ex(text), dim))
+  def cosine(a: Column, b: Column): Column = col(CosineExpr(ex(a), ex(b)))
+}

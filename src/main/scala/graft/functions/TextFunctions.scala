@@ -42,7 +42,12 @@ object TextFunctions {
     *   list_reduce(list_concat([0], [unicode(c) for c in regexp_split_to_array(s,'')]),
     *               (acc, c) -> (acc*31 + c) % 1000000007)
     */
-  def portableHash(s: Column): Column =
+  def portableHash(s: Column): Column = native.polyHash(s)
+
+  /** HOF formulation of portableHash, kept as executable documentation
+    * of the DuckDB twin (native.polyHash is the hot-path version).
+    */
+  def portableHashHof(s: Column): Column =
     aggregate(
       filter(split(s, ""), c => length(c) > 0),
       lit(0L),
@@ -64,22 +69,17 @@ object TextFunctions {
     )
   }
 
-  /** Distinct hashed shingles (the MinHash input set). */
-  def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(wordShingles(text, n), portableHash(_)))
+  /** Distinct hashed shingles (the MinHash input set) — fused
+    * tokenize+window+hash native expression (one pass per row).
+    */
+  def shingleHashes(text: Column, n: Int): Column = native.shingleHashes(text, n)
 
   /** MinHash signature: for each of k affine re-hashes of the shingle
     * set, keep the minimum. Deterministic (a_i, b_i) derived from i so
     * Spark and the DuckDB oracle agree. Returns array<bigint> length k.
     */
-  def minHashSignature(shingles: Column, k: Int): Column = {
-    val mins = (0 until k).map { i =>
-      val a = 2L * i + 1
-      val b = 12582917L * (i + 1) % HashMod
-      array_min(transform(shingles, x => affineHash(x, a, b)))
-    }
-    array(mins: _*)
-  }
+  def minHashSignature(shingles: Column, k: Int): Column =
+    native.minHashSig(shingles, k)
 
   /** LSH band keys: signature split into bands of `rowsPerBand`, each
     * band reduced to a single portable hash. Returns array<bigint> of
@@ -101,23 +101,7 @@ object TextFunctions {
   /** SimHash-64 over whitespace tokens (xxhash64 — codegen'd, not
     * oracle-portable by design). Sign of per-bit vote sum.
     */
-  def simHash64(text: Column): Column = {
-    val toks = tokens(text)
-    val bits = (0 until 64).map { bit =>
-      // vote: +1 if bit set else -1, summed over tokens; bit set in result if sum > 0
-      val vote = aggregate(
-        toks,
-        lit(0L),
-        (acc, t) =>
-          acc + when(
-            (shiftright(xxhash64(t), bit).bitwiseAND(1)) === 1,
-            1L
-          ).otherwise(-1L)
-      )
-      when(vote > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simHash64(text: Column): Column = native.simHash64(text)
 
   /** Hamming distance between two long bitmasks. */
   def hamming64(a: Column, b: Column): Column =

@@ -310,11 +310,8 @@ object Chunkers {
     */
   private[graft] def embed(text: String, dim: Int): Array[Double] = {
     val v = new Array[Double](dim)
-    for (tok <- text.split("\\s+") if tok.nonEmpty) {
-      var h = 0L
-      for (c <- tok) h = (h * 31 + c.toInt) % graft.functions.TextFunctions.HashMod
-      v((h % dim).toInt) += 1.0
-    }
+    for (tok <- text.split("\\s+") if tok.nonEmpty)
+      v((graft.functions.native.polyHash(tok) % dim).toInt) += 1.0
     val norm = math.sqrt(v.map(x => x * x).sum)
     if (norm > 0) v.map(_ / norm) else v
   }
