@@ -23,15 +23,21 @@ object Dedup {
     */
   def exactGroups(documents: DataFrame): DataFrame =
     documents
-      .groupBy(col("text"))
+      // group on a 256-bit digest, not the text: the map-side partial
+      // aggregate then shuffles 32-byte keys instead of whole documents
+      // (collision probability ~0 at any corpus size)
+      .groupBy(sha2(col("text"), 256).as("digest"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_count"))
       .where(col("dup_count") > 1)
       .select(col("keeper"), col("dup_count"))
 
-  /** Exact-dedup the corpus: keep one row (min doc_id) per distinct text. */
+  /** Exact-dedup the corpus: keep one row (min doc_id) per distinct
+    * text. Same digest trick — only (digest, doc_id) pairs shuffle.
+    */
   def exactDedup(documents: DataFrame): DataFrame = {
-    val keep = documents.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-    documents.join(keep, Seq("doc_id", "text"), "left_semi")
+    val digested = documents.withColumn("digest", sha2(col("text"), 256))
+    val keep = digested.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+    digested.join(keep, Seq("digest", "doc_id"), "left_semi").drop("digest")
   }
 
   /** N-gram Jaccard near-duplicate pairs (a < b, jaccard ≥ threshold).

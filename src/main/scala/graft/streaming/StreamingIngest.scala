@@ -2,9 +2,9 @@ package graft.streaming
 
 import graft.pipeline.IngestionPipeline
 import graft.sinks.VectorStoreWriter
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured-Streaming ingestion: the reference pipeline's
@@ -67,4 +67,63 @@ object StreamingIngest {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value")
       )
+
+  /** One closed user session. */
+  final case class ClosedSession(user_id: Long, start_sec: Long, end_sec: Long, n_events: Long)
+
+  /** An open session per user, carried across micro-batches. */
+  final case class SessionState(start_sec: Long, end_sec: Long, n_events: Long)
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState —
+    * the custom-state operator the gap-based batch query (q_sessionize)
+    * can't express on an unbounded stream. Sessions close when the gap
+    * to the next event exceeds `gapSeconds`, or when the event-time
+    * watermark passes the open session (timeout).
+    *
+    * State per user is O(1) (one open session), so state store size is
+    * bounded by the active-user cardinality, not the stream length.
+    */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+                       gapSeconds: Long = 1800,
+                       watermarkDelay: String = "30 minutes"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_seconds(col("ts")).as("sec"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.start_sec, s.end_sec, s.n_events))
+          } else {
+            val secs = rows.map(_._2).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            for (sec <- secs) {
+              cur match {
+                case Some(s) if sec - s.end_sec <= gapSeconds =>
+                  cur = Some(SessionState(s.start_sec, sec, s.n_events + 1))
+                case Some(s) =>
+                  closed += ClosedSession(userId, s.start_sec, s.end_sec, s.n_events)
+                  cur = Some(SessionState(sec, sec, 1))
+                case None =>
+                  cur = Some(SessionState(sec, sec, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the open session once the watermark passes its gap
+              state.setTimeoutTimestamp((s.end_sec + gapSeconds) * 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.sources.{DocumentSource, MarkdownElementReader}
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+class SourcesStreamingStateSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("DocumentSource.readDir: one document per matching file, stable ids") {
+    val dir = Files.createTempDirectory("graft-docs")
+    Files.writeString(dir.resolve("a.md"), "# A\n\nalpha body")
+    Files.writeString(dir.resolve("b.md"), "# B\n\nbeta body")
+    Files.writeString(dir.resolve("ignore.txt"), "not markdown")
+    val docs = DocumentSource.readDir(spark, dir.toString)
+    val rows = docs.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == 2)
+    assert(rows.forall(_.getAs[String]("source").endsWith(".md")))
+    // parses straight into the element reader
+    val elems = MarkdownElementReader.elements(spark, docs).collect()
+    assert(elems.count(_.kind == "header") == 2)
+    // id stability across re-reads (incremental ingestion contract)
+    val again = DocumentSource.readDir(spark, dir.toString).collect()
+    assert(again.map(_.getAs[Long]("doc_id")).sorted.sameElements(
+      rows.map(_.getAs[Long]("doc_id")).sorted))
+  }
+
+  test("sessionizeStream: gap closes sessions; watermark times out idle users") {
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val events = input.toDF().toDF("user_id", "ts")
+    val sessions = StreamingIngest.sessionizeStream(spark, events, gapSeconds = 1800)
+    val query = sessions.writeStream
+      .format("memory").queryName("graft_sessions").outputMode("append").start()
+    // base offset keeps events above the initial watermark (epoch 0),
+    // which would otherwise drop a t=0 event as late data
+    val B = 1000000L
+    def ts(sec: Long) = new Timestamp((B + sec) * 1000)
+    try {
+      input.addData((1L, ts(0)), (1L, ts(100)), (2L, ts(50)))
+      query.processAllAvailable()
+      input.addData((1L, ts(5000))) // gap 4900 > 1800: closes session [0,100]
+      query.processAllAvailable()
+      input.addData((1L, ts(20000))) // closes [5000,5000]; watermark passes u2's timeout
+      query.processAllAvailable()
+      val got = spark.table("graft_sessions")
+        .as[StreamingIngest.ClosedSession].collect()
+        .map(s => (s.user_id, s.start_sec - B, s.end_sec - B, s.n_events)).toSet
+      assert(got.contains((1L, 0L, 100L, 2L)), s"gap-closed session missing: $got")
+      assert(got.contains((1L, 5000L, 5000L, 1L)), s"second session missing: $got")
+      assert(got.contains((2L, 50L, 50L, 1L)), s"timed-out session missing: $got")
+    } finally query.stop()
+  }
+}
