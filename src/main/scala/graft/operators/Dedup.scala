@@ -79,10 +79,14 @@ object Dedup {
     */
   def minhashLshPairs(documents: DataFrame, n: Int = 3, k: Int = 16,
                       rowsPerBand: Int = 4, threshold: Double = 0.8): DataFrame = {
-    val withSig = documents.select(
-      col("doc_id"),
-      TextFunctions.shingleHashes(col("text"), n).as("sh")
-    ).where(size(col("sh")) > 0)
+    val withSig = documents
+      // cheap pushdown-able predicate (text has a non-ws char ⇔ tokens
+      // exist); filtering on size(sh) would push the whole shingle
+      // expression into the scan as a DataFilter and re-evaluate it
+      .where(col("text").rlike("\\S"))
+      .select(
+        col("doc_id"),
+        TextFunctions.shingleHashes(col("text"), n).as("sh"))
       .withColumn("bands", TextFunctions.lshBandKeys(
         TextFunctions.minHashSignature(col("sh"), k), k, rowsPerBand))
 
@@ -94,13 +98,15 @@ object Dedup {
     val b = banded.select(col("band"), col("key"), col("doc_id").as("b"), col("sh").as("shb"))
     a.join(b, Seq("band", "key"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sha"), col("shb"))
-      .dropDuplicates("a", "b")
-      .withColumn("jaccard", TextFunctions.jaccard(col("sha"), col("shb")))
-      .where(col("jaccard") >= threshold)
+      // verify BEFORE deduping candidate pairs: the arrays are consumed
+      // here, so the dropDuplicates shuffle carries 5 longs per row,
+      // not two shingle sets (a doc pair can collide in ≤ k/rowsPerBand
+      // bands, so the extra verify work is bounded by the band count)
       .select(col("a"), col("b"),
         size(array_intersect(col("sha"), col("shb"))).as("inter"),
         size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .dropDuplicates("a", "b")
+      .where(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= threshold)
   }
 
   /** SimHash near-duplicate pairs: 64-bit simhash per doc; by the
