@@ -391,6 +391,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "s_knn_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.knnIvf(emb, emb.where(col("vec_id") < 5), k = 5, nLists = 8, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("nbr_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "s_pairwise_dups" -> ((s, dir) => {
       Similarity.pairwiseHighCosine(tbl(s, dir, "embeddings"), dim = 64, threshold = 0.85)
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
@@ -436,6 +443,20 @@ object SparkEntry {
       Multimodal.mediaMetadata(media)
         .select(col("media_id"), col("byte_length"), col("sniffed_type"))
         .orderBy(col("media_id"))
+    }),
+
+    "m_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = tbl(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit("video/raw").as("media_type"),
+        lit("").as("alt_text")
+      ).as[Multimodal.MediaRecord]
+      Multimodal.sampleFrames(s, media, nFrames = 4)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_len"))
+        .orderBy(col("media_id"), col("frame_idx"))
     }),
 
     "m_image_features" -> ((s, dir) => {
@@ -755,6 +776,14 @@ object SparkEntry {
     "t_fingerprint" ->
       s"""SELECT doc_id, ${sqlHash("text")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(u.i AS INT) AS frame_idx,
+        |  CAST(octet_length(encode(text)) * (u.i + 1) // 4
+        |     - octet_length(encode(text)) * u.i // 4 AS INT) AS frame_len
+        |FROM documents, unnest(range(0, 4)) AS u(i)
+        |WHERE octet_length(encode(text)) > 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "m_multimodal_meta" ->
       """SELECT doc_id AS media_id,

@@ -94,6 +94,47 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame (or resized image) from a media blob. */
+  final case class MediaFrame(
+      media_id: Long,
+      frame_idx: Int,
+      frame: Array[Byte],
+      width: Int,
+      height: Int
+  )
+
+  /** Frame sampling: one row per sampled frame, evenly spaced. The
+    * frame "decode" is stubbed (a deterministic slice of the blob —
+    * no codecs in this container); the row contract, fan-out shape and
+    * per-partition batching are exactly what an ffmpeg-backed decoder
+    * would use. A narrow flatMap: no shuffle, scales with input splits.
+    */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRecord],
+                   nFrames: Int = 4): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.flatMap { r =>
+      val len = r.content.length
+      if (len == 0) Seq.empty
+      else (0 until nFrames).map { i =>
+        val start = (len.toLong * i / nFrames).toInt
+        val end = (len.toLong * (i + 1) / nFrames).toInt
+        // STUB: a real implementation decodes frame i/nFrames via a codec
+        MediaFrame(r.media_id, i, java.util.Arrays.copyOfRange(r.content, start, end),
+          width = 0, height = 0)
+      }
+    }
+  }
+
+  /** Resize stub: passes bytes through and records the target size in
+    * metadata (a real implementation re-encodes via an image library
+    * behind this exact signature).
+    */
+  def resizeStub(media: Dataset[MediaRecord], w: Int, h: Int): DataFrame =
+    media.toDF().select(
+      col("media_id"), col("content"), col("media_type"),
+      lit(w).as("target_width"), lit(h).as("target_height")
+    )
+
   private def sniff(b: Array[Byte]): String = {
     def is(sig: Int*): Boolean =
       b.length >= sig.length && sig.zipWithIndex.forall { case (s, i) => (b(i) & 0xFF) == s }

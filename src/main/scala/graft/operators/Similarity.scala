@@ -92,4 +92,54 @@ object Similarity {
   def pairwiseHighCosine(vectors: DataFrame, dim: Int, threshold: Double,
                          nPlanes: Int = 8): DataFrame =
     Dedup.embeddingCosinePairs(vectors, dim, threshold, nPlanes)
+
+  /** IVF-style ANN: partition the corpus into `nLists` inverted lists
+    * by nearest centroid, search only the `nProbe` lists whose
+    * centroids are closest to the query.
+    *
+    * Centroids are a deterministic corpus sample (every
+    * ceil(N/nLists)-th vector by id) — one tiny aggregation instead of
+    * an iterative k-means, which keeps the operator a pure two-pass
+    * plan; swap in trained centroids for better recall without
+    * changing the plan shape. Centroids are broadcast (nLists ≤ a few
+    * thousand × dim floats), the corpus is scanned once to assign
+    * lists (map-only), and the probe join shuffles only on list id.
+    */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+             nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // deterministic centroid sample, computed with one small job
+    val ids = corpus.select(col("vec_id")).orderBy(col("vec_id")).limit(1000000)
+      .as[Long].collect()
+    val step = math.max(1, ids.length / nLists)
+    val centroidIds = ids.grouped(step).map(_.head).take(nLists).toSeq
+    val centroids = corpus
+      .where(col("vec_id").isin(centroidIds: _*))
+      .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
+
+    def assign(df: DataFrame, idName: String, embName: String, probes: Int): DataFrame = {
+      val scored = df
+        .crossJoin(broadcast(centroids))
+        .withColumn("c_cos", VectorFunctions.cosine(col("embedding"), col("centroid")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("list_id"))
+      scored
+        .withColumn("c_rank", row_number().over(w))
+        .where(col("c_rank") <= probes)
+        .select(col("vec_id").as(idName), col("embedding").as(embName), col("list_id"))
+    }
+    val listed = assign(corpus, "nbr_id", "nbr_emb", probes = 1) // each vector in ONE list
+    val probed = assign(queries, "query_id", "q_emb", probes = nProbe)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id").asc)
+    probed.join(listed, Seq("list_id"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .dropDuplicates("query_id", "nbr_id")
+      .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("nbr_emb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
+  }
 }

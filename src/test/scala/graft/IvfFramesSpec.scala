@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+
+class IvfFramesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("knnIvf with full probing matches brute force exactly") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+    val ivf = Similarity.knnIvf(emb, queries, k = 5, nLists = 8, nProbe = 8)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    val bf = Similarity.knnBruteForceBatch(emb, queries, k = 5)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == bf)
+  }
+
+  test("knnIvf with partial probing returns correctly-ranked subset") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+    val got = Similarity.knnIvf(emb, queries, k = 5, nLists = 8, nProbe = 2).collect()
+    assert(got.nonEmpty)
+    val byQuery = got.groupBy(_.getAs[Long]("query_id"))
+    for ((_, rows) <- byQuery) {
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      // ranks contiguous from 1, cosines non-increasing
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("sampleFrames: even fan-out, bytes partition the blob") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, (0 until 103).map(_.toByte).toArray, "video/mp4", ""),
+      Multimodal.MediaRecord(2L, Array.empty[Byte], "video/mp4", "")
+    ).toDS()
+    val frames = Multimodal.sampleFrames(spark, media, nFrames = 4).collect()
+    assert(frames.forall(_.media_id == 1L)) // empty blob yields no frames
+    assert(frames.length == 4)
+    assert(frames.map(_.frame.length).sum == 103) // frames partition the blob
+    val rejoined = frames.sortBy(_.frame_idx).flatMap(_.frame)
+    assert(rejoined.toSeq == (0 until 103).map(_.toByte).toSeq)
+  }
+
+  test("resizeStub keeps the row contract and records the target size") {
+    val media = Seq(Multimodal.MediaRecord(1L, "abc".getBytes, "image/png", "")).toDS()
+    val out = Multimodal.resizeStub(media, 224, 224).head()
+    assert(out.getAs[Int]("target_width") == 224)
+    assert(out.getAs[Array[Byte]]("content").sameElements("abc".getBytes))
+  }
+}
