@@ -15,7 +15,9 @@ object Bench {
     var errors = List.empty[String]
     val results = ListMap(SparkEntry.queries.toSeq.sortBy(_._1): _*).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      // noop sink: materializes EVERY output column (count() would let
+      // Catalyst prune unobserved ones and under-report map-only queries)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable => errors ::= s"$name: ${e.getClass.getSimpleName}" }
       name -> (System.nanoTime() - t0) / 1e9
     }

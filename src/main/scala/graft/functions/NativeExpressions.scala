@@ -213,6 +213,73 @@ object native {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** Count tokens (of the lowercased text when `lowercase`) that are
+    * members of `words` — the kernel behind vocabulary hit counting
+    * (sentiment/quality/classification), replacing one filter pass per
+    * vocabulary word with one tokenize pass + hash lookups.
+    */
+  def vocabHits(s: String, words: java.util.HashSet[String]): Long = {
+    val offs = tokenOffsets(s)
+    var hits = 0L
+    var t = 0
+    while (t < offs.length) {
+      if (words.contains(s.substring(offs(t), offs(t + 1)))) hits += 1
+      t += 2
+    }
+    hits
+  }
+
+  /** Argmax label by vocabulary hits: groups iterated in the caller's
+    * (alphabetical) order, strict-greater updates — so ties keep the
+    * alphabetically-first label and zero hits yield `fallback`,
+    * matching the struct-sort HOF formulation.
+    */
+  def bestLabel(s: String, groups: Array[(String, java.util.HashSet[String])],
+                fallback: String): String = {
+    val offs = tokenOffsets(s)
+    val counts = new Array[Long](groups.length)
+    var t = 0
+    while (t < offs.length) {
+      val tok = s.substring(offs(t), offs(t + 1))
+      var g = 0
+      while (g < groups.length) {
+        if (groups(g)._2.contains(tok)) counts(g) += 1
+        g += 1
+      }
+      t += 2
+    }
+    var bestHits = 0L
+    var best = fallback
+    var g = 0
+    while (g < groups.length) {
+      if (counts(g) > bestHits) { bestHits = counts(g); best = groups(g)._1 }
+      g += 1
+    }
+    best
+  }
+
+  /** Top-k vocabulary terms by in-document frequency (ties:
+    * alphabetical, vocab pre-sorted), tf=0 terms excluded — the kernel
+    * of KeywordEnricher.
+    */
+  def keywordsTopK(s: String, vocab: Array[String],
+                   index: java.util.HashMap[String, Integer], k: Int): Array[UTF8String] = {
+    val offs = tokenOffsets(s)
+    val counts = new Array[Long](vocab.length)
+    var t = 0
+    while (t < offs.length) {
+      val i = index.get(s.substring(offs(t), offs(t + 1)))
+      if (i != null) counts(i.intValue()) += 1
+      t += 2
+    }
+    vocab.indices
+      .filter(i => counts(i) > 0)
+      .sortBy(i => (-counts(i), vocab(i)))
+      .take(k)
+      .map(i => UTF8String.fromString(vocab(i)))
+      .toArray
+  }
+
   // ---------------------------------------------------------------- exprs
 
   case class PolyHashExpr(child: Expression)
@@ -285,6 +352,69 @@ object native {
       copy(left = newLeft, right = newRight)
   }
 
+  case class VocabHitsExpr(child: Expression, words: Seq[String], lowercase: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val set = {
+      val s = new java.util.HashSet[String]()
+      words.foreach(s.add)
+      s
+    }
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any = {
+      val u = input.asInstanceOf[UTF8String]
+      vocabHits((if (lowercase) u.toLowerCase else u).toString, set)
+    }
+    override protected def withNewChildInternal(newChild: Expression): VocabHitsExpr =
+      copy(child = newChild)
+  }
+
+  case class BestLabelExpr(child: Expression, groups: Seq[(String, Seq[String])],
+                           fallback: String, lowercase: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val built = groups.sortBy(_._1).map { case (label, words) =>
+      val s = new java.util.HashSet[String]()
+      words.foreach(s.add)
+      (label, s)
+    }.toArray
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(input: Any): Any = {
+      val u = input.asInstanceOf[UTF8String]
+      UTF8String.fromString(
+        bestLabel((if (lowercase) u.toLowerCase else u).toString, built, fallback))
+    }
+    override protected def withNewChildInternal(newChild: Expression): BestLabelExpr =
+      copy(child = newChild)
+  }
+
+  case class KeywordsTopKExpr(child: Expression, vocabulary: Seq[String], k: Int,
+                              lowercase: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    @transient private lazy val sortedVocab = vocabulary.distinct.sorted.toArray
+    @transient private lazy val index = {
+      val m = new java.util.HashMap[String, Integer]()
+      sortedVocab.zipWithIndex.foreach { case (w, i) => m.put(w, i) }
+      m
+    }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val u = input.asInstanceOf[UTF8String]
+      new GenericArrayData(
+        keywordsTopK((if (lowercase) u.toLowerCase else u).toString, sortedVocab, index, k)
+          .asInstanceOf[Array[Any]])
+    }
+    override protected def withNewChildInternal(newChild: Expression): KeywordsTopKExpr =
+      copy(child = newChild)
+  }
+
+  case class TokenCountExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(input: Any): Any =
+      tokenOffsets(input.asInstanceOf[UTF8String].toString).length / 2
+    override protected def withNewChildInternal(newChild: Expression): TokenCountExpr =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------------- columns
 
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
@@ -298,4 +428,13 @@ object native {
     col(HyperplaneBucketExpr(ex(vec), nPlanes))
   def hashEmbed(text: Column, dim: Int): Column = col(HashEmbedExpr(ex(text), dim))
   def cosine(a: Column, b: Column): Column = col(CosineExpr(ex(a), ex(b)))
+  def vocabHits(text: Column, words: Seq[String], lowercase: Boolean = true): Column =
+    col(VocabHitsExpr(ex(text), words, lowercase))
+  def bestLabel(text: Column, groups: Seq[(String, Seq[String])], fallback: String,
+                lowercase: Boolean = true): Column =
+    col(BestLabelExpr(ex(text), groups, fallback, lowercase))
+  def keywordsTopK(text: Column, vocabulary: Seq[String], k: Int,
+                   lowercase: Boolean = true): Column =
+    col(KeywordsTopKExpr(ex(text), vocabulary, k, lowercase))
+  def tokenCount(text: Column): Column = col(TokenCountExpr(ex(text)))
 }

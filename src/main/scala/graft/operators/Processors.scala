@@ -48,25 +48,11 @@ object Processors {
     * array<string> column like the reference's string[].
     */
   def withKeywords(df: DataFrame, vocabulary: Seq[String],
-                   textCol: String = "content", maxKeywords: Int = 5): DataFrame = {
-    val toks = TextFunctions.tokens(lower(col(textCol)))
-    val scored = vocabulary.distinct.sorted.map { w =>
-      struct(
-        (-size(filter(toks, t => t === w))).cast("long").as("negCount"),
-        lit(w).as("word")
-      )
-    }
+                   textCol: String = "content", maxKeywords: Int = 5): DataFrame =
     df.withColumn(
       "keywords",
-      transform(
-        slice(
-          filter(array_sort(array(scored: _*)), s => s.getField("negCount") < 0),
-          1, maxKeywords
-        ),
-        s => s.getField("word")
-      )
+      graft.functions.native.keywordsTopK(col(textCol), vocabulary, maxKeywords)
     )
-  }
 
   /** ClassificationEnricher (key "classification", fallback "Unknown" —
     * ClassificationEnricher.cs:37): each class is defined by trigger
@@ -75,18 +61,14 @@ object Processors {
     */
   def withClassification(df: DataFrame, classes: Map[String, Seq[String]],
                          textCol: String = "content",
-                         fallback: String = "Unknown"): DataFrame = {
-    val toks = TextFunctions.tokens(lower(col(textCol)))
-    val scored = classes.toSeq.sortBy(_._1).map { case (name, words) =>
-      val hits = words.map(w => size(filter(toks, t => t === w.toLowerCase))).reduce(_ + _)
-      struct((-hits).cast("long").as("negHits"), lit(name).as("cls"))
-    }
-    val best = element_at(array_sort(array(scored: _*)), 1)
+                         fallback: String = "Unknown"): DataFrame =
     df.withColumn(
       "classification",
-      when(best.getField("negHits") < 0, best.getField("cls")).otherwise(lit(fallback))
+      graft.functions.native.bestLabel(
+        col(textCol),
+        classes.toSeq.map { case (name, words) => (name, words.map(_.toLowerCase)) },
+        fallback)
     )
-  }
 
   /** Default sentiment lexica (small, deterministic). */
   val PositiveWords: Seq[String] = Seq(
@@ -106,9 +88,8 @@ object Processors {
   def withSentiment(df: DataFrame, textCol: String = "content",
                     positive: Seq[String] = PositiveWords,
                     negative: Seq[String] = NegativeWords): DataFrame = {
-    val toks = TextFunctions.tokens(lower(col(textCol)))
-    val pos = size(filter(toks, t => array_contains(lit(positive.toArray), t)))
-    val neg = size(filter(toks, t => array_contains(lit(negative.toArray), t)))
+    val pos = graft.functions.native.vocabHits(col(textCol), positive.map(_.toLowerCase))
+    val neg = graft.functions.native.vocabHits(col(textCol), negative.map(_.toLowerCase))
     df.withColumn(
       "sentiment",
       when(pos + neg === 0, "Unknown")

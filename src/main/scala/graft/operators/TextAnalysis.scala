@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(TextFunctions.tokens(text))
+  /** Whitespace token count (native one-pass scan). */
+  def tokenCount(text: Column): Column = graft.functions.native.tokenCount(text)
 
   /** BPE-ish token count: alphanumeric runs + individual
     * punctuation/symbol characters — approximates BPE piece counts
@@ -37,15 +37,8 @@ object TextAnalysis {
     * (ties: alphabetical language code), "und" (undetermined) when no
     * stopword appears.
     */
-  def langId(text: Column, stopwords: Map[String, Seq[String]] = Stopwords): Column = {
-    val toks = TextFunctions.tokens(lower(text))
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val hits = words.map(w => size(filter(toks, t => t === w))).reduce(_ + _)
-      struct((-hits).cast("long").as("negHits"), lit(lang).as("lang"))
-    }
-    val best = element_at(array_sort(array(scored: _*)), 1)
-    when(best.getField("negHits") < 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def langId(text: Column, stopwords: Map[String, Seq[String]] = Stopwords): Column =
+    graft.functions.native.bestLabel(text, stopwords.toSeq, fallback = "und")
 
   /** Quality score in [0,100]: rewards mid-length docs, penalizes
     * punctuation/symbol density, rewards (any-language) stopword
@@ -53,13 +46,11 @@ object TextAnalysis {
     * agree bit-for-bit.
     */
   def qualityScore(text: Column): Column = {
-    val toks = TextFunctions.tokens(text)
-    val nTok = size(toks).cast("double")
+    val nTok = tokenCount(text).cast("double")
     val nChars = length(text).cast("double")
     val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double")
-    val allStop = Stopwords.values.flatten.toArray.distinct
-    val stopHits = size(filter(TextFunctions.tokens(lower(text)),
-      t => array_contains(lit(allStop), t))).cast("double")
+    val allStop = Stopwords.values.flatten.toSeq.distinct
+    val stopHits = graft.functions.native.vocabHits(text, allStop).cast("double")
     val lengthScore = when(nTok >= 20 && nTok <= 5000, 40.0)
       .when(nTok > 0, 20.0).otherwise(0.0)
     val punctScore = when(nChars === 0, 0.0)
