@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.native
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL surface for graft's kernels: registers `graft_*` functions so
+  * `spark.sql("SELECT graft_simhash64(text) ...")` works anywhere a
+  * DataFrame isn't convenient (BI tools, SQL notebooks, views).
+  *
+  * Two entry points:
+  *  - spark-submit: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    (the standard SparkSessionExtensions hook);
+  *  - live session: `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, _) => i
+    case Literal(l: Long, _) => l.toInt
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, info, builder) triples for every SQL-exposed kernel. */
+  val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_poly_hash",
+      new ExpressionInfo(classOf[native.PolyHashExpr].getName, "graft_poly_hash"),
+      (args: Seq[Expression]) => native.PolyHashExpr(args.head)),
+    ("graft_simhash64",
+      new ExpressionInfo(classOf[native.SimHash64Expr].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => native.SimHash64Expr(args.head)),
+    ("graft_shingle_hashes",
+      new ExpressionInfo(classOf[native.ShingleHashesExpr].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => native.ShingleHashesExpr(args.head, litInt(args(1), "n"))),
+    ("graft_minhash_sig",
+      new ExpressionInfo(classOf[native.MinHashSigExpr].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => native.MinHashSigExpr(args.head, litInt(args(1), "k"))),
+    ("graft_hash_embed",
+      new ExpressionInfo(classOf[native.HashEmbedExpr].getName, "graft_hash_embed"),
+      (args: Seq[Expression]) => native.HashEmbedExpr(args.head, litInt(args(1), "dim"))),
+    ("graft_cosine",
+      new ExpressionInfo(classOf[native.CosineExpr].getName, "graft_cosine"),
+      (args: Seq[Expression]) => native.CosineExpr(args.head, args(1))),
+    ("graft_token_count",
+      new ExpressionInfo(classOf[native.TokenCountExpr].getName, "graft_token_count"),
+      (args: Seq[Expression]) => native.TokenCountExpr(args.head)),
+    ("graft_hyperplane_bucket",
+      new ExpressionInfo(classOf[native.HyperplaneBucketExpr].getName, "graft_hyperplane_bucket"),
+      (args: Seq[Expression]) => native.HyperplaneBucketExpr(args.head, litInt(args(1), "nPlanes")))
+  )
+
+  /** Register on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, info, builder) =>
+      org.apache.spark.sql.graftbridge.FunctionBridge
+        .register(spark, name, info, builder)
+    }
+}

@@ -1,0 +1,35 @@
+package graft
+
+/** SQL surface: graft_* functions registered on a live session. */
+class ExtensionsSpec extends SparkSpecBase {
+
+  test("graft_* SQL functions evaluate like their Column twins") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  graft_poly_hash('hello world') AS h,
+        |  graft_token_count('  a b  c ') AS n,
+        |  graft_simhash64('x y z') AS sh,
+        |  graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+        |  size(graft_shingle_hashes('a b c d', 3)) AS nsh,
+        |  size(graft_minhash_sig(graft_shingle_hashes('a b c d', 3), 8)) AS k,
+        |  size(graft_hash_embed('a b c', 16)) AS dim,
+        |  graft_hyperplane_bucket(array(CAST(1.0 AS FLOAT)), 4) AS bkt
+        |""".stripMargin).head()
+    assert(row.getAs[Long]("h") == graft.functions.native.polyHash("hello world"))
+    assert(row.getAs[Int]("n") == 3)
+    assert(row.getAs[Double]("cos") == 1.0)
+    assert(row.getAs[Int]("nsh") == 2)
+    assert(row.getAs[Int]("k") == 8)
+    assert(row.getAs[Int]("dim") == 16)
+    assert(row.getAs[Long]("bkt") >= 0 && row.getAs[Long]("bkt") < 16)
+  }
+
+  test("extensions class wires the same definitions") {
+    // the injectFunction path can't be exercised on the shared session
+    // (extensions apply at construction); assert the catalog is complete
+    assert(GraftExtensions.definitions.map(_._1).distinct.size ==
+      GraftExtensions.definitions.size)
+    assert(new GraftExtensions() != null)
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import graft.sources.{ExternalReader, MarkdownElementReader}
+import org.apache.spark.sql.functions._
+
+class ExternalReaderSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("external conversion: bytes → documents → elements; failures isolated per row") {
+    val files = Seq(
+      (1L, "# Title\n\nbody".getBytes("UTF-8"), "application/pdf", "a.pdf"),
+      (2L, "plain text".getBytes("UTF-8"), "text/plain", "b.txt")
+    ).toDF("file_id", "content", "media_type", "source")
+    val docs = ExternalReader.read(spark, files)
+    assert(docs.where(col("error").isNotNull).count() == 0)
+    val elems = MarkdownElementReader.elements(spark, docs).collect()
+    assert(elems.exists(e => e.kind == "header" && e.text == "Title"))
+
+    val failing = new ExternalReader.MarkdownConverter {
+      def convert(content: Array[Byte], mediaType: String): String =
+        if (mediaType == "application/pdf") throw new RuntimeException("no pdf engine")
+        else new String(content, "UTF-8")
+    }
+    val mixed = ExternalReader.read(spark, files, failing).collect()
+    val byId = mixed.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[String]("error") == "no pdf engine")
+    assert(byId(2L).getAs[String]("error") == null)
+    assert(byId(2L).getAs[String]("text") == "plain text")
+  }
+}
