@@ -56,16 +56,35 @@ object Dedup {
     val shingled = documents
       .select(col("doc_id"), TextFunctions.shingleHashes(col("text"), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-    val capped = shingled
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .where(col("df") <= maxDocsPerShingle)
-      .drop("df")
-    val a = capped.select(col("doc_id").as("a"), col("n_sh").as("na"), col("shingle"))
-    val b = capped.select(col("doc_id").as("b"), col("n_sh").as("nb"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .where(col("a") < col("b"))
-      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+    // ONE shuffle: group docs per shingle and generate pairs inside the
+    // bucket (collect_list is bounded by the df-cut, which doubles as
+    // skew protection — a hot shingle is dropped, not sorted). A
+    // self-join formulation would scan + shuffle the shingles twice and
+    // a count-window df-cut can't skew-split under AQE.
+    val buckets = shingled
+      .groupBy(col("shingle"))
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("docs"))
+      .where(size(col("docs")) >= 2 && size(col("docs")) <= maxDocsPerShingle)
+    val pairs = buckets.select(
+      explode(flatten(transform(
+        sequence(lit(0), size(col("docs")) - 2),
+        i => {
+          val x = element_at(col("docs"), i + 1)
+          transform(
+            slice(col("docs"), i + 2, size(col("docs"))),
+            y => struct(
+              least(x.getField("doc_id"), y.getField("doc_id")).as("a"),
+              greatest(x.getField("doc_id"), y.getField("doc_id")).as("b"),
+              when(x.getField("doc_id") < y.getField("doc_id"), x.getField("n_sh"))
+                .otherwise(y.getField("n_sh")).as("na"),
+              when(x.getField("doc_id") < y.getField("doc_id"), y.getField("n_sh"))
+                .otherwise(x.getField("n_sh")).as("nb")
+            )
+          )
+        }
+      ))).as("p"))
+    pairs
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"), col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("inter"))
       // jaccard >= t  ⇔  inter >= t * (na + nb - inter); scaled to ints
       .where(col("inter") * lit(100) >= lit((threshold * 100).round) * (col("na") + col("nb") - col("inter")))
