@@ -47,6 +47,25 @@ object SparkEntry {
           concat(col("text"), lit(" graftdup")).as("text")))
   }
 
+  /** Embeddings with induced near-dups: every 10th vector reappears at
+    * id+100000 scaled by 1.01 (same direction ⇒ cosine 1, same LSH
+    * bucket) — the synthetic random vectors have no natural high-cosine
+    * pairs, so without this the pairwise queries would be 0-row.
+    */
+  private def vecsWithDups(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    base.union(
+      base.where(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.01)).cast("float")).as("embedding")))
+  }
+
+  private val vecsWithDupsSql =
+    """SELECT vec_id, embedding FROM embeddings
+      |UNION ALL SELECT vec_id + 100000,
+      |  list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT))
+      |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
+
   private val corpusWithDupsSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
@@ -55,6 +74,35 @@ object SparkEntry {
   /** DuckDB twin of TextFunctions.tokens. */
   private def sqlToks(textExpr: String): String =
     s"list_filter(regexp_split_to_array($textExpr, '\\s+'), x -> length(x) > 0)"
+
+  /** DuckDB twin of native.hyperplaneBucket(vec, nPlanes) on a 64-dim
+    * embedding column: the ±1 plane weights are deterministic constants
+    * (same integer mix as the kernel), inlined so the SQL fold adds the
+    * same doubles in the same order.
+    */
+  private def sqlBucket(embExpr: String, nPlanes: Int, dim: Int = 64): String = {
+    val planes = (0 until nPlanes).map { p =>
+      val terms = (0 until dim).map { i =>
+        val mixed = (p * 1315423911L + i * 2654435761L) % 1000003L
+        val sign = if ((mixed & 1L) == 0L) "1.0" else "-1.0"
+        s"CAST($embExpr[${i + 1}] AS DOUBLE) * $sign"
+      }.mkString(" + ")
+      s"(CASE WHEN ($terms) > 0 THEN ${1L << p} ELSE 0 END)"
+    }
+    planes.mkString("(", " + ", ")")
+  }
+
+  /** DuckDB twin of native.cosine between two 64-dim float arrays
+    * (sequential folds, denom = sqrt(na)*sqrt(nb), 0 on zero denom).
+    */
+  private def sqlCos(a: String, b: String): String = {
+    def fold(expr: String) =
+      s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], list_transform(range(1, 65), i -> $expr)), (x, y) -> x + y)"
+    val dot = fold(s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)")
+    val na = s"sqrt(${fold(s"CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)")})"
+    val nb = s"sqrt(${fold(s"CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)")})"
+    s"(CASE WHEN $na * $nb = 0 THEN 0.0 ELSE $dot / ($na * $nb) END)"
+  }
 
   /** DuckDB twin of TextFunctions.portableHash (polynomial char hash). */
   private def sqlHash(strExpr: String): String =
@@ -368,7 +416,7 @@ object SparkEntry {
     }),
 
     "d_dedup_embedding" -> ((s, dir) => {
-      Dedup.embeddingCosinePairs(tbl(s, dir, "embeddings"), dim = 64,
+      Dedup.embeddingCosinePairs(vecsWithDups(tbl(s, dir, "embeddings")), dim = 64,
           threshold = 0.9, nPlanes = 8)
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("a"), col("b"))
@@ -399,7 +447,8 @@ object SparkEntry {
     }),
 
     "s_pairwise_dups" -> ((s, dir) => {
-      Similarity.pairwiseHighCosine(tbl(s, dir, "embeddings"), dim = 64, threshold = 0.85)
+      Similarity.pairwiseHighCosine(vecsWithDups(tbl(s, dir, "embeddings")), dim = 64,
+          threshold = 0.85)
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("a"), col("b"))
     }),
@@ -627,6 +676,18 @@ object SparkEntry {
          |  array_to_string((${sqlToks("text")})[1:20], ' ') AS summary
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "i_enrich_keywords" -> {
+      val vocab = Seq("data", "join", "query", "spark", "stream", "table", "vector", "window")
+      val scored = vocab.sorted.map(w =>
+        s"{'negc': -len(list_filter(toks, x -> x = '$w')), 'word': '$w'}").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
+         |c AS (SELECT doc_id, [$scored] AS scored FROM t)
+         |SELECT doc_id,
+         |  list_transform(list_slice(list_sort(list_filter(scored, s -> s.negc < 0)), 1, 5),
+         |                 s -> s.word) AS keywords
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
     "i_enrich_classification" -> {
       def hits(words: Seq[String]) =
         s"len(list_filter(${sqlToks("lower(text)")}, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"
@@ -715,6 +776,43 @@ object SparkEntry {
          |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
          |ORDER BY a, b""".stripMargin
     },
+
+    "d_dedup_embedding" ->
+      s"""WITH v AS ($vecsWithDupsSql),
+         |b AS (SELECT vec_id, embedding, ${sqlBucket("embedding", 8)} AS bucket FROM v)
+         |SELECT x.vec_id AS a, y.vec_id AS b, round(${sqlCos("x.embedding", "y.embedding")}, 6) AS cos
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${sqlCos("x.embedding", "y.embedding")} >= 0.9
+         |ORDER BY a, b""".stripMargin,
+
+    "s_pairwise_dups" ->
+      s"""WITH v AS ($vecsWithDupsSql),
+         |b AS (SELECT vec_id, embedding, ${sqlBucket("embedding", 8)} AS bucket FROM v)
+         |SELECT x.vec_id AS a, y.vec_id AS b, round(${sqlCos("x.embedding", "y.embedding")}, 6) AS cos
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${sqlCos("x.embedding", "y.embedding")} >= 0.85
+         |ORDER BY a, b""".stripMargin,
+
+    "s_knn_lsh" ->
+      s"""WITH banded AS (
+         |  SELECT 0 AS tbl, vec_id, embedding, ${sqlBucket("embedding", 8)} AS bucket FROM embeddings
+         |  UNION ALL
+         |  SELECT 1 AS tbl, vec_id, embedding, ${sqlBucket("embedding", 9)} AS bucket FROM embeddings),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS nbr_id
+         |  FROM banded x JOIN banded y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |  WHERE x.vec_id < 5 AND x.vec_id <> y.vec_id),
+         |scored AS (
+         |  SELECT query_id, nbr_id, ${sqlCos("q.embedding", "e.embedding")} AS cos
+         |  FROM cand JOIN embeddings q ON q.vec_id = query_id
+         |  JOIN embeddings e ON e.vec_id = nbr_id),
+         |ranked AS (
+         |  SELECT query_id, nbr_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, nbr_id, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "s_knn_bruteforce" -> {
       val dot = "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))), (x, y) -> x + y)"
