@@ -715,6 +715,39 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "i_vector_store" -> {
+      val step = 48; val maxT = 64
+      // chunks replicated from the i_chunk_token oracle; embedding =
+      // feature-hash histogram (dim 16) L2-normalized, float-exact
+      // (integer counts, double norm, round-to-nearest float cast)
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+         |n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+         |chunks AS (
+         |  SELECT doc_id, CAST(u.i AS INT) AS chunk_id,
+         |    array_to_string(t[u.i*$step+1 : u.i*$step+$maxT], ' ') AS content
+         |  FROM n, unnest(range(0, greatest(CAST(ceil(n / $step.0) AS BIGINT), 1))) AS u(i)),
+         |kept AS (SELECT * FROM chunks WHERE length(content) > 0),
+         |bucketed AS (
+         |  SELECT doc_id, chunk_id, content,
+         |    list_transform(${sqlToks("content")}, tk -> ${sqlHash("tk")} % 16) AS bks
+         |  FROM kept),
+         |counted AS (
+         |  SELECT doc_id, chunk_id, content,
+         |    list_transform(range(0, 16), i -> len(list_filter(bks, b -> b = i))) AS cnts
+         |  FROM bucketed),
+         |normed AS (
+         |  SELECT doc_id, chunk_id, content, cnts,
+         |    sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |      list_transform(cnts, c -> CAST(c AS DOUBLE) * CAST(c AS DOUBLE))), (x, y) -> x + y)) AS nrm
+         |  FROM counted)
+         |SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR) AS key,
+         |  list_transform(cnts, c -> CAST(CASE WHEN nrm > 0 THEN CAST(c AS DOUBLE) / nrm ELSE 0.0 END AS FLOAT)) AS embedding,
+         |  content, '' AS context, CAST(doc_id AS VARCHAR) AS documentid
+         |FROM normed
+         |ORDER BY CAST(documentid AS BIGINT), key""".stripMargin
+    },
+
     "d_dedup_exact" ->
       s"""WITH corpus AS ($corpusWithDupsSql)
          |SELECT min(doc_id) AS keeper, count(*) AS dup_count
@@ -814,6 +847,44 @@ object SparkEntry {
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
+    "s_knn_ivf" ->
+      // centroid sample: every step-th vec_id (step = N/8), exactly the
+      // driver-side grouped(step).head selection in Similarity.knnIvf
+      s"""WITH ids AS (
+         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings),
+         |params AS (
+         |  SELECT greatest(1, CAST(count(*) / 8 AS BIGINT)) AS step FROM ids),
+         |centroids AS (
+         |  SELECT e.vec_id AS list_id, e.embedding AS centroid
+         |  FROM ids JOIN embeddings e ON e.vec_id = ids.vec_id, params
+         |  WHERE (ids.rn - 1) % params.step = 0
+         |  ORDER BY ids.rn LIMIT 8),
+         |corpus_assign AS (
+         |  SELECT vec_id AS nbr_id, embedding AS nbr_emb, list_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlCos("e.embedding", "c.centroid")} DESC, c.list_id) AS r
+         |    FROM embeddings e, centroids c)
+         |  WHERE r = 1),
+         |query_assign AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, list_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlCos("e.embedding", "c.centroid")} DESC, c.list_id) AS r
+         |    FROM embeddings e, centroids c WHERE e.vec_id < 5)
+         |  WHERE r <= 4),
+         |scored AS (
+         |  SELECT DISTINCT query_id, nbr_id, ${sqlCos("q_emb", "nbr_emb")} AS cos
+         |  FROM query_assign q JOIN corpus_assign n USING (list_id)
+         |  WHERE query_id <> nbr_id),
+         |ranked AS (
+         |  SELECT query_id, nbr_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, nbr_id, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
     "s_knn_bruteforce" -> {
       val dot = "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))), (x, y) -> x + y)"
       val na = "sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)], list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (x, y) -> x + y))"
@@ -882,6 +953,34 @@ object SparkEntry {
         |FROM documents, unnest(range(0, 4)) AS u(i)
         |WHERE octet_length(encode(text)) > 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "m_image_features" ->
+      // high nibble of byte i = hex digit at (0-based) position 2i of
+      // the hex-encoded blob; histogram over 16 nibble values,
+      // L2-normalized exactly like decodeStub (double div, float cast)
+      s"""WITH b AS (
+         |  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+         |         octet_length(encode(text)) AS blen, text
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT media_id, blen, text,
+         |    list_transform(range(0, 16), v -> CAST(len(list_filter(range(0, blen),
+         |      i -> substr(h, CAST(2*i+1 AS INT), 1)
+         |           = substr('0123456789ABCDEF', CAST(v+1 AS INT), 1))) AS DOUBLE)) AS cnts
+         |  FROM b),
+         |normed AS (
+         |  SELECT media_id, blen, text, cnts,
+         |    sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |      list_transform(cnts, c -> c * c)), (x, y) -> x + y)) AS nrm
+         |  FROM cnt)
+         |SELECT media_id, CAST(blen AS INT) AS byte_length,
+         |  CASE WHEN text LIKE 'GIF%' THEN 'image/gif'
+         |       WHEN text LIKE 'RIFF%' THEN 'audio/wav'
+         |       WHEN starts_with(text, '%PDF') THEN 'application/pdf'
+         |       ELSE 'application/octet-stream' END AS sniffed_type,
+         |  list_transform(cnts, c -> CAST(CASE WHEN nrm > 0 THEN c / nrm ELSE 0.0 END AS FLOAT)) AS feature
+         |FROM normed
+         |ORDER BY media_id""".stripMargin,
 
     "m_multimodal_meta" ->
       """SELECT doc_id AS media_id,

@@ -65,14 +65,14 @@ object Multimodal {
     * decoder changes only this function).
     */
   def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](16)
+    val hist = new Array[Double](16)
     var i = 0
     while (i < bytes.length) {
-      hist((bytes(i) & 0xFF) >> 4) += 1f
+      hist((bytes(i) & 0xFF) >> 4) += 1.0
       i += 1
     }
-    val norm = math.sqrt(hist.map(x => x.toDouble * x).sum).toFloat
-    if (norm > 0) hist.map(_ / norm) else hist
+    val norm = math.sqrt(hist.map(x => x * x).sum)
+    if (norm > 0) hist.map(x => (x / norm).toFloat) else new Array[Float](16)
   }
 
   /** Batched feature extraction: mapPartitions with an explicit batch
