@@ -482,6 +482,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "t_clean_text" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.cleanText(col("text")).as("clean"))
+        .withColumn("n_chars_clean", length(col("clean")))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t_repetition" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.lineStats(col("text")).as("ls"))
+        .select(col("doc_id"), col("ls.n_lines"), col("ls.n_distinct_lines"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---------------------------------------------- multimodal
     "m_multimodal_meta" -> ((s, dir) => {
       val media = tbl(s, dir, "documents").select(
@@ -941,6 +955,31 @@ object SparkEntry {
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "t_clean_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, 'https?://[^\s]+', '', 'g'),
+        |      '[^\s]+@[^\s]+\.[^\s]+', '', 'g'),
+        |    '\s+', ' ', 'g')) AS clean,
+        |  CAST(length(trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, 'https?://[^\s]+', '', 'g'),
+        |      '[^\s]+@[^\s]+\.[^\s]+', '', 'g'),
+        |    '\s+', ' ', 'g'))) AS INT) AS n_chars_clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(lines) AS INT) AS n_lines,
+        |  CAST(len(list_distinct(lines)) AS INT) AS n_distinct_lines
+        |FROM (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                l -> length(l) > 0) AS lines
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "t_fingerprint" ->
       s"""SELECT doc_id, ${sqlHash("text")} AS fp

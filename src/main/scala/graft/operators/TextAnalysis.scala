@@ -68,4 +68,26 @@ object TextAnalysis {
     * TextFunctions.portableHash for the DuckDB twin).
     */
   def fingerprint(text: Column): Column = TextFunctions.fingerprint(text)
+
+  /** C4-style cleaning: strip URLs and e-mail addresses, collapse
+    * whitespace runs, trim. Pure regex column ops (codegen'd).
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "https?://[^\\s]+", ""),
+        "[^\\s]+@[^\\s]+\\.[^\\s]+", ""),
+      "\\s+", " "))
+
+  /** Gopher-style repetition signal: total vs distinct non-empty lines
+    * (a doc dominated by repeated lines is boilerplate). Returns a
+    * struct (n_lines, n_distinct_lines).
+    */
+  def lineStats(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    struct(
+      size(lines).as("n_lines"),
+      size(array_distinct(lines)).as("n_distinct_lines")
+    )
+  }
 }

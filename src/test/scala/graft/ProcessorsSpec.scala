@@ -68,6 +68,19 @@ class ProcessorsSpec extends SparkSpecBase {
     assert(got.toSeq == Seq("en", "de", "und"))
   }
 
+  test("cleanText strips urls/emails and normalizes whitespace") {
+    val got = Seq((1L, "see https://x.io/page and  mail a@b.com \n ok")).toDF("doc_id", "text")
+      .select(TextAnalysis.cleanText(col("text"))).as[String].head()
+    assert(got == "see and mail ok")
+  }
+
+  test("lineStats counts total vs distinct non-empty lines") {
+    val got = Seq((1L, "a\nb\na\n\n  \na")).toDF("doc_id", "text")
+      .select(TextAnalysis.lineStats(col("text")).as("ls"))
+      .select("ls.n_lines", "ls.n_distinct_lines").as[(Int, Int)].head()
+    assert(got == ((4, 2)))
+  }
+
   test("qualityScore components") {
     val goodText = (1 to 30).map(_ => "the words and more of it").mkString(" ")
     val got = Seq((1L, goodText), (2L, "!!! ??? ***"), (3L, "")).toDF("doc_id", "text")
