@@ -48,6 +48,20 @@ class PlanSpec extends SparkSpecBase {
     assert(codegen.contains("WholeStageCodegen"), "agg path should be codegen'd")
   }
 
+  test("driver contract: entry() returns rows; every query key has a runnable plan") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every oracle key must reference an existing query
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs),
+      s"orphan oracles: ${SparkEntry.oracleSql.keySet -- qs}")
+  }
+
+  test("ngram dedup is join-free: pairs generated inside shingle buckets") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = executed(Dedup.ngramJaccardPairs(docs, 3, 0.8)).toString
+    assert(!plan.contains("Join"), s"expected bucket-local pair generation:\n$plan")
+  }
+
   test("dedup plans never contain a cartesian product") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     for (df <- Seq(
