@@ -281,6 +281,22 @@ object SparkEntry {
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
+    "q_json_extract" -> ((s, dir) => {
+      // semi-structured path: parse the props JSON column, extract a
+      // typed field, aggregate on it (from_json → codegen'd JsonToStructs)
+      events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .where(col("k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_topk_per_group" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("p_brand"))
@@ -652,6 +668,14 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  sum(CAST(value AS DECIMAL(18,4))) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+        |FROM events
+        |WHERE json_extract(props, '$.k') IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_topk_per_group" ->
       """SELECT p_brand, rn, p_partkey, p_retailprice FROM (

@@ -48,6 +48,23 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .format("parquet")
 
+  /** Incremental (upsert) streaming writer: each micro-batch runs the
+    * batch writer's dynamic-partition overwrite, so re-ingested
+    * documents REPLACE their previous records instead of appending —
+    * the reference's IncrementalIngestion option in streaming mode.
+    * foreachBatch + checkpoint gives exactly-once per batch.
+    */
+  def incrementalWriter(chunks: DataFrame, sinkPath: String, checkpoint: String,
+                        dim: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+    VectorStoreWriter.toVectorRecords(chunks, dim)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        VectorStoreWriter.write(batch, sinkPath)
+      }
+
   /** Watermarked tumbling-window event aggregation: the canonical
     * stateful-streaming operator (SIGMOD'18 Structured Streaming
     * windowed aggregation shape). 10-minute windows, 20-minute

@@ -39,6 +39,23 @@ class StreamingSpec extends SparkSpecBase {
       got1.where(col("documentid") === "1").count())
   }
 
+  test("incrementalWriter: re-ingested documents replace their records") {
+    val in = Files.createTempDirectory("graft-inc-in").toString
+    val out = Files.createTempDirectory("graft-inc-out").toString
+    val ckpt = Files.createTempDirectory("graft-inc-ckpt").toString
+    Files.writeString(java.nio.file.Path.of(in, "b1.json"),
+      """{"doc_id":1,"text":"version one text","lang":"en","source":"t"}""")
+    StreamingIngest.incrementalWriter(
+      StreamingIngest.chunkStream(spark, in), out, ckpt).start().awaitTermination()
+    Files.writeString(java.nio.file.Path.of(in, "b2.json"),
+      """{"doc_id":1,"text":"version two replaces","lang":"en","source":"t"}""")
+    StreamingIngest.incrementalWriter(
+      StreamingIngest.chunkStream(spark, in), out, ckpt).start().awaitTermination()
+    val contents = spark.read.parquet(out)
+      .where(col("documentid") === "1").select("content").as[String].collect()
+    assert(contents.forall(_.contains("version two")), contents.mkString("; "))
+  }
+
   test("eventWindowCounts: tumbling windows aggregate correctly (batch-mode check)") {
     val events = Seq(
       (Timestamp.valueOf("2024-01-01 10:01:00"), "click", 1.0),
