@@ -99,6 +99,19 @@ object Processors {
     )
   }
 
+  /** Quality gate: keep documents scoring at least `minScore` on the
+    * TextAnalysis quality heuristic — the standard pre-chunking filter
+    * in a training-data pipeline. Narrow (pushdown-friendly) predicate.
+    */
+  def filterByQuality(df: DataFrame, minScore: Int, textCol: String = "text"): DataFrame =
+    df.where(TextAnalysis.qualityScore(col(textCol)) >= minScore)
+
+  /** Language gate: keep documents whose predicted language is in
+    * `langs` (stopword-heuristic language ID).
+    */
+  def filterByLanguage(df: DataFrame, langs: Seq[String], textCol: String = "text"): DataFrame =
+    df.where(TextAnalysis.langId(col(textCol)).isin(langs: _*))
+
   /** ImageAlternativeTextEnricher.cs: fills AlternativeText for image
     * elements. Hermetic stand-in: derive alt text from the image
     * markdown's existing alt + a deterministic caption tag. A real

@@ -29,14 +29,21 @@ object VectorStoreWriter {
     * Embedding is the hermetic hash embedder (swap for a model UDF in
     * production).
     */
-  def toVectorRecords(chunks: DataFrame, dim: Int = 64): DataFrame =
-    chunks.select(
+  def toVectorRecords(chunks: DataFrame, dim: Int = 64,
+                      metadataCols: Seq[String] = Nil): DataFrame = {
+    // enricher outputs ride along as extra record fields, like the
+    // reference's "...metadata" columns (VectorStoreWriter.cs:15-20);
+    // kept as real columns (not a map) so stores can index them and
+    // Catalyst can prune them
+    val extras = metadataCols.map(c => col(c))
+    chunks.select(Seq(
       concat(col("doc_id").cast("string"), lit(":"), col("chunk_id").cast("string")).as("key"),
       VectorFunctions.hashEmbed(col("content"), dim).as("embedding"),
       col("content"),
       coalesce(col("context"), lit("")).as("context"),
       col("doc_id").cast("string").as("documentid")
-    )
+    ) ++ extras: _*)
+  }
 
   /** Write records bucketed by document, overwriting only the buckets
     * present in this batch (incremental ingestion).

@@ -44,6 +44,27 @@ class PipelineSpec extends SparkSpecBase {
     assert(math.abs(emb.map(v => v.toDouble * v).sum - 1.0) < 1e-6)
   }
 
+  test("toVectorRecords carries enricher metadata columns through") {
+    val chunks = Seq((1L, 0, "good text", "ctx", "a summary", "Positive"))
+      .toDF("doc_id", "chunk_id", "content", "context", "summary", "sentiment")
+    val rec = VectorStoreWriter.toVectorRecords(chunks, dim = 16,
+      metadataCols = Seq("summary", "sentiment")).head()
+    assert(rec.getAs[String]("summary") == "a summary")
+    assert(rec.getAs[String]("sentiment") == "Positive")
+  }
+
+  test("document quality/language gates filter before chunking") {
+    val docs = Seq(
+      (1L, (1 to 30).map(_ => "the good and of words").mkString(" ")),
+      (2L, "@@@@ ####"),
+      (3L, "der die das und ist nicht ein zu ".repeat(10))
+    ).toDF("doc_id", "text")
+    val q = Processors.filterByQuality(docs, minScore = 60).select("doc_id").as[Long].collect()
+    assert(q.contains(1L) && !q.contains(2L))
+    val en = Processors.filterByLanguage(docs, Seq("en")).select("doc_id").as[Long].collect()
+    assert(en.toSeq == Seq(1L))
+  }
+
   test("incremental write: re-ingesting a document replaces its records") {
     val dir = Files.createTempDirectory("graft-vsw").toString
     val batch1 = Seq((1L, 0, "v1 content", ""), (2L, 0, "other doc", ""))
