@@ -80,10 +80,10 @@ object SparkEntry {
     * (same integer mix as the kernel), inlined so the SQL fold adds the
     * same doubles in the same order.
     */
-  private def sqlBucket(embExpr: String, nPlanes: Int, dim: Int = 64): String = {
+  private def sqlBucket(embExpr: String, nPlanes: Int, seed: Int = 0, dim: Int = 64): String = {
     val planes = (0 until nPlanes).map { p =>
       val terms = (0 until dim).map { i =>
-        val mixed = (p * 1315423911L + i * 2654435761L) % 1000003L
+        val mixed = ((p + seed * 31L) * 1315423911L + i * 2654435761L) % 1000003L
         val sign = if ((mixed & 1L) == 0L) "1.0" else "-1.0"
         s"CAST($embExpr[${i + 1}] AS DOUBLE) * $sign"
       }.mkString(" + ")
@@ -432,7 +432,7 @@ object SparkEntry {
     }),
 
     "d_dedup_embedding" -> ((s, dir) => {
-      Dedup.embeddingCosinePairs(vecsWithDups(tbl(s, dir, "embeddings")), dim = 64,
+      Dedup.embeddingCosinePairs(vecsWithDups(tbl(s, dir, "embeddings")),
           threshold = 0.9, nPlanes = 8)
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("a"), col("b"))
@@ -463,7 +463,7 @@ object SparkEntry {
     }),
 
     "s_pairwise_dups" -> ((s, dir) => {
-      Similarity.pairwiseHighCosine(vecsWithDups(tbl(s, dir, "embeddings")), dim = 64,
+      Similarity.pairwiseHighCosine(vecsWithDups(tbl(s, dir, "embeddings")),
           threshold = 0.85)
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("a"), col("b"))
@@ -866,9 +866,9 @@ object SparkEntry {
 
     "s_knn_lsh" ->
       s"""WITH banded AS (
-         |  SELECT 0 AS tbl, vec_id, embedding, ${sqlBucket("embedding", 8)} AS bucket FROM embeddings
+         |  SELECT 0 AS tbl, vec_id, embedding, ${sqlBucket("embedding", 8, seed = 0)} AS bucket FROM embeddings
          |  UNION ALL
-         |  SELECT 1 AS tbl, vec_id, embedding, ${sqlBucket("embedding", 9)} AS bucket FROM embeddings),
+         |  SELECT 1 AS tbl, vec_id, embedding, ${sqlBucket("embedding", 8, seed = 1)} AS bucket FROM embeddings),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS nbr_id
          |  FROM banded x JOIN banded y ON x.tbl = y.tbl AND x.bucket = y.bucket

@@ -152,7 +152,8 @@ object native {
     * VectorFunctions.hyperplaneBucket): deterministic ±1 plane weights
     * from an integer mix of (plane, coordinate).
     */
-  def hyperplaneBucket(vec: ArrayData, isDouble: Boolean, nPlanes: Int): Long = {
+  def hyperplaneBucket(vec: ArrayData, isDouble: Boolean, nPlanes: Int,
+                       seed: Int): Long = {
     val dim = vec.numElements()
     var bucket = 0L
     var p = 0
@@ -161,7 +162,9 @@ object native {
       var i = 0
       while (i < dim) {
         val v = if (isDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
-        val mixed = (p * 1315423911L + i * 2654435761L) % 1000003L
+        // seed salts the plane family so multi-table LSH probes get
+        // genuinely independent planes (seed 0 = the original family)
+        val mixed = ((p + seed * 31L) * 1315423911L + i * 2654435761L) % 1000003L
         proj += (if ((mixed & 1L) == 0L) v else -v)
         i += 1
       }
@@ -318,13 +321,13 @@ object native {
       copy(child = newChild)
   }
 
-  case class HyperplaneBucketExpr(child: Expression, nPlanes: Int)
+  case class HyperplaneBucketExpr(child: Expression, nPlanes: Int, seed: Int = 0)
       extends UnaryExpression with CodegenFallback {
     private lazy val isDouble =
       child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
     override def dataType: DataType = LongType
     override protected def nullSafeEval(input: Any): Any =
-      hyperplaneBucket(input.asInstanceOf[ArrayData], isDouble, nPlanes)
+      hyperplaneBucket(input.asInstanceOf[ArrayData], isDouble, nPlanes, seed)
     override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
       copy(child = newChild)
   }
@@ -424,8 +427,8 @@ object native {
   def shingleHashes(text: Column, n: Int): Column = col(ShingleHashesExpr(ex(text), n))
   def minHashSig(shingles: Column, k: Int): Column = col(MinHashSigExpr(ex(shingles), k))
   def simHash64(text: Column): Column = col(SimHash64Expr(ex(text)))
-  def hyperplaneBucket(vec: Column, nPlanes: Int): Column =
-    col(HyperplaneBucketExpr(ex(vec), nPlanes))
+  def hyperplaneBucket(vec: Column, nPlanes: Int, seed: Int = 0): Column =
+    col(HyperplaneBucketExpr(ex(vec), nPlanes, seed))
   def hashEmbed(text: Column, dim: Int): Column = col(HashEmbedExpr(ex(text), dim))
   def cosine(a: Column, b: Column): Column = col(CosineExpr(ex(a), ex(b)))
   def vocabHits(text: Column, words: Seq[String], lowercase: Boolean = true): Column =

@@ -45,6 +45,6 @@ object VectorFunctions {
     * cheap integer mix so the planes are reproducible cluster-wide
     * with no broadcast state.
     */
-  def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int): Column =
-    native.hyperplaneBucket(vec, nPlanes)
+  def hyperplaneBucket(vec: Column, nPlanes: Int, seed: Int = 0): Column =
+    native.hyperplaneBucket(vec, nPlanes, seed)
 }

@@ -125,7 +125,10 @@ object Chunkers {
           }
           acc += row; accTok += rt
         }
-        if (acc.length > 2) { append(acc.mkString("\n"), accTok); commit() }
+        // >= 2: a header-only table (no data rows) is still emitted,
+        // matching ElementsChunker.cs:142 which appends the final
+        // tableBuilder unconditionally
+        if (acc.length >= 2) { append(acc.mkString("\n"), accTok); commit() }
       } else {
         // split by sentence boundaries, then hard-split any giant sentence
         val sentences = text.split("(?<=[.!?])\\s+").toSeq.flatMap { s =>
@@ -145,7 +148,14 @@ object Chunkers {
     out.toSeq
   }
 
-  private def semanticText(kind: String, text: String): String = text
+  /** What the packer packs, per ElementsChunker.cs:55-66: images use
+    * their alt/OCR text (markdown `![alt](url)` is useless for
+    * embedding); every other element uses its MARKDOWN — crucially
+    * keeping tables' newline-separated rows so the oversized-table
+    * row-splitter can operate.
+    */
+  private def semanticText(kind: String, md: String, text: String): String =
+    if (kind == "image") text else md
 
   // --------------------------------------------------------------- header
   /** HeaderChunker.cs: walk elements in order; headers update a level
@@ -175,7 +185,7 @@ object Chunkers {
           val lvl = math.min(level, 10)
           headers(lvl) = md
           for (l <- lvl + 1 to 10) headers(l) = null
-        } else run += ((kind, txt))
+        } else run += ((kind, semanticText(kind, md, txt)))
       }
       flush()
       out.toSeq
@@ -198,7 +208,6 @@ object Chunkers {
       var nextId = 0
       var context = ""
       val run = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      var isFirstInSection = true
       def flush(): Unit = if (run.nonEmpty) {
         val chunks = packElements(id, context, run.toSeq, opts, nextId)
         nextId += chunks.size
@@ -209,9 +218,8 @@ object Chunkers {
         if (kind == "header" && level == 1) {
           flush()
           context = md // new section; header is its context (SectionChunker.cs:49-54)
-          isFirstInSection = false
         } else {
-          run += ((kind, txt))
+          run += ((kind, semanticText(kind, md, txt)))
         }
       }
       flush()
@@ -293,7 +301,7 @@ object Chunkers {
         val run = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         var nextId = 0
         for (i <- blocks.indices) {
-          run += ((blocks(i)._1, blocks(i)._4))
+          run += ((blocks(i)._1, semanticText(blocks(i)._1, blocks(i)._3, blocks(i)._4)))
           if (i < blocks.length - 1 && distances(i) > threshold) {
             val chunks = packElements(id, "", run.toSeq, opts, nextId)
             nextId += chunks.size; out ++= chunks; run.clear()

@@ -32,7 +32,10 @@ object Dedup {
       .select(col("keeper"), col("dup_count"))
 
   /** Exact-dedup the corpus: keep one row (min doc_id) per distinct
-    * text. Same digest trick — only (digest, doc_id) pairs shuffle.
+    * text. The winner set is computed over digests; the corpus itself
+    * shuffles once on (digest, doc_id) for the semi join — co-locating
+    * survivors with winner-ness is the one unavoidable corpus shuffle
+    * of any exact dedup that returns full rows.
     */
   def exactDedup(documents: DataFrame): DataFrame = {
     val digested = documents.withColumn("digest", sha2(col("text"), 256))
@@ -134,15 +137,22 @@ object Dedup {
     * block finds every pair with distance ≤ 3 with one shuffle.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
+    // pigeonhole: distance <= d pairs share at least one of d+1 blocks
+    val nBlocks = maxHamming + 1
+    val bounds = (0 to nBlocks).map(b => b * 64 / nBlocks)
     val hashed = documents.select(
       col("doc_id"),
       TextFunctions.simHash64(col("text")).as("sim")
     )
     val blocks = hashed.select(
       col("doc_id"), col("sim"),
-      explode(array((0 until 4).map(blk =>
+      explode(array((0 until nBlocks).map { blk =>
+        val width = bounds(blk + 1) - bounds(blk)
+        val mask = if (width >= 64) -1L else (1L << width) - 1
         struct(lit(blk).as("blk"),
-          shiftright(col("sim"), blk * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("b")
+          shiftright(col("sim"), bounds(blk)).bitwiseAND(mask).as("key"))
+      }: _*)).as("b")
     ).select(col("doc_id"), col("sim"), col("b.blk"), col("b.key"))
     val a = blocks.select(col("blk"), col("key"), col("doc_id").as("a"), col("sim").as("sima"))
     val b = blocks.select(col("blk"), col("key"), col("doc_id").as("b"), col("sim").as("simb"))
@@ -160,13 +170,13 @@ object Dedup {
     * candidates only) verified by exact cosine. `nPlanes` trades recall
     * for bucket size; 8 planes → 256 buckets.
     */
-  def embeddingCosinePairs(vectors: DataFrame, dim: Int,
+  def embeddingCosinePairs(vectors: DataFrame,
                            threshold: Double = 0.95,
                            nPlanes: Int = 8): DataFrame = {
     val bucketed = vectors.select(
       col("vec_id"),
       col("embedding"),
-      VectorFunctions.hyperplaneBucket(col("embedding"), dim, nPlanes).as("bucket")
+      VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes).as("bucket")
     )
     val a = bucketed.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))

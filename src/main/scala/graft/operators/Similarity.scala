@@ -51,8 +51,10 @@ object Similarity {
 
   /** LSH-bucketed ANN: hyperplane-bucket both corpus and queries, score
     * only same-bucket pairs, per-query top-k. Multi-probe via
-    * `nTables` independent plane sets raises recall; candidates are
-    * deduped before scoring.
+    * `nTables` plane sets with table-seeded weights — each table is an
+    * INDEPENDENT family (a mere plane-count change would nest the
+    * buckets and add zero recall); candidates are deduped before
+    * scoring.
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
              nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
@@ -61,7 +63,7 @@ object Similarity {
         struct(
           lit(t).as("table"),
           VectorFunctions
-            .hyperplaneBucket(col("embedding"), dim, nPlanes + t) // vary planes per table
+            .hyperplaneBucket(col("embedding"), nPlanes, seed = t)
             .as("bucket")
         )
       }: _*)
@@ -89,9 +91,9 @@ object Similarity {
   /** All-pairs high-cosine detection — alias of the dedup primitive
     * (bucket-prefiltered, never all-pairs).
     */
-  def pairwiseHighCosine(vectors: DataFrame, dim: Int, threshold: Double,
+  def pairwiseHighCosine(vectors: DataFrame, threshold: Double,
                          nPlanes: Int = 8): DataFrame =
-    Dedup.embeddingCosinePairs(vectors, dim, threshold, nPlanes)
+    Dedup.embeddingCosinePairs(vectors, threshold, nPlanes)
 
   /** IVF-style ANN: partition the corpus into `nLists` inverted lists
     * by nearest centroid, search only the `nProbe` lists whose

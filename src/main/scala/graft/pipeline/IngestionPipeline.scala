@@ -44,15 +44,28 @@ final case class IngestionPipeline(
     chunkProcessors.foldLeft(chunked)((df, p) => p(df))
   }
 
-  /** Run end-to-end into a vector store path. */
+  /** Run end-to-end into a vector store path. Enricher outputs (any
+    * column beyond the chunk contract) ride along as record metadata.
+    */
   def run(spark: SparkSession, documents: DataFrame, sinkPath: String,
           dim: Int = 64): Unit = {
-    val out = VectorStoreWriter.toVectorRecords(chunks(spark, documents), dim)
+    val chunked = chunks(spark, documents)
+    val out = VectorStoreWriter.toVectorRecords(chunked, dim,
+      metadataCols = IngestionPipeline.metadataColumns(chunked))
     VectorStoreWriter.write(out, sinkPath)
   }
 }
 
 object IngestionPipeline {
+  /** Chunk-contract columns; anything else on a chunk DataFrame is
+    * enricher metadata destined for the vector record.
+    */
+  val ChunkColumns: Set[String] =
+    Set("doc_id", "chunk_id", "content", "context", "token_count")
+
+  def metadataColumns(chunks: DataFrame): Seq[String] =
+    chunks.columns.toSeq.filterNot(ChunkColumns.contains)
+
   /** Default chunker: header-aware chunking (the reference's most
     * featureful structural chunker).
     */

@@ -45,17 +45,41 @@ object VectorStoreWriter {
     ) ++ extras: _*)
   }
 
-  /** Write records bucketed by document, overwriting only the buckets
-    * present in this batch (incremental ingestion).
+  /** Write records bucketed by document. Incremental mode is a
+    * copy-on-write upsert: records of re-ingested documents are
+    * replaced, every other document's records survive — including ones
+    * that merely share a bucket with this batch (a blind
+    * dynamic-partition overwrite would wipe them). Rewrite cost is
+    * bounded by the touched buckets, not the store size.
     */
-  def write(records: DataFrame, path: String, incremental: Boolean = true): Unit = {
+  def write(records: DataFrame, path: String, incremental: Boolean = true,
+            numBuckets: Int = NumBuckets): Unit = {
     val session = records.sparkSession
+    val bucketed = records
+      .withColumn("doc_bucket", pmod(xxhash64(col("documentid")), lit(numBuckets)))
     val previous = session.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     session.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      records
-        .withColumn("doc_bucket", pmod(xxhash64(col("documentid")), lit(NumBuckets)))
-        .write
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(session.sparkContext.hadoopConfiguration)
+      val sinkExists = fs.exists(new org.apache.hadoop.fs.Path(path)) &&
+        fs.listStatus(new org.apache.hadoop.fs.Path(path)).nonEmpty
+      val toWrite =
+        if (!incremental || !sinkExists) bucketed
+        else {
+          // survivors: rows in touched buckets that belong to OTHER
+          // documents; materialized (localCheckpoint) so we never
+          // overwrite a path we are still lazily reading from
+          val touched = bucketed.select(col("doc_bucket")).distinct()
+          val reingested = bucketed.select(col("documentid")).distinct()
+          val survivors = session.read.parquet(path)
+            .join(broadcast(touched), Seq("doc_bucket"), "left_semi")
+            .join(reingested, Seq("documentid"), "left_anti")
+            .select(bucketed.columns.map(col): _*)
+            .localCheckpoint(true)
+          bucketed.union(survivors)
+        }
+      toWrite.write
         .mode(if (incremental) SaveMode.Overwrite else SaveMode.Append)
         .partitionBy("doc_bucket")
         .parquet(path)

@@ -40,7 +40,8 @@ object StreamingIngest {
   /** Write the chunk stream as vector records (append mode, checkpointed). */
   def writer(chunks: DataFrame, sinkPath: String, checkpoint: String,
              dim: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
-    VectorStoreWriter.toVectorRecords(chunks, dim)
+    VectorStoreWriter.toVectorRecords(chunks, dim,
+        metadataCols = IngestionPipeline.metadataColumns(chunks))
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -56,7 +57,8 @@ object StreamingIngest {
     */
   def incrementalWriter(chunks: DataFrame, sinkPath: String, checkpoint: String,
                         dim: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
-    VectorStoreWriter.toVectorRecords(chunks, dim)
+    VectorStoreWriter.toVectorRecords(chunks, dim,
+        metadataCols = IngestionPipeline.metadataColumns(chunks))
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -136,8 +138,13 @@ object StreamingIngest {
             }
             cur.foreach { s =>
               state.update(s)
-              // close the open session once the watermark passes its gap
-              state.setTimeoutTimestamp((s.end_sec + gapSeconds) * 1000)
+              // close the open session once the watermark passes its
+              // gap; a very late event can put end+gap at or before the
+              // current watermark, and setTimeoutTimestamp THROWS on
+              // non-future timestamps (killing the query) — clamp it
+              state.setTimeoutTimestamp(
+                math.max((s.end_sec + gapSeconds) * 1000,
+                  state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }

@@ -73,6 +73,17 @@ class ChunkersSpec extends SparkSpecBase {
       assert(chunks.count(_.content.contains(r)) == 1)
   }
 
+  test("headerChunks: oversized table is row-split, not dropped (regression)") {
+    val rows = (1 to 12).map(i => s"| r$i | v$i |").mkString("\n")
+    val md = s"# T\n\n| h1 | h2 |\n|---|---|\n$rows"
+    val out = Chunkers.headerChunks(spark, docs(1L -> md), ChunkerOptions(maxTokens = 20, overlap = 0))
+      .collect().sortBy(_.chunk_id)
+    assert(out.length > 1)
+    for (i <- 1 to 12) // every data row survives exactly once
+      assert(out.count(_.content.contains(s"| r$i |")) == 1, s"row r$i lost")
+    assert(out.forall(_.content.contains("| h1 | h2 |"))) // header repeated
+  }
+
   // ------------------------------------------------------------- header
   test("headerChunks: header-path context, headers never in content") {
     val md = "# A\n\npara one\n\n## B\n\npara two\n\n# C\n\npara three"

@@ -55,8 +55,30 @@ class DedupSimilaritySpec extends SparkSpecBase {
     (4L, Array(0.0f, 0.0f, 0.0f, 1.0f))
   ).toDF("vec_id", "embedding")
 
+  test("simhashPairs honors larger maxHamming via more blocks (regression)") {
+    // identical docs (hamming 0) must be found at any maxHamming
+    val got = Dedup.simhashPairs(corpus, maxHamming = 5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+  }
+
+  test("hyperplane LSH tables are independent families (regression)") {
+    import graft.functions.VectorFunctions
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val buckets = emb.select(
+      VectorFunctions.hyperplaneBucket(col("embedding"), 8, seed = 0).as("b0"),
+      VectorFunctions.hyperplaneBucket(col("embedding"), 8, seed = 1).as("b1"))
+    // a nested family would make b1 a deterministic refinement of b0;
+    // independent seeds must disagree on bucketing for many vectors
+    assert(buckets.where(col("b0") =!= col("b1")).count() > 0)
+    // and the pairing (b0 -> b1) must not be a function (true independence)
+    val fnLike = buckets.groupBy("b0").agg(countDistinct("b1").as("n"))
+      .where(col("n") > 1).count()
+    assert(fnLike > 0)
+  }
+
   test("embeddingCosinePairs: same-direction vectors pair up") {
-    val got = Dedup.embeddingCosinePairs(vecs, dim = 4, threshold = 0.9, nPlanes = 4)
+    val got = Dedup.embeddingCosinePairs(vecs, threshold = 0.9, nPlanes = 4)
       .select("a", "b").as[(Long, Long)].collect().toSet
     // (0,1) and (2,3) are >0.9 cosine; LSH same-bucket is guaranteed for
     // identical sign patterns, which these share

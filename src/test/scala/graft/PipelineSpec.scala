@@ -81,6 +81,28 @@ class PipelineSpec extends SparkSpecBase {
     assert(contents("2") == "other doc")
   }
 
+  test("incremental write preserves other docs in the SAME bucket (regression)") {
+    val dir = Files.createTempDirectory("graft-vsw-bucket").toString
+    def recs(rows: (Long, Int, String, String)*) =
+      VectorStoreWriter.toVectorRecords(
+        rows.toSeq.toDF("doc_id", "chunk_id", "content", "context"), 16)
+    // numBuckets=1 forces every document into one bucket
+    VectorStoreWriter.write(recs((1L, 0, "doc one v1", ""), (2L, 0, "doc two", "")),
+      dir, numBuckets = 1)
+    VectorStoreWriter.write(recs((1L, 0, "doc one v2", "")), dir, numBuckets = 1)
+    val contents = spark.read.parquet(dir)
+      .select("documentid", "content").as[(String, String)].collect().toMap
+    assert(contents("1") == "doc one v2")
+    assert(contents("2") == "doc two") // survived the shared-bucket rewrite
+  }
+
+  test("pipeline run carries enricher metadata into the store") {
+    val dir = Files.createTempDirectory("graft-e2e-meta").toString
+    IngestionPipeline.canonical.run(spark, docs, dir, dim = 16)
+    val out = spark.read.parquet(dir)
+    assert(out.columns.contains("summary") && out.columns.contains("sentiment"))
+  }
+
   test("pipeline run end-to-end writes vector records") {
     val dir = Files.createTempDirectory("graft-e2e").toString
     IngestionPipeline.canonical.run(spark, docs, dir, dim = 16)
