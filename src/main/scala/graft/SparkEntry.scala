@@ -254,6 +254,15 @@ object SparkEntry {
         .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
     }),
 
+    "q_cube" -> ((s, dir) => {
+      tbl(s, dir, "customer")
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_bal"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
@@ -644,6 +653,13 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_customers,
+        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (
