@@ -827,7 +827,7 @@ object SparkEntry {
          |  FROM capped x JOIN capped y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2, 3, 4)
          |SELECT a, b, inter, na, nb FROM pairs
-         |WHERE inter * 100 >= 80 * (na + nb - inter)
+         |WHERE inter * 10000 >= 8000 * (na + nb - inter)
          |ORDER BY a, b""".stripMargin
     },
 
@@ -1062,9 +1062,15 @@ object SparkEntry {
          |ORDER BY media_id""".stripMargin,
 
     "m_multimodal_meta" ->
+      // ASCII-expressible magic prefixes must be sniffed here too (the
+      // Spark side sniffs magic bytes; a text starting with GIF/RIFF/
+      // %PDF would otherwise diverge)
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS INT) AS byte_length,
-        |  'application/octet-stream' AS sniffed_type
+        |  CASE WHEN text LIKE 'GIF%' THEN 'image/gif'
+        |       WHEN text LIKE 'RIFF%' THEN 'audio/wav'
+        |       WHEN starts_with(text, '%PDF') THEN 'application/pdf'
+        |       ELSE 'application/octet-stream' END AS sniffed_type
         |FROM documents ORDER BY media_id""".stripMargin
   )
 }

@@ -57,20 +57,12 @@ object Chunkers {
   }
 
   // ------------------------------------------------------------- elements
-  /** Scala-side token count (whitespace), the flatMap twin of
-    * TextFunctions.tokens.
+  /** Scala-side token count — the SAME tokenizer as
+    * TextFunctions.tokens / native.tokenCount (ASCII whitespace), so
+    * chunk token_count never diverges from the column-level counters.
     */
-  private def countTokens(s: String): Int = {
-    var n = 0; var inTok = false
-    var i = 0
-    while (i < s.length) {
-      val ws = Character.isWhitespace(s.charAt(i))
-      if (!ws && !inTok) { n += 1; inTok = true }
-      else if (ws) inTok = false
-      i += 1
-    }
-    n
-  }
+  private def countTokens(s: String): Int =
+    graft.functions.native.tokenOffsets(s).length / 2
 
   /** ElementsChunker.cs re-expressed: greedily pack elements into
     * chunks of ≤ maxTokens (counting the context prefix), splitting an
@@ -85,9 +77,19 @@ object Chunkers {
       opts: ChunkerOptions,
       startId: Int
   ): Seq[Chunk] = {
-    val ctxTokens = countTokens(context)
+    // An oversized header context would leave no budget; the reference
+    // throws (ElementsChunker.cs ThrowTokenCountExceeded), but one
+    // pathological document must not abort a 100 TB job — truncate the
+    // context to half the budget instead (deviation documented).
+    val rawCtxTokens = countTokens(context)
+    val (ctx, ctxTokens) =
+      if (rawCtxTokens < opts.maxTokens) (context, rawCtxTokens)
+      else {
+        val keep = math.max(1, opts.maxTokens / 2)
+        val offs = graft.functions.native.tokenOffsets(context)
+        (context.substring(0, offs(2 * keep - 1)), keep)
+      }
     val budget = opts.maxTokens - ctxTokens
-    require(budget > 0, s"context exceeds maxTokens for doc $docId")
     val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
     val cur = new StringBuilder
     var curTokens = 0
@@ -96,8 +98,8 @@ object Chunkers {
     def commit(): Unit = {
       if (cur.nonEmpty) {
         val content =
-          if (context.nonEmpty) context + "\n" + cur.toString else cur.toString
-        out += Chunk(docId, nextId, content, context, curTokens + ctxTokens)
+          if (ctx.nonEmpty) ctx + "\n" + cur.toString else cur.toString
+        out += Chunk(docId, nextId, content, ctx, curTokens + ctxTokens)
         nextId += 1
         cur.clear(); curTokens = 0
       }
@@ -317,9 +319,15 @@ object Chunkers {
     * VectorFunctions.hashEmbed — same bucketing, local evaluation).
     */
   private[graft] def embed(text: String, dim: Int): Array[Double] = {
+    // same tokenizer + hash as native.hashEmbed — one implementation
+    // of the bucketing, double precision for the splitter's distances
     val v = new Array[Double](dim)
-    for (tok <- text.split("\\s+") if tok.nonEmpty)
-      v((graft.functions.native.polyHash(tok) % dim).toInt) += 1.0
+    val offs = graft.functions.native.tokenOffsets(text)
+    var t = 0
+    while (t < offs.length) {
+      v((graft.functions.native.polyHash(text, offs(t), offs(t + 1), 0L) % dim).toInt) += 1.0
+      t += 2
+    }
     val norm = math.sqrt(v.map(x => x * x).sum)
     if (norm > 0) v.map(_ / norm) else v
   }

@@ -38,7 +38,11 @@ object Dedup {
     * of any exact dedup that returns full rows.
     */
   def exactDedup(documents: DataFrame): DataFrame = {
-    val digested = documents.withColumn("digest", sha2(col("text"), 256))
+    // null text → sentinel digest: sha2(null) is null and null keys
+    // never match in a join, which would silently DROP null-text rows;
+    // the sentinel groups them like SQL's null-grouping semantics
+    val digested = documents.withColumn("digest",
+      coalesce(sha2(col("text"), 256), lit("<null-text>")))
     val keep = digested.groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
     digested.join(keep, Seq("digest", "doc_id"), "left_semi").drop("digest")
   }
@@ -89,8 +93,10 @@ object Dedup {
     pairs
       .groupBy(col("p.a").as("a"), col("p.b").as("b"), col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("inter"))
-      // jaccard >= t  ⇔  inter >= t * (na + nb - inter); scaled to ints
-      .where(col("inter") * lit(100) >= lit((threshold * 100).round) * (col("na") + col("nb") - col("inter")))
+      // jaccard >= t  ⇔  inter >= t * (na + nb - inter); basis-point
+      // scaling keeps integer arithmetic without quantizing the
+      // caller's threshold to whole percents
+      .where(col("inter") * lit(10000) >= lit((threshold * 10000).round) * (col("na") + col("nb") - col("inter")))
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
   }
 

@@ -49,7 +49,9 @@ object ExternalReader {
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { f =>
             try ConvertedDoc(f.file_id, converter.convert(f.content, f.media_type), f.source, null)
-            catch { case e: Exception => ConvertedDoc(f.file_id, null, f.source, e.getMessage) }
+            // e.toString, not getMessage: a null message would make the
+            // failure row indistinguishable from a success with null text
+            catch { case e: Exception => ConvertedDoc(f.file_id, null, f.source, e.toString) }
           }
         }
       }

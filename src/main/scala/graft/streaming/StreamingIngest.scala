@@ -128,7 +128,11 @@ object StreamingIngest {
             for (sec <- secs) {
               cur match {
                 case Some(s) if sec - s.end_sec <= gapSeconds =>
-                  cur = Some(SessionState(s.start_sec, sec, s.n_events + 1))
+                  // min/max merge: events are sorted within a batch but a
+                  // late (within-watermark) event in a LATER batch can
+                  // precede the open session — never move end_sec backward
+                  cur = Some(SessionState(math.min(s.start_sec, sec),
+                    math.max(s.end_sec, sec), s.n_events + 1))
                 case Some(s) =>
                   closed += ClosedSession(userId, s.start_sec, s.end_sec, s.n_events)
                   cur = Some(SessionState(sec, sec, 1))

@@ -23,7 +23,7 @@ class ExternalReaderSpec extends SparkSpecBase {
     }
     val mixed = ExternalReader.read(spark, files, failing).collect()
     val byId = mixed.map(r => r.getAs[Long]("doc_id") -> r).toMap
-    assert(byId(1L).getAs[String]("error") == "no pdf engine")
+    assert(byId(1L).getAs[String]("error").contains("no pdf engine"))
     assert(byId(2L).getAs[String]("error") == null)
     assert(byId(2L).getAs[String]("text") == "plain text")
   }
