@@ -324,6 +324,77 @@ object SparkEntry {
         .orderBy(col("nationkey"))
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // each purchase → the latest click by the same user at-or-before
+      // it; ord = sec*1e7 + event_id (unique, time-then-id order)
+      val e = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("sec"))
+        .withColumn("ord", col("sec") * 10000000L + col("event_id"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("sec"), col("ord"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ord"),
+          col("event_id").as("click_event_id"), col("sec").as("click_sec"))
+      Joins.asOfJoin(purchases, clicks, "user_id", "ord",
+          Seq("click_event_id", "click_sec"))
+        .select(col("event_id"), col("user_id"), col("sec"),
+          col("asof_click_event_id"), col("asof_click_sec"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("low", 0.0, 5.0), ("mid", 5.0, 10.0),
+        ("high", 10.0, 20.0), ("xhigh", 20.0, 1e9)).toDF("band", "lo", "hi")
+      Joins.bandJoin(events(s, dir), bands, "value")
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        .orderBy(col("band"))
+    }),
+
+    "q_scalar_subquery" -> ((s, dir) => {
+      // global-avg scalar via a broadcast 1-row cross join (l_quantity
+      // is integral, so the double avg is order-independent and exact)
+      val li = tbl(s, dir, "lineitem")
+      val avgQty = li.agg(avg(col("l_quantity")).as("avg_qty"))
+      li.crossJoin(broadcast(avgQty))
+        .where(col("l_quantity") > col("avg_qty"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_salted_join" -> ((s, dir) => {
+      // same rows as a plain lineitem⋈orders — salting only spreads a
+      // hot orderkey over 8 reducers (oracle is the unsalted join)
+      val li = tbl(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+      val ord = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      Joins.saltedJoin(li, ord, "o_orderkey", hash(col("l_linenumber")), nSalts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q_percentile" -> ((s, dir) => {
+      // exact interpolated percentiles over integer cents (both engines
+      // interpolate lower + (upper-lower)*frac on exact integers)
+      tbl(s, dir, "customer")
+        .withColumn("cents", round(col("c_acctbal") * 100).cast("long"))
+        .groupBy(col("c_mktsegment"))
+        .agg(expr("percentile(cents, array(0.5D, 0.9D))").as("pcts"),
+          count(lit(1)).as("n_customers"))
+        .select(col("c_mktsegment"),
+          element_at(col("pcts"), 1).as("p50_cents"),
+          element_at(col("pcts"), 2).as("p90_cents"),
+          col("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ---------------------------------------------- ingestion surface
     "i_markdown_elements" -> ((s, dir) => {
       graft.sources.MarkdownElementReader.elements(s, tbl(s, dir, "documents"))
@@ -705,6 +776,58 @@ object SparkEntry {
         |  SELECT c_nationkey AS nationkey FROM customer
         |  UNION ALL SELECT s_nationkey FROM supplier)
         |ORDER BY nationkey""".stripMargin,
+
+    "q_asof_join" ->
+      // independent formulation: correlated max over the click stream
+      // (the Spark side is the merge/window construction)
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 1000000 AS sec,
+        |    (epoch_us(ts) // 1000000) * 10000000 + event_id AS ord
+        |  FROM events),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM e WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.event_id AS pid, max(c.ord) AS mord
+        |  FROM p JOIN c ON c.user_id = p.user_id AND c.ord <= p.ord
+        |  GROUP BY p.event_id)
+        |SELECT p.event_id, p.user_id, p.sec,
+        |  CAST(m.mord % 10000000 AS BIGINT) AS asof_click_event_id,
+        |  CAST(m.mord // 10000000 AS BIGINT) AS asof_click_sec
+        |FROM p LEFT JOIN m ON m.pid = p.event_id
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('low', 0.0, 5.0), ('mid', 5.0, 10.0),
+        |  ('high', 10.0, 20.0), ('xhigh', 20.0, 1000000000.0))
+        |SELECT band, count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT c_mktsegment,
+        |  quantile_cont(cents, 0.5) AS p50_cents,
+        |  quantile_cont(cents, 0.9) AS p90_cents,
+        |  count(*) AS n_customers
+        |FROM (SELECT c_mktsegment,
+        |        CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |      FROM customer)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "i_removal_processor" ->
       """SELECT doc_id, CAST(1 AS BIGINT) AS n_elements FROM documents

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Joins
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("asOfJoin attaches the latest right row at-or-before each left row") {
+    // key=1: quotes at ord 10, 20, 40 — trades at 5 (before any), 20
+    // (exact match), 35 (last quote 20), 50 (last quote 40)
+    val trades = Seq((1L, 5L, "t0"), (1L, 20L, "t1"), (1L, 35L, "t2"), (1L, 50L, "t3"), (2L, 7L, "t4"))
+      .toDF("key", "ord", "trade")
+    val quotes = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 40L, 4.0))
+      .toDF("key", "ord", "px")
+
+    val out = Joins.asOfJoin(trades, quotes, "key", "ord", Seq("px"))
+      .select("trade", "asof_px").as[(String, Option[Double])].collect().toMap
+
+    assert(out("t0").isEmpty)      // no quote yet
+    assert(out("t1").contains(2.0)) // equal ord counts as "at or before"
+    assert(out("t2").contains(2.0))
+    assert(out("t3").contains(4.0))
+    assert(out("t4").isEmpty)      // key 2 has no quotes
+  }
+
+  test("asOfJoin keeps every left row and all its columns") {
+    val left = Seq((1L, 10L, "a", 42)).toDF("key", "ord", "tag", "extra")
+    val right = Seq((9L, 1L, "x")).toDF("key", "ord", "payload")
+    val out = Joins.asOfJoin(left, right, "key", "ord", Seq("payload"))
+    assert(out.columns.toSeq == Seq("key", "ord", "tag", "extra", "asof_payload"))
+    assert(out.count() == 1)
+    assert(out.head().isNullAt(4))
+  }
+
+  test("saltedJoin output equals the plain join") {
+    val fact = spark.read.parquet(sf() + "/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    val dim = spark.read.parquet(sf() + "/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val salted = Joins.saltedJoin(fact, dim, "o_orderkey", hash(col("l_linenumber")), nSalts = 4)
+      .groupBy("o_orderpriority").count()
+    val plain = fact.join(dim, "o_orderkey").groupBy("o_orderpriority").count()
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("bandJoin assigns each row to its [lo, hi) band") {
+    val facts = Seq((1L, 0.5), (2L, 5.0), (3L, 4.99), (4L, 100.0)).toDF("id", "v")
+    val bands = Seq(("a", 0.0, 5.0), ("b", 5.0, 200.0)).toDF("band", "lo", "hi")
+    val out = Joins.bandJoin(facts, bands, "v")
+      .select("id", "band").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "b"))
+  }
+}
