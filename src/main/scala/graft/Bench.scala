@@ -13,7 +13,10 @@ object Bench {
     val spark = GraftSession.get()
     spark.range(1000).selectExpr("sum(id)").collect() // session warm-up off the clock
     var errors = List.empty[String]
-    val results = ListMap(SparkEntry.queries.toSeq.sortBy(_._1): _*).map { case (name, fn) =>
+    val only = args.toSet // optional subset filter (driver passes none)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1))
+    val results = ListMap(selected: _*).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes EVERY output column (count() would let
       // Catalyst prune unobserved ones and under-report map-only queries)

@@ -92,16 +92,59 @@ object SparkEntry {
     planes.mkString("(", " + ", ")")
   }
 
-  /** DuckDB twin of native.cosine between two 64-dim float arrays
+  /** DuckDB twin of native.cosine between two dim-length float arrays
     * (sequential folds, denom = sqrt(na)*sqrt(nb), 0 on zero denom).
     */
-  private def sqlCos(a: String, b: String): String = {
+  private def sqlCos(a: String, b: String, dim: Int = 64): String = {
     def fold(expr: String) =
-      s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], list_transform(range(1, 65), i -> $expr)), (x, y) -> x + y)"
+      s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], list_transform(range(1, ${dim + 1}), i -> $expr)), (x, y) -> x + y)"
     val dot = fold(s"CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)")
     val na = s"sqrt(${fold(s"CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)")})"
     val nb = s"sqrt(${fold(s"CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)")})"
     s"(CASE WHEN $na * $nb = 0 THEN 0.0 ELSE $dot / ($na * $nb) END)"
+  }
+
+  /** The semantic-search demo query text; embedded with the same
+    * deterministic embedder as the vector records on both sides.
+    */
+  private val searchQueryText = "spark streaming window aggregation query"
+  private def queryVec(dim: Int): Array[Float] =
+    graft.operators.Chunkers.embed(searchQueryText, dim).map(_.toFloat)
+
+  /** Shared DuckDB CTE chain producing `vr(key, embedding, content,
+    * context, documentid)` — the vector-store record set (chunks
+    * replicated from the i_chunk_token oracle; embedding = feature-hash
+    * histogram, dim 16, L2-normalized, float-exact: integer counts,
+    * double norm, round-to-nearest float cast).
+    */
+  private lazy val vectorRecordsCte: String = {
+    val step = 48; val maxT = 64
+    s"""toks AS (
+       |  SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+       |n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+       |chunks AS (
+       |  SELECT doc_id, CAST(u.i AS INT) AS chunk_id,
+       |    array_to_string(t[u.i*$step+1 : u.i*$step+$maxT], ' ') AS content
+       |  FROM n, unnest(range(0, greatest(CAST(ceil(n / $step.0) AS BIGINT), 1))) AS u(i)),
+       |kept AS (SELECT * FROM chunks WHERE length(content) > 0),
+       |bucketed AS (
+       |  SELECT doc_id, chunk_id, content,
+       |    list_transform(${sqlToks("content")}, tk -> ${sqlHash("tk")} % 16) AS bks
+       |  FROM kept),
+       |counted AS (
+       |  SELECT doc_id, chunk_id, content,
+       |    list_transform(range(0, 16), i -> len(list_filter(bks, b -> b = i))) AS cnts
+       |  FROM bucketed),
+       |normed AS (
+       |  SELECT doc_id, chunk_id, content, cnts,
+       |    sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+       |      list_transform(cnts, c -> CAST(c AS DOUBLE) * CAST(c AS DOUBLE))), (x, y) -> x + y)) AS nrm
+       |  FROM counted),
+       |vr AS (
+       |  SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR) AS key,
+       |    list_transform(cnts, c -> CAST(CASE WHEN nrm > 0 THEN CAST(c AS DOUBLE) / nrm ELSE 0.0 END AS FLOAT)) AS embedding,
+       |    content, '' AS context, CAST(doc_id AS VARCHAR) AS documentid
+       |  FROM normed)""".stripMargin
   }
 
   /** DuckDB twin of TextFunctions.portableHash (polynomial char hash). */
@@ -542,6 +585,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "s_semantic_search" -> ((s, dir) => {
+      // end-to-end RAG search (reference SemanticSearch.cs): ingest →
+      // vector records → embed the query text → top-10 by cosine
+      val chunks = Chunkers.tokenChunks(tbl(s, dir, "documents"),
+        ChunkerOptions(maxTokens = 64, overlap = 16))
+        .withColumn("context", lit(""))
+      VSW.toVectorRecords(chunks, dim = 16)
+        .withColumn("cos",
+          VectorFunctions.cosine(col("embedding"), lit(queryVec(16))))
+        .orderBy(col("cos").desc, col("key"))
+        .limit(10)
+        .select(col("key"), round(col("cos"), 6).as("cos"))
+    }),
+
     "s_pairwise_dups" -> ((s, dir) => {
       Similarity.pairwiseHighCosine(vecsWithDups(tbl(s, dir, "embeddings")),
           threshold = 0.85)
@@ -892,37 +949,22 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
 
-    "i_vector_store" -> {
-      val step = 48; val maxT = 64
-      // chunks replicated from the i_chunk_token oracle; embedding =
-      // feature-hash histogram (dim 16) L2-normalized, float-exact
-      // (integer counts, double norm, round-to-nearest float cast)
-      s"""WITH toks AS (
-         |  SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
-         |n AS (SELECT doc_id, t, len(t) AS n FROM toks),
-         |chunks AS (
-         |  SELECT doc_id, CAST(u.i AS INT) AS chunk_id,
-         |    array_to_string(t[u.i*$step+1 : u.i*$step+$maxT], ' ') AS content
-         |  FROM n, unnest(range(0, greatest(CAST(ceil(n / $step.0) AS BIGINT), 1))) AS u(i)),
-         |kept AS (SELECT * FROM chunks WHERE length(content) > 0),
-         |bucketed AS (
-         |  SELECT doc_id, chunk_id, content,
-         |    list_transform(${sqlToks("content")}, tk -> ${sqlHash("tk")} % 16) AS bks
-         |  FROM kept),
-         |counted AS (
-         |  SELECT doc_id, chunk_id, content,
-         |    list_transform(range(0, 16), i -> len(list_filter(bks, b -> b = i))) AS cnts
-         |  FROM bucketed),
-         |normed AS (
-         |  SELECT doc_id, chunk_id, content, cnts,
-         |    sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
-         |      list_transform(cnts, c -> CAST(c AS DOUBLE) * CAST(c AS DOUBLE))), (x, y) -> x + y)) AS nrm
-         |  FROM counted)
-         |SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR) AS key,
-         |  list_transform(cnts, c -> CAST(CASE WHEN nrm > 0 THEN CAST(c AS DOUBLE) / nrm ELSE 0.0 END AS FLOAT)) AS embedding,
-         |  content, '' AS context, CAST(doc_id AS VARCHAR) AS documentid
-         |FROM normed
-         |ORDER BY CAST(documentid AS BIGINT), key""".stripMargin
+    "i_vector_store" ->
+      s"""WITH $vectorRecordsCte
+         |SELECT key, embedding, content, context, documentid FROM vr
+         |ORDER BY CAST(documentid AS BIGINT), key""".stripMargin,
+
+    "s_semantic_search" -> {
+      // SemanticSearch.cs path: embed the query text with the SAME
+      // embedder (literal vector inlined from Chunkers.embed), score
+      // every vector record, top-10 by (cos desc, key)
+      val qlit = queryVec(16).map(f => s"CAST($f AS FLOAT)").mkString("[", ", ", "]")
+      s"""WITH $vectorRecordsCte,
+         |q AS (SELECT $qlit AS v),
+         |scored AS (
+         |  SELECT key, ${sqlCos("embedding", "q.v", dim = 16)} AS c FROM vr, q)
+         |SELECT key, round(c, 6) AS cos FROM scored
+         |ORDER BY c DESC, key LIMIT 10""".stripMargin
     },
 
     "d_dedup_exact" ->

@@ -87,6 +87,31 @@ object StreamingIngest {
         col("event_type"), col("n_events"), col("sum_value")
       )
 
+  /** Stream-static enrichment: join a stream against a slowly-changing
+    * dimension table. The static side is broadcast, so the stream never
+    * shuffles and the join is map-side per micro-batch — the standard
+    * way to attach user/tenant/document metadata to an event stream at
+    * any scale (the dimension is re-read per batch, so an updated
+    * parquet dimension is picked up without restarting the query).
+    */
+  def streamStaticEnrich(stream: DataFrame, dim: DataFrame,
+                         key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming dedup with bounded state: drops re-deliveries of the
+    * same key whose event times fall within the watermark delay of the
+    * first arrival; state for a key is evicted once the watermark
+    * passes it, so state size is bounded by the key-arrival rate ×
+    * delay window, not the stream length. This is the streaming twin of
+    * `Dedup.exactDedup` for at-least-once upstream sources.
+    */
+  def dedupStream(stream: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts",
+                  watermarkDelay: String = "30 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** One closed user session. */
   final case class ClosedSession(user_id: Long, start_sec: Long, end_sec: Long, n_events: Long)
 

@@ -56,6 +56,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(contents.forall(_.contains("version two")), contents.mkString("; "))
   }
 
+  test("streamStaticEnrich: stream joins the static dimension map-side") {
+    val in = Files.createTempDirectory("graft-enrich-in").toString
+    val out = Files.createTempDirectory("graft-enrich-out").toString
+    val ckpt = Files.createTempDirectory("graft-enrich-ckpt").toString
+    Files.writeString(java.nio.file.Path.of(in, "b1.json"),
+      """{"doc_id":1,"text":"alpha","lang":"en","source":"web"}
+        |{"doc_id":2,"text":"beta","lang":"de","source":"pdf"}""".stripMargin)
+    val dim = Seq(("web", 1), ("api", 2)).toDF("source", "tier")
+    val stream = spark.readStream.schema(StreamingIngest.documentSchema).json(in)
+    val enriched = StreamingIngest.streamStaticEnrich(stream, dim, "source")
+    assert(enriched.isStreaming)
+    enriched.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").start().awaitTermination()
+    val got = spark.read.parquet(out)
+      .select("doc_id", "tier").as[(Long, Option[Int])].collect().toMap
+    assert(got == Map(1L -> Some(1), 2L -> None)) // left join keeps unmatched
+  }
+
+  test("dedupStream: re-delivered keys within the watermark are dropped") {
+    val in = Files.createTempDirectory("graft-dedup-in").toString
+    val out = Files.createTempDirectory("graft-dedup-out").toString
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    Files.writeString(java.nio.file.Path.of(in, "b1.json"),
+      """{"doc_id":1,"text":"first delivery","ts":"2024-01-01T10:00:00.000Z"}
+        |{"doc_id":1,"text":"duplicate delivery","ts":"2024-01-01T10:05:00.000Z"}
+        |{"doc_id":2,"text":"other doc","ts":"2024-01-01T10:01:00.000Z"}""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val stream = spark.readStream.schema(schema).json(in)
+    StreamingIngest.dedupStream(stream, Seq("doc_id"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").start().awaitTermination()
+    val got = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
   test("eventWindowCounts: tumbling windows aggregate correctly (batch-mode check)") {
     val events = Seq(
       (Timestamp.valueOf("2024-01-01 10:01:00"), "click", 1.0),
