@@ -31,6 +31,8 @@ final case class ChunkerOptions(maxTokens: Int = 2000, overlap: Int = 500) {
   */
 object Chunkers {
 
+  private val SentenceBoundary = java.util.regex.Pattern.compile("(?<=[.!?])\\s+")
+
   // ---------------------------------------------------------------- token
   /** DocumentTokenChunker as pure column ops (whole-stage codegen,
     * SQL-oracle verifiable): overlapping whitespace-token windows.
@@ -133,7 +135,7 @@ object Chunkers {
         if (acc.length >= 2) { append(acc.mkString("\n"), accTok); commit() }
       } else {
         // split by sentence boundaries, then hard-split any giant sentence
-        val sentences = text.split("(?<=[.!?])\\s+").toSeq.flatMap { s =>
+        val sentences = SentenceBoundary.split(text).toSeq.flatMap { s =>
           val st = countTokens(s)
           if (st <= budget) Seq(s)
           else s.split("\\s+").grouped(budget).map(_.mkString(" ")).toSeq

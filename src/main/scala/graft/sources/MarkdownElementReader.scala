@@ -17,6 +17,21 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object MarkdownElementReader {
 
+  // Precompiled block-shape patterns: String.matches would recompile
+  // its regex on EVERY line of EVERY document — at 100 TB that is the
+  // parse loop's entire budget.
+  private val AtxHeader = java.util.regex.Pattern.compile("^#{1,6}\\s.*")
+  private val ThematicBreak = java.util.regex.Pattern.compile("^(-{3,}|\\*{3,}|_{3,})$")
+  private val TableSeparator = java.util.regex.Pattern.compile("^\\|?[\\s:|-]+\\|?$")
+  private val StandaloneImage = java.util.regex.Pattern.compile("^!\\[[^\\]]*\\]\\([^)]*\\)$")
+  private val ListItem = java.util.regex.Pattern.compile("^([-*+]|\\d+[.)])\\s.*")
+  private val OrderedItem = java.util.regex.Pattern.compile("^\\d+[.)]\\s.*")
+  private val UnorderedItem = java.util.regex.Pattern.compile("^[-*+]\\s.*")
+  private val ListMarkerPrefix = java.util.regex.Pattern.compile("^([-*+]|\\d+[.)])\\s+")
+
+  private def matches(p: java.util.regex.Pattern, s: String): Boolean =
+    p.matcher(s).matches()
+
   /** Parse one markdown body into ordered (kind, level, markdown, text). */
   def parseBlocks(md: String): Seq[(String, Int, String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String, String)]
@@ -47,15 +62,15 @@ object MarkdownElementReader {
         val mdBlock = buf.toString
         val body = mdBlock.split("\n").drop(1).dropRight(if (closed) 1 else 0).mkString("\n")
         out += (("code", 0, mdBlock, body))
-      } else if (t.matches("^#{1,6}\\s.*")) { // ATX header
+      } else if (matches(AtxHeader, t)) { // ATX header
         flushPara()
         val level = t.takeWhile(_ == '#').length
         out += (("header", level, t, stripInline(t.dropWhile(_ == '#').trim)))
         i += 1
-      } else if (t.matches("^(-{3,}|\\*{3,}|_{3,})$")) { // thematic break: skipped
+      } else if (matches(ThematicBreak, t)) { // thematic break: skipped
         flushPara(); i += 1 // (MarkdownReader.cs:104-109 skips breaks too)
       } else if (t.startsWith("|") && i + 1 < lines.length &&
-                 lines(i + 1).trim.matches("^\\|?[\\s:|-]+\\|?$") &&
+                 matches(TableSeparator, lines(i + 1).trim) &&
                  lines(i + 1).contains("-")) { // pipe table
         flushPara()
         val buf = scala.collection.mutable.ArrayBuffer(line)
@@ -70,7 +85,7 @@ object MarkdownElementReader {
           .flatMap(_.split("\\|").map(_.trim).filter(_.nonEmpty))
           .mkString(" ")
         out += (("table", 0, mdBlock, stripInline(cellText)))
-      } else if (t.matches("^!\\[[^\\]]*\\]\\([^)]*\\)$")) { // standalone image
+      } else if (matches(StandaloneImage, t)) { // standalone image
         flushPara()
         val alt = t.substring(2, t.indexOf(']'))
         out += (("image", 0, t, alt))
@@ -83,19 +98,19 @@ object MarkdownElementReader {
         }
         val mdBlock = buf.mkString("\n")
         out += (("quote", 0, mdBlock, stripInline(buf.map(_.trim.stripPrefix(">").trim).mkString(" "))))
-      } else if (t.matches("^([-*+]|\\d+[.)])\\s.*")) { // list block
+      } else if (matches(ListItem, t)) { // list block
         flushPara()
         // an ordered marker ends an unordered list and vice versa (CommonMark)
-        val ordered = t.matches("^\\d+[.)]\\s.*")
-        val marker = if (ordered) "^\\d+[.)]\\s.*" else "^[-*+]\\s.*"
+        val ordered = matches(OrderedItem, t)
+        val marker = if (ordered) OrderedItem else UnorderedItem
         val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (i < lines.length && (lines(i).trim.matches(marker) ||
+        while (i < lines.length && (matches(marker, lines(i).trim) ||
                (lines(i).startsWith("  ") && lines(i).trim.nonEmpty))) {
           buf += lines(i); i += 1
         }
         val mdBlock = buf.mkString("\n")
         out += (("list", 0, mdBlock,
-          stripInline(buf.map(_.trim.replaceFirst("^([-*+]|\\d+[.)])\\s+", "")).mkString(" "))))
+          stripInline(buf.map(l => ListMarkerPrefix.matcher(l.trim).replaceFirst("")).mkString(" "))))
       } else {
         if (para.nonEmpty) para.append(' ')
         para.append(t)
@@ -106,16 +121,31 @@ object MarkdownElementReader {
     out.toSeq
   }
 
+  // Inline-markdown strippers, precompiled and applied in order.
+  private val InlinePatterns: Array[java.util.regex.Pattern] = Array(
+    "!\\[([^\\]]*)\\]\\([^)]*\\)",
+    "\\[([^\\]]*)\\]\\([^)]*\\)",
+    "`([^`]*)`",
+    "\\*\\*([^*]+)\\*\\*",
+    "__([^_]+)__",
+    "\\*([^*]+)\\*",
+    "(?<![A-Za-z0-9])_([^_]+)_(?![A-Za-z0-9])"
+  ).map(java.util.regex.Pattern.compile)
+  // first char a match of InlinePatterns(i) must contain — most text
+  // has no inline markup, so an indexOf miss skips the matcher
+  private val InlineTriggers = Array('!', '[', '`', '*', '_', '*', '_')
+
   /** Strip inline markdown (emphasis, links, images, code spans). */
-  def stripInline(s: String): String =
-    s.replaceAll("!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
-      .replaceAll("\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
-      .replaceAll("`([^`]*)`", "$1")
-      .replaceAll("\\*\\*([^*]+)\\*\\*", "$1")
-      .replaceAll("__([^_]+)__", "$1")
-      .replaceAll("\\*([^*]+)\\*", "$1")
-      .replaceAll("(?<![A-Za-z0-9])_([^_]+)_(?![A-Za-z0-9])", "$1")
-      .trim
+  def stripInline(s: String): String = {
+    var cur = s
+    var i = 0
+    while (i < InlinePatterns.length) {
+      if (cur.indexOf(InlineTriggers(i)) >= 0)
+        cur = InlinePatterns(i).matcher(cur).replaceAll("$1")
+      i += 1
+    }
+    cur.trim
+  }
 
   /** documents(doc_id, text) → Dataset[DocElement], one row per block. */
   def elements(spark: SparkSession, documents: DataFrame,
