@@ -10,7 +10,10 @@ object PlanDump {
       ("q01_pricing_summary", "Scan→filter→agg: PushedFilters reaches the parquet scan, ReadSchema is pruned to 7 of 11 columns, HashAggregate is map-side partial."),
       ("i_chunk_token", "Token chunker: a single Project/Generate pipeline — zero Exchange; 100 TB of documents chunk as a map-only stage."),
       ("d_dedup_ngram", "N-gram dedup: join-free — pairs are generated inside grouped shingle buckets; two aggregate exchanges total."),
-      ("d_dedup_minhash", "MinHash LSH: band-key self-join; candidate verification happens before the pair-dedup exchange so only 5-long rows shuffle.")
+      ("d_dedup_minhash", "MinHash LSH: band-key self-join; candidate verification happens before the pair-dedup exchange so only 5-long rows shuffle."),
+      ("q_asof_join", "As-of join: merge-style union+window — ONE hash exchange on the key and one sort; no range-join fan-out (the naive theta-join is O(n·m) per key)."),
+      ("q_range_join", "Band join: bands broadcast, inequality evaluated map-side (BroadcastNestedLoopJoin) — the fact side never shuffles."),
+      ("s_semantic_search", "Semantic search: vector records are a map-only pipeline; the literal query embedding scores every record in the scan stage; one TakeOrderedAndProject, no shuffle.")
     )
     out.append("# PLANS — physical-plan evidence (sf0.01, local[32])\n\n")
     out.append("Regenerate with `sbt \"runMain graft.PlanDump\"`.\n")

@@ -531,10 +531,31 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    "q_approx_sketch" -> ((s, dir) => {
+      // sketch aggregates: HLL distinct + t-digest style percentile —
+      // at 100 TB these shuffle fixed-size sketches instead of keys
+      // (no SQL oracle: sketch internals are engine-specific)
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---------------------------------------------- dedup family
     "d_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(corpusWithDups(tbl(s, dir, "documents")))
         .orderBy(col("keeper"))
+    }),
+
+    "d_dedup_keep" -> ((s, dir) => {
+      // full-corpus exact dedup: the SURVIVING rows (min doc_id per
+      // distinct text), not just the duplicate groups
+      Dedup.exactDedup(corpusWithDups(tbl(s, dir, "documents")))
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id"))
     }),
 
     "d_dedup_ngram" -> ((s, dir) => {
@@ -972,6 +993,12 @@ object SparkEntry {
          |SELECT min(doc_id) AS keeper, count(*) AS dup_count
          |FROM corpus GROUP BY text HAVING count(*) > 1
          |ORDER BY keeper""".stripMargin,
+
+    "d_dedup_keep" ->
+      s"""WITH corpus AS ($corpusWithDupsSql)
+         |SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM corpus
+         |WHERE doc_id IN (SELECT min(doc_id) FROM corpus GROUP BY text)
+         |ORDER BY doc_id""".stripMargin,
 
     "d_dedup_ngram" -> {
       // shingle hashes (3-gram, portable hash), distinct per doc;
