@@ -4,9 +4,14 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
     val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    def corpus(mult: Int) = (0 until mult).map(i =>
-      base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
-      .reduce(_ union _)
+    // replicate via explode AFTER spreading the 5k base docs over the
+    // cores — models a many-split 100 TB input (a 20-way self-union
+    // instead would 20× the codegen stage and keep 20 partitions)
+    def corpus(mult: Int) = base
+      .repartition(64)
+      .select(explode(sequence(lit(0), lit(mult - 1))).as("rep"),
+        col("doc_id"), col("text"))
+      .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"), col("text"))
     for (mult <- Seq(1, 4, 20)) {
       val docs = corpus(mult)
       val t0 = System.nanoTime()
