@@ -367,6 +367,44 @@ object SparkEntry {
         .orderBy(col("nationkey"))
     }),
 
+    "q_pivot" -> ((s, dir) => {
+      // pivot: one column per market segment, decimal-exact balances
+      tbl(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+        .pivot("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")))
+        .orderBy(col("nationkey"))
+    }),
+
+    "q_intersect" -> ((s, dir) => {
+      // nations that have BOTH a customer and a supplier
+      tbl(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+        .intersect(tbl(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+
+    "q_except" -> ((s, dir) => {
+      // customers minus big-spenders (set difference, distinct rows)
+      tbl(s, dir, "customer").select(col("c_mktsegment"))
+        .except(tbl(s, dir, "customer").where(col("c_acctbal") > 9990)
+          .select(col("c_mktsegment")))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q_window_range" -> ((s, dir) => {
+      // RANGE frame: per-user rolling 1-hour event count by value range
+      // over integer seconds (rows-frames are elsewhere; this exercises
+      // the range-frame window path)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-3600L, 0L)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("sec"))
+        .withColumn("n_last_hour", count(lit(1)).over(w))
+        .orderBy(col("user_id"), col("sec"), col("event_id"))
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // each purchase → the latest click by the same user at-or-before
       // it; ord = sec*1e7 + event_id (unique, time-then-id order)
@@ -854,6 +892,35 @@ object SparkEntry {
         |  SELECT c_nationkey AS nationkey FROM customer
         |  UNION ALL SELECT s_nationkey FROM supplier)
         |ORDER BY nationkey""".stripMargin,
+
+    "q_pivot" -> {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val cols = segs.map(sg =>
+        s"""sum(CASE WHEN c_mktsegment = '$sg' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS "$sg"""")
+        .mkString(",\n|  ")
+      s"""SELECT CAST(c_nationkey AS INT) AS nationkey,
+         |  $cols
+         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_intersect" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS INT) FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_mktsegment FROM customer
+        |EXCEPT
+        |SELECT c_mktsegment FROM customer WHERE c_acctbal > 9990
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT user_id, event_id, sec,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY sec
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+        |FROM (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec FROM events)
+        |ORDER BY user_id, sec, event_id""".stripMargin,
 
     "q_asof_join" ->
       // independent formulation: correlated max over the click stream
