@@ -708,6 +708,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_sql_surface" -> ((s, dir) => {
+      // the SparkSessionExtensions surface: pure SQL over registered
+      // graft_* native kernels (what a BI tool / SQL notebook would run)
+      GraftExtensions.register(s)
+      tbl(s, dir, "documents").createOrReplaceTempView("graft_docs")
+      s.sql("""SELECT doc_id, graft_poly_hash(text) AS fp,
+              |       graft_token_count(text) AS n_tokens
+              |FROM graft_docs ORDER BY doc_id""".stripMargin)
+    }),
+
     // ---------------------------------------------- multimodal
     "m_multimodal_meta" -> ((s, dir) => {
       val media = tbl(s, dir, "documents").select(
@@ -1282,6 +1292,11 @@ object SparkEntry {
 
     "t_fingerprint" ->
       s"""SELECT doc_id, ${sqlHash("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_sql_surface" ->
+      s"""SELECT doc_id, ${sqlHash("text")} AS fp,
+         |  CAST(len(${sqlToks("text")}) AS INT) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m_frame_sample" ->

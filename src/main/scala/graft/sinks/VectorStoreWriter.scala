@@ -79,7 +79,13 @@ object VectorStoreWriter {
             .localCheckpoint(true)
           bucketed.union(survivors)
         }
-      toWrite.write
+      toWrite
+        // cluster each output file by (documentid, key): parquet
+        // row-group min/max stats then prune documentid point lookups
+        // (the incremental path's per-document delete/replace) without
+        // reading the bucket's whole file set
+        .sortWithinPartitions(col("doc_bucket"), col("documentid"), col("key"))
+        .write
         .mode(if (incremental) SaveMode.Overwrite else SaveMode.Append)
         .partitionBy("doc_bucket")
         .parquet(path)
