@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Java-callable facade over the `native` kernels for generated code:
+  * `native` is a Java reserved word, so Janino cannot parse
+  * `graft.functions.native.polyHash(...)` — the doGenCode emitters call
+  * `graft.functions.Kernels.*` (static forwarders) instead.
+  */
+object Kernels {
+  def polyHash(s: String): Long = native.polyHash(s)
+  def tokenCount(s: String): Int = native.tokenOffsets(s).length / 2
+  def shingleHashes(s: String, n: Int): Array[Long] = native.shingleHashes(s, n)
+  def minHashSig(shingles: ArrayData, k: Int): Array[Long] = native.minHashSig(shingles, k)
+  def simHash64(s: UTF8String): Long = native.simHash64(s)
+  def hyperplaneBucket(vec: ArrayData, isDouble: Boolean, nPlanes: Int, seed: Int): Long =
+    native.hyperplaneBucket(vec, isDouble, nPlanes, seed)
+  def hashEmbed(s: String, dim: Int): Array[Float] = native.hashEmbed(s, dim)
+  def cosine(a: ArrayData, aDouble: Boolean, b: ArrayData, bDouble: Boolean): Double =
+    native.cosine(a, aDouble, b, bDouble)
+  def vocabHits(s: String, words: java.util.HashSet[String]): Long =
+    native.vocabHits(s, words)
+  def bestLabel(s: String, groups: Array[(String, java.util.HashSet[String])],
+                fallback: String): String =
+    native.bestLabel(s, groups, fallback)
+  def keywordsTopK(s: String, vocab: Array[String],
+                   index: java.util.HashMap[String, Integer], k: Int): Array[UTF8String] =
+    native.keywordsTopK(s, vocab, index, k)
+}

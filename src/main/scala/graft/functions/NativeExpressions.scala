@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -284,65 +284,80 @@ object native {
   }
 
   // ---------------------------------------------------------------- exprs
+  //
+  // Every expression implements BOTH eval (nullSafeEval) and real
+  // doGenCode that emits a single static-kernel call, so the whole
+  // operator stays inside one WholeStageCodegen stage (CodegenFallback
+  // would force an InternalRow materialization per call). Vocabulary /
+  // group configs ride along as codegen reference objects.
 
-  case class PolyHashExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  private val N = "graft.functions.Kernels"
+  private val GAD = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+
+  case class PolyHashExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(input: Any): Any =
       polyHash(input.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$N.polyHash($c.toString())")
     override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
       copy(child = newChild)
   }
 
-  case class ShingleHashesExpr(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(input: Any): Any =
       new GenericArrayData(shingleHashes(input.asInstanceOf[UTF8String].toString, n))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"new $GAD($N.shingleHashes($c.toString(), $n))")
     override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
       copy(child = newChild)
   }
 
-  case class MinHashSigExpr(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(input: Any): Any =
       new GenericArrayData(minHashSig(input.asInstanceOf[ArrayData], k))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"new $GAD($N.minHashSig($c, $k))")
     override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
       copy(child = newChild)
   }
 
-  case class SimHash64Expr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash64Expr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(input: Any): Any =
       simHash64(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$N.simHash64($c)")
     override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
       copy(child = newChild)
   }
 
   case class HyperplaneBucketExpr(child: Expression, nPlanes: Int, seed: Int = 0)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     private lazy val isDouble =
       child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
     override def dataType: DataType = LongType
     override protected def nullSafeEval(input: Any): Any =
       hyperplaneBucket(input.asInstanceOf[ArrayData], isDouble, nPlanes, seed)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$N.hyperplaneBucket($c, $isDouble, $nPlanes, $seed)")
     override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketExpr =
       copy(child = newChild)
   }
 
-  case class HashEmbedExpr(child: Expression, dim: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class HashEmbedExpr(child: Expression, dim: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(FloatType, containsNull = false)
     override protected def nullSafeEval(input: Any): Any =
       new GenericArrayData(hashEmbed(input.asInstanceOf[UTF8String].toString, dim))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"new $GAD($N.hashEmbed($c.toString(), $dim))")
     override protected def withNewChildInternal(newChild: Expression): HashEmbedExpr =
       copy(child = newChild)
   }
 
-  case class CosineExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class CosineExpr(left: Expression, right: Expression) extends BinaryExpression {
     private lazy val lDouble =
       left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
     private lazy val rDouble =
@@ -350,13 +365,19 @@ object native {
     override def dataType: DataType = DoubleType
     override protected def nullSafeEval(a: Any, b: Any): Any =
       cosine(a.asInstanceOf[ArrayData], lDouble, b.asInstanceOf[ArrayData], rDouble)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$N.cosine($a, $lDouble, $b, $rDouble)")
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): CosineExpr =
       copy(left = newLeft, right = newRight)
   }
 
+  /** `$c.toLowerCase()` when the kernel matches lowercased text. */
+  private def genText(c: String, lowercase: Boolean): String =
+    if (lowercase) s"$c.toLowerCase().toString()" else s"$c.toString()"
+
   case class VocabHitsExpr(child: Expression, words: Seq[String], lowercase: Boolean)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     @transient private lazy val set = {
       val s = new java.util.HashSet[String]()
       words.foreach(s.add)
@@ -367,13 +388,17 @@ object native {
       val u = input.asInstanceOf[UTF8String]
       vocabHits((if (lowercase) u.toLowerCase else u).toString, set)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftVocabSet", set, "java.util.HashSet")
+      defineCodeGen(ctx, ev, c => s"$N.vocabHits(${genText(c, lowercase)}, $ref)")
+    }
     override protected def withNewChildInternal(newChild: Expression): VocabHitsExpr =
       copy(child = newChild)
   }
 
   case class BestLabelExpr(child: Expression, groups: Seq[(String, Seq[String])],
                            fallback: String, lowercase: Boolean)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     @transient private lazy val built = groups.sortBy(_._1).map { case (label, words) =>
       val s = new java.util.HashSet[String]()
       words.foreach(s.add)
@@ -385,13 +410,20 @@ object native {
       UTF8String.fromString(
         bestLabel((if (lowercase) u.toLowerCase else u).toString, built, fallback))
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val groupsRef = ctx.addReferenceObj("graftGroups", built, "scala.Tuple2[]")
+      val fallbackRef = ctx.addReferenceObj("graftFallback", fallback, "java.lang.String")
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"$N.bestLabel(${genText(c, lowercase)}, $groupsRef, $fallbackRef))")
+    }
     override protected def withNewChildInternal(newChild: Expression): BestLabelExpr =
       copy(child = newChild)
   }
 
   case class KeywordsTopKExpr(child: Expression, vocabulary: Seq[String], k: Int,
                               lowercase: Boolean)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     @transient private lazy val sortedVocab = vocabulary.distinct.sorted.toArray
     @transient private lazy val index = {
       val m = new java.util.HashMap[String, Integer]()
@@ -405,15 +437,22 @@ object native {
         keywordsTopK((if (lowercase) u.toLowerCase else u).toString, sortedVocab, index, k)
           .asInstanceOf[Array[Any]])
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val vocabRef = ctx.addReferenceObj("graftVocab", sortedVocab, "java.lang.String[]")
+      val idxRef = ctx.addReferenceObj("graftVocabIdx", index, "java.util.HashMap")
+      defineCodeGen(ctx, ev, c =>
+        s"new $GAD((Object[]) $N.keywordsTopK(${genText(c, lowercase)}, $vocabRef, $idxRef, $k))")
+    }
     override protected def withNewChildInternal(newChild: Expression): KeywordsTopKExpr =
       copy(child = newChild)
   }
 
-  case class TokenCountExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class TokenCountExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override protected def nullSafeEval(input: Any): Any =
       tokenOffsets(input.asInstanceOf[UTF8String].toString).length / 2
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$N.tokenCount($c.toString())")
     override protected def withNewChildInternal(newChild: Expression): TokenCountExpr =
       copy(child = newChild)
   }
