@@ -19,6 +19,22 @@ class PlanSpec extends SparkSpecBase {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
+  test("native kernels are inlined in whole-stage generated code") {
+    import org.apache.spark.sql.execution.debug._
+    val df = spark.read.parquet(sf() + "/documents.parquet")
+      .select(
+        graft.functions.native.polyHash(col("text")).as("fp"),
+        graft.functions.native.hashEmbed(col("text"), 16).as("emb"),
+        graft.functions.native.simHash64(col("text")).as("sh"))
+    df.collect() // a Janino failure would fall back (and fail the asserts)
+    val code = df.queryExecution.debug.codegenToSeq().map(_._2).mkString
+    // real doGenCode: the generated Java calls the kernels directly —
+    // a CodegenFallback would instead show an `.eval(` reference call
+    assert(code.contains("graft.functions.Kernels.polyHash"), "polyHash not inlined")
+    assert(code.contains("graft.functions.Kernels.hashEmbed"), "hashEmbed not inlined")
+    assert(code.contains("graft.functions.Kernels.simHash64"), "simHash64 not inlined")
+  }
+
   test("q06: filters pushed to the parquet scan, columns pruned") {
     val df = SparkEntry.queries("q06_forecast_filter")(spark, sf())
     val plan = formatted(df)
