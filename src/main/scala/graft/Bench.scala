@@ -14,6 +14,11 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect() // session warm-up off the clock
     var errors = List.empty[String]
     val only = args.toSet // optional subset filter (driver passes none)
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) { // a typo'd subset must not time nothing, successfully
+      System.err.println(s"[bench] unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(1)
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))
     val results = ListMap(selected: _*).map { case (name, fn) =>

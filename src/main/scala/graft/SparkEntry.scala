@@ -407,10 +407,12 @@ object SparkEntry {
 
     "q_asof_join" -> ((s, dir) => {
       // each purchase → the latest click by the same user at-or-before
-      // it; ord = sec*1e7 + event_id (unique, time-then-id order)
+      // it; ord = sec<<32 | event_id (unique time-then-id order; exact
+      // for sec < 2^31 and event_id < 2^32 — decimal packing with a
+      // 10^7 multiplier would silently corrupt at >=10M events)
       val e = events(s, dir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("sec"))
-        .withColumn("ord", col("sec") * 10000000L + col("event_id"))
+        .withColumn("ord", shiftleft(col("sec"), 32) + col("event_id"))
       val purchases = e.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("sec"), col("ord"))
       val clicks = e.where(col("event_type") === "click")
@@ -938,7 +940,7 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT event_id, user_id, event_type,
         |    epoch_us(ts) // 1000000 AS sec,
-        |    (epoch_us(ts) // 1000000) * 10000000 + event_id AS ord
+        |    (epoch_us(ts) // 1000000) * 4294967296 + event_id AS ord
         |  FROM events),
         |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
         |c AS (SELECT * FROM e WHERE event_type = 'click'),
@@ -947,8 +949,8 @@ object SparkEntry {
         |  FROM p JOIN c ON c.user_id = p.user_id AND c.ord <= p.ord
         |  GROUP BY p.event_id)
         |SELECT p.event_id, p.user_id, p.sec,
-        |  CAST(m.mord % 10000000 AS BIGINT) AS asof_click_event_id,
-        |  CAST(m.mord // 10000000 AS BIGINT) AS asof_click_sec
+        |  CAST(m.mord % 4294967296 AS BIGINT) AS asof_click_event_id,
+        |  CAST(m.mord // 4294967296 AS BIGINT) AS asof_click_sec
         |FROM p LEFT JOIN m ON m.pid = p.event_id
         |ORDER BY p.event_id""".stripMargin,
 

@@ -3,7 +3,8 @@ import org.apache.spark.sql.functions._
 object Stress {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
-    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
     // replicate via explode AFTER spreading the 5k base docs over the
     // cores — models a many-split 100 TB input (a 20-way self-union
     // instead would 20× the codegen stage and keep 20 partitions)
@@ -16,7 +17,7 @@ object Stress {
       val docs = corpus(mult)
       val t0 = System.nanoTime()
       val out = pipeline.IngestionPipeline.canonical.chunks(spark, docs)
-      val n = sinks.VectorStoreWriter.toVectorRecords(out, 64,
+      sinks.VectorStoreWriter.toVectorRecords(out, 64,
         pipeline.IngestionPipeline.metadataColumns(out))
         .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9

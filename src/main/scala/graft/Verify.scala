@@ -7,6 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
     val only = args.drop(2).toSet // optional subset (driver passes none)
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) { // a typo'd subset must not verify nothing, successfully
+      System.err.println(s"[verify] unknown queries: ${unknown.mkString(", ")}")
+      sys.exit(1)
+    }
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

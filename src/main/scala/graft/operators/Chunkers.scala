@@ -91,7 +91,9 @@ object Chunkers {
         val offs = graft.functions.native.tokenOffsets(context)
         (context.substring(0, offs(2 * keep - 1)), keep)
       }
-    val budget = opts.maxTokens - ctxTokens
+    // floor of 1: maxTokens=1 with any context leaves 0, and a zero
+    // budget would blow up the giant-sentence splitter (grouped(0))
+    val budget = math.max(1, opts.maxTokens - ctxTokens)
     val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
     val cur = new StringBuilder
     var curTokens = 0

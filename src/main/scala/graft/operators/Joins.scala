@@ -38,9 +38,14 @@ object Joins {
       prefix: String = "asof_"
   ): DataFrame = {
     val pay = struct(payloadCols.map(col): _*)
-    val r = right.select(
-      col(key).as("__key"), col(ord).cast("long").as("__ord"),
-      lit(0).as("__side"), pay.as("__pay"))
+    val r = right
+      // equi-join semantics: a null key or null ord on the right never
+      // matches anything (the window would otherwise group null keys
+      // together and sort null ords first, attaching bogus payloads)
+      .where(col(key).isNotNull && col(ord).isNotNull)
+      .select(
+        col(key).as("__key"), col(ord).cast("long").as("__ord"),
+        lit(0).as("__side"), pay.as("__pay"))
     val payType = r.schema("__pay").dataType
     val lrow = struct(left.columns.map(col): _*)
     val l = left.select(
@@ -90,7 +95,10 @@ object Joins {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  saltExpr: Column, nSalts: Int): DataFrame = {
     require(nSalts > 0)
-    val salted = probe.withColumn("__salt", pmod(saltExpr.cast("int"), lit(nSalts)))
+    // null salt → bucket 0, not a dropped row (a null __salt would
+    // never match the exploded build side and silently lose the row)
+    val salted = probe.withColumn("__salt",
+      coalesce(pmod(saltExpr.cast("int"), lit(nSalts)), lit(0)))
     val exploded = build.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")

@@ -152,12 +152,20 @@ object StreamingIngest {
             var cur = state.getOption
             for (sec <- secs) {
               cur match {
-                case Some(s) if sec - s.end_sec <= gapSeconds =>
+                case Some(s) if sec - s.end_sec <= gapSeconds &&
+                    s.start_sec - sec <= gapSeconds =>
                   // min/max merge: events are sorted within a batch but a
                   // late (within-watermark) event in a LATER batch can
-                  // precede the open session — never move end_sec backward
+                  // precede the open session — never move end_sec backward.
+                  // Both bounds checked: an event more than gapSeconds
+                  // BEFORE the open session's start must not merge either
+                  // (watermarkDelay > gapSeconds makes that reachable).
                   cur = Some(SessionState(math.min(s.start_sec, sec),
                     math.max(s.end_sec, sec), s.n_events + 1))
+                case Some(s) if sec < s.start_sec =>
+                  // too-late event preceding the open session by > gap:
+                  // it is its own (already gap-closed) session
+                  closed += ClosedSession(userId, sec, sec, 1)
                 case Some(s) =>
                   closed += ClosedSession(userId, s.start_sec, s.end_sec, s.n_events)
                   cur = Some(SessionState(sec, sec, 1))

@@ -33,6 +33,24 @@ class JoinsSpec extends SparkSpecBase {
     assert(out.head().isNullAt(4))
   }
 
+  test("asOfJoin ignores null keys and null ords on the right (equi-join semantics)") {
+    val left = Seq((Some(1L), 10L, "a"), (None, 10L, "b"))
+      .toDF("key", "ord", "tag")
+    val right = Seq((None, Some(5L), 1.0), (Some(1L), None, 2.0), (Some(1L), Some(7L), 3.0))
+      .toDF("key", "ord", "px")
+    val out = Joins.asOfJoin(left, right, "key", "ord", Seq("px"))
+      .select("tag", "asof_px").as[(String, Option[Double])].collect().toMap
+    assert(out("a").contains(3.0)) // only the non-null (key, ord) row matches
+    assert(out("b").isEmpty)       // null-key left row matches nothing
+  }
+
+  test("saltedJoin keeps probe rows whose salt expression is null") {
+    val probe = Seq((1L, Some(4)), (1L, None)).toDF("k", "x")
+    val build = Seq((1L, "hit")).toDF("k", "v")
+    val out = Joins.saltedJoin(probe, build, "k", col("x"), nSalts = 4)
+    assert(out.count() == 2) // the null-x row must not be silently dropped
+  }
+
   test("saltedJoin output equals the plain join") {
     val fact = spark.read.parquet(sf() + "/lineitem.parquet")
       .withColumnRenamed("l_orderkey", "o_orderkey")

@@ -54,4 +54,29 @@ class SourcesStreamingStateSpec extends SparkSpecBase {
       assert(got.contains((2L, 50L, 50L, 1L)), s"timed-out session missing: $got")
     } finally query.stop()
   }
+
+  test("sessionizeStream: a late event > gap BEFORE the open session stays separate") {
+    val input = MemoryStream[(Long, Timestamp)](spark)
+    val events = input.toDF().toDF("user_id", "ts")
+    // watermarkDelay (30 min) far exceeds the gap (100 s), so a
+    // within-watermark late event can precede the open session by > gap
+    val sessions = StreamingIngest.sessionizeStream(spark, events, gapSeconds = 100)
+    val query = sessions.writeStream
+      .format("memory").queryName("graft_sessions_late").outputMode("append").start()
+    val B = 1000000L
+    def ts(sec: Long) = new Timestamp((B + sec) * 1000)
+    try {
+      input.addData((1L, ts(5000)))
+      query.processAllAvailable()
+      input.addData((1L, ts(4000))) // 1000s BEFORE the open session's start
+      query.processAllAvailable()
+      input.addData((1L, ts(50000))) // closes the [5000,5000] session
+      query.processAllAvailable()
+      val got = spark.table("graft_sessions_late")
+        .as[StreamingIngest.ClosedSession].collect()
+        .map(s => (s.user_id, s.start_sec - B, s.end_sec - B, s.n_events)).toSet
+      assert(got.contains((1L, 4000L, 4000L, 1L)), s"late event must be its own session: $got")
+      assert(got.contains((1L, 5000L, 5000L, 1L)), s"open session must not absorb it: $got")
+    } finally query.stop()
+  }
 }
