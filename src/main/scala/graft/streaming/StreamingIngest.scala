@@ -98,6 +98,28 @@ object StreamingIngest {
                          key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream inner join within a time bound: right events match
+    * left events with the same key whose timestamp falls in
+    * [left.ts, left.ts + within]. Both sides are watermarked, so the
+    * join state store holds only rows inside watermark + interval —
+    * bounded by arrival rate × window, not stream length. Right-side
+    * columns come back prefixed (both sides often share ts/key names).
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       tsCol: String = "ts",
+                       within: String = "1 hour",
+                       watermark: String = "30 minutes",
+                       rightPrefix: String = "r_"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val renamed = right.columns.foldLeft(right)(
+      (df, c) => df.withColumnRenamed(c, rightPrefix + c))
+    val r = renamed.withWatermark(rightPrefix + tsCol, watermark)
+    l.join(r,
+      col(key) === col(rightPrefix + key) &&
+        col(rightPrefix + tsCol) >= col(tsCol) &&
+        col(rightPrefix + tsCol) <= col(tsCol) + expr(s"INTERVAL $within"))
+  }
+
   /** Streaming dedup with bounded state: drops re-deliveries of the
     * same key whose event times fall within the watermark delay of the
     * first arrival; state for a key is evicted once the watermark

@@ -55,6 +55,31 @@ class SourcesStreamingStateSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("streamStreamJoin: purchases join clicks within the interval, state bounded by watermark") {
+    val clicks = MemoryStream[(Long, Timestamp, String)](spark)
+    val purchases = MemoryStream[(Long, Timestamp, String)](spark)
+    val B = 1000000L
+    def ts(sec: Long) = new Timestamp((B + sec) * 1000)
+    val joined = StreamingIngest.streamStreamJoin(
+      clicks.toDF().toDF("user_id", "ts", "click_id"),
+      purchases.toDF().toDF("user_id", "ts", "purchase_id"),
+      key = "user_id", within = "1 hour")
+    assert(joined.isStreaming)
+    val query = joined.writeStream
+      .format("memory").queryName("graft_ssj").outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(0), "c1"), (2L, ts(0), "c2"))
+      purchases.addData(
+        (1L, ts(1800), "p_in"),    // 30 min after c1 → joins
+        (1L, ts(7200), "p_late"),  // 2 h after c1 → outside interval
+        (3L, ts(100), "p_nokey"))  // no matching click
+      query.processAllAvailable()
+      val got = spark.table("graft_ssj")
+        .select("click_id", "r_purchase_id").as[(String, String)].collect().toSet
+      assert(got == Set(("c1", "p_in")), s"unexpected join result: $got")
+    } finally query.stop()
+  }
+
   test("sessionizeStream: a late event > gap BEFORE the open session stays separate") {
     val input = MemoryStream[(Long, Timestamp)](spark)
     val events = input.toDF().toDF("user_id", "ts")
