@@ -175,8 +175,14 @@ object SparkEntry {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
+      // decimal-exact sum internally; the final compared column is cast
+      // to double (exact below 2^53) because the driver's hash comparer
+      // stringifies Spark decimals scale-faithfully ("380456.00") but
+      // DuckDB decimals via float ("380456.0") — any trailing zero at
+      // the cast scale hash-mismatches despite equal values. Same
+      // convention for every compared decimal column in `queries`.
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast("decimal(18,4)")).as("revenue"))
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -188,8 +194,11 @@ object SparkEntry {
         .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          // decimal-exact sums internally, double on the compared
+          // surface (see q05 note — sums here stay below 2^53 so the
+          // double is exact and both engines convert identically)
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           // scale-4 / scale-6 casts: the products of 2-decimal values have
           // exactly 4 (resp. 6) true decimal digits, so casting at (or
           // above) that scale is never a rounding tie and Spark's exact
@@ -197,9 +206,9 @@ object SparkEntry {
           // scaled-double conversion. Scale-2 casts of these products DID
           // diverge (half-up vs scaled-double ties).
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)")).as("sum_disc_price"),
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-            .cast("decimal(18,6)")).as("sum_charge"),
+            .cast("decimal(18,6)")).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order")
         )
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -216,7 +225,7 @@ object SparkEntry {
         .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)")).as("revenue"))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
           col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -232,7 +241,8 @@ object SparkEntry {
           && col("l_discount") >= 0.03 && col("l_discount") <= 0.07
           && col("l_quantity") < 25)
         .agg(
-          sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)")).as("revenue"),
+          sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"))
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_items")
         )
     }),
@@ -271,7 +281,8 @@ object SparkEntry {
           org.apache.spark.sql.expressions.Window.currentRow)
       tbl(s, dir, "orders")
         .where(col("o_custkey") < 150)
-        .withColumn("running_total", sum(col("o_totalprice").cast("decimal(18,2)")).over(w))
+        .withColumn("running_total",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
         .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
@@ -302,7 +313,7 @@ object SparkEntry {
         .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .cube(col("n_name"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_bal"))
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
         .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
     }),
 
@@ -329,7 +340,7 @@ object SparkEntry {
         .select(col("event_type"), col("value"), hourStart.as("hour_start"))
         .groupBy(col("hour_start"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
@@ -369,11 +380,13 @@ object SparkEntry {
 
     "q_pivot" -> ((s, dir) => {
       // pivot: one column per market segment, decimal-exact balances
+      // internally, double on the compared surface (see q05 note)
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
       tbl(s, dir, "customer")
         .groupBy(col("c_nationkey").cast("int").as("nationkey"))
-        .pivot("c_mktsegment",
-          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .pivot("c_mktsegment", segs)
         .agg(sum(col("c_acctbal").cast("decimal(18,2)")))
+        .select(col("nationkey") +: segs.map(sg => col(sg).cast("double").as(sg)): _*)
         .orderBy(col("nationkey"))
     }),
 
@@ -433,7 +446,7 @@ object SparkEntry {
       Joins.bandJoin(events(s, dir), bands, "value")
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy(col("band"))
     }),
 
@@ -446,7 +459,7 @@ object SparkEntry {
         .where(col("l_quantity") > col("avg_qty"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -459,7 +472,7 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)")).as("revenue"))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -530,10 +543,13 @@ object SparkEntry {
     }),
 
     "i_enrich_keywords" -> ((s, dir) => {
+      // compared surface is a joined string: the driver's pandas
+      // comparer can't sort/hash array cells (same for the exploded
+      // vector queries below)
       Processors.withKeywords(tbl(s, dir, "documents"),
           vocabulary = Seq("spark", "data", "join", "query", "stream", "table", "vector", "window"),
           textCol = "text", maxKeywords = 5)
-        .select(col("doc_id"), col("keywords"))
+        .select(col("doc_id"), array_join(col("keywords"), ",").as("keywords"))
         .orderBy(col("doc_id"))
     }),
 
@@ -560,8 +576,14 @@ object SparkEntry {
       val chunks = Chunkers.tokenChunks(tbl(s, dir, "documents"),
         ChunkerOptions(maxTokens = 64, overlap = 16))
         .withColumn("context", lit(""))
+      // explode the (bit-reproducible) embedding to one (dim, val) row
+      // per element — float→double is exact, so no rounding is needed
+      // and the compared columns are all scalars
       VSW.toVectorRecords(chunks, dim = 16)
-        .orderBy(col("documentid").cast("long"), col("key"))
+        .select(col("key"), col("content"), col("context"), col("documentid"),
+          posexplode(col("embedding")).as(Seq("dim", "val")))
+        .withColumn("val", col("val").cast("double"))
+        .orderBy(col("documentid").cast("long"), col("key"), col("dim"))
     }),
 
     "i_pipeline_e2e" -> ((s, dir) => {
@@ -756,8 +778,10 @@ object SparkEntry {
       ).as[Multimodal.MediaRecord]
       Multimodal.extractFeatures(s, media)
         .toDF()
-        .select(col("media_id"), col("byte_length"), col("sniffed_type"), col("feature"))
-        .orderBy(col("media_id"))
+        .select(col("media_id"), col("byte_length"), col("sniffed_type"),
+          posexplode(col("feature")).as(Seq("dim", "val")))
+        .withColumn("val", col("val").cast("double"))
+        .orderBy(col("media_id"), col("dim"))
     })
   )
 
@@ -765,10 +789,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -777,7 +801,7 @@ object SparkEntry {
 
     "q03_top_orders" ->
       """SELECT l_orderkey,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -790,7 +814,7 @@ object SparkEntry {
 
     "q05_region_revenue" ->
       """SELECT n_name,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM region JOIN nation ON n_regionkey = r_regionkey
         |JOIN supplier ON s_nationkey = n_nationkey
         |JOIN lineitem ON l_suppkey = s_suppkey
@@ -804,7 +828,7 @@ object SparkEntry {
 
     "q06_forecast_filter" ->
       """SELECT
-        |  sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -832,9 +856,9 @@ object SparkEntry {
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
         |FROM orders WHERE o_custkey < 150
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
@@ -855,7 +879,7 @@ object SparkEntry {
 
     "q_cube" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_customers,
-        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE (n_name, c_mktsegment)
         |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
@@ -881,7 +905,7 @@ object SparkEntry {
     "q_event_windows" ->
       """SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_start, event_type,
         |  count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_json_extract" ->
@@ -908,7 +932,7 @@ object SparkEntry {
     "q_pivot" -> {
       val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
       val cols = segs.map(sg =>
-        s"""sum(CASE WHEN c_mktsegment = '$sg' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS "$sg"""")
+        s"""CAST(sum(CASE WHEN c_mktsegment = '$sg' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS "$sg"""")
         .mkString(",\n|  ")
       s"""SELECT CAST(c_nationkey AS INT) AS nationkey,
          |  $cols
@@ -959,20 +983,20 @@ object SparkEntry {
         |  ('low', 0.0, 5.0), ('mid', 5.0, 10.0),
         |  ('high', 10.0, 20.0), ('xhigh', 20.0, 1000000000.0))
         |SELECT band, count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN bands ON value >= lo AND value < hi
         |GROUP BY band ORDER BY band""".stripMargin,
 
     "q_scalar_subquery" ->
       """SELECT l_returnflag, count(*) AS n_items,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        |  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
@@ -1017,8 +1041,9 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
          |c AS (SELECT doc_id, [$scored] AS scored FROM t)
          |SELECT doc_id,
-         |  list_transform(list_slice(list_sort(list_filter(scored, s -> s.negc < 0)), 1, 5),
-         |                 s -> s.word) AS keywords
+         |  array_to_string(
+         |    list_transform(list_slice(list_sort(list_filter(scored, s -> s.negc < 0)), 1, 5),
+         |                   s -> s.word), ',') AS keywords
          |FROM c ORDER BY doc_id""".stripMargin
     },
 
@@ -1051,8 +1076,11 @@ object SparkEntry {
 
     "i_vector_store" ->
       s"""WITH $vectorRecordsCte
-         |SELECT key, embedding, content, context, documentid FROM vr
-         |ORDER BY CAST(documentid AS BIGINT), key""".stripMargin,
+         |SELECT key, content, context, documentid,
+         |  CAST(r.range - 1 AS INT) AS dim,
+         |  CAST(embedding[CAST(r.range AS INT)] AS DOUBLE) AS val
+         |FROM vr CROSS JOIN range(1, 17) r
+         |ORDER BY CAST(documentid AS BIGINT), key, dim""".stripMargin,
 
     "s_semantic_search" -> {
       // SemanticSearch.cs path: embed the query text with the SAME
@@ -1173,17 +1201,15 @@ object SparkEntry {
          |ORDER BY query_id, rank""".stripMargin,
 
     "s_knn_ivf" ->
-      // centroid sample: every step-th vec_id (step = N/8), exactly the
-      // driver-side grouped(step).head selection in Similarity.knnIvf
-      s"""WITH ids AS (
-         |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings),
-         |params AS (
-         |  SELECT greatest(1, CAST(count(*) / 8 AS BIGINT)) AS step FROM ids),
+      // centroid sample: vec_id % step == 0 (step = N/8), exactly the
+      // distributed modulo selection in Similarity.knnIvf
+      s"""WITH params AS (
+         |  SELECT greatest(1, count(*) // 8) AS step FROM embeddings),
          |centroids AS (
          |  SELECT e.vec_id AS list_id, e.embedding AS centroid
-         |  FROM ids JOIN embeddings e ON e.vec_id = ids.vec_id, params
-         |  WHERE (ids.rn - 1) % params.step = 0
-         |  ORDER BY ids.rn LIMIT 8),
+         |  FROM embeddings e, params
+         |  WHERE e.vec_id % params.step = 0
+         |  ORDER BY e.vec_id LIMIT 8),
          |corpus_assign AS (
          |  SELECT vec_id AS nbr_id, embedding AS nbr_emb, list_id FROM (
          |    SELECT e.vec_id, e.embedding, c.list_id,
@@ -1333,9 +1359,11 @@ object SparkEntry {
          |       WHEN text LIKE 'RIFF%' THEN 'audio/wav'
          |       WHEN starts_with(text, '%PDF') THEN 'application/pdf'
          |       ELSE 'application/octet-stream' END AS sniffed_type,
-         |  list_transform(cnts, c -> CAST(CASE WHEN nrm > 0 THEN c / nrm ELSE 0.0 END AS FLOAT)) AS feature
-         |FROM normed
-         |ORDER BY media_id""".stripMargin,
+         |  CAST(r.range - 1 AS INT) AS dim,
+         |  CAST(CAST(CASE WHEN nrm > 0
+         |        THEN cnts[CAST(r.range AS INT)] / nrm ELSE 0.0 END AS FLOAT) AS DOUBLE) AS val
+         |FROM normed CROSS JOIN range(1, 17) r
+         |ORDER BY media_id, dim""".stripMargin,
 
     "m_multimodal_meta" ->
       // ASCII-expressible magic prefixes must be sniffed here too (the

@@ -61,16 +61,24 @@ object Dedup {
                         threshold: Double = 0.8,
                         maxDocsPerShingle: Int = 1000): DataFrame = {
     val shingled = documents
-      .select(col("doc_id"), TextFunctions.shingleHashes(col("text"), n).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-    // ONE shuffle: group docs per shingle and generate pairs inside the
-    // bucket (collect_list is bounded by the df-cut, which doubles as
-    // skew protection — a hot shingle is dropped, not sorted). A
-    // self-join formulation would scan + shuffle the shingles twice and
-    // a count-window df-cut can't skew-split under AQE.
+      .select(col("doc_id"), explode(TextFunctions.shingleHashes(col("text"), n)).as("shingle"))
+    // per-doc distinct-shingle counts: computed map-only straight from
+    // the corpus (tiny (doc_id, n_sh) rows) and joined back AFTER pair
+    // generation, so the per-shingle buckets below carry bare doc ids —
+    // one long each — instead of (doc_id, n_sh) structs. Halving the
+    // collect_list payload matters: those aggregation buffers were the
+    // heap hog that GC-collapsed the round-1 bench.
+    val sizes = documents.select(
+      col("doc_id"), size(TextFunctions.shingleHashes(col("text"), n)).as("n_sh"))
+    // ONE corpus shuffle: group docs per shingle and generate pairs
+    // inside the bucket (collect_list is bounded by the df-cut, which
+    // doubles as skew protection — a hot shingle is dropped, not
+    // sorted). A self-join formulation would scan + shuffle the
+    // shingles twice and a count-window df-cut can't skew-split under
+    // AQE.
     val buckets = shingled
       .groupBy(col("shingle"))
-      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("docs"))
+      .agg(collect_list(col("doc_id")).as("docs"))
       .where(size(col("docs")) >= 2 && size(col("docs")) <= maxDocsPerShingle)
     val pairs = buckets.select(
       explode(flatten(transform(
@@ -79,20 +87,15 @@ object Dedup {
           val x = element_at(col("docs"), i + 1)
           transform(
             slice(col("docs"), i + 2, size(col("docs"))),
-            y => struct(
-              least(x.getField("doc_id"), y.getField("doc_id")).as("a"),
-              greatest(x.getField("doc_id"), y.getField("doc_id")).as("b"),
-              when(x.getField("doc_id") < y.getField("doc_id"), x.getField("n_sh"))
-                .otherwise(y.getField("n_sh")).as("na"),
-              when(x.getField("doc_id") < y.getField("doc_id"), y.getField("n_sh"))
-                .otherwise(x.getField("n_sh")).as("nb")
-            )
+            y => struct(least(x, y).as("a"), greatest(x, y).as("b"))
           )
         }
       ))).as("p"))
     pairs
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"), col("p.na").as("na"), col("p.nb").as("nb"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
       // jaccard >= t  ⇔  inter >= t * (na + nb - inter); basis-point
       // scaling keeps integer arithmetic without quantizing the
       // caller's threshold to whole percents
@@ -142,7 +145,8 @@ object Dedup {
     * least one of d+1 equal-width blocks, so bucketing on each 16-bit
     * block finds every pair with distance ≤ 3 with one shuffle.
     */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
+                   maxDocsPerBucket: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
     // pigeonhole: distance <= d pairs share at least one of d+1 blocks
     val nBlocks = maxHamming + 1
@@ -160,32 +164,58 @@ object Dedup {
           shiftright(col("sim"), bounds(blk)).bitwiseAND(mask).as("key"))
       }: _*)).as("b")
     ).select(col("doc_id"), col("sim"), col("b.blk"), col("b.key"))
-    val a = blocks.select(col("blk"), col("key"), col("doc_id").as("a"), col("sim").as("sima"))
-    val b = blocks.select(col("blk"), col("key"), col("doc_id").as("b"), col("sim").as("simb"))
+    // df-cut: a dup-heavy corpus puts every copy of a popular page in
+    // the same block bucket → quadratic fan-out in one join task. The
+    // bucket key space is bounded (nBlocks * 2^blockWidth, ≤ 256K for
+    // maxHamming=3) so the over-cap set is map-side-combined, tiny, and
+    // broadcast; dropping hot buckets is the standard df-cut trade
+    // (those pairs are overwhelmingly exact dups — catch them with
+    // exactDedup first).
+    val hot = blocks.groupBy(col("blk"), col("key"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") > maxDocsPerBucket)
+      .select(col("blk"), col("key"))
+    val capped = blocks.join(broadcast(hot), Seq("blk", "key"), "left_anti")
+    val a = capped.select(col("blk"), col("key"), col("doc_id").as("a"), col("sim").as("sima"))
+    val b = capped.select(col("blk"), col("key"), col("doc_id").as("b"), col("sim").as("simb"))
     a.join(b, Seq("blk", "key"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sima"), col("simb"))
-      .dropDuplicates("a", "b")
+      // verify BEFORE the pair-dedup shuffle (minhash-style): hamming is
+      // deterministic per pair, so filtering first means dropDuplicates
+      // shuffles only surviving (a, b, hamming) triples
       .withColumn("hamming", TextFunctions.hamming64(col("sima"), col("simb")))
       .where(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
+      .dropDuplicates("a", "b")
   }
 
   /** Embedding-cosine near-duplicate pairs over a vector table
     * (vec_id, embedding): random-hyperplane LSH buckets (same-bucket
-    * candidates only) verified by exact cosine. `nPlanes` trades recall
-    * for bucket size; 8 planes → 256 buckets.
+    * candidates only) verified by exact cosine.
+    *
+    * `nPlanes` trades recall for bucket size and MUST scale with the
+    * corpus: 2^nPlanes buckets means the within-bucket verify join is
+    * O((N/2^nPlanes)²) expected work. Size it so N/2^nPlanes stays near
+    * `maxDocsPerBucket` — 8 planes is for ~10⁵ vectors; a 100 TB corpus
+    * (10⁹–10¹⁰ vectors) needs ≥ 20–24 planes. `maxDocsPerBucket` is the
+    * backstop for skewed buckets (embedding-space hot spots): over-cap
+    * buckets are dropped via a broadcast anti-join (the bucket-count
+    * aggregate is map-side combined into ≤ 2^nPlanes rows).
     */
   def embeddingCosinePairs(vectors: DataFrame,
                            threshold: Double = 0.95,
-                           nPlanes: Int = 8): DataFrame = {
+                           nPlanes: Int = 8,
+                           maxDocsPerBucket: Int = 10000): DataFrame = {
     val bucketed = vectors.select(
       col("vec_id"),
       col("embedding"),
       VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes).as("bucket")
     )
-    val a = bucketed.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
+    val hot = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") > maxDocsPerBucket)
+      .select(col("bucket"))
+    val capped = bucketed.join(broadcast(hot), Seq("bucket"), "left_anti")
+    val a = capped.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = capped.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
     a.join(b, Seq("bucket"))
       .where(col("a") < col("b"))
       .withColumn("cos", VectorFunctions.cosine(col("ea"), col("eb")))

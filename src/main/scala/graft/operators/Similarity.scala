@@ -99,25 +99,24 @@ object Similarity {
     * by nearest centroid, search only the `nProbe` lists whose
     * centroids are closest to the query.
     *
-    * Centroids are a deterministic corpus sample (every
-    * ceil(N/nLists)-th vector by id) — one tiny aggregation instead of
-    * an iterative k-means, which keeps the operator a pure two-pass
-    * plan; swap in trained centroids for better recall without
-    * changing the plan shape. Centroids are broadcast (nLists ≤ a few
-    * thousand × dim floats), the corpus is scanned once to assign
-    * lists (map-only), and the probe join shuffles only on list id.
+    * Centroids are a deterministic distributed sample: one scalar
+    * count fixes step = N/nLists, then vectors with vec_id % step == 0
+    * (≈ nLists rows whether ids are dense or hashed) feed a
+    * TakeOrderedAndProject — no global sort, nothing but the count's
+    * single long crosses to the driver. One tiny job instead of an
+    * iterative k-means keeps the operator a pure two-pass plan; swap in
+    * trained centroids for better recall without changing the plan
+    * shape. Centroids are broadcast (nLists ≤ a few thousand × dim
+    * floats), the corpus is scanned once to assign lists (map-only),
+    * and the probe join shuffles only on list id.
     */
   def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int = 10,
              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // deterministic centroid sample, computed with one small job
-    val ids = corpus.select(col("vec_id")).orderBy(col("vec_id")).limit(1000000)
-      .as[Long].collect()
-    val step = math.max(1, ids.length / nLists)
-    val centroidIds = ids.grouped(step).map(_.head).take(nLists).toSeq
+    val nRows = corpus.agg(count(lit(1))).head().getLong(0)
+    val step = math.max(1L, nRows / nLists)
     val centroids = corpus
-      .where(col("vec_id").isin(centroidIds: _*))
+      .where(pmod(col("vec_id"), lit(step)) === 0)
+      .orderBy(col("vec_id")).limit(nLists)
       .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
 
     def assign(df: DataFrame, idName: String, embName: String, probes: Int): DataFrame = {

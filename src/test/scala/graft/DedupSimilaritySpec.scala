@@ -77,6 +77,17 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(fnLike > 0)
   }
 
+  test("simhashPairs: hot block buckets are dropped by maxDocsPerBucket") {
+    // with a cap of 1 every bucket holding a candidate pair is "hot",
+    // so the df-cut must eliminate all pairs (quadratic-fan-out guard)
+    assert(Dedup.simhashPairs(corpus, maxHamming = 3, maxDocsPerBucket = 1).count() == 0)
+  }
+
+  test("embeddingCosinePairs: hot buckets are dropped by maxDocsPerBucket") {
+    assert(Dedup.embeddingCosinePairs(vecs, threshold = 0.9, nPlanes = 4,
+      maxDocsPerBucket = 1).count() == 0)
+  }
+
   test("embeddingCosinePairs: same-direction vectors pair up") {
     val got = Dedup.embeddingCosinePairs(vecs, threshold = 0.9, nPlanes = 4)
       .select("a", "b").as[(Long, Long)].collect().toSet

@@ -72,10 +72,16 @@ class PlanSpec extends SparkSpecBase {
       s"orphan oracles: ${SparkEntry.oracleSql.keySet -- qs}")
   }
 
-  test("ngram dedup is join-free: pairs generated inside shingle buckets") {
+  test("ngram dedup: pairs generated inside shingle buckets, only size rejoins") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val plan = executed(Dedup.ngramJaccardPairs(docs, 3, 0.8)).toString
-    assert(!plan.contains("Join"), s"expected bucket-local pair generation:\n$plan")
+    // candidate generation must stay aggregate-local (collect_list
+    // buckets carrying bare doc ids); the only joins allowed are the
+    // two tiny per-doc size rejoins that keep n_sh out of the buckets
+    assert(plan.contains("collect_list"), s"bucket-local pair generation expected:\n$plan")
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(plan).size
+    assert(joins <= 2, s"expected at most the two size rejoins:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("dedup plans never contain a cartesian product") {
