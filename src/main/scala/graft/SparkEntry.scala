@@ -512,6 +512,21 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    "i_chunk_page_meta" -> ((s, dir) => {
+      // page + metadata provenance end-to-end: a synthetic per-document
+      // page number and a (lang, source) metadata map ride through the
+      // chunker onto every chunk (reference IngestionDocument.cs:106,116)
+      val paged = tbl(s, dir, "documents")
+        .withColumn("page_number", (col("doc_id") % 7 + 1).cast("int"))
+        .withColumn("metadata", map(lit("lang"), col("lang"), lit("source"), col("source")))
+      Chunkers.tokenChunks(paged, ChunkerOptions(maxTokens = 64, overlap = 16),
+          carryCols = Seq("page_number", "metadata"))
+        .select(col("doc_id"), col("chunk_id"), col("token_count"), col("page_number"),
+          element_at(col("metadata"), "lang").as("meta_lang"),
+          element_at(col("metadata"), "source").as("meta_source"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     "i_chunk_header" -> ((s, dir) => {
       Chunkers.headerChunks(s, tbl(s, dir, "documents"), ChunkerOptions(maxTokens = 64, overlap = 0))
         .toDF()
@@ -569,6 +584,22 @@ object SparkEntry {
       Processors.withSentiment(tbl(s, dir, "documents"), textCol = "text",
           positive = Seq("fast", "small", "big"), negative = Seq("slow", "dup"))
         .select(col("doc_id"), col("sentiment"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "i_enrich_imagealt" -> ((s, dir) => {
+      // ImageAlternativeTextEnricher.cs over a mixed element set built
+      // from the documents table: empty-alt images gain the
+      // deterministic "image:<url>" caption, images with alt text and
+      // non-image elements are untouched
+      val elems = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 2, lit("paragraph")).otherwise(lit("image")).as("kind"),
+        concat(lit("![]("), col("source"), lit(")")).as("markdown"),
+        when(col("doc_id") % 3 === 1, concat(lit("alt"), col("doc_id")))
+          .otherwise(lit("")).as("text"))
+      Processors.withImageAltText(elems)
+        .select(col("doc_id"), col("kind"), col("text"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1029,6 +1060,23 @@ object SparkEntry {
          |ORDER BY doc_id, chunk_id""".stripMargin
     },
 
+    "i_chunk_page_meta" -> {
+      val step = 48; val maxT = 64
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, source, ${sqlToks("text")} AS t FROM documents),
+         |n AS (SELECT doc_id, lang, source, t, len(t) AS n FROM toks),
+         |chunks AS (
+         |  SELECT doc_id, lang, source, CAST(u.i AS INT) AS chunk_id,
+         |    array_to_string(t[u.i*$step+1 : u.i*$step+$maxT], ' ') AS content
+         |  FROM n, unnest(range(0, greatest(CAST(ceil(n / $step.0) AS BIGINT), 1))) AS u(i))
+         |SELECT doc_id, chunk_id,
+         |  CAST(len(${sqlToks("content")}) AS INT) AS token_count,
+         |  CAST(doc_id % 7 + 1 AS INT) AS page_number,
+         |  lang AS meta_lang, source AS meta_source
+         |FROM chunks WHERE length(content) > 0
+         |ORDER BY doc_id, chunk_id""".stripMargin
+    },
+
     "i_enrich_summary" ->
       s"""SELECT doc_id,
          |  array_to_string((${sqlToks("text")})[1:20], ' ') AS summary
@@ -1073,6 +1121,14 @@ object SparkEntry {
          |FROM (SELECT doc_id, $pos AS p, $neg AS n FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "i_enrich_imagealt" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'paragraph' ELSE 'image' END AS kind,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image:' || source
+        |       WHEN doc_id % 3 = 1 THEN 'alt' || doc_id
+        |       ELSE '' END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "i_vector_store" ->
       s"""WITH $vectorRecordsCte

@@ -16,7 +16,12 @@ package graft.model
   * kind ∈ header|paragraph|table|image|footer|code|quote|list.
   * `level` is the header level (0 for non-headers), `seq` preserves
   * document order (the reference walks its tree depth-first; `seq` is
-  * that walk's index).
+  * that walk's index). `page_number` mirrors
+  * IngestionDocumentElement.PageNumber (IngestionDocument.cs:106) —
+  * None for sources without pages (plain markdown); paged readers
+  * (the reference's DocumentIntelligence/LlamaParse twins) set it.
+  * `metadata` mirrors the per-element metadata dictionary
+  * (IngestionDocument.cs:116), string-valued for a stable column type.
   */
 final case class DocElement(
     doc_id: Long,
@@ -24,7 +29,9 @@ final case class DocElement(
     kind: String,
     level: Int,
     markdown: String,
-    text: String
+    text: String,
+    page_number: Option[Int] = None,
+    metadata: Map[String, String] = Map.empty
 )
 
 /** A chunk produced by any chunker.
@@ -38,7 +45,9 @@ final case class Chunk(
     chunk_id: Int,
     content: String,
     context: String,
-    token_count: Int
+    token_count: Int,
+    page_number: Option[Int] = None,
+    metadata: Map[String, String] = Map.empty
 )
 
 /** Vector-store record, the writer's output row.

@@ -7,12 +7,41 @@ import org.apache.spark.sql.functions._
 
 /** Chunker options — defaults mirror the reference
   * (Chunkers/IngestionChunkerOptions.cs:12-14: maxTokensPerChunk=2000,
-  * overlap=500). "Tokens" are whitespace tokens here; the reference
-  * uses a pluggable ML tokenizer, and the token-count hook is a single
-  * function swap.
+  * overlap=500). `tokenCounter` mirrors the reference's pluggable
+  * `Microsoft.ML.Tokenizers.Tokenizer` (IngestionChunkerOptions.cs:
+  * 16-21, counted per element in ElementsChunker.cs:13,26): every
+  * budget-based chunker counts with it, so swapping in a BPE-style
+  * counter shifts chunk boundaries exactly as a real tokenizer would
+  * (a whitespace count under-reads a BPE budget by ~30-50%). The
+  * counter must be serializable — it ships to executors.
+  * (tokenChunks' WINDOWS stay whitespace tokens — windowing needs the
+  * token strings themselves, not just a count; see tokenChunks.)
   */
-final case class ChunkerOptions(maxTokens: Int = 2000, overlap: Int = 500) {
+final case class ChunkerOptions(maxTokens: Int = 2000, overlap: Int = 500,
+    tokenCounter: String => Int = ChunkerOptions.WhitespaceCounter) {
   require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens)
+}
+
+object ChunkerOptions {
+  /** Default counter: ASCII-whitespace tokens — the same tokenizer as
+    * TextFunctions.tokens / native.tokenCount, so chunk token_count
+    * never diverges from the column-level counters.
+    */
+  val WhitespaceCounter: String => Int =
+    s => if (s == null) 0 else graft.functions.native.tokenOffsets(s).length / 2
+
+  // precompiled: this runs per element of every document
+  private val RegexTokenSplit =
+    java.util.regex.Pattern.compile("(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
+
+  /** BPE-ish counter (Scala twin of TextFunctions.regexTokens): word
+    * runs, digits and punctuation counted as separate pieces — a cheap
+    * approximation of a subword vocab's higher counts for sizing
+    * chunks against a real model's context window.
+    */
+  val RegexBpeCounter: String => Int =
+    s => if (s == null || s.isEmpty) 0
+         else RegexTokenSplit.split(s).count(t => t.trim.nonEmpty)
 }
 
 /** Document chunkers, re-expressed for Spark.
@@ -38,13 +67,17 @@ object Chunkers {
     * SQL-oracle verifiable): overlapping whitespace-token windows.
     * Output: (doc_id, chunk_id, content, token_count).
     */
-  def tokenChunks(documents: DataFrame, opts: ChunkerOptions = ChunkerOptions()): DataFrame = {
+  def tokenChunks(documents: DataFrame, opts: ChunkerOptions = ChunkerOptions(),
+                  carryCols: Seq[String] = Nil): DataFrame = {
     val step = opts.maxTokens - opts.overlap
     val toks = graft.functions.TextFunctions.tokens(col("text"))
+    // carryCols: document columns (page_number, metadata maps, …)
+    // copied onto every chunk — provenance survives chunking without a
+    // join back to the corpus
     documents
-      .select(col("doc_id"), toks.as("toks"))
+      .select(Seq(col("doc_id"), toks.as("toks")) ++ carryCols.map(col): _*)
       .select(
-        col("doc_id"),
+        Seq(col("doc_id")) ++ carryCols.map(col) :+
         posexplode(
           transform(
             // reference loop: for (i = 0; i < n; i += step) — a trailing
@@ -52,7 +85,7 @@ object Chunkers {
             sequence(lit(0), greatest(ceil(size(col("toks")).cast("double") / step).cast("int") - 1, lit(0))),
             i => array_join(slice(col("toks"), i * step + 1, lit(opts.maxTokens)), " ")
           )
-        ).as(Seq("chunk_id", "content"))
+        ).as(Seq("chunk_id", "content")): _*
       )
       .where(length(col("content")) > 0)
       .withColumn("token_count", size(graft.functions.TextFunctions.tokens(col("content"))))
@@ -77,19 +110,26 @@ object Chunkers {
       context: String,
       elements: Seq[(String, String)], // (kind, semanticText)
       opts: ChunkerOptions,
-      startId: Int
+      startId: Int,
+      page: Option[Int] = None,
+      metadata: Map[String, String] = Map.empty
   ): Seq[Chunk] = {
+    val countTokens = opts.tokenCounter
     // An oversized header context would leave no budget; the reference
     // throws (ElementsChunker.cs ThrowTokenCountExceeded), but one
     // pathological document must not abort a 100 TB job — truncate the
-    // context to half the budget instead (deviation documented).
+    // context to half the budget instead (deviation documented). The
+    // cut lands on a whitespace boundary, then is re-counted with the
+    // configured counter.
     val rawCtxTokens = countTokens(context)
     val (ctx, ctxTokens) =
       if (rawCtxTokens < opts.maxTokens) (context, rawCtxTokens)
       else {
         val keep = math.max(1, opts.maxTokens / 2)
         val offs = graft.functions.native.tokenOffsets(context)
-        (context.substring(0, offs(2 * keep - 1)), keep)
+        val cutAt = math.min(keep, offs.length / 2)
+        val cut = context.substring(0, offs(2 * cutAt - 1))
+        (cut, math.min(countTokens(cut), opts.maxTokens - 1))
       }
     // floor of 1: maxTokens=1 with any context leaves 0, and a zero
     // budget would blow up the giant-sentence splitter (grouped(0))
@@ -103,7 +143,7 @@ object Chunkers {
       if (cur.nonEmpty) {
         val content =
           if (ctx.nonEmpty) ctx + "\n" + cur.toString else cur.toString
-        out += Chunk(docId, nextId, content, ctx, curTokens + ctxTokens)
+        out += Chunk(docId, nextId, content, ctx, curTokens + ctxTokens, page, metadata)
         nextId += 1
         cur.clear(); curTokens = 0
       }
@@ -162,6 +202,42 @@ object Chunkers {
     */
   private def semanticText(kind: String, md: String, text: String): String =
     if (kind == "image") text else md
+
+  // ------------------------------------------------------- typed elements
+  /** ElementsChunker.cs over an existing elements Dataset (the output
+    * of a reader): one shuffle groups each document's elements, then
+    * consecutive same-page runs are packed under an empty context.
+    * Chunks inherit the run's `page_number` and a first-wins merge of
+    * its elements' metadata — page provenance from paged readers
+    * (DocumentIntelligenceReader.cs sections-per-page) survives into
+    * every chunk. Within a document, order is (page, seq): paged
+    * readers emit one input row per page, so `seq` restarts per page.
+    */
+  def elementChunks(spark: SparkSession, elements: Dataset[DocElement],
+                    opts: ChunkerOptions = ChunkerOptions()): Dataset[Chunk] = {
+    import spark.implicits._
+    elements.groupByKey(_.doc_id).flatMapGroups { (id, it) =>
+      val sorted = it.toArray.sortBy(e => (e.page_number.getOrElse(0), e.seq))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+      var nextId = 0
+      var i = 0
+      while (i < sorted.length) {
+        val page = sorted(i).page_number
+        val run = scala.collection.mutable.ArrayBuffer.empty[DocElement]
+        while (i < sorted.length && sorted(i).page_number == page) {
+          run += sorted(i); i += 1
+        }
+        // first-wins metadata merge across the run's elements
+        val meta = run.foldLeft(Map.empty[String, String])((acc, e) => e.metadata ++ acc)
+        val packed = packElements(id, "",
+          run.map(e => (e.kind, semanticText(e.kind, e.markdown, e.text))).toSeq,
+          opts, nextId, page, meta)
+        nextId += packed.size
+        out ++= packed
+      }
+      out.toSeq
+    }
+  }
 
   // --------------------------------------------------------------- header
   /** HeaderChunker.cs: walk elements in order; headers update a level

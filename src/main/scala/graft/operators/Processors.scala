@@ -112,6 +112,33 @@ object Processors {
   def filterByLanguage(df: DataFrame, langs: Seq[String], textCol: String = "text"): DataFrame =
     df.where(TextAnalysis.langId(col(textCol)).isin(langs: _*))
 
+  /** Fold enricher output columns into the chunk `metadata` map — the
+    * reference writes each enricher's result at
+    * chunk.Metadata[MetadataKey] (SummaryEnricher.cs:61,
+    * KeywordEnricher.cs:64, ClassificationEnricher.cs:61,
+    * SentimentEnricher.cs:60); graft keeps the flat columns for
+    * Catalyst pruning AND offers the map form for stores that persist
+    * chunk metadata as one field. Missing columns are skipped; array
+    * columns (keywords) are comma-joined.
+    */
+  def enrichmentsToMetadata(df: DataFrame,
+      keys: Seq[String] = Seq("summary", "keywords", "classification", "sentiment")): DataFrame = {
+    val present = keys.filter(df.columns.contains)
+    val pairs = present.flatMap { k =>
+      val v =
+        if (df.schema(k).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          array_join(col(k), ",")
+        else col(k).cast("string")
+      Seq(lit(k), v)
+    }
+    if (pairs.isEmpty) df
+    else {
+      val m = map(pairs: _*)
+      if (df.columns.contains("metadata")) df.withColumn("metadata", map_concat(col("metadata"), m))
+      else df.withColumn("metadata", m)
+    }
+  }
+
   /** ImageAlternativeTextEnricher.cs: fills AlternativeText for image
     * elements. Hermetic stand-in: derive alt text from the image
     * markdown's existing alt + a deterministic caption tag. A real

@@ -30,11 +30,57 @@ class ChunkersSpec extends SparkSpecBase {
     assert(out.forall(r => r.getAs[Int]("token_count") == r.getAs[String]("content").split(" ").length))
   }
 
+  test("tokenChunks: carryCols copy page and metadata onto every chunk") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val paged = docs(1L -> text)
+      .withColumn("page_number", lit(4))
+      .withColumn("metadata", map(lit("lang"), lit("en")))
+    val out = Chunkers.tokenChunks(paged, ChunkerOptions(maxTokens = 40, overlap = 10),
+      carryCols = Seq("page_number", "metadata")).collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getAs[Int]("page_number") == 4))
+    assert(out.forall(_.getAs[Map[String, String]]("metadata") == Map("lang" -> "en")))
+  }
+
+  test("pluggable tokenCounter shifts chunk boundaries (reference Tokenizer hook)") {
+    // 40 words with punctuation: whitespace counts 1 token per word;
+    // the BPE-ish counter counts word-run + dot = 2 — the same text
+    // must produce MORE chunks under the subword counter
+    val text = (1 to 40).map(i => s"word$i.").mkString(" ")
+    val ws = Chunkers.headerChunks(spark, docs(1L -> text),
+      ChunkerOptions(maxTokens = 20, overlap = 0)).collect()
+    val bpe = Chunkers.headerChunks(spark, docs(1L -> text),
+      ChunkerOptions(maxTokens = 20, overlap = 0,
+        tokenCounter = ChunkerOptions.RegexBpeCounter)).collect()
+    assert(ChunkerOptions.RegexBpeCounter("word1.") == 2) // "word1" run + "."
+    assert(bpe.length > ws.length)
+    // token_count is reported in the configured counter's units
+    assert(bpe.forall(_.token_count <= 20))
+  }
+
   test("tokenChunks: short doc yields one chunk; empty doc none") {
     val out = Chunkers.tokenChunks(docs(1L -> "a b c", 2L -> "  "),
       ChunkerOptions(maxTokens = 40, overlap = 10)).collect()
     assert(out.length == 1)
     assert(out.head.getAs[String]("content") == "a b c")
+  }
+
+  test("elementChunks: chunks inherit page_number and metadata per page run") {
+    import graft.model.DocElement
+    val elems = Seq(
+      DocElement(1L, 0, "paragraph", 0, "page one text", "page one text",
+        Some(1), Map("src" -> "a.pdf")),
+      DocElement(1L, 1, "paragraph", 0, "still page one", "still page one",
+        Some(1), Map("src" -> "a.pdf")),
+      DocElement(1L, 0, "paragraph", 0, "page two text", "page two text",
+        Some(2), Map("src" -> "a.pdf"))
+    ).toDS()
+    val out = Chunkers.elementChunks(spark, elems, ChunkerOptions(maxTokens = 50, overlap = 0))
+      .collect().sortBy(_.chunk_id)
+    assert(out.length == 2) // one chunk per page run
+    assert(out(0).page_number.contains(1) && out(0).content.contains("still page one"))
+    assert(out(1).page_number.contains(2))
+    assert(out.forall(_.metadata == Map("src" -> "a.pdf")))
   }
 
   // ----------------------------------------------------------- elements

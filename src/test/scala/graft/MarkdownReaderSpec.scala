@@ -8,7 +8,29 @@ import org.scalatest.funsuite.AnyFunSuite
   * headers with levels, paragraphs, fenced code, pipe tables (cell
   * text), images (alt text), quotes, lists, thematic breaks skipped.
   */
-class MarkdownReaderSpec extends AnyFunSuite {
+class MarkdownReaderSpec extends SparkSpecBase {
+
+  test("elements: pageCol and metaCols propagate onto every parsed element") {
+    import spark.implicits._
+    // paged input: one row per page, like the reference's paged readers
+    // (DocumentIntelligenceReader sets PageNumber per page section)
+    val paged = Seq(
+      (1L, 1, "a.pdf", "# Title\n\nFirst page text."),
+      (1L, 2, "a.pdf", "Second page text.")
+    ).toDF("doc_id", "page", "source", "text")
+    val out = MarkdownElementReader.elements(spark, paged,
+      pageCol = Some("page"), metaCols = Seq("source")).collect()
+    assert(out.length == 3)
+    assert(out.filter(_.page_number.contains(1)).map(_.kind).sorted.toSeq ==
+      Seq("header", "paragraph"))
+    assert(out.filter(_.page_number.contains(2)).map(_.text).toSeq ==
+      Seq("Second page text."))
+    assert(out.forall(_.metadata == Map("source" -> "a.pdf")))
+    // plain markdown: no page, empty metadata
+    val plain = MarkdownElementReader.elements(spark,
+      Seq((2L, "hello")).toDF("doc_id", "text")).collect()
+    assert(plain.forall(e => e.page_number.isEmpty && e.metadata.isEmpty))
+  }
 
   test("headers and paragraphs in document order") {
     val md = "# Title\n\nHello world.\n\n## Sub *section*\n\nMore text\nsame paragraph."

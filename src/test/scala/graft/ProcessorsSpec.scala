@@ -81,6 +81,16 @@ class ProcessorsSpec extends SparkSpecBase {
     assert(got == ((4, 2)))
   }
 
+  test("enrichmentsToMetadata folds enricher columns into the metadata map") {
+    val enriched = Processors.withSentiment(
+      Processors.withKeywords(docs(1L -> "fast spark data"),
+        vocabulary = Seq("spark", "data"), textCol = "content"),
+      textCol = "content")
+    val got = Processors.enrichmentsToMetadata(enriched)
+      .select("metadata").as[Map[String, String]].head()
+    assert(got == Map("keywords" -> "data,spark", "sentiment" -> "Positive"))
+  }
+
   test("qualityScore components") {
     val goodText = (1 to 30).map(_ => "the words and more of it").mkString(" ")
     val got = Seq((1L, goodText), (2L, "!!! ??? ***"), (3L, "")).toDF("doc_id", "text")
