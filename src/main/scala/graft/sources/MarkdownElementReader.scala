@@ -11,9 +11,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * graft parses inside a typed flatMap: one document row in, N element
   * rows out — a narrow transform with no shuffle, so parsing 100 TB of
   * markdown is a map-only stage bounded by scan IO. A hand-rolled
-  * line-based block parser replaces Markdig (headers, fenced code,
-  * pipe tables, block quotes, lists, images, thematic breaks,
-  * paragraphs — the block types MarkdownReader.cs:128-146 maps).
+  * line-based block parser replaces Markdig (ATX + setext headers,
+  * fenced code, pipe tables, block quotes and lists flattened to their
+  * child elements, images, footers after thematic breaks, paragraphs —
+  * the block types MarkdownReader.cs:128-146 maps, seen through the
+  * EnumerateContent flattening every consumer uses).
   */
 object MarkdownElementReader {
 
@@ -21,6 +23,7 @@ object MarkdownElementReader {
   // its regex on EVERY line of EVERY document — at 100 TB that is the
   // parse loop's entire budget.
   private val AtxHeader = java.util.regex.Pattern.compile("^#{1,6}\\s.*")
+  private val SetextUnderline = java.util.regex.Pattern.compile("^(=+|-+)$")
   private val ThematicBreak = java.util.regex.Pattern.compile("^(-{3,}|\\*{3,}|_{3,})$")
   private val TableSeparator = java.util.regex.Pattern.compile("^\\|?[\\s:|-]+\\|?$")
   private val StandaloneImage = java.util.regex.Pattern.compile("^!\\[[^\\]]*\\]\\([^)]*\\)$")
@@ -32,16 +35,38 @@ object MarkdownElementReader {
   private def matches(p: java.util.regex.Pattern, s: String): Boolean =
     p.matcher(s).matches()
 
-  /** Parse one markdown body into ordered (kind, level, markdown, text). */
+  /** Parse one markdown body into ordered (kind, level, markdown, text).
+    *
+    * Container blocks mirror the reference's Section flattening: the
+    * reference wraps lists and quotes in IngestionDocumentSection
+    * (MarkdownReader.cs MapListBlock:179, MapQuoteBlock:206) but
+    * EnumerateContent (IngestionDocument.cs:42-67) yields only the
+    * section CHILDREN — so graft emits one element per list item and
+    * recurses into quote bodies, which is the stream every reference
+    * chunker/processor actually sees. Setext headers (===/--- under a
+    * paragraph) parse as headers like Markdig's HeadingBlock, and a
+    * paragraph right after a thematic break is a `footer`
+    * (MarkdownReader.cs:152-155 previousWasBreak). Raw HTML blocks
+    * become paragraphs (the reference throws NotSupportedException on
+    * HtmlBlock — one bad document must not kill a 100 TB job).
+    */
   def parseBlocks(md: String): Seq[(String, Int, String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String, String)]
     val lines = md.split("\n", -1)
     var i = 0
     val para = new StringBuilder
+    // MarkdownReader.cs:104-107: a thematic break marks the NEXT
+    // paragraph as a footer; emitting any element clears the flag
+    var afterBreak = false
+
+    def emit(kind: String, level: Int, mdBlock: String, text: String): Unit = {
+      out += ((kind, level, mdBlock, text))
+      afterBreak = false
+    }
 
     def flushPara(): Unit = {
       val p = para.toString.trim
-      if (p.nonEmpty) out += (("paragraph", 0, p, stripInline(p)))
+      if (p.nonEmpty) emit(if (afterBreak) "footer" else "paragraph", 0, p, stripInline(p))
       para.clear()
     }
 
@@ -61,14 +86,23 @@ object MarkdownElementReader {
         }
         val mdBlock = buf.toString
         val body = mdBlock.split("\n").drop(1).dropRight(if (closed) 1 else 0).mkString("\n")
-        out += (("code", 0, mdBlock, body))
+        emit("code", 0, mdBlock, body)
       } else if (matches(AtxHeader, t)) { // ATX header
         flushPara()
         val level = t.takeWhile(_ == '#').length
-        out += (("header", level, t, stripInline(t.dropWhile(_ == '#').trim)))
+        emit("header", level, t, stripInline(t.dropWhile(_ == '#').trim))
+        i += 1
+      } else if (para.nonEmpty && matches(SetextUnderline, t)) {
+        // setext header: the pending paragraph IS the heading content
+        // (Markdig HeadingBlock; = → level 1, - → level 2). Checked
+        // before ThematicBreak so "---" under text is a heading, not a
+        // break.
+        val p = para.toString.trim
+        para.clear()
+        emit("header", if (t.charAt(0) == '=') 1 else 2, p + "\n" + t, stripInline(p))
         i += 1
       } else if (matches(ThematicBreak, t)) { // thematic break: skipped
-        flushPara(); i += 1 // (MarkdownReader.cs:104-109 skips breaks too)
+        flushPara(); afterBreak = true; i += 1 // (MarkdownReader.cs:104-109)
       } else if (t.startsWith("|") && i + 1 < lines.length &&
                  matches(TableSeparator, lines(i + 1).trim) &&
                  lines(i + 1).contains("-")) { // pipe table
@@ -84,33 +118,46 @@ object MarkdownElementReader {
           .map(_._1)
           .flatMap(_.split("\\|").map(_.trim).filter(_.nonEmpty))
           .mkString(" ")
-        out += (("table", 0, mdBlock, stripInline(cellText)))
+        emit("table", 0, mdBlock, stripInline(cellText))
       } else if (matches(StandaloneImage, t)) { // standalone image
         flushPara()
         val alt = t.substring(2, t.indexOf(']'))
-        out += (("image", 0, t, alt))
+        emit("image", 0, t, alt)
         i += 1
-      } else if (t.startsWith(">")) { // block quote
+      } else if (t.startsWith(">")) { // block quote: recurse, emit children
         flushPara()
         val buf = scala.collection.mutable.ArrayBuffer.empty[String]
         while (i < lines.length && lines(i).trim.startsWith(">")) {
-          buf += lines(i); i += 1
+          buf += lines(i).trim.stripPrefix(">").stripPrefix(" "); i += 1
         }
-        val mdBlock = buf.mkString("\n")
-        out += (("quote", 0, mdBlock, stripInline(buf.map(_.trim.stripPrefix(">").trim).mkString(" "))))
-      } else if (matches(ListItem, t)) { // list block
+        // Section flattening: children parsed with full block rules
+        // (headers, nested quotes, lists inside quotes all work)
+        for ((kind, level, mdBlock, text) <- parseBlocks(buf.mkString("\n")))
+          emit(kind, level, mdBlock, text)
+      } else if (matches(ListItem, t)) { // list: one element per item
         flushPara()
         // an ordered marker ends an unordered list and vice versa (CommonMark)
         val ordered = matches(OrderedItem, t)
         val marker = if (ordered) OrderedItem else UnorderedItem
-        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        val items = scala.collection.mutable.ArrayBuffer.empty[StringBuilder]
         while (i < lines.length && (matches(marker, lines(i).trim) ||
-               (lines(i).startsWith("  ") && lines(i).trim.nonEmpty))) {
-          buf += lines(i); i += 1
+               (lines(i).startsWith("  ") && lines(i).trim.nonEmpty && items.nonEmpty))) {
+          val lt = lines(i).trim
+          if (matches(marker, lt))
+            items += new StringBuilder(ListMarkerPrefix.matcher(lt).replaceFirst(""))
+          else { // continuation (incl. nested sub-items, kept as item text)
+            items.last.append(' ').append(ListMarkerPrefix.matcher(lt).replaceFirst(""))
+          }
+          i += 1
         }
-        val mdBlock = buf.mkString("\n")
-        out += (("list", 0, mdBlock,
-          stripInline(buf.map(l => ListMarkerPrefix.matcher(l.trim).replaceFirst("")).mkString(" "))))
+        // MapListBlock:179 wraps items in a Section; enumeration yields
+        // the item leaves — an image item stays an image element
+        for (item <- items) {
+          val s = item.toString.trim
+          if (matches(StandaloneImage, s))
+            emit("image", 0, s, s.substring(2, s.indexOf(']')))
+          else emit("paragraph", 0, s, stripInline(s))
+        }
       } else {
         if (para.nonEmpty) para.append(' ')
         para.append(t)

@@ -57,19 +57,55 @@ class MarkdownReaderSpec extends SparkSpecBase {
     assert(blocks.head._4 == "a b 1 2 3 4")
   }
 
-  test("image yields alt text; thematic break skipped") {
+  test("image yields alt text; paragraph after thematic break is a footer") {
+    // MarkdownReader.cs:152-155: previousWasBreak → ParagraphBlock
+    // maps to IngestionDocumentFooter
     val md = "![the alt](http://x/y.png)\n\n---\n\ntext"
     val blocks = MarkdownElementReader.parseBlocks(md)
-    assert(blocks.map(_._1) == Seq("image", "paragraph"))
+    assert(blocks.map(_._1) == Seq("image", "footer"))
     assert(blocks.head._4 == "the alt")
+    // the footer flag clears after one element: a later paragraph is normal
+    val more = MarkdownElementReader.parseBlocks("---\n\nfooter line\n\nnormal para")
+    assert(more.map(_._1) == Seq("footer", "paragraph"))
   }
 
-  test("quote and list text extraction") {
+  test("quotes and lists flatten to their child elements (Section semantics)") {
+    // the reference wraps these in Sections but EnumerateContent yields
+    // only children (IngestionDocument.cs:42-67) — one element per list
+    // item, quote bodies re-parsed
     val md = "> quoted line\n> second\n\n- item one\n- item two\n1. third"
     val blocks = MarkdownElementReader.parseBlocks(md)
-    assert(blocks.map(_._1) == Seq("quote", "list", "list"))
+    assert(blocks.map(_._1) == Seq("paragraph", "paragraph", "paragraph", "paragraph"))
     assert(blocks(0)._4 == "quoted line second")
-    assert(blocks(1)._4 == "item one item two")
+    assert(blocks(1)._4 == "item one")
+    assert(blocks(2)._4 == "item two")
+    assert(blocks(3)._4 == "third")
+  }
+
+  test("setext headers parse as headers, not paragraph + break") {
+    val md = "Top Title\n=========\n\nbody text\n\nSecond *Level*\n---\n\nmore"
+    val blocks = MarkdownElementReader.parseBlocks(md)
+    assert(blocks.map(b => (b._1, b._2)) ==
+      Seq(("header", 1), ("paragraph", 0), ("header", 2), ("paragraph", 0)))
+    assert(blocks(0)._4 == "Top Title")
+    assert(blocks(2)._4 == "Second Level") // inline stripped
+    // a bare --- with no pending paragraph is still a thematic break
+    assert(MarkdownElementReader.parseBlocks("---\n\nx").map(_._1) == Seq("footer"))
+  }
+
+  test("quote containing a header and an image keeps child kinds") {
+    val md = "> # Quoted Header\n> ![pic](u.png)\n> plain"
+    val blocks = MarkdownElementReader.parseBlocks(md)
+    assert(blocks.map(_._1) == Seq("header", "image", "paragraph"))
+    assert(blocks(0)._2 == 1 && blocks(0)._4 == "Quoted Header")
+    assert(blocks(1)._4 == "pic")
+  }
+
+  test("image list items stay image elements") {
+    val md = "- ![a1](u1.png)\n- text item"
+    val blocks = MarkdownElementReader.parseBlocks(md)
+    assert(blocks.map(_._1) == Seq("image", "paragraph"))
+    assert(blocks(0)._4 == "a1")
   }
 
   test("inline markdown stripping") {
