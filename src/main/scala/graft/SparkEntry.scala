@@ -705,11 +705,8 @@ object SparkEntry {
       val chunks = Chunkers.tokenChunks(tbl(s, dir, "documents"),
         ChunkerOptions(maxTokens = 64, overlap = 16))
         .withColumn("context", lit(""))
-      VSW.toVectorRecords(chunks, dim = 16)
-        .withColumn("cos",
-          VectorFunctions.cosine(col("embedding"), lit(queryVec(16))))
-        .orderBy(col("cos").desc, col("key"))
-        .limit(10)
+      Similarity.semanticSearch(VSW.toVectorRecords(chunks, dim = 16),
+          queryVec(16), k = 10)
         .select(col("key"), round(col("cos"), 6).as("cos"))
     }),
 

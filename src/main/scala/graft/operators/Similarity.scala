@@ -88,6 +88,27 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
   }
 
+  /** SemanticSearch.cs:13-27: top-k vector records for one query
+    * vector, optionally restricted to a single document
+    * (`documentIdFilter`, the reference's
+    * `record => record.DocumentId == documentIdFilter`). The filter is
+    * a plain predicate applied BEFORE scoring, so Catalyst pushes it
+    * into the record scan — a one-document search over a 100 TB store
+    * reads only that document's row groups (VectorStoreWriter clusters
+    * files by documentid for exactly this prune).
+    */
+  def semanticSearch(records: DataFrame, query: Array[Float], k: Int = 10,
+                     documentIdFilter: Option[String] = None): DataFrame = {
+    val base = documentIdFilter match {
+      case Some(id) if id.nonEmpty => records.where(col("documentid") === id)
+      case _                       => records
+    }
+    base
+      .withColumn("cos", VectorFunctions.cosine(col("embedding"), lit(query)))
+      .orderBy(col("cos").desc, col("key"))
+      .limit(k)
+  }
+
   /** All-pairs high-cosine detection — alias of the dedup primitive
     * (bucket-prefiltered, never all-pairs).
     */

@@ -98,6 +98,24 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(!got.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("semanticSearch: documentIdFilter restricts to one document") {
+    val records = Seq(
+      ("1:0", Array(1.0f, 0.0f, 0.0f, 0.0f), "d1"),
+      ("1:1", Array(0.9f, 0.1f, 0.0f, 0.0f), "d1"),
+      ("2:0", Array(1.0f, 0.0f, 0.0f, 0.0f), "d2")
+    ).toDF("key", "embedding", "documentid")
+    val q = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val all = Similarity.semanticSearch(records, q, k = 2)
+      .select("key").as[String].collect().toSeq
+    assert(all == Seq("1:0", "2:0")) // cos tie → key order
+    val only2 = Similarity.semanticSearch(records, q, k = 2, documentIdFilter = Some("d2"))
+      .select("key").as[String].collect().toSeq
+    assert(only2 == Seq("2:0"))
+    // empty filter = no filter (SemanticSearch.cs: Length > 0 guard)
+    assert(Similarity.semanticSearch(records, q, k = 2, documentIdFilter = Some(""))
+      .count() == 2)
+  }
+
   test("knnBruteForce: exact ranking by cosine") {
     val got = Similarity.knnBruteForce(vecs, Array(1.0f, 0.0f, 0.0f, 0.0f), k = 3)
       .select("vec_id").as[Long].collect().toSeq
