@@ -58,6 +58,42 @@ class ChunkersSpec extends SparkSpecBase {
     assert(bpe.forall(_.token_count <= 20))
   }
 
+  test("tokenChunks: exact overlap windows (reference OverlapTokenChunkerTests)") {
+    // OverlapTokenChunkerTests.TokenChunking_WithOverlap: size 4,
+    // overlap 1 over 9 words → the reference's exact three windows
+    val out = Chunkers.tokenChunks(docs(1L -> "The quick brown fox jumps over the lazy dog"),
+      ChunkerOptions(maxTokens = 4, overlap = 1)).orderBy("chunk_id")
+      .select("content").as[String].collect().toSeq
+    assert(out == Seq("The quick brown fox", "fox jumps over the", "the lazy dog"))
+  }
+
+  test("tokenChunks: no-overlap chunks reconstruct the document (reference NoOverlapTokenChunkerTests)") {
+    val text = Seq.fill(600)("word").mkString(" ")
+    val out = Chunkers.tokenChunks(docs(1L -> text), ChunkerOptions(maxTokens = 512, overlap = 0))
+      .orderBy("chunk_id").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Int]("token_count") <= 512))
+    assert(out.map(_.getAs[String]("content")).mkString(" ") == text)
+  }
+
+  test("headerChunks: long paragraph under a 3-header stack splits at the reference boundary") {
+    // HeaderChunkerTests.CanSplitLongerParagraphsOnNewLine: budget 30
+    // splits the long paragraph after "...new line." and pulls the
+    // following paragraph into the second chunk, context on both
+    val md = "# Header A\n## Header B\n### Header C\n\n" +
+      "This is a very long text. It's expressed with plenty of tokens. And it contains a new line.\n" +
+      "With some text after the new line.\n\nAnd following paragraph."
+    val out = Chunkers.headerChunks(spark, docs(1L -> md),
+      ChunkerOptions(maxTokens = 30, overlap = 0)).collect().sortBy(_.chunk_id)
+    assert(out.length == 2)
+    assert(out.forall(_.context == "# Header A ## Header B ### Header C"))
+    assert(out(0).content.contains("contains a new line.") &&
+      !out(0).content.contains("With some text"))
+    assert(out(1).content.contains("With some text after the new line.") &&
+      out(1).content.contains("And following paragraph."))
+    assert(out.forall(_.token_count <= 30))
+  }
+
   test("tokenChunks: short doc yields one chunk; empty doc none") {
     val out = Chunkers.tokenChunks(docs(1L -> "a b c", 2L -> "  "),
       ChunkerOptions(maxTokens = 40, overlap = 10)).collect()

@@ -96,6 +96,31 @@ class PipelineSpec extends SparkSpecBase {
     assert(contents("2") == "doc two") // survived the shared-bucket rewrite
   }
 
+  test("incremental write: a mid-write failure leaves the store intact (crash safety)") {
+    // the reference deletes stale keys only AFTER inserting new chunks
+    // (VectorStoreWriter.cs:70-80) to avoid a delete-then-fail window;
+    // graft's copy-on-write union must be at least as safe: a batch
+    // that fails during evaluation (poison row) must not clobber any
+    // bucket, because dynamic partition overwrite only swaps files at
+    // job commit and survivors are localCheckpointed before the write
+    val dir = Files.createTempDirectory("graft-vsw-crash").toString
+    def recs(rows: (Long, Int, String, String)*) =
+      VectorStoreWriter.toVectorRecords(
+        rows.toSeq.toDF("doc_id", "chunk_id", "content", "context"), 16)
+    VectorStoreWriter.write(recs((1L, 0, "doc one v1", ""), (2L, 0, "doc two", "")),
+      dir, numBuckets = 1)
+    val poison = recs((1L, 0, "doc one v2", ""))
+      .withColumn("content",
+        when(col("key") === "1:0", raise_error(lit("simulated mid-write crash")))
+          .otherwise(col("content")))
+    intercept[Exception] {
+      VectorStoreWriter.write(poison, dir, numBuckets = 1)
+    }
+    val contents = spark.read.parquet(dir)
+      .select("documentid", "content").as[(String, String)].collect().toMap
+    assert(contents == Map("1" -> "doc one v1", "2" -> "doc two"))
+  }
+
   test("pipeline run carries enricher metadata into the store") {
     val dir = Files.createTempDirectory("graft-e2e-meta").toString
     IngestionPipeline.canonical.run(spark, docs, dir, dim = 16)
