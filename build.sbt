@@ -31,4 +31,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // buffers fill the old gen and GC-thrash every query that followed
   // (round-1 judge measured q01 at 235 s @8g vs 2.5 s @24g).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -11,18 +11,23 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // ingestion rows can be fat (whole documents): keep scan splits
-      // at the default 128m but cap broadcasts at a safe 64m
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      .config("spark.ui.enabled", "false")
+              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession.Builder = {
+    // defaults, not mandates: a -Dspark.* system property (e.g. via
+    // SPARK_GRAFT_JAVA_OPTS) wins over every default below, so perf
+    // experiments don't need a code change
+    def cfg(b: SparkSession.Builder, k: String, v: String) =
+      b.config(k, sys.props.getOrElse(k, v))
+    var b = SparkSession.builder().master(master)
+    b = cfg(b, "spark.sql.shuffle.partitions", shufflePartitions.toString)
+    b = cfg(b, "spark.sql.session.timeZone", "UTC")
+    b = cfg(b, "spark.sql.adaptive.enabled", "true")
+    b = cfg(b, "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    b = cfg(b, "spark.sql.adaptive.skewJoin.enabled", "true")
+    // ingestion rows can be fat (whole documents): keep scan splits
+    // at the default 128m but cap broadcasts at a safe 64m
+    b = cfg(b, "spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    cfg(b, "spark.ui.enabled", "false")
+  }
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()
