@@ -75,6 +75,31 @@ object SparkEntry {
   private def sqlToks(textExpr: String): String =
     s"list_filter(regexp_split_to_array($textExpr, '\\s+'), x -> length(x) > 0)"
 
+  /** Shared ngram near-dup pair CTE chain (ends in `dup_pairs`):
+    * shingle hashes (3-gram, portable hash), distinct per doc;
+    * pairwise intersection via self-join, integer jaccard threshold.
+    * Used by d_dedup_ngram and as the edge set of d_dedup_clusters.
+    */
+  private lazy val ngramPairsCte: String =
+    s"""corpus AS ($corpusWithDupsSql),
+       |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [${sqlHash("array_to_string(t, ' ')")}]
+       |    ELSE list_transform(range(0, len(t) - 2),
+       |         i -> ${sqlHash("array_to_string(t[i+1:i+3], ' ')")}) END) AS hashes
+       |  FROM toks),
+       |ex AS (SELECT doc_id, len(hashes) AS n_sh, unnest(hashes) AS shingle FROM sh),
+       |capped AS (
+       |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM ex)
+       |  WHERE df <= 1000),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb, count(*) AS inter
+       |  FROM capped x JOIN capped y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |dup_pairs AS (
+       |  SELECT a, b, inter, na, nb FROM pairs
+       |  WHERE inter * 10000 >= 8000 * (na + nb - inter))""".stripMargin
+
   /** DuckDB twin of native.hyperplaneBucket(vec, nPlanes) on a 64-dim
     * embedding column: the ±1 plane weights are deterministic constants
     * (same integer mix as the kernel), inlined so the SQL fold adds the
@@ -663,6 +688,27 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    "d_dedup_clusters" -> ((s, dir) => {
+      // pairs → transitive dedup clusters: a~b and b~c must land in
+      // ONE cluster even when (a,c) was never emitted as a pair
+      val pairs = Dedup.ngramJaccardPairs(
+        corpusWithDups(tbl(s, dir, "documents")), n = 3, threshold = 0.8)
+      Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+    }),
+
+    "d_split_hash" -> ((s, dir) => {
+      // deterministic train/val/test split (80/10/10) by portable
+      // content-id hash — reproducible across runs and cluster sizes,
+      // no RNG; the standard leakage-safe split for training corpora
+      tbl(s, dir, "documents")
+        .withColumn("h",
+          pmod(graft.functions.TextFunctions.portableHash(col("doc_id").cast("string")), lit(100)))
+        .select(col("doc_id"),
+          when(col("h") < 80, "train").when(col("h") < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(corpusWithDups(tbl(s, dir, "documents")), maxHamming = 3)
         .orderBy(col("a"), col("b"))
@@ -1160,28 +1206,32 @@ object SparkEntry {
          |WHERE doc_id IN (SELECT min(doc_id) FROM corpus GROUP BY text)
          |ORDER BY doc_id""".stripMargin,
 
-    "d_dedup_ngram" -> {
-      // shingle hashes (3-gram, portable hash), distinct per doc;
-      // pairwise intersection via self-join, integer jaccard threshold
-      s"""WITH corpus AS ($corpusWithDupsSql),
-         |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
-         |sh AS (
-         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [${sqlHash("array_to_string(t, ' ')")}]
-         |    ELSE list_transform(range(0, len(t) - 2),
-         |         i -> ${sqlHash("array_to_string(t[i+1:i+3], ' ')")}) END) AS hashes
-         |  FROM toks),
-         |ex AS (SELECT doc_id, len(hashes) AS n_sh, unnest(hashes) AS shingle FROM sh),
-         |capped AS (
-         |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM ex)
-         |  WHERE df <= 1000),
-         |pairs AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb, count(*) AS inter
-         |  FROM capped x JOIN capped y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2, 3, 4)
-         |SELECT a, b, inter, na, nb FROM pairs
-         |WHERE inter * 10000 >= 8000 * (na + nb - inter)
-         |ORDER BY a, b""".stripMargin
-    },
+    "d_dedup_ngram" ->
+      s"""WITH $ngramPairsCte
+         |SELECT a, b, inter, na, nb FROM dup_pairs
+         |ORDER BY a, b""".stripMargin,
+
+    "d_split_hash" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN ${sqlHash("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |       WHEN ${sqlHash("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d_dedup_clusters" ->
+      // transitive closure of the undirected near-dup pair graph via a
+      // recursive CTE; cluster = min reachable id (incl. self)
+      s"""WITH RECURSIVE $ngramPairsCte,
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM dup_pairs
+         |  UNION ALL SELECT b, a FROM dup_pairs),
+         |reach(node, peer) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer)
+         |SELECT node AS doc_id, CAST(least(node, min(peer)) AS BIGINT) AS cluster
+         |FROM reach GROUP BY node
+         |ORDER BY doc_id""".stripMargin,
 
     "d_dedup_minhash" -> {
       val k = 16; val rpb = 4

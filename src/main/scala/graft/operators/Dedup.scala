@@ -188,6 +188,62 @@ object Dedup {
       .dropDuplicates("a", "b")
   }
 
+  /** Connected components over a near-duplicate pair set — the step
+    * that turns pairwise matches into dedup CLUSTERS so a pipeline can
+    * keep one survivor per component (a transitive chain a~b~c must
+    * dedup as ONE group even when (a,c) itself was never emitted).
+    *
+    * Iterative min-label propagation: each node adopts the smallest
+    * label among itself and its neighbors until fixpoint. Near-dup
+    * components are copies of one underlying document, so diameters
+    * are tiny and convergence takes a handful of rounds; each round is
+    * one shuffle-join + aggregate over the PAIR set (not the corpus),
+    * and `localCheckpoint` truncates lineage so round N never replays
+    * rounds 1..N-1. For adversarial long-chain graphs swap the round
+    * body for the large-star/small-star steps (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — same loop
+    * skeleton, O(log n) rounds.
+    *
+    * Input: (a, b) pairs. Output: (doc_id, cluster), cluster = the
+    * component's minimum doc id (deterministic canonical member).
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+      .union(pairs.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbr = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dlabel")).as("nlabel"))
+      val updated = labels
+        .join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // labels only ever decrease, so "any row changed" ⇔ "some label shrank"
+      changed = updated.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .where(col("label") < col("prev")).count()
+      labels = updated
+      round += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** Keep one survivor (min doc_id) per near-dup cluster: drop every
+    * non-canonical member; unpaired documents pass through untouched.
+    */
+  def dedupByPairs(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .where(col("doc_id") =!= col("cluster")).select(col("doc_id"))
+    documents.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs over a vector table
     * (vec_id, embedding): random-hyperplane LSH buckets (same-bucket
     * candidates only) verified by exact cosine.

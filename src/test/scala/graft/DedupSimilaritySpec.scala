@@ -47,6 +47,21 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(!got.contains((1L, 4L)) && !got.contains((4L, 5L)))
   }
 
+  test("connectedComponents: transitive chains collapse to one cluster") {
+    // chain 1-2, 2-3, 3-4 (diameter 3 → needs multiple rounds) plus a
+    // separate pair 10-11; cluster label = component min
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupByPairs keeps one survivor per cluster, unpaired docs untouched") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val kept = Dedup.dedupByPairs(corpus, pairs).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
     (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
