@@ -31,8 +31,27 @@ object ExternalReader {
       new String(content, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** bytes → one markdown body per PAGE, for services that paginate
+    * (the reference's LlamaParseReader/DocumentIntelligenceReader set
+    * IngestionDocumentElement.PageNumber from the service response).
+    */
+  trait PagedMarkdownConverter extends Serializable {
+    def convertPages(content: Array[Byte], mediaType: String): Seq[String]
+  }
+
+  /** Deterministic paged stand-in: split the UTF-8 body at form-feed
+    * characters (\f, the conventional page break in extracted text).
+    */
+  object FormFeedPagedConverter extends PagedMarkdownConverter {
+    def convertPages(content: Array[Byte], mediaType: String): Seq[String] = {
+      val s = new String(content, java.nio.charset.StandardCharsets.UTF_8)
+      s.split("\f", -1).toSeq
+    }
+  }
+
   final case class RawFile(file_id: Long, content: Array[Byte], media_type: String, source: String)
   final case class ConvertedDoc(doc_id: Long, text: String, source: String, error: String)
+  final case class ConvertedPage(doc_id: Long, page: Int, text: String, source: String, error: String)
 
   /** Convert raw files to documents: (doc_id, text, source, error).
     * Conversion failures land in `error` instead of killing the job —
@@ -52,6 +71,34 @@ object ExternalReader {
             // e.toString, not getMessage: a null message would make the
             // failure row indistinguishable from a success with null text
             catch { case e: Exception => ConvertedDoc(f.file_id, null, f.source, e.toString) }
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Paged conversion: one output row per (document, page), 1-based
+    * page numbers — feed straight into
+    * `MarkdownElementReader.elements(…, pageCol = Some("page"),
+    * metaCols = Seq("source"))` so every element (and, via
+    * `Chunkers.elementChunks`, every chunk) carries page provenance.
+    * Failures yield a single page-0 error row per document.
+    */
+  def readPaged(spark: SparkSession, files: DataFrame,
+                converter: PagedMarkdownConverter = FormFeedPagedConverter,
+                batchSize: Int = 16): DataFrame = {
+    import spark.implicits._
+    files.select(col("file_id"), col("content"), col("media_type"), col("source"))
+      .as[RawFile]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { f =>
+            try converter.convertPages(f.content, f.media_type).zipWithIndex.map {
+              case (page, i) => ConvertedPage(f.file_id, i + 1, page, f.source, null)
+            }
+            catch { case e: Exception =>
+              Seq(ConvertedPage(f.file_id, 0, null, f.source, e.toString))
+            }
           }
         }
       }

@@ -27,4 +27,21 @@ class ExternalReaderSpec extends SparkSpecBase {
     assert(byId(2L).getAs[String]("error") == null)
     assert(byId(2L).getAs[String]("text") == "plain text")
   }
+
+  test("paged conversion: page provenance flows file → pages → elements → chunks") {
+    import graft.operators.{Chunkers, ChunkerOptions}
+    val files = Seq(
+      (1L, "# P1\n\npage one body\fpage two body".getBytes("UTF-8"), "application/pdf", "a.pdf")
+    ).toDF("file_id", "content", "media_type", "source")
+    val pages = ExternalReader.readPaged(spark, files)
+    assert(pages.count() == 2)
+    val elems = MarkdownElementReader.elements(spark, pages,
+      pageCol = Some("page"), metaCols = Seq("source"))
+    val chunks = Chunkers.elementChunks(spark, elems, ChunkerOptions(maxTokens = 50, overlap = 0))
+      .collect().sortBy(_.chunk_id)
+    assert(chunks.length == 2)
+    assert(chunks(0).page_number.contains(1) && chunks(0).content.contains("page one"))
+    assert(chunks(1).page_number.contains(2) && chunks(1).content.contains("page two"))
+    assert(chunks.forall(_.metadata == Map("source" -> "a.pdf")))
+  }
 }
