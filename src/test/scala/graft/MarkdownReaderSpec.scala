@@ -108,6 +108,25 @@ class MarkdownReaderSpec extends SparkSpecBase {
     assert(blocks(0)._4 == "a1")
   }
 
+  test("parseBlocks never throws and is deterministic on arbitrary input (fuzz)") {
+    // at corpus scale every malformed document WILL occur; the parser
+    // must degrade to paragraphs, never crash the task
+    val rnd = new scala.util.Random(42)
+    val fragments = Seq(
+      "# h", "## ", "```", "```scala", "|a|b|", "|-|-|", "> q", ">> d", "- i",
+      "1. n", "===", "---", "***", "![a](u)", "![", "](", "**b", "`c", "", " ",
+      "\t", "plain text here", "| lone pipe", "-", "=", "4.2", "<div>", "</div>"
+    )
+    for (_ <- 1 to 200) {
+      val doc = Seq.fill(rnd.nextInt(30))(fragments(rnd.nextInt(fragments.length)))
+        .mkString("\n")
+      val a = MarkdownElementReader.parseBlocks(doc)
+      val b = MarkdownElementReader.parseBlocks(doc)
+      assert(a == b)
+      assert(a.forall(e => e._3 != null && e._4 != null))
+    }
+  }
+
   test("inline markdown stripping") {
     assert(MarkdownElementReader.stripInline("**bold** and *em* and `code` and [link](u)") ==
       "bold and em and code and link")
