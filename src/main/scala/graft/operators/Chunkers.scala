@@ -127,9 +127,17 @@ object Chunkers {
       else {
         val keep = math.max(1, opts.maxTokens / 2)
         val offs = graft.functions.native.tokenOffsets(context)
-        val cutAt = math.min(keep, offs.length / 2)
-        val cut = context.substring(0, offs(2 * cutAt - 1))
-        (cut, math.min(countTokens(cut), opts.maxTokens - 1))
+        var cut =
+          if (offs.length >= 2)
+            context.substring(0, offs(2 * math.min(keep, offs.length / 2) - 1))
+          else context // no whitespace boundary to cut at
+        // halve by characters until the CONFIGURED counter fits the
+        // budget — a whitespace cut alone can leave an oversized
+        // context under a subword counter, and the reported
+        // token_count must stay honest for any counter
+        while (countTokens(cut) >= opts.maxTokens && cut.length > 1)
+          cut = cut.substring(0, cut.length / 2)
+        (cut, countTokens(cut))
       }
     // floor of 1: maxTokens=1 with any context leaves 0, and a zero
     // budget would blow up the giant-sentence splitter (grouped(0))

@@ -193,16 +193,15 @@ object Dedup {
     * keep one survivor per component (a transitive chain a~b~c must
     * dedup as ONE group even when (a,c) itself was never emitted).
     *
-    * Iterative min-label propagation: each node adopts the smallest
-    * label among itself and its neighbors until fixpoint. Near-dup
-    * components are copies of one underlying document, so diameters
-    * are tiny and convergence takes a handful of rounds; each round is
-    * one shuffle-join + aggregate over the PAIR set (not the corpus),
+    * Iterative min-label propagation WITH pointer jumping: each round
+    * every node adopts the min label among itself and its neighbors,
+    * then additionally its label's own label (path halving) — the same
+    * shortcutting idea as large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"), giving
+    * O(log diameter) rounds even on drift chains. Each round is two
+    * shuffle-joins + an aggregate over the PAIR set (not the corpus),
     * and `localCheckpoint` truncates lineage so round N never replays
-    * rounds 1..N-1. For adversarial long-chain graphs swap the round
-    * body for the large-star/small-star steps (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond") — same loop
-    * skeleton, O(log n) rounds.
+    * rounds 1..N-1 (only the live round's checkpoint is retained).
     *
     * Input: (a, b) pairs. Output: (doc_id, cluster), cluster = the
     * component's minimum doc id (deterministic canonical member).
@@ -221,17 +220,31 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("dlabel")).as("nlabel"))
-      val updated = labels
+      val propagated = labels
         .join(nbr, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jumping (path halving): also adopt our label's OWN
+      // label — every label value is itself a node, so one extra
+      // self-join per round turns O(diameter) convergence into
+      // O(log diameter); a 1000-link drift chain converges in ~10
+      // rounds instead of 1000
+      val updated = propagated.as("x")
+        .join(propagated.select(col("node").as("label"), col("label").as("l2")), Seq("label"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("l2"), col("label"))).as("label"))
         .localCheckpoint(true)
       // labels only ever decrease, so "any row changed" ⇔ "some label shrank"
       changed = updated.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
         .where(col("label") < col("prev")).count()
+      labels.unpersist() // bound retained checkpoints to the live round
       labels = updated
       round += 1
     }
+    edges.unpersist()
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: not converged after $maxRounds rounds " +
+          "(pathological component diameter); clusters may be split — raise maxRounds")
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
 

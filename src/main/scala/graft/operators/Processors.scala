@@ -134,7 +134,14 @@ object Processors {
     if (pairs.isEmpty) df
     else {
       val m = map(pairs: _*)
-      if (df.columns.contains("metadata")) df.withColumn("metadata", map_concat(col("metadata"), m))
+      if (df.columns.contains("metadata"))
+        // last-wins overwrite like the reference's
+        // chunk.Metadata[key] = value: drop colliding keys from the
+        // existing map first — bare map_concat THROWS on duplicate
+        // keys under the default spark.sql.mapKeyDedupPolicy
+        df.withColumn("metadata", map_concat(
+          map_filter(coalesce(col("metadata"), map()),
+            (k, _) => !k.isInCollection(present)), m))
       else df.withColumn("metadata", m)
     }
   }

@@ -135,10 +135,19 @@ object Similarity {
              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val nRows = corpus.agg(count(lit(1))).head().getLong(0)
     val step = math.max(1L, nRows / nLists)
-    val centroids = corpus
+    val sampled = corpus
       .where(pmod(col("vec_id"), lit(step)) === 0)
       .orderBy(col("vec_id")).limit(nLists)
       .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
+    // structured id domains (all-odd, strided, fixed low bits) can
+    // defeat the modulo sample entirely; fall back to the first nLists
+    // ids — still a TakeOrderedAndProject, never a full sort — rather
+    // than silently searching zero lists
+    val centroids =
+      if (sampled.isEmpty)
+        corpus.orderBy(col("vec_id")).limit(nLists)
+          .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
+      else sampled
 
     def assign(df: DataFrame, idName: String, embName: String, probes: Int): DataFrame = {
       val scored = df

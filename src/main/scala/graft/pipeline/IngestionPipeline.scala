@@ -58,10 +58,17 @@ final case class IngestionPipeline(
 
 object IngestionPipeline {
   /** Chunk-contract columns; anything else on a chunk DataFrame is
-    * enricher metadata destined for the vector record.
+    * enricher metadata destined for the vector record. page_number and
+    * metadata are part of the contract (provenance, not enrichment) —
+    * without them here every pipeline write would auto-append them as
+    * record columns and an incremental re-ingest into a store written
+    * before they existed would fail the survivors' column re-select.
+    * Callers that WANT provenance persisted pass them via
+    * `toVectorRecords(…, metadataCols = …)` explicitly.
     */
   val ChunkColumns: Set[String] =
-    Set("doc_id", "chunk_id", "content", "context", "token_count")
+    Set("doc_id", "chunk_id", "content", "context", "token_count",
+      "page_number", "metadata")
 
   def metadataColumns(chunks: DataFrame): Seq[String] =
     chunks.columns.toSeq.filterNot(ChunkColumns.contains)

@@ -50,7 +50,15 @@ object MarkdownElementReader {
     * become paragraphs (the reference throws NotSupportedException on
     * HtmlBlock — one bad document must not kill a 100 TB job).
     */
-  def parseBlocks(md: String): Seq[(String, Int, String, String)] = {
+  def parseBlocks(md: String): Seq[(String, Int, String, String)] =
+    parseBlocks(md, depth = 0)
+
+  // one recursion level per quote nesting level, bounded: a scraped
+  // line of 10k '>' chars must not StackOverflowError the task (Error,
+  // not Exception — it would kill the job, not the row)
+  private val MaxQuoteDepth = 16
+
+  private def parseBlocks(md: String, depth: Int): Seq[(String, Int, String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String, String)]
     val lines = md.split("\n", -1)
     var i = 0
@@ -128,11 +136,17 @@ object MarkdownElementReader {
         flushPara()
         val buf = scala.collection.mutable.ArrayBuffer.empty[String]
         while (i < lines.length && lines(i).trim.startsWith(">")) {
-          buf += lines(i).trim.stripPrefix(">").stripPrefix(" "); i += 1
+          // past the depth cap, strip ALL remaining quote markers so the
+          // body degrades to a flat paragraph instead of recursing again
+          val stripped = lines(i).trim.stripPrefix(">").stripPrefix(" ")
+          buf += (if (depth + 1 >= MaxQuoteDepth)
+                    stripped.dropWhile(c => c == '>' || c == ' ')
+                  else stripped)
+          i += 1
         }
         // Section flattening: children parsed with full block rules
         // (headers, nested quotes, lists inside quotes all work)
-        for ((kind, level, mdBlock, text) <- parseBlocks(buf.mkString("\n")))
+        for ((kind, level, mdBlock, text) <- parseBlocks(buf.mkString("\n"), depth + 1))
           emit(kind, level, mdBlock, text)
       } else if (matches(ListItem, t)) { // list: one element per item
         flushPara()

@@ -101,6 +101,20 @@ class ChunkersSpec extends SparkSpecBase {
     assert(out.head.getAs[String]("content") == "a b c")
   }
 
+  test("oversized context under a subword counter truncates honestly, no crash") {
+    // one giant whitespace-token context ("a.b.c...." — zero spaces):
+    // the whitespace cut can't shrink it, so the char-halving fallback
+    // must (a) not throw on the empty-offsets path and (b) keep the
+    // reported token_count within budget under the CONFIGURED counter
+    val ctx = (1 to 50).map(i => s"w$i").mkString(".")
+    val out = Chunkers.packElements(1L, ctx, Seq(("paragraph", "body text")),
+      ChunkerOptions(maxTokens = 10, overlap = 0,
+        tokenCounter = ChunkerOptions.RegexBpeCounter), startId = 0)
+    assert(out.nonEmpty)
+    assert(out.forall(c => ChunkerOptions.RegexBpeCounter(c.context) < 10))
+    assert(out.forall(_.token_count <= 10))
+  }
+
   test("elementChunks: chunks inherit page_number and metadata per page run") {
     import graft.model.DocElement
     val elems = Seq(

@@ -56,6 +56,21 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: long drift chain converges via pointer jumping") {
+    // 40-link chain needs ~39 plain min-label rounds; path halving must
+    // converge it well inside the default maxRounds=25
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(got.length == 40 && got.forall(_._2 == 1L))
+  }
+
+  test("knnIvf: non-dense id domain (all odd) still searches, never zero centroids") {
+    val odd = (0 until 40).map(i => (2L * i + 1, Array.tabulate(4)(j => if (j == i % 4) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnIvf(odd, odd.where(col("vec_id") === 1), k = 3, nLists = 4, nProbe = 4)
+    assert(got.count() > 0)
+  }
+
   test("dedupByPairs keeps one survivor per cluster, unpaired docs untouched") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     val kept = Dedup.dedupByPairs(corpus, pairs).select("doc_id").as[Long].collect().sorted

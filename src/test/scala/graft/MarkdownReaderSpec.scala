@@ -127,6 +127,15 @@ class MarkdownReaderSpec extends SparkSpecBase {
     }
   }
 
+  test("pathologically deep quote nesting degrades flat instead of overflowing the stack") {
+    val deep = (">" * 10000) + " abyss"
+    val blocks = MarkdownElementReader.parseBlocks(deep) // must not StackOverflowError
+    assert(blocks.nonEmpty && blocks.exists(_._4.contains("abyss")))
+    // a realistic nested quote still recurses normally
+    val ok = MarkdownElementReader.parseBlocks("> > > deep but fine")
+    assert(ok.map(_._1) == Seq("paragraph") && ok.head._4 == "deep but fine")
+  }
+
   test("inline markdown stripping") {
     assert(MarkdownElementReader.stripInline("**bold** and *em* and `code` and [link](u)") ==
       "bold and em and code and link")

@@ -91,6 +91,16 @@ class ProcessorsSpec extends SparkSpecBase {
     assert(got == Map("keywords" -> "data,spark", "sentiment" -> "Positive"))
   }
 
+  test("enrichmentsToMetadata overwrites colliding keys (reference Metadata[key] = value)") {
+    val enriched = Processors.withSentiment(docs(1L -> "fast work"), textCol = "content")
+      .withColumn("metadata", map(lit("sentiment"), lit("stale"), lit("src"), lit("a.pdf")))
+    // bare map_concat would THROW on the duplicate 'sentiment' key;
+    // the merge must be last-wins and keep unrelated keys
+    val got = Processors.enrichmentsToMetadata(enriched, keys = Seq("sentiment"))
+      .select("metadata").as[Map[String, String]].head()
+    assert(got == Map("src" -> "a.pdf", "sentiment" -> "Positive"))
+  }
+
   test("qualityScore components") {
     val goodText = (1 to 30).map(_ => "the words and more of it").mkString(" ")
     val got = Seq((1L, goodText), (2L, "!!! ??? ***"), (3L, "")).toDF("doc_id", "text")
