@@ -203,14 +203,45 @@ object Dedup {
     * and `localCheckpoint` truncates lineage so round N never replays
     * rounds 1..N-1 (only the live round's checkpoint is retained).
     *
+    * Like a broadcast join, the strategy is adaptive: a pair set small
+    * enough for the driver (≤ `localEdgeThreshold`, default 4M pairs ≈
+    * 64 MB) runs a local union-find — identical output, none of the
+    * per-round job overhead; anything larger takes the distributed
+    * loop. The iterative path is the 100 TB path; the local path is
+    * the common case after LSH pre-filtering (pairs ≪ corpus).
+    *
     * Input: (a, b) pairs. Output: (doc_id, cluster), cluster = the
     * component's minimum doc id (deterministic canonical member).
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 25,
+                          localEdgeThreshold: Long = 4L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val edges = pairs
       .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
       .union(pairs.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
       .localCheckpoint(true)
+    val nEdges = edges.count() // materialized above; this is a cached count
+    if (nEdges <= 2 * localEdgeThreshold) { // edges carries both directions
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      for (row <- edges.as[(Long, Long)].collect()) {
+        val (a, b) = row
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root so the representative is the component min
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val rows = parent.keysIterator.map(n => (n, find(n))).toSeq
+      edges.unpersist()
+      return rows.toDF("doc_id", "cluster").repartition(col("cluster"))
+    }
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
     var round = 0

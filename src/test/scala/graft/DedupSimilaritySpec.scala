@@ -58,10 +58,25 @@ class DedupSimilaritySpec extends SparkSpecBase {
 
   test("connectedComponents: long drift chain converges via pointer jumping") {
     // 40-link chain needs ~39 plain min-label rounds; path halving must
-    // converge it well inside the default maxRounds=25
+    // converge it well inside the default maxRounds=25. threshold=0
+    // forces the DISTRIBUTED path (the default would take local
+    // union-find for a graph this small).
     val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    val got = Dedup.connectedComponents(pairs, localEdgeThreshold = 0)
+      .as[(Long, Long)].collect()
     assert(got.length == 40 && got.forall(_._2 == 1L))
+  }
+
+  test("connectedComponents: local union-find path matches the distributed path") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("a", "b")
+    val local = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toSet
+    val dist = Dedup.connectedComponents(pairs, localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(local == dist && local.nonEmpty)
   }
 
   test("knnIvf: non-dense id domain (all odd) still searches, never zero centroids") {
