@@ -45,6 +45,20 @@ class PlanSpec extends SparkSpecBase {
     assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"))
   }
 
+  test("semanticSearch documentIdFilter pushes into the parquet record scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem-push").toString
+    Seq(("1:0", Array(1.0f, 0.0f), "c", "", "d1"), ("2:0", Array(0.0f, 1.0f), "c", "", "d2"))
+      .toDF("key", "embedding", "content", "context", "documentid")
+      .write.mode("overwrite").parquet(dir)
+    val records = spark.read.parquet(dir)
+    val plan = formatted(graft.operators.Similarity.semanticSearch(
+      records, Array(1.0f, 0.0f), k = 5, documentIdFilter = Some("d1")))
+    // one-document search over a 100 TB store must prune at the scan
+    val pushed = plan.linesIterator.find(_.trim.startsWith("PushedFilters:")).getOrElse("")
+    assert(pushed.contains("documentid"), s"filter not pushed:\n$plan")
+  }
+
   test("q05: dimension joins are broadcast, no shuffle of small sides") {
     val plan = executed(SparkEntry.queries("q05_region_revenue")(spark, sf())).toString
     assert(plan.contains("BroadcastHashJoin"))
