@@ -198,6 +198,33 @@ class ChunkersSpec extends SparkSpecBase {
   }
 
   // ------------------------------------------------------------ section
+  test("headerChunks: nested header stack contexts match reference NestedSections") {
+    // SectionChunkerTests.NestedSections, markdown-expressible part:
+    // context is the space-joined header chain; content = context +
+    // newline-joined paragraphs of that (sub)section
+    val md = "# Section title\n\nThis is a paragraph in section 1.\n\nThis is another paragraph in section 1.\n\n" +
+      "## Subsection title\n\nThis is a paragraph in subsection 1.1.\n\nThis is another paragraph in subsection 1.1.\n\n" +
+      "### Subsubsection title\n\nThis is a paragraph in subsubsection 1.1.1.\n\nThis is another paragraph in subsubsection 1.1.1."
+    val out = Chunkers.headerChunks(spark, docs(1L -> md)).collect().sortBy(_.chunk_id)
+    assert(out.length == 3)
+    assert(out(0).context == "# Section title")
+    assert(out(0).content ==
+      "# Section title\nThis is a paragraph in section 1.\nThis is another paragraph in section 1.")
+    assert(out(1).context == "# Section title ## Subsection title")
+    assert(out(2).context == "# Section title ## Subsection title ### Subsubsection title")
+    assert(out(2).content.endsWith("This is another paragraph in subsubsection 1.1.1."))
+  }
+
+  test("sectionChunks: headerless and empty docs match reference One/EmptySection") {
+    // SectionChunkerTests.OneSection: no header → empty context,
+    // paragraphs newline-joined; EmptySection: no chunks at all
+    val out = Chunkers.sectionChunks(spark,
+      docs(1L -> "This is a paragraph.\n\nThis is another paragraph.", 2L -> "")).collect()
+    assert(out.length == 1)
+    assert(out.head.context == "" &&
+      out.head.content == "This is a paragraph.\nThis is another paragraph.")
+  }
+
   test("sectionChunks: h1 delimits sections, header is context") {
     val md = "intro\n\n# S1\n\nbody one\n\n# S2\n\nbody two"
     val out = Chunkers.sectionChunks(spark, docs(1L -> md), ChunkerOptions(maxTokens = 50, overlap = 0))
