@@ -34,6 +34,29 @@ object DocumentSource {
         input_file_name().as("source")
       )
 
+  /** JSONL corpus reader — one JSON object per line, the dominant
+    * interchange format for LLM training corpora. `textField` becomes
+    * the `text` column; every other top-level field rides along as a
+    * column (provenance, labels, scores). `doc_id` comes from
+    * `idField` when the objects carry one, else a 64-bit hash of the
+    * text (stable across re-reads; exact duplicates collide, which the
+    * exact-dedup path treats as the same document anyway). Pass
+    * `schema` at scale — schema inference samples the whole input.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                textField: String = "text",
+                idField: Option[String] = None,
+                schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val reader = spark.read
+    val raw = schema.map(reader.schema).getOrElse(reader).json(path)
+    val withId = idField match {
+      case Some(f) => raw.withColumn("doc_id", col(f).cast("long"))
+      case None    => raw.withColumn("doc_id", xxhash64(col(textField)))
+    }
+    if (textField == "text") withId
+    else withId.withColumn("text", col(textField).cast("string")).drop(textField)
+  }
+
   /** Streaming variant: watch `dir` and emit new files as documents. */
   def streamDir(spark: SparkSession, dir: String, glob: String = "*.md",
                 maxFilesPerTrigger: Int = 32): DataFrame =

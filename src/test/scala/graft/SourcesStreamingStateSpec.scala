@@ -29,6 +29,25 @@ class SourcesStreamingStateSpec extends SparkSpecBase {
       rows.map(_.getAs[Long]("doc_id")).sorted))
   }
 
+  test("DocumentSource.readJsonl: text + id mapping, extra fields ride along") {
+    val dir = Files.createTempDirectory("graft-jsonl")
+    Files.writeString(dir.resolve("corpus.jsonl"),
+      """{"id": 7, "body": "alpha document", "lang": "en"}
+        |{"id": 9, "body": "beta document", "lang": "de"}""".stripMargin)
+    val docs = DocumentSource.readJsonl(spark, dir.toString,
+      textField = "body", idField = Some("id"))
+    val rows = docs.orderBy("doc_id").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(7L, 9L))
+    assert(rows.head.getAs[String]("text") == "alpha document")
+    assert(rows.map(_.getAs[String]("lang")).toSeq == Seq("en", "de"))
+    // no id field: stable hash of text
+    val hashed = DocumentSource.readJsonl(spark, dir.toString, textField = "body")
+    assert(hashed.select("doc_id").distinct().count() == 2)
+    assert(hashed.collect().map(_.getAs[Long]("doc_id")).sorted.sameElements(
+      DocumentSource.readJsonl(spark, dir.toString, textField = "body")
+        .collect().map(_.getAs[Long]("doc_id")).sorted))
+  }
+
   test("sessionizeStream: gap closes sessions; watermark times out idle users") {
     val input = MemoryStream[(Long, Timestamp)](spark)
     val events = input.toDF().toDF("user_id", "ts")
