@@ -240,7 +240,7 @@ object Dedup {
       }
       val rows = parent.keysIterator.map(n => (n, find(n))).toSeq
       edges.unpersist()
-      return rows.toDF("doc_id", "cluster").repartition(col("cluster"))
+      return rows.toDF("doc_id", "cluster")
     }
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)

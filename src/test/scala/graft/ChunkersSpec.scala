@@ -134,6 +134,16 @@ class ChunkersSpec extends SparkSpecBase {
   }
 
   // ----------------------------------------------------------- elements
+  test("ChunkerOptions validates like the reference IngestionChunkerOptions") {
+    // ChunkerOptionsTests: non-positive budget and overlap >= budget
+    // are constructor-time errors, not silent misbehavior
+    intercept[IllegalArgumentException](ChunkerOptions(maxTokens = 0))
+    intercept[IllegalArgumentException](ChunkerOptions(maxTokens = -5))
+    intercept[IllegalArgumentException](ChunkerOptions(maxTokens = 10, overlap = -1))
+    intercept[IllegalArgumentException](ChunkerOptions(maxTokens = 10, overlap = 10))
+    ChunkerOptions(maxTokens = 10, overlap = 9) // boundary is legal
+  }
+
   test("packElements: respects token budget and context prefix") {
     val elems = Seq(("paragraph", "one two three"), ("paragraph", "four five"), ("paragraph", "six"))
     val chunks = Chunkers.packElements(7L, "CTX", elems, ChunkerOptions(maxTokens = 5, overlap = 0), 0)
