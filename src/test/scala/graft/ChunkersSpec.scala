@@ -244,6 +244,31 @@ class ChunkersSpec extends SparkSpecBase {
   }
 
   // ----------------------------------------------------------- markdown
+  test("markdownChunks: reference ComplexDocument expectations (both split levels)") {
+    val md = "# Header 1\n\nThis is the content under header 1.\n\n" +
+      "## Header 2\n\nThis is the content under header 2.\n\n" +
+      "### Header 3\n\nThis is the content under header 3.\n\n" +
+      "## Header 4\n\nThis is the content under header 4."
+    // MarkdownChunkerTests.ComplexDocument (default split level 3)
+    val l3 = Chunkers.markdownChunks(spark, docs(1L -> md)).collect().sortBy(_.chunk_id)
+    assert(l3.length == 4)
+    assert(l3.map(_.context).toSeq == Seq(
+      "# Header 1",
+      "# Header 1;## Header 2",
+      "# Header 1;## Header 2;### Header 3",
+      "# Header 1;## Header 4")) // a level-2 header clears deeper levels
+    assert(l3(0).content == "This is the content under header 1.")
+    // MarkdownChunkerTests.ComplexDocument_SplitOnLowerLevel (split 2):
+    // the level-3 header stays INSIDE the content of its level-2 chunk
+    val l2 = Chunkers.markdownChunks(spark, docs(1L -> md), headerLevelToSplitOn = 2)
+      .collect().sortBy(_.chunk_id)
+    assert(l2.length == 3)
+    assert(l2(1).context == "# Header 1;## Header 2")
+    assert(l2(1).content ==
+      "This is the content under header 2.\n### Header 3\nThis is the content under header 3.")
+    assert(l2(2).context == "# Header 1;## Header 4")
+  }
+
   test("markdownChunks: split at level<=N, chained context") {
     val md = "# A\n\np1\n\n## B\n\np2\n\n#### Deep\n\np3"
     val out = Chunkers.markdownChunks(spark, docs(1L -> md), headerLevelToSplitOn = 3)
