@@ -22,6 +22,13 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Chunk contract columns that are safe on the driver-compared surface
+    * (scalars only — the metadata map is deliberately excluded).
+    */
+  private val chunkScalarCols: Seq[Column] = Seq(
+    col("doc_id"), col("chunk_id"), col("content"), col("context"),
+    col("token_count"), col("page_number"))
+
   /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark
     * only reads as a long (nanos since epoch) with the legacy flag.
     * Exposes `sec` (epoch seconds, exact integer division — matches
@@ -552,27 +559,36 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // The four structural chunkers below are rows-only checks, but the
+    // compared surface must still be pandas-sortable scalars: project the
+    // chunk contract columns and keep the metadata map OFF the surface
+    // (map cells crash the driver's sort_values — same rule as keywords/
+    // embeddings; page_number stays: nullable ints sort fine).
     "i_chunk_header" -> ((s, dir) => {
       Chunkers.headerChunks(s, tbl(s, dir, "documents"), ChunkerOptions(maxTokens = 64, overlap = 0))
         .toDF()
+        .select(chunkScalarCols: _*)
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
     "i_chunk_section" -> ((s, dir) => {
       Chunkers.sectionChunks(s, tbl(s, dir, "documents"), ChunkerOptions(maxTokens = 64, overlap = 0))
         .toDF()
+        .select(chunkScalarCols: _*)
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
     "i_chunk_markdown" -> ((s, dir) => {
       Chunkers.markdownChunks(s, tbl(s, dir, "documents"))
         .toDF()
+        .select(chunkScalarCols: _*)
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
     "i_chunk_semantic" -> ((s, dir) => {
       Chunkers.semanticChunks(s, tbl(s, dir, "documents"), ChunkerOptions(maxTokens = 64, overlap = 0))
         .toDF()
+        .select(chunkScalarCols: _*)
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 

@@ -91,11 +91,23 @@ object Dedup {
           )
         }
       ))).as("p"))
-    pairs
+    val pairCounts = pairs
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+    // Semi-join pruning: `sizes` is corpus-cardinality, so joining it to
+    // the candidate pairs directly only stays broadcast while the CORPUS
+    // fits the broadcast cap. Restricting sizes to doc ids that survived
+    // pair generation first (pair set ≪ corpus after the shingle pass)
+    // keeps the final joins broadcast-sized at any corpus scale; the
+    // pruning semi-join itself broadcasts the small id set, so the
+    // corpus-side sizes pass stays map-only. (The three consumers of
+    // pairCounts share one aggregate via ReuseExchange.)
+    val pairDocs = pairCounts.select(col("a").as("doc_id"))
+      .union(pairCounts.select(col("b").as("doc_id"))).distinct()
+    val prunedSizes = sizes.join(broadcast(pairDocs), Seq("doc_id"), "left_semi")
+    pairCounts
+      .join(prunedSizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(prunedSizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
       // jaccard >= t  ⇔  inter >= t * (na + nb - inter); basis-point
       // scaling keeps integer arithmetic without quantizing the
       // caller's threshold to whole percents

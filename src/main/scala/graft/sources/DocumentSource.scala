@@ -50,7 +50,11 @@ object DocumentSource {
     val reader = spark.read
     val raw = schema.map(reader.schema).getOrElse(reader).json(path)
     val withId = idField match {
-      case Some(f) => raw.withColumn("doc_id", col(f).cast("long"))
+      // string/UUID ids (common in JSONL corpora) cast to null — fall
+      // back to a hash of the id so every row keeps a usable doc_id
+      // instead of silently breaking downstream joins and dedup grouping
+      case Some(f) => raw.withColumn("doc_id",
+        coalesce(col(f).cast("long"), xxhash64(col(f).cast("string"))))
       case None    => raw.withColumn("doc_id", xxhash64(col(textField)))
     }
     if (textField == "text") withId

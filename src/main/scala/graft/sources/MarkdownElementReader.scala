@@ -130,7 +130,11 @@ object MarkdownElementReader {
       } else if (matches(StandaloneImage, t)) { // standalone image
         flushPara()
         val alt = t.substring(2, t.indexOf(']'))
-        emit("image", 0, t, alt)
+        // reference ordering (MarkdownReader.cs MapLeafBlockToElement):
+        // the footer case precedes the image case, so a standalone image
+        // that is the first block after a thematic break is a FOOTER
+        if (afterBreak) emit("footer", 0, t, stripInline(t))
+        else emit("image", 0, t, alt)
         i += 1
       } else if (t.startsWith(">")) { // block quote: recurse, emit children
         flushPara()
