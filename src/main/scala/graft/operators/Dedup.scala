@@ -91,20 +91,34 @@ object Dedup {
           )
         }
       ))).as("p"))
+    // pairCounts has THREE consumers below (both pairDocs legs + the
+    // final join input). ReuseExchange only dedups the shuffle WRITE —
+    // the collect_list bucket aggregate and the pair-gen explode sit
+    // ABOVE the shingle exchange and would re-execute per consumer
+    // (measured: 5 copies of the pair-gen pipeline in the un-checkpointed
+    // plan). Materializing the (a,b,inter) pair set — tiny relative to
+    // the corpus — runs the expensive stage exactly once.
     val pairCounts = pairs
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("inter"))
+      .localCheckpoint(true)
     // Semi-join pruning: `sizes` is corpus-cardinality, so joining it to
     // the candidate pairs directly only stays broadcast while the CORPUS
     // fits the broadcast cap. Restricting sizes to doc ids that survived
     // pair generation first (pair set ≪ corpus after the shingle pass)
-    // keeps the final joins broadcast-sized at any corpus scale; the
-    // pruning semi-join itself broadcasts the small id set, so the
-    // corpus-side sizes pass stays map-only. (The three consumers of
-    // pairCounts share one aggregate via ReuseExchange.)
+    // usually keeps the final joins broadcast-sized. No broadcast hint on
+    // the pruning join: in a dup-heavy corpus pairDocs can approach
+    // corpus cardinality, and a forced hint would hard-fail at the
+    // broadcast cap where AQE's runtime-size choice (pairDocs is
+    // post-shuffle, so its size is measured, not estimated) degrades
+    // gracefully to a shuffle semi-join.
     val pairDocs = pairCounts.select(col("a").as("doc_id"))
       .union(pairCounts.select(col("b").as("doc_id"))).distinct()
-    val prunedSizes = sizes.join(broadcast(pairDocs), Seq("doc_id"), "left_semi")
+    // checkpointed for the same reason: prunedSizes feeds both the a-
+    // and b-side rejoins, and without materialization the corpus-wide
+    // shingle-size scan above would execute once per side
+    val prunedSizes = sizes.join(pairDocs, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
     pairCounts
       .join(prunedSizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
       .join(prunedSizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))

@@ -50,11 +50,19 @@ object DocumentSource {
     val reader = spark.read
     val raw = schema.map(reader.schema).getOrElse(reader).json(path)
     val withId = idField match {
-      // string/UUID ids (common in JSONL corpora) cast to null — fall
-      // back to a hash of the id so every row keeps a usable doc_id
-      // instead of silently breaking downstream joins and dedup grouping
-      case Some(f) => raw.withColumn("doc_id",
-        coalesce(col(f).cast("long"), xxhash64(col(f).cast("string"))))
+      // derivation chosen from the id column's TYPE, not per row: a
+      // per-row coalesce(cast-to-long, hash) would mix two id spaces in
+      // one corpus and deterministically collide distinct string ids
+      // that normalize to the same long ('123', '0123', ' 123') —
+      // silently merging distinct documents in dedup grouping and joins
+      case Some(f) =>
+        import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+        raw.schema(f).dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            raw.withColumn("doc_id", col(f).cast("long"))
+          case _ =>
+            raw.withColumn("doc_id", xxhash64(col(f).cast("string")))
+        }
       case None    => raw.withColumn("doc_id", xxhash64(col(textField)))
     }
     if (textField == "text") withId

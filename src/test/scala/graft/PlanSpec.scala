@@ -86,15 +86,19 @@ class PlanSpec extends SparkSpecBase {
       s"orphan oracles: ${SparkEntry.oracleSql.keySet -- qs}")
   }
 
-  test("ngram dedup: pairs generated inside shingle buckets, only size rejoins") {
+  test("ngram dedup: pair-gen pipeline runs exactly once, only size rejoins") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val plan = executed(Dedup.ngramJaccardPairs(docs, 3, 0.8)).toString
-    // candidate generation must stay aggregate-local (collect_list
-    // buckets carrying bare doc ids); the only joins allowed are the
-    // two tiny per-doc size rejoins that keep n_sh out of the buckets
-    assert(plan.contains("collect_list"), s"bucket-local pair generation expected:\n$plan")
+    // pairCounts and prunedSizes are checkpointed, so the expensive
+    // shingle-bucket pipeline AND the corpus-wide size scan must appear
+    // ZERO times in the final plan (each already ran exactly once at
+    // checkpoint time); downstream is just the two tiny size rejoins
+    assert(!plan.contains("collect_list"),
+      s"pair generation must be materialized once, not re-planned per consumer:\n$plan")
+    assert(!plan.contains("shinglehashes"),
+      s"corpus size scan must be materialized once, not once per join side:\n$plan")
     val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r.findAllIn(plan).size
-    assert(joins <= 2, s"expected at most the two size rejoins:\n$plan")
+    assert(joins <= 2, s"expected only the two size rejoins:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
 
