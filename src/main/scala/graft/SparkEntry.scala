@@ -349,6 +349,21 @@ object SparkEntry {
         .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
     }),
 
+    "q_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS (cube minus the grand total): the
+      // arbitrary-subset sibling of rollup/cube — one shuffle, all
+      // grouping combinations computed from a single expanded pass
+      tbl(s, dir, "customer")
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("n_name"), col("c_mktsegment")), Seq(col("n_name")),
+            Seq(col("c_mktsegment"))),
+          col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
@@ -692,6 +707,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_dedup_url" -> ((s, dir) => {
+      // URL-canonical dedup groups. The synthetic corpus has no URLs,
+      // so derive scheme/www/case/query/trailing-slash VARIANTS of a
+      // shared page key (doc_id mod 37 × mod 11) — the oracle mirrors
+      // the derivation, the operator under test is the canonicalizer.
+      val withUrl = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit("http://"))
+            .when(col("doc_id") % 3 === 1, lit("https://www."))
+            .otherwise(lit("HTTPS://")),
+          lit("ex"), (col("doc_id") % 37).cast("string"), lit(".com/p/"),
+          (col("doc_id") % 11).cast("string"),
+          when(col("doc_id") % 2 === 0, lit("?utm_source=feed")).otherwise(lit("/"))
+        ).as("url"))
+      Dedup.urlDedupGroups(withUrl).orderBy(col("canon_url"))
+    }),
+
     "d_dedup_ngram" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(corpusWithDups(tbl(s, dir, "documents")), n = 3, threshold = 0.8)
         .orderBy(col("a"), col("b"))
@@ -822,6 +855,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "t_pii_redact" -> ((s, dir) => {
+      // induced PII (the synthetic corpus contains none): every 5th doc
+      // gains a deterministic contact block with an e-mail, a phone
+      // number and an IPv4 — varied by doc_id so outputs aren't constant
+      val docs = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact a"), (col("doc_id") % 7).cast("string"),
+            lit("@ex"), (col("doc_id") % 3).cast("string"),
+            lit(".com or 555-123-4567 node 10.0."), (col("doc_id") % 9).cast("string"),
+            lit(".25 end")))
+          .otherwise(col("text")).as("text"))
+      docs
+        .select(col("doc_id"),
+          TextAnalysis.piiCounts(col("text")).as("pc"),
+          TextAnalysis.piiRedact(col("text")).as("redacted"))
+        .select(col("doc_id"), col("pc.n_emails"), col("pc.n_phones"),
+          col("pc.n_ips"), col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t_corpus_filter" -> ((s, dir) => {
+      TextAnalysis.corpusFilter(tbl(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+
     "x_sql_surface" -> ((s, dir) => {
       // the SparkSessionExtensions surface: pure SQL over registered
       // graft_* native kernels (what a BI tool / SQL notebook would run)
@@ -856,6 +914,23 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_len"))
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    "m_audio_segments" -> ((s, dir) => {
+      import s.implicits._
+      // the corpus is pure ASCII, so encode(text) bytes == char codes —
+      // the oracle recomputes window energies from unicode(char)
+      val media = tbl(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit("audio/pcm").as("media_type"),
+        lit("").as("alt_text")
+      ).as[Multimodal.MediaRecord]
+      Multimodal.segmentAudio(s, media, windowBytes = 64, meanEnergyThreshold = 100)
+        .toDF()
+        .select(col("media_id"), col("seg_idx"), col("start_byte"), col("end_byte"),
+          col("energy"), col("voiced").cast("int").as("voiced"))
+        .orderBy(col("media_id"), col("seg_idx"))
     }),
 
     "m_image_features" -> ((s, dir) => {
@@ -972,6 +1047,13 @@ object SparkEntry {
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE (n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment))
         |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
 
     "q_sessionize" ->
@@ -1227,6 +1309,24 @@ object SparkEntry {
          |SELECT a, b, inter, na, nb FROM dup_pairs
          |ORDER BY a, b""".stripMargin,
 
+    "d_dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'http://'
+        |          WHEN doc_id % 3 = 1 THEN 'https://www.'
+        |          ELSE 'HTTPS://' END)
+        |    || 'ex' || CAST(doc_id % 37 AS VARCHAR) || '.com/p/' || CAST(doc_id % 11 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed' ELSE '/' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
+        |      '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/$', '') AS canon_url
+        |  FROM u)
+        |SELECT canon_url, min(doc_id) AS keeper, count(*) AS dup_count
+        |FROM c GROUP BY canon_url HAVING count(*) > 1
+        |ORDER BY canon_url""".stripMargin,
+
     "d_split_hash" ->
       s"""SELECT doc_id,
          |  CASE WHEN ${sqlHash("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
@@ -1437,6 +1537,49 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    "t_pii_redact" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' contact a' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '@ex' || CAST(doc_id % 3 AS VARCHAR) || '.com or 555-123-4567 node 10.0.'
+        |      || CAST(doc_id % 9 AS VARCHAR) || '.25 end' ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "t_corpus_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(${sqlToks("text")}) AS n_tok,
+         |    length(text) AS n_chars,
+         |    length(regexp_replace(text, '\\s+', '', 'g')) AS tok_chars,
+         |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS symbols
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, n_tok, CAST(n_chars AS BIGINT) AS n_chars,
+         |    CASE WHEN n_tok > 0 THEN CAST(tok_chars AS DOUBLE) / n_tok ELSE 0.0 END AS mean_tok_len,
+         |    CASE WHEN n_chars > 0 THEN CAST(symbols AS DOUBLE) / n_chars ELSE 0.0 END AS symbol_ratio
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, n_tok, n_chars, mean_tok_len, symbol_ratio,
+         |    CASE WHEN n_tok < 25 THEN 'too_short'
+         |         WHEN n_tok > 50000 THEN 'too_long'
+         |         WHEN mean_tok_len < 2.0 THEN 'tokens_too_short'
+         |         WHEN mean_tok_len > 12.0 THEN 'tokens_too_long'
+         |         WHEN symbol_ratio > 0.3 THEN 'too_many_symbols'
+         |         ELSE 'ok' END AS reason
+         |  FROM sig)
+         |SELECT doc_id, CAST(n_tok AS INT) AS n_tok, n_chars, mean_tok_len, symbol_ratio,
+         |  reason, CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     "t_fingerprint" ->
       s"""SELECT doc_id, ${sqlHash("text")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1453,6 +1596,28 @@ object SparkEntry {
         |FROM documents, unnest(range(0, 4)) AS u(i)
         |WHERE octet_length(encode(text)) > 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "m_audio_segments" ->
+      // the corpus is pure ASCII (verified ≤ U+0079 at every SF), so
+      // window energy over bytes == sum of unicode(char) over the same
+      // char window — no hex round-trip needed
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS blen
+        |  FROM documents),
+        |seg AS (
+        |  SELECT media_id, CAST(u.i AS INT) AS seg_idx,
+        |    CAST(u.i * 64 AS INT) AS start_byte,
+        |    CAST(least((u.i + 1) * 64, blen) AS INT) AS end_byte,
+        |    list_reduce(list_concat([CAST(0 AS BIGINT)],
+        |      list_transform(
+        |        list_filter(regexp_split_to_array(substr(text, CAST(u.i * 64 + 1 AS INT), 64), ''),
+        |                    c -> length(c) > 0),
+        |        c -> CAST(unicode(c) AS BIGINT))), (x, y) -> x + y) AS energy
+        |  FROM b, unnest(range(0, CAST(ceil(blen / 64.0) AS BIGINT))) AS u(i)
+        |  WHERE blen > 0)
+        |SELECT media_id, seg_idx, start_byte, end_byte, energy,
+        |  CAST(CASE WHEN energy >= 100 * (end_byte - start_byte) THEN 1 ELSE 0 END AS INT) AS voiced
+        |FROM seg ORDER BY media_id, seg_idx""".stripMargin,
 
     "m_image_features" ->
       // high nibble of byte i = hex digit at (0-based) position 2i of

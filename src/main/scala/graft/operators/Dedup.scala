@@ -319,6 +319,31 @@ object Dedup {
     documents.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** URL-canonical duplicate groups over a (doc_id, url) table — the
+    * standard web-corpus first pass (CCNet-style): two fetches of the
+    * same page under scheme/www/query-string/trailing-slash/case
+    * variants are the same document. Canonicalization is a fixed regex
+    * chain (lowercase → strip scheme → strip www. → strip query and
+    * fragment → strip trailing slash), then one hash aggregate on the
+    * canonical key — map-side combined, no raw-URL shuffle beyond the
+    * grouping, same 100 TB shape as exactGroups.
+    */
+  def urlCanonical(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(url), "^https?://", ""),
+          "^www\\.", ""),
+        "[?#].*$", ""),
+      "/$", "")
+
+  def urlDedupGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(urlCanonical(col("url")).as("canon_url"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("dup_count"))
+      .where(col("dup_count") > 1)
+      .select(col("canon_url"), col("keeper"), col("dup_count"))
+
   /** Embedding-cosine near-duplicate pairs over a vector table
     * (vec_id, embedding): random-hyperplane LSH buckets (same-bucket
     * candidates only) verified by exact cosine.

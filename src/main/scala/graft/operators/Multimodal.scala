@@ -125,6 +125,45 @@ object Multimodal {
     }
   }
 
+  /** One audio segment: a fixed-width sample window with its energy. */
+  final case class AudioSegment(
+      media_id: Long,
+      seg_idx: Int,
+      start_byte: Int,
+      end_byte: Int,
+      energy: Long,
+      voiced: Boolean
+  )
+
+  /** Audio segmentation stub: treat the blob as a PCM sample stream,
+    * window it at `windowBytes`, and emit one row per window with its
+    * energy (sum of unsigned byte values — a deterministic stand-in for
+    * RMS over decoded samples) and a voiced/silence flag from a
+    * mean-energy threshold. The row contract, fan-out shape and narrow
+    * flatMap are exactly what an ffmpeg/librosa-backed VAD would use —
+    * only the energy function is a stub. No shuffle: scales with input
+    * splits like every other decode path here.
+    */
+  def segmentAudio(spark: SparkSession, media: Dataset[MediaRecord],
+                   windowBytes: Int = 64, meanEnergyThreshold: Int = 100): Dataset[AudioSegment] = {
+    import spark.implicits._
+    media.flatMap { r =>
+      val len = r.content.length
+      val nSeg = (len + windowBytes - 1) / windowBytes
+      (0 until nSeg).map { i =>
+        val start = i * windowBytes
+        val end = math.min(start + windowBytes, len)
+        var energy = 0L
+        var j = start
+        while (j < end) { energy += (r.content(j) & 0xFF); j += 1 }
+        // integer threshold compare (energy/width vs mean): portable,
+        // no float division on the compared surface
+        AudioSegment(r.media_id, i, start, end, energy,
+          voiced = energy >= meanEnergyThreshold.toLong * (end - start))
+      }
+    }
+  }
+
   /** Resize stub: passes bytes through and records the target size in
     * metadata (a real implementation re-encodes via an image library
     * behind this exact signature).

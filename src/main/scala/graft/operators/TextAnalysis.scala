@@ -90,4 +90,72 @@ object TextAnalysis {
       size(array_distinct(lines)).as("n_distinct_lines")
     )
   }
+
+  /** PII patterns, deliberately restricted to syntax shared by Java
+    * regex and RE2 (the DuckDB oracle): no lookarounds, ASCII word
+    * boundaries only.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-category PII match counts on the ORIGINAL text (order-
+    * independent, so counts don't depend on redaction sequence).
+    */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(EmailPattern)).as("n_emails"),
+    regexp_count(text, lit(PhonePattern)).as("n_phones"),
+    regexp_count(text, lit(Ipv4Pattern)).as("n_ips")
+  )
+
+  /** PII redaction: replace e-mail addresses, NANP-style phone numbers
+    * and IPv4 addresses with typed placeholders. Fixed application
+    * order (email → phone → ip) because redaction output feeds the next
+    * pattern; the phone pattern cannot match inside an IPv4 (needs a
+    * 4-digit run after the second separator) so the order is total.
+    * Pure regex column ops — map-only, codegen'd, no shuffle at any
+    * scale (the standard C4/Dolma-style scrub pass).
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Composite C4/Gopher-style corpus filter: token-count window, mean
+    * token length window, symbol-density cap. Emits every document with
+    * its signals, an integer keep flag and the FIRST failing rule (or
+    * 'ok') — the audit-friendly shape: a 100 TB filter run wants "why
+    * was this dropped" attached to every row, not a silent subset.
+    * All signals are single-pass column expressions; the filter is
+    * map-only at any scale.
+    */
+  def corpusFilter(docs: DataFrame,
+                   minTokens: Int = 25, maxTokens: Int = 50000,
+                   minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
+                   maxSymbolRatio: Double = 0.3): DataFrame = {
+    val nTok = tokenCount(col("text"))
+    val nChars = length(col("text"))
+    // non-whitespace chars = total token length (whitespace tokenizer)
+    val tokChars = length(regexp_replace(col("text"), "\\s+", ""))
+    val symbols = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+    docs
+      .withColumn("n_tok", nTok)
+      .withColumn("n_chars", nChars.cast("long"))
+      .withColumn("mean_tok_len",
+        when(col("n_tok") > 0, tokChars.cast("double") / col("n_tok")).otherwise(0.0))
+      .withColumn("symbol_ratio",
+        when(nChars > 0, symbols.cast("double") / nChars.cast("double")).otherwise(0.0))
+      .withColumn("reason",
+        when(col("n_tok") < minTokens, "too_short")
+          .when(col("n_tok") > maxTokens, "too_long")
+          .when(col("mean_tok_len") < minMeanTokLen, "tokens_too_short")
+          .when(col("mean_tok_len") > maxMeanTokLen, "tokens_too_long")
+          .when(col("symbol_ratio") > maxSymbolRatio, "too_many_symbols")
+          .otherwise("ok"))
+      .withColumn("keep", (col("reason") === "ok").cast("int"))
+      .select(col("doc_id"), col("n_tok"), col("n_chars"), col("mean_tok_len"),
+        col("symbol_ratio"), col("reason"), col("keep"))
+  }
 }

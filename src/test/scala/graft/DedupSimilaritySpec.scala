@@ -14,6 +14,21 @@ class DedupSimilaritySpec extends SparkSpecBase {
     (5L, "another unrelated document mentioning window functions and broadcast joins")
   ).toDF("doc_id", "text")
 
+  test("urlDedupGroups: scheme/www/case/query/slash variants collapse to one page") {
+    val urls = Seq(
+      (1L, "http://Ex.com/a"),
+      (2L, "https://www.ex.com/a/"),
+      (3L, "HTTPS://EX.COM/a?utm_source=feed#frag"),
+      (4L, "https://ex.com/other"),
+      (5L, "ex.com/a") // already canonical (no scheme)
+    ).toDF("doc_id", "url")
+    val got = Dedup.urlDedupGroups(urls).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("canon_url") == "ex.com/a")
+    assert(got.head.getAs[Long]("keeper") == 1L)
+    assert(got.head.getAs[Long]("dup_count") == 4L)
+  }
+
   test("exactGroups finds the verbatim pair, keeps min id") {
     val got = Dedup.exactGroups(corpus).collect()
     assert(got.length == 1)

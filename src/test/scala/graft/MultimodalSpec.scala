@@ -25,6 +25,23 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got.getAs[String]("sniffed_type") == "image/png")
   }
 
+  test("segmentAudio: window fan-out, byte-sum energy, voiced threshold") {
+    // 100 loud bytes (0xFF) then 60 quiet bytes (0x01): window 64 →
+    // segs [0,64) all-loud, [64,128) mixed, [128,160) all-quiet
+    val bytes = (Array.fill(100)(0xFF) ++ Array.fill(60)(0x01)).map(_.toByte)
+    val media = Seq(Multimodal.MediaRecord(7L, bytes, "audio/pcm", "")).toDS()
+    val got = Multimodal.segmentAudio(spark, media, windowBytes = 64,
+      meanEnergyThreshold = 100).collect().sortBy(_.seg_idx)
+    assert(got.map(s => (s.seg_idx, s.start_byte, s.end_byte)).toSeq ==
+      Seq((0, 0, 64), (1, 64, 128), (2, 128, 160)))
+    assert(got(0).energy == 64L * 255 && got(0).voiced)
+    assert(got(1).energy == 36L * 255 + 28L * 1 && got(1).voiced) // mean ≈ 143
+    assert(got(2).energy == 32L && !got(2).voiced)
+    // empty blob → zero segments, not one empty segment
+    val empty = Seq(Multimodal.MediaRecord(8L, Array.empty[Byte], "audio/pcm", "")).toDS()
+    assert(Multimodal.segmentAudio(spark, empty).count() == 0)
+  }
+
   test("extractFeatures: batched stubbed decode, unit-norm features") {
     val media = Seq(
       Multimodal.MediaRecord(1L, png, "image/png", ""),

@@ -101,6 +101,30 @@ class ProcessorsSpec extends SparkSpecBase {
     assert(got == Map("src" -> "a.pdf", "sentiment" -> "Positive"))
   }
 
+  test("piiRedact replaces emails, phones and IPv4s; counts match") {
+    val text = "mail bob.smith+x@sub.example.co or 555-123-4567 / 555.987.6543 " +
+      "from 10.0.3.25 version 1.2 not-a-phone 12-34-5678"
+    val got = Seq((1L, text)).toDF("doc_id", "text")
+      .select(TextAnalysis.piiCounts(col("text")).as("pc"),
+        TextAnalysis.piiRedact(col("text")).as("r"))
+      .select("pc.n_emails", "pc.n_phones", "pc.n_ips", "r")
+      .as[(Int, Int, Int, String)].head()
+    assert(got._1 == 1 && got._2 == 2 && got._3 == 1)
+    assert(got._4 == "mail <EMAIL> or <PHONE> / <PHONE> from <IP> " +
+      "version 1.2 not-a-phone 12-34-5678")
+  }
+
+  test("corpusFilter: signals, first-failing reason, keep flag") {
+    val longDoc = (1 to 40).map(i => s"word$i").mkString(" ")
+    val got = TextAnalysis.corpusFilter(Seq(
+      (1L, longDoc),                       // ok
+      (2L, "too few tokens"),              // too_short
+      (3L, (1 to 30).map(_ => "pneumonoultramicroscopics").mkString(" ")) // tokens_too_long
+    ).toDF("doc_id", "text"))
+      .orderBy("doc_id").select("reason", "keep").as[(String, Int)].collect()
+    assert(got.toSeq == Seq(("ok", 1), ("too_short", 0), ("tokens_too_long", 0)))
+  }
+
   test("qualityScore components") {
     val goodText = (1 to 30).map(_ => "the words and more of it").mkString(" ")
     val got = Seq((1L, goodText), (2L, "!!! ??? ***"), (3L, "")).toDF("doc_id", "text")
