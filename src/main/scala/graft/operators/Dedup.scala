@@ -146,6 +146,16 @@ object Dedup {
         TextFunctions.shingleHashes(col("text"), n).as("sh"))
       .withColumn("bands", TextFunctions.lshBandKeys(
         TextFunctions.minHashSignature(col("sh"), k), k, rowsPerBand))
+      // materialized ONCE: the self-join below consumes this subtree
+      // twice, and Spark plans it as a broadcast join — no shuffle
+      // exchange under either side, so ReuseExchange cannot dedup it
+      // and the full shingle+minhash+band pipeline would execute per
+      // side (plus a third partial evaluation as an inferred
+      // size(bands)>0 DataFilter pushed into the text scan). One
+      // materialization of (doc_id, shingles, bands) trades a
+      // corpus-sized spill for half the signature compute — the same
+      // trade a 1000-executor run wants.
+      .localCheckpoint(true)
 
     val banded = withSig.select(
       col("doc_id"), col("sh"),
@@ -181,6 +191,10 @@ object Dedup {
       col("doc_id"),
       TextFunctions.simHash64(col("text")).as("sim")
     )
+      // materialized ONCE (16 bytes/row): three consumers below (hot-
+      // bucket aggregate + both join sides) would otherwise each re-scan
+      // the corpus and re-run the one-pass simhash kernel
+      .localCheckpoint(true)
     val blocks = hashed.select(
       col("doc_id"), col("sim"),
       explode(array((0 until nBlocks).map { blk =>
@@ -366,6 +380,10 @@ object Dedup {
       col("embedding"),
       VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes).as("bucket")
     )
+      // materialized ONCE: the hot-bucket aggregate and both join sides
+      // would otherwise each re-scan the vector table and re-project the
+      // nPlanes dot products per row
+      .localCheckpoint(true)
     val hot = bucketed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt")).where(col("cnt") > maxDocsPerBucket)
       .select(col("bucket"))
