@@ -257,12 +257,16 @@ object Dedup {
                           localEdgeThreshold: Long = 4L << 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs
+    // materialize the UNDIRECTED pair set once; the both-directions
+    // doubling is only built (from this cheap materialized scan) on the
+    // distributed path — the local union-find adds both endpoints per
+    // pair anyway, so doubling before the collect would just double the
+    // checkpoint and the driver pull
+    val undirected = pairs
       .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
-      .union(pairs.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
       .localCheckpoint(true)
-    val nEdges = edges.count() // materialized above; this is a cached count
-    if (nEdges <= 2 * localEdgeThreshold) { // edges carries both directions
+    val nPairs = undirected.count() // materialized above; this is a cached count
+    if (nPairs <= localEdgeThreshold) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -271,7 +275,7 @@ object Dedup {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      for (row <- edges.as[(Long, Long)].collect()) {
+      for (row <- undirected.as[(Long, Long)].collect()) {
         val (a, b) = row
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
@@ -279,9 +283,13 @@ object Dedup {
         if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
       }
       val rows = parent.keysIterator.map(n => (n, find(n))).toSeq
-      edges.unpersist()
+      undirected.unpersist()
       return rows.toDF("doc_id", "cluster")
     }
+    val edges = undirected
+      .union(undirected.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    undirected.unpersist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)
     var round = 0
