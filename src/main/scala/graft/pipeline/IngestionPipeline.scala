@@ -48,12 +48,23 @@ final case class IngestionPipeline(
     * column beyond the chunk contract) ride along as record metadata.
     */
   def run(spark: SparkSession, documents: DataFrame, sinkPath: String,
-          dim: Int = 64): Unit = {
-    val chunked = chunks(spark, documents)
-    val out = VectorStoreWriter.toVectorRecords(chunked, dim,
-      metadataCols = IngestionPipeline.metadataColumns(chunked))
-    VectorStoreWriter.write(out, sinkPath)
-  }
+          dim: Int = 64): Unit =
+    runWith(spark, documents, { chunked =>
+      val out = VectorStoreWriter.toVectorRecords(chunked, dim,
+        metadataCols = IngestionPipeline.metadataColumns(chunked))
+      VectorStoreWriter.write(out, sinkPath)
+    })
+
+  /** Run with a CUSTOM terminal writer — the twin of the reference's
+    * pluggable IngestionChunkWriter extension point (the samples'
+    * QAWriter, Samples/FAQ.cs:10, derives new records per chunk and
+    * writes them to its own collection). Any chunks→sink function
+    * terminates the pipeline; the composed plan stays lazy until the
+    * writer acts.
+    */
+  def runWith(spark: SparkSession, documents: DataFrame,
+              writer: DataFrame => Unit): Unit =
+    writer(chunks(spark, documents))
 }
 
 object IngestionPipeline {

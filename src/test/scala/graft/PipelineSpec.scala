@@ -121,6 +121,23 @@ class PipelineSpec extends SparkSpecBase {
     assert(contents == Map("1" -> "doc one v1", "2" -> "doc two"))
   }
 
+  test("runWith: custom terminal writer receives the composed chunk plan (reference QAWriter shape)") {
+    val dir = Files.createTempDirectory("graft-custom-writer").toString
+    // a QAWriter-style custom sink: derive new records per chunk (here a
+    // deterministic "question" per chunk) and write its own collection
+    IngestionPipeline.canonical.runWith(spark, docs, { chunked =>
+      chunked.select(
+        col("doc_id"), col("chunk_id"),
+        concat(lit("What is '"), substring(col("content"), 1, 12), lit("' about?")).as("question"),
+        col("summary")
+      ).write.mode("overwrite").parquet(dir)
+    })
+    val got = spark.read.parquet(dir)
+    assert(got.count() > 0)
+    assert(got.columns.toSet == Set("doc_id", "chunk_id", "question", "summary"))
+    assert(got.where(col("question").startsWith("What is '")).count() == got.count())
+  }
+
   test("pipeline run carries enricher metadata into the store") {
     val dir = Files.createTempDirectory("graft-e2e-meta").toString
     IngestionPipeline.canonical.run(spark, docs, dir, dim = 16)
