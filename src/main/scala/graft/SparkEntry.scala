@@ -758,6 +758,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: every 25th document stands in for a
+      // held-out eval set; any corpus doc (incl. the induced dups of
+      // those docs) sharing an 8-gram with it is flagged
+      val docs = tbl(s, dir, "documents")
+      Corpus.decontaminate(
+        corpusWithDups(docs), docs.where(col("doc_id") % 25 === 0), n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_pack_sequences" -> ((s, dir) => {
+      // training-sequence packing: 256-token budget, 8 shards (each
+      // shard packs independently — no global window at any scale)
+      Corpus.packSequences(tbl(s, dir, "documents"), tokensPerSeq = 256, nShards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    "d_sample_mix" -> ((s, dir) => {
+      // stratified corpus mixing: per-language keep rates in basis
+      // points, deterministic hash membership (en all, zh default)
+      Corpus.stratifiedSample(tbl(s, dir, "documents"), "lang",
+        Map("en" -> 10000, "de" -> 5000, "fr" -> 2500, "es" -> 1000),
+        defaultBps = 500)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(corpusWithDups(tbl(s, dir, "documents")), maxHamming = 3)
         .orderBy(col("a"), col("b"))
@@ -1333,6 +1360,47 @@ object SparkEntry {
          |       WHEN ${sqlHash("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d_decontaminate" ->
+      s"""WITH corpus AS ($corpusWithDupsSql),
+         |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 8 THEN [${sqlHash("array_to_string(t, ' ')")}]
+         |    ELSE list_transform(range(0, len(t) - 7),
+         |         i -> ${sqlHash("array_to_string(t[i+1:i+8], ' ')")}) END) AS hashes
+         |  FROM toks),
+         |bt AS (SELECT ${sqlToks("text")} AS t FROM documents WHERE doc_id % 25 = 0),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(CASE WHEN len(t) < 8 THEN [${sqlHash("array_to_string(t, ' ')")}]
+         |    ELSE list_transform(range(0, len(t) - 7),
+         |         i -> ${sqlHash("array_to_string(t[i+1:i+8], ' ')")}) END) AS shingle
+         |  FROM bt),
+         |ex AS (SELECT doc_id, unnest(hashes) AS shingle FROM sh)
+         |SELECT doc_id, CAST(count(DISTINCT ex.shingle) AS BIGINT) AS n_shared
+         |FROM ex JOIN bsh USING (shingle)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(${sqlToks("text")}) AS BIGINT) AS n_tok,
+         |    CAST(${sqlHash("CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard, n_tok, cum,
+         |  (cum - n_tok) // 256 AS start_seq,
+         |  (cum - 1) // 256 AS end_seq
+         |FROM c WHERE n_tok > 0 ORDER BY doc_id""".stripMargin,
+
+    "d_sample_mix" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${sqlHash("CAST(doc_id AS VARCHAR)")} % 10000 <
+         |  CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+         |            WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 ELSE 500 END
+         |ORDER BY doc_id""".stripMargin,
 
     "d_dedup_clusters" ->
       // transitive closure of the undirected near-dup pair graph via a

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: benchmark
+  * decontamination, training-sequence packing, stratified mixing.
+  * Like the dedup family, nothing here ever needs a global pass — each
+  * operator shuffles once on a derived key (shingle hash, shard id,
+  * stratum) and is deterministic/RNG-free so a re-run over 100 TB
+  * produces byte-identical output.
+  */
+object Corpus {
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * one n-gram with a held-out benchmark/eval set (the standard
+    * GPT-3/Llama-style contamination check). Returns (doc_id, n_shared)
+    * for contaminated documents — callers anti-join to drop them.
+    *
+    * Shape: both sides reduce to distinct n-gram hashes (map-only),
+    * join on the hash — the benchmark side is tiny in practice (eval
+    * sets are MBs against a 100 TB corpus) so AQE broadcasts it; no
+    * hint, so a pathological giant "benchmark" degrades to a shuffle
+    * join instead of failing at the broadcast cap. Corpus text never
+    * shuffles: only (doc_id, shingle-hash) longs.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val corpusShingles = corpus.select(
+      col("doc_id"),
+      explode(TextFunctions.shingleHashes(col("text"), n)).as("shingle"))
+    val benchShingles = benchmark
+      .select(explode(TextFunctions.shingleHashes(col("text"), n)).as("shingle"))
+      .distinct()
+    corpusShingles
+      .join(benchShingles, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"))
+  }
+
+  /** Pack documents into fixed-token-budget training sequences — the
+    * canonical pre-training packing step. Documents are laid out
+    * end-to-end in (shard, doc_id) order; each token offset range maps
+    * to sequence ids, and a document reports the first/last sequence it
+    * occupies (documents straddle boundaries, as packed pre-training
+    * does).
+    *
+    * Scale design: packing is NOT a global window (a single
+    * unpartitioned cumsum would serialize 100 TB through one task).
+    * Documents are sharded by a portable content-id hash; each shard
+    * packs independently — embarrassingly parallel, one shuffle on the
+    * shard id, and sequence ids are namespaced per shard. Deterministic:
+    * same corpus → same sequences on any cluster size.
+    */
+  def packSequences(docs: DataFrame, tokensPerSeq: Int = 2048,
+                    nShards: Int = 256): DataFrame = {
+    require(tokensPerSeq > 0 && nShards > 0)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    docs
+      .select(col("doc_id"), graft.functions.native.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("shard",
+        pmod(TextFunctions.portableHash(col("doc_id").cast("string")), lit(nShards)).cast("int"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      // token span [cum - n_tok, cum) → sequences [start_seq, end_seq]
+      .withColumn("start_seq", expr(s"(cum - n_tok) div $tokensPerSeq"))
+      .withColumn("end_seq", expr(s"(cum - 1) div $tokensPerSeq"))
+      .where(col("n_tok") > 0)
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("cum"),
+        col("start_seq"), col("end_seq"))
+  }
+
+  /** Stratified corpus mixing: keep a deterministic per-stratum
+    * fraction of documents (e.g. lang -> sampling rate) — the data-mix
+    * step of corpus assembly. RNG-free: membership is a portable hash
+    * of the document id against a basis-point threshold, so the sample
+    * is reproducible across runs, cluster sizes and engines, and any
+    * document's fate is auditable. Map-only: the filter is a pure
+    * column expression, no shuffle at any scale.
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+                       ratesBps: Map[String, Int],
+                       defaultBps: Int = 0): DataFrame = {
+    require((defaultBps +: ratesBps.values.toSeq).forall(r => r >= 0 && r <= 10000),
+      "rates are basis points in [0, 10000]")
+    val threshold = ratesBps.foldLeft(lit(defaultBps)) { case (acc, (k, bps)) =>
+      when(col(stratumCol) === k, lit(bps)).otherwise(acc)
+    }
+    docs.where(
+      pmod(TextFunctions.portableHash(col("doc_id").cast("string")), lit(10000)) < threshold)
+  }
+}
