@@ -11,7 +11,7 @@ object PlanDump {
       ("i_chunk_token", "Token chunker: a single Project/Generate pipeline — zero Exchange; 100 TB of documents chunk as a map-only stage."),
       ("d_dedup_ngram", "N-gram dedup: pairs are generated inside grouped shingle buckets (bare doc-id payloads) and MATERIALIZED once (localCheckpoint — the Scan ExistingRDDs below; without it the bucket pipeline re-executed once per consumer, 5 copies in the plan); per-doc size columns rejoin AFTER pair-gen via two broadcast joins."),
       ("d_dedup_url", "URL-canonical dedup: the regex canonicalization chain is evaluated map-side inside the partial aggregate — ONE hash exchange on the canonical key, no raw-URL shuffle."),
-      ("d_dedup_minhash", "MinHash LSH: band-key self-join; candidate verification happens before the pair-dedup exchange so only 5-long rows shuffle."),
+      ("d_dedup_minhash", "MinHash LSH: signatures MATERIALIZED once (both self-join sides read Scan ExistingRDD — without it the broadcast self-join re-ran the shingle+minhash pipeline per side); candidate verification happens before the pair-dedup exchange so only 5-long rows shuffle."),
       ("q_asof_join", "As-of join: merge-style union+window — ONE hash exchange on the key and one sort; no range-join fan-out (the naive theta-join is O(n·m) per key)."),
       ("q_range_join", "Band join: bands broadcast, inequality evaluated map-side (BroadcastNestedLoopJoin) — the fact side never shuffles."),
       ("s_semantic_search", "Semantic search: vector records are a map-only pipeline; the literal query embedding scores every record in the scan stage; one TakeOrderedAndProject, no shuffle.")

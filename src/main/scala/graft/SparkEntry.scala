@@ -465,6 +465,20 @@ object SparkEntry {
         .orderBy(col("user_id"), col("sec"), col("event_id"))
     }),
 
+    "q_gap_fill" -> ((s, dir) => {
+      // forward-fill: carry the last known value over gaps ('error'
+      // events report no value) — last(ignoreNulls) over a running
+      // rows-frame, the standard sensor/telemetry gap-fill
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("sec"),
+          when(col("event_type") =!= "error", col("value")).as("v"))
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .orderBy(col("user_id"), col("sec"), col("event_id"))
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // each purchase → the latest click by the same user at-or-before
       // it; ord = sec<<32 | event_id (unique time-then-id order; exact
@@ -1156,6 +1170,16 @@ object SparkEntry {
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
         |FROM (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec FROM events)
         |ORDER BY user_id, sec, event_id""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec,
+        |    CASE WHEN event_type <> 'error' THEN value END AS v
+        |  FROM events)
+        |SELECT user_id, event_id, sec, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM e ORDER BY user_id, sec, event_id""".stripMargin,
 
     "q_asof_join" ->
       // independent formulation: correlated max over the click stream

@@ -39,6 +39,40 @@ class StreamingSpec extends SparkSpecBase {
       got1.where(col("documentid") === "1").count())
   }
 
+  test("text-analysis ops compose with streams: PII scrub + corpus filter on a file stream") {
+    val in = Files.createTempDirectory("graft-pii-in").toString
+    val out = Files.createTempDirectory("graft-pii-out").toString
+    val ckpt = Files.createTempDirectory("graft-pii-ckpt").toString
+    val body = (1 to 30).map(i => s"token$i").mkString(" ")
+    Files.writeString(java.nio.file.Path.of(in, "b1.json"),
+      s"""{"doc_id":1,"text":"$body mail me at a@b.co","lang":"en","source":"t"}
+         |{"doc_id":2,"text":"short doc","lang":"en","source":"t"}""".stripMargin)
+    // the scrub + filter are pure column expressions, so the same
+    // operators run unchanged on a streaming DataFrame (map-only: no
+    // state store, no watermark, no stream-stream join)
+    def stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING").json(in)
+      .withColumn("text", graft.operators.TextAnalysis.piiRedact(col("text")))
+    val verdicts = graft.operators.TextAnalysis.corpusFilter(stream)
+    assert(verdicts.isStreaming)
+    verdicts.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      .awaitTermination()
+    val got = spark.read.parquet(out).orderBy("doc_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Int]("keep") == 1)
+    assert(got(1).getAs[String]("reason") == "too_short")
+    val out2 = Files.createTempDirectory("graft-pii-out2").toString
+    val ckpt2 = Files.createTempDirectory("graft-pii-ckpt2").toString
+    stream.select(col("doc_id"), col("text")).writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      .awaitTermination()
+    val red = spark.read.parquet(out2).orderBy("doc_id").collect()
+    assert(red(0).getAs[String]("text").endsWith("mail me at <EMAIL>"))
+  }
+
   test("incrementalWriter: re-ingested documents replace their records") {
     val in = Files.createTempDirectory("graft-inc-in").toString
     val out = Files.createTempDirectory("graft-inc-out").toString
