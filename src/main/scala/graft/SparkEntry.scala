@@ -772,6 +772,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_dedup_survivors" -> ((s, dir) => {
+      // near-dup dedup END-TO-END: pairs → transitive clusters → keep
+      // the cluster-min survivor, unpaired documents pass through
+      // untouched (the full dedupByPairs path a pipeline actually runs)
+      val corpus = corpusWithDups(tbl(s, dir, "documents"))
+      val pairs = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.8)
+      Dedup.dedupByPairs(corpus, pairs)
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "d_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: every 25th document stands in for a
       // held-out eval set; any corpus doc (incl. the induced dups of
@@ -955,6 +966,22 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_len"))
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    "m_resize_meta" -> ((s, dir) => {
+      import s.implicits._
+      // resize stub: bytes pass through, target size recorded — the
+      // row contract a real re-encoder slots into
+      val media = tbl(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit("image/raw").as("media_type"),
+        lit("").as("alt_text")
+      ).as[Multimodal.MediaRecord]
+      Multimodal.resizeStub(media, 224, 224)
+        .select(col("media_id"), length(col("content")).as("byte_length"),
+          col("target_width"), col("target_height"))
+        .orderBy(col("media_id"))
     }),
 
     "m_audio_segments" -> ((s, dir) => {
@@ -1385,6 +1412,22 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "d_dedup_survivors" ->
+      s"""WITH RECURSIVE $ngramPairsCte,
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM dup_pairs
+         |  UNION ALL SELECT b, a FROM dup_pairs),
+         |reach(node, peer) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer),
+         |losers AS (
+         |  SELECT node AS doc_id FROM reach GROUP BY node
+         |  HAVING least(node, min(peer)) <> node)
+         |SELECT doc_id, CAST(length(text) AS INT) AS n_chars
+         |FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
+
     "d_decontaminate" ->
       s"""WITH corpus AS ($corpusWithDupsSql),
          |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
@@ -1688,6 +1731,12 @@ object SparkEntry {
         |FROM documents, unnest(range(0, 4)) AS u(i)
         |WHERE octet_length(encode(text)) > 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "m_resize_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_length,
+        |  CAST(224 AS INT) AS target_width, CAST(224 AS INT) AS target_height
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "m_audio_segments" ->
       // the corpus is pure ASCII (verified ≤ U+0079 at every SF), so
