@@ -19,6 +19,9 @@ object Kernels {
   def hashEmbed(s: String, dim: Int): Array[Float] = native.hashEmbed(s, dim)
   def cosine(a: ArrayData, aDouble: Boolean, b: ArrayData, bDouble: Boolean): Double =
     native.cosine(a, aDouble, b, bDouble)
+  def nearestCentroids(vec: ArrayData, vDouble: Boolean, cents: ArrayData,
+                       cDouble: Boolean, probes: Int): Array[Long] =
+    native.nearestCentroids(vec, vDouble, cents, cDouble, probes)
   def vocabHits(s: String, words: java.util.HashSet[String]): Long =
     native.vocabHits(s, words)
   def bestLabel(s: String, groups: Array[(String, java.util.HashSet[String])],

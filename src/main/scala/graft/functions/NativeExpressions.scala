@@ -216,6 +216,46 @@ object native {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** The `probes` nearest centroid list-ids for one vector (cosine
+    * desc, list_id asc tie-break — the exact ordering of the former
+    * window-argmax formulation). `cents` is array<struct<list_id:long,
+    * centroid:array<float|double>>>; this turns IVF list assignment
+    * into a single scan-stage projection over the broadcast centroid
+    * set — no per-row fan-out, no shuffle (a crossJoin+row_number
+    * argmax shuffles corpus × nLists rows, each carrying the full
+    * embedding: a scale-killer at 10⁹ vectors).
+    */
+  def nearestCentroids(vec: ArrayData, vDouble: Boolean, cents: ArrayData,
+                       cDouble: Boolean, probes: Int): Array[Long] = {
+    val n = cents.numElements()
+    val ids = new Array[Long](n)
+    val sims = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val c = cents.getStruct(i, 2)
+      ids(i) = c.getLong(0)
+      sims(i) = cosine(vec, vDouble, c.getArray(1), cDouble)
+      i += 1
+    }
+    val k = math.min(probes, n)
+    val out = new Array[Long](k)
+    val taken = new Array[Boolean](n)
+    var p = 0
+    while (p < k) { // selection by (cos desc, list_id asc): probes ≪ nLists
+      var best = -1
+      var j = 0
+      while (j < n) {
+        if (!taken(j) && (best < 0 || sims(j) > sims(best) ||
+            (sims(j) == sims(best) && ids(j) < ids(best)))) best = j
+        j += 1
+      }
+      taken(best) = true
+      out(p) = ids(best)
+      p += 1
+    }
+    out
+  }
+
   /** Count tokens (of the lowercased text when `lowercase`) that are
     * members of `words` — the kernel behind vocabulary hit counting
     * (sentiment/quality/classification), replacing one filter pass per
@@ -372,6 +412,25 @@ object native {
       copy(left = newLeft, right = newRight)
   }
 
+  case class NearestCentroidsExpr(left: Expression, right: Expression, probes: Int)
+      extends BinaryExpression {
+    private lazy val vDouble =
+      left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    private lazy val cDouble =
+      right.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+        .fields(1).dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any, c: Any): Any =
+      new GenericArrayData(nearestCentroids(
+        v.asInstanceOf[ArrayData], vDouble, c.asInstanceOf[ArrayData], cDouble, probes))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, c) =>
+        s"new $GAD($N.nearestCentroids($v, $vDouble, $c, $cDouble, $probes))")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): NearestCentroidsExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** `$c.toLowerCase()` when the kernel matches lowercased text. */
   private def genText(c: String, lowercase: Boolean): String =
     if (lowercase) s"$c.toLowerCase().toString()" else s"$c.toString()"
@@ -470,6 +529,8 @@ object native {
     col(HyperplaneBucketExpr(ex(vec), nPlanes, seed))
   def hashEmbed(text: Column, dim: Int): Column = col(HashEmbedExpr(ex(text), dim))
   def cosine(a: Column, b: Column): Column = col(CosineExpr(ex(a), ex(b)))
+  def nearestCentroids(vec: Column, cents: Column, probes: Int): Column =
+    col(NearestCentroidsExpr(ex(vec), ex(cents), probes))
   def vocabHits(text: Column, words: Seq[String], lowercase: Boolean = true): Column =
     col(VocabHitsExpr(ex(text), words, lowercase))
   def bestLabel(text: Column, groups: Seq[(String, Seq[String])], fallback: String,

@@ -47,4 +47,12 @@ object VectorFunctions {
     */
   def hyperplaneBucket(vec: Column, nPlanes: Int, seed: Int = 0): Column =
     native.hyperplaneBucket(vec, nPlanes, seed)
+
+  /** The `probes` nearest centroids of `vec` (cosine desc, list_id asc)
+    * out of `cents`, an `array<struct<list_id, centroid>>` column —
+    * IVF list assignment as one scan-stage expression over a broadcast
+    * centroid set, replacing a crossJoin + window argmax.
+    */
+  def nearestCentroids(vec: Column, cents: Column, probes: Int): Column =
+    native.nearestCentroids(vec, cents, probes)
 }

@@ -74,11 +74,17 @@ object Similarity {
     }
     val c = bucketize(corpus, "nbr_id", "nbr_emb")
     val q = bucketize(queries, "query_id", "q_emb")
-    val candidates = q.join(c, Seq("table", "bucket"))
+    // query side broadcast (same contract as knnBruteForceBatch: the
+    // query set fits a broadcast; larger sets should shard the call),
+    // so the corpus never shuffles to meet its candidates. Score BEFORE
+    // the candidate dedup: cosine is deterministic per pair, so the
+    // dropDuplicates / top-k exchanges carry (query_id, nbr_id, cos) —
+    // ids + one double — instead of two embedding arrays per candidate.
+    val candidates = broadcast(q).join(c, Seq("table", "bucket"))
       .where(col("query_id") =!= col("nbr_id"))
-      .select(col("query_id"), col("q_emb"), col("nbr_id"), col("nbr_emb"))
+      .select(col("query_id"), col("nbr_id"),
+        VectorFunctions.cosine(col("q_emb"), col("nbr_emb")).as("cos"))
       .dropDuplicates("query_id", "nbr_id")
-      .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("nbr_emb")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id").asc)
@@ -149,28 +155,54 @@ object Similarity {
           .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
       else sampled
 
-    def assign(df: DataFrame, idName: String, embName: String, probes: Int): DataFrame = {
-      val scored = df
-        .crossJoin(broadcast(centroids))
-        .withColumn("c_cos", VectorFunctions.cosine(col("embedding"), col("centroid")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("list_id"))
-      scored
-        .withColumn("c_rank", row_number().over(w))
-        .where(col("c_rank") <= probes)
-        .select(col("vec_id").as(idName), col("embedding").as(embName), col("list_id"))
-    }
-    val listed = assign(corpus, "nbr_id", "nbr_emb", probes = 1) // each vector in ONE list
-    val probed = assign(queries, "query_id", "q_emb", probes = nProbe)
+    // fold + materialize the centroid set ONCE (one row): both assign
+    // sides broadcast it, and without the checkpoint each side would
+    // re-run the sampling scan to rebuild it
+    val centroidSet = foldCentroids(centroids).localCheckpoint(true)
+    val listed = assignFolded(corpus, centroidSet, "nbr_id", "nbr_emb", probes = 1)
+    val probed = assignFolded(queries, centroidSet, "query_id", "q_emb", probes = nProbe)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id").asc)
-    probed.join(listed, Seq("list_id"))
+    // query side broadcast (queries ≪ corpus by contract) so the probe
+    // join never shuffles the corpus lists; score before the candidate
+    // dedup so the dropDuplicates / top-k exchanges carry ids + one
+    // double, never two embedding arrays per candidate
+    broadcast(probed).join(listed, Seq("list_id"))
       .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        VectorFunctions.cosine(col("q_emb"), col("nbr_emb")).as("cos"))
       .dropDuplicates("query_id", "nbr_id")
-      .withColumn("cos", VectorFunctions.cosine(col("q_emb"), col("nbr_emb")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
   }
+
+  /** Map-only IVF list assignment: fold the (small) centroid table into
+    * ONE broadcast row holding array<struct<list_id, centroid>>, then
+    * compute each vector's `probes` nearest lists as a single
+    * scan-stage expression (native argmax kernel — cosine desc, list_id
+    * asc, identical ordering to a window row_number). The former
+    * crossJoin + window formulation shuffled corpus × nLists rows, each
+    * carrying the full embedding, just to take a per-row argmax — at
+    * 10⁹ vectors × 16 lists that exchange dwarfs every other stage.
+    * Here the corpus branch has NO exchange at all (asserted in
+    * PlanSpec): a BroadcastNestedLoopJoin against one row, then a
+    * projection + explode.
+    */
+  private[graft] def assignLists(df: DataFrame, centroids: DataFrame,
+                                 idName: String, embName: String,
+                                 probes: Int): DataFrame =
+    assignFolded(df, foldCentroids(centroids), idName, embName, probes)
+
+  private def foldCentroids(centroids: DataFrame): DataFrame =
+    centroids.agg(collect_list(struct(col("list_id"), col("centroid"))).as("cents"))
+
+  private def assignFolded(df: DataFrame, centroidSet: DataFrame,
+                           idName: String, embName: String,
+                           probes: Int): DataFrame =
+    df.crossJoin(broadcast(centroidSet))
+      .select(col("vec_id").as(idName), col("embedding").as(embName),
+        explode(VectorFunctions.nearestCentroids(col("embedding"), col("cents"), probes))
+          .as("list_id"))
 }

@@ -126,6 +126,54 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"pipeline must not shuffle:\n$plan")
   }
 
+  // unwrap AQE so collect{} can walk the physical tree
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+
+  private def shuffles(df: DataFrame) = physical(df).collect {
+    case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+  }
+
+  test("IVF corpus-to-list assignment is map-only (no exchange before scoring)") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val centroids = emb.where(col("vec_id") % 25 === 0).limit(4)
+      .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
+    val assigned = graft.operators.Similarity.assignLists(
+      emb, centroids, "nbr_id", "nbr_emb", probes = 1)
+    // the corpus branch must be scan → broadcast-join(1-row centroid
+    // fold) → project/explode; the ONLY shuffle allowed anywhere is the
+    // SinglePartition fold of the ≤nLists centroid rows
+    val bad = shuffles(assigned).filterNot(
+      _.outputPartitioning == org.apache.spark.sql.catalyst.plans.physical.SinglePartition)
+    assert(bad.isEmpty,
+      s"corpus list assignment must not shuffle:\n${physical(assigned)}")
+    assert(assigned.count() == emb.count(), "every vector lands in exactly one list")
+  }
+
+  test("ANN candidate dedup/top-k exchanges carry ids + score, never embeddings") {
+    import org.apache.spark.sql.types.ArrayType
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+    for ((name, df) <- Seq(
+      "knnLsh" -> graft.operators.Similarity.knnLsh(emb, queries, dim = 64, k = 5),
+      "knnIvf" -> graft.operators.Similarity.knnIvf(emb, queries, k = 5, nLists = 4, nProbe = 2),
+      "knnBruteForceBatch" -> graft.operators.Similarity.knnBruteForceBatch(emb, queries, k = 5))) {
+      // no repartitioning exchange may carry an array column: candidate
+      // pairs are scored first, so dedup + window shuffle (ids, cos)
+      // only. (SinglePartition folds — the ≤nLists centroid collect —
+      // are bounded by construction and exempt.)
+      val offending = shuffles(df).filter { s =>
+        s.outputPartitioning != org.apache.spark.sql.catalyst.plans.physical.SinglePartition &&
+          s.output.exists(_.dataType.isInstanceOf[ArrayType])
+      }
+      assert(offending.isEmpty,
+        s"$name shuffles embedding arrays:\n${offending.map(_.output.mkString(", ")).mkString("\n")}")
+    }
+  }
+
   test("brute-force knn batch broadcasts the query side") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val plan = executed(graft.operators.Similarity.knnBruteForceBatch(
