@@ -183,6 +183,13 @@ object SparkEntry {
   private def sqlHash(strExpr: String): String =
     s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(list_filter(regexp_split_to_array($strExpr, ''), c -> length(c) > 0), c -> CAST(unicode(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
 
+  /** DuckDB twin of native.polyHash2 (second family: base 131 mod
+    * 998244353); h31 * 998244353 + h131 is native.tokenHash60, the
+    * simhash token hash.
+    */
+  private def sqlHash2(strExpr: String): String =
+    s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(list_filter(regexp_split_to_array($strExpr, ''), c -> length(c) > 0), c -> CAST(unicode(c) AS BIGINT))), (acc, c) -> (acc * 131 + c) % 998244353)"
+
   // ==================================================================
   // Flagship: 5-way star join (region⋈nation⋈customer⋈orders⋈lineitem
   // ⋈supplier) with broadcast dims — driver smoke-checks rows > 0.
@@ -1514,6 +1521,31 @@ object SparkEntry {
          |  FROM cand JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b)
          |SELECT a, b, inter, na, nb FROM verified
          |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+         |ORDER BY a, b""".stripMargin
+    },
+
+    "d_dedup_simhash" -> {
+      // hard oracle: recompute every 60-bit signature from the raw text
+      // (dual-polynomial token hash — bit-for-bit the native kernel),
+      // then brute-force ALL pairs with bit_count(xor) <= 3. The Spark
+      // side finds pairs via pigeonhole block bucketing, which is
+      // complete for hamming <= maxHamming, so the sets must be equal
+      // (the df-cut cannot trip at sf0.01: maxDocsPerBucket=1000 > corpus).
+      val tokHash = s"(${sqlHash("tok")} * 998244353 + ${sqlHash2("tok")})"
+      s"""WITH corpus AS ($corpusWithDupsSql),
+         |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
+         |hashed AS (SELECT doc_id, list_transform(t, tok -> $tokHash) AS hs FROM toks),
+         |sims AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(range(0, 60), b ->
+         |      CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+         |           THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END)),
+         |      (x, y) -> x + y) AS sim
+         |  FROM hashed)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
+         |FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sim, y.sim)) <= 3
          |ORDER BY a, b""".stripMargin
     },
 

@@ -13,7 +13,7 @@ object Kernels {
   def tokenCount(s: String): Int = native.tokenOffsets(s).length / 2
   def shingleHashes(s: String, n: Int): Array[Long] = native.shingleHashes(s, n)
   def minHashSig(shingles: ArrayData, k: Int): Array[Long] = native.minHashSig(shingles, k)
-  def simHash64(s: UTF8String): Long = native.simHash64(s)
+  def simHash64(s: String): Long = native.simHash64(s)
   def hyperplaneBucket(vec: ArrayData, isDouble: Boolean, nPlanes: Int, seed: Int): Long =
     native.hyperplaneBucket(vec, isDouble, nPlanes, seed)
   def hashEmbed(s: String, dim: Int): Array[Float] = native.hashEmbed(s, dim)

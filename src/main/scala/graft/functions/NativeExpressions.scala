@@ -1,12 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for graft's hot text/vector kernels.
@@ -114,34 +113,56 @@ object native {
     mins
   }
 
-  /** SimHash-64 (twin of TextFunctions.simHash64): xxhash64(seed=42)
-    * per whitespace token — identical to the built-in xxhash64() on the
-    * token substring — per-bit ±1 votes, sign → bit.
+  val P2: Long = 998244353L
+
+  /** Second independent polynomial family (base 131 mod P2) — combined
+    * with the base-31 family below to spread a portable token hash over
+    * 60 bits.
     */
-  def simHash64(s: UTF8String): Long = {
-    val bytes = s.getBaseObject
-    val offset = s.getBaseOffset
-    val n = s.numBytes()
-    val votes = new Array[Int](64)
-    var i = 0
-    def isWsB(b: Byte): Boolean =
-      b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
-    while (i < n) {
-      while (i < n && isWsB(Platform.getByte(bytes, offset + i))) i += 1
-      if (i < n) {
-        val start = i
-        while (i < n && !isWsB(Platform.getByte(bytes, offset + i))) i += 1
-        val h = XXH64.hashUnsafeBytes(bytes, offset + start, i - start, 42L)
-        var bit = 0
-        while (bit < 64) {
-          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
-          bit += 1
-        }
+  def polyHash2(s: String, from: Int, until: Int): Long = {
+    var acc = 0L
+    var i = from
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 131 + cp) % P2
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Portable ~60-bit token hash: h31 * P2 + h131 < 2^60, exactly
+    * reproducible in ANSI SQL (two list_reduce folds + one multiply —
+    * no 64-bit wrapping arithmetic, which DuckDB lacks). Replaces
+    * xxhash64 as the simhash token hash so the full signature is
+    * oracle-checkable end-to-end.
+    */
+  def tokenHash60(s: String, from: Int, until: Int): Long =
+    polyHash(s, from, until, 0L) * P2 + polyHash2(s, from, until)
+
+  /** SimHash (twin of TextFunctions.simHash64): portable 60-bit token
+    * hash per whitespace token, per-bit ±1 votes, sign → bit. Bits
+    * 60-63 are structurally zero; 60 well-mixed bits lose nothing
+    * measurable against 64 for near-dup hamming at any corpus size,
+    * and DuckDB can recompute the signature bit-for-bit (the
+    * d_dedup_simhash oracle brute-forces pairs from re-derived
+    * signatures with bit_count(xor(...))).
+    */
+  def simHash64(s: String): Long = {
+    val offs = tokenOffsets(s)
+    val votes = new Array[Int](60)
+    var t = 0
+    while (t < offs.length) {
+      val h = tokenHash60(s, offs(t), offs(t + 1))
+      var bit = 0
+      while (bit < 60) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
       }
+      t += 2
     }
     var out = 0L
     var bit = 0
-    while (bit < 64) {
+    while (bit < 60) {
       if (votes(bit) > 0) out |= (1L << bit)
       bit += 1
     }
@@ -367,9 +388,9 @@ object native {
   case class SimHash64Expr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(input: Any): Any =
-      simHash64(input.asInstanceOf[UTF8String])
+      simHash64(input.asInstanceOf[UTF8String].toString)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"$N.simHash64($c)")
+      defineCodeGen(ctx, ev, c => s"$N.simHash64($c.toString())")
     override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
       copy(child = newChild)
   }

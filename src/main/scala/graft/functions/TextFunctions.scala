@@ -98,8 +98,9 @@ object TextFunctions {
     array(keys: _*)
   }
 
-  /** SimHash-64 over whitespace tokens (xxhash64 — codegen'd, not
-    * oracle-portable by design). Sign of per-bit vote sum.
+  /** SimHash over whitespace tokens: portable 60-bit dual-polynomial
+    * token hash, sign of per-bit vote sum — reproducible in DuckDB SQL
+    * bit-for-bit (hard oracle for d_dedup_simhash).
     */
   def simHash64(text: Column): Column = native.simHash64(text)
 
