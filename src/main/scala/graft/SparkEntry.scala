@@ -179,6 +179,27 @@ object SparkEntry {
        |  FROM normed)""".stripMargin
   }
 
+  /** Shared oracle for the header/section/semantic chunkers: on a
+    * structureless single-paragraph corpus all three produce the same
+    * 64-token windows under an empty context (header stack empty, no
+    * h1 sections, a single element has no semantic split points).
+    */
+  private lazy val structuralChunkOracle: String = {
+    val maxT = 64
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+       |n AS (SELECT doc_id, t, len(t) AS n FROM toks),
+       |chunks AS (
+       |  SELECT doc_id, CAST(u.i AS INT) AS chunk_id,
+       |    array_to_string(t[u.i*$maxT+1 : u.i*$maxT+$maxT], ' ') AS content
+       |  FROM n, unnest(range(0, greatest(CAST(ceil(n / $maxT.0) AS BIGINT), 1))) AS u(i))
+       |SELECT doc_id, chunk_id, content, '' AS context,
+       |  CAST(len(${sqlToks("content")}) AS INT) AS token_count,
+       |  CAST(NULL AS INT) AS page_number
+       |FROM chunks WHERE length(content) > 0
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   /** DuckDB twin of TextFunctions.portableHash (polynomial char hash). */
   private def sqlHash(strExpr: String): String =
     s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(list_filter(regexp_split_to_array($strExpr, ''), c -> length(c) > 0), c -> CAST(unicode(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
@@ -1301,6 +1322,61 @@ object SparkEntry {
          |  lang AS meta_lang, source AS meta_source
          |FROM chunks WHERE length(content) > 0
          |ORDER BY doc_id, chunk_id""".stripMargin
+    },
+
+    // The four structural chunkers and the markdown reader have exact
+    // SQL twins FOR THIS CORPUS: the synthetic documents are single
+    // single-spaced word sequences (verified: no headers, tables,
+    // sentence punctuation, double spaces, or empty texts at any SF),
+    // so parseBlocks yields exactly one paragraph per document and the
+    // packers degenerate to 64-token windows under an empty context —
+    // fully expressible in DuckDB. The STRUCTURAL semantics (header
+    // stacks, section splits, table row-splitting, semantic distance
+    // splits) stay covered by ChunkersSpec / MarkdownReaderSpec, which
+    // mirror the reference's own unit tests; these oracles hash-gate
+    // the whole parse→split→pack path end-to-end on real data.
+    "i_markdown_elements" ->
+      """SELECT doc_id, CAST(0 AS INT) AS seq, 'paragraph' AS kind,
+        |  CAST(0 AS INT) AS level, text
+        |FROM documents WHERE length(trim(text)) > 0
+        |ORDER BY doc_id, seq""".stripMargin,
+
+    "i_chunk_header" -> structuralChunkOracle,
+    "i_chunk_section" -> structuralChunkOracle,
+    "i_chunk_semantic" -> structuralChunkOracle,
+
+    "i_chunk_markdown" ->
+      // no level<=3 headers in the corpus → one chunk per document:
+      // the whole text under an empty context
+      s"""SELECT doc_id, CAST(0 AS INT) AS chunk_id, text AS content,
+         |  '' AS context, CAST(len(${sqlToks("text")}) AS INT) AS token_count,
+         |  CAST(NULL AS INT) AS page_number
+         |FROM documents WHERE length(trim(text)) > 0
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "i_pipeline_e2e" -> {
+      // canonical pipeline at default options (maxTokens=2000): every
+      // document is one chunk (text verbatim), then the summary and
+      // sentiment enrichers run over chunk content with their default
+      // vocabularies
+      val posList = graft.operators.Processors.PositiveWords.map(w => s"'$w'").mkString(",")
+      val negList = graft.operators.Processors.NegativeWords.map(w => s"'$w'").mkString(",")
+      s"""WITH chunks AS (
+         |  SELECT doc_id, CAST(0 AS INT) AS chunk_id, text AS content,
+         |    CAST(len(${sqlToks("text")}) AS INT) AS token_count
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |scored AS (
+         |  SELECT doc_id, chunk_id, content, token_count,
+         |    len(list_filter(${sqlToks("lower(content)")}, x -> list_contains([$posList], x))) AS p,
+         |    len(list_filter(${sqlToks("lower(content)")}, x -> list_contains([$negList], x))) AS n
+         |  FROM chunks)
+         |SELECT doc_id, chunk_id, token_count,
+         |  array_to_string((${sqlToks("content")})[1:100], ' ') AS summary,
+         |  CASE WHEN p + n = 0 THEN 'Unknown'
+         |       WHEN p > n THEN 'Positive'
+         |       WHEN n > p THEN 'Negative'
+         |       ELSE 'Neutral' END AS sentiment
+         |FROM scored ORDER BY doc_id, chunk_id""".stripMargin
     },
 
     "i_enrich_summary" ->

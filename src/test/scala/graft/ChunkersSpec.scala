@@ -293,6 +293,41 @@ class ChunkersSpec extends SparkSpecBase {
     assert(out(1).content.contains("zebra"))
   }
 
+  test("sectionChunks: 600-word section splits into budget-respecting chunks that reconstruct (reference SizeLimit_TwoChunks)") {
+    val text = Seq.fill(600)("word").mkString(" ")
+    val out = Chunkers.sectionChunks(spark, docs(1L -> text),
+      ChunkerOptions(maxTokens = 512, overlap = 0)).collect().sortBy(_.chunk_id)
+    assert(out.length == 2)
+    assert(out.forall(_.token_count <= 512))
+    // no context → contents are the raw windows; rejoining them
+    // reconstructs the document exactly (no token lost or duplicated)
+    assert(out.map(_.content).mkString(" ") == text)
+  }
+
+  test("markdownChunks: headerless document is one chunk with empty context (reference NoheaderDocument)") {
+    val md = "This is a paragraph.\n\nThis is another paragraph."
+    val out = Chunkers.markdownChunks(spark, docs(1L -> md)).collect()
+    assert(out.length == 1)
+    assert(out.head.context == "")
+    assert(out.head.content == "This is a paragraph.\nThis is another paragraph.")
+  }
+
+  test("semanticChunks: mixed element kinds pack tables as markdown and images as alt text (reference TwoSeparateTopicsWithAllKindsOfElements)") {
+    // a table rides into the chunk as its markdown (rows preserved for
+    // the oversized-table splitter); an image contributes its ALT TEXT,
+    // never the ![..](..) markdown (ElementsChunker.cs:55-66)
+    val md = "intro paragraph about languages\n\n" +
+      "| Language | Type |\n| --- | --- |\n| scala | functional |\n\n" +
+      "![a diagram of the runtime](diagram.png)"
+    val out = Chunkers.semanticChunks(spark, docs(1L -> md),
+      ChunkerOptions(maxTokens = 200, overlap = 0), thresholdPercentile = 100.0)
+      .collect()
+    val all = out.map(_.content).mkString("\n")
+    assert(all.contains("| scala | functional |"), "table markdown must survive packing")
+    assert(all.contains("a diagram of the runtime"), "image alt text must be packed")
+    assert(!all.contains("!["), "image markdown must not be packed")
+  }
+
   test("percentile: linear interpolation matches reference semantics") {
     assert(Chunkers.percentile(Seq(1.0, 2.0, 3.0, 4.0), 50.0).contains(2.5))
     assert(Chunkers.percentile(Seq(1.0, 2.0, 3.0, 4.0), 100.0).contains(4.0))
