@@ -6,8 +6,28 @@ import scala.collection.immutable.ListMap
   * prints ONE JSON line {"metric","value","unit","queries","sf"}.
   * Failures are recorded in "errors" (and the run keeps going) rather
   * than silently timing an exception.
+  *
+  * Starvation guard: this host has sporadic vCPU-starvation windows
+  * (30-160 s, root-caused in SURVEY §5) that inflate 1-3 random
+  * queries per full run and mask real regressions. After the main
+  * loop, any query whose wall exceeds 5× its family median (family =
+  * key prefix up to the first '_') is re-timed once and the MINIMUM is
+  * reported; the re-timed values are surfaced in a "retimed" map so
+  * the artifact shows exactly which numbers were corrected.
   */
 object Bench {
+
+  private def timeOne(spark: SparkSession, sfDir: String,
+                      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                      onError: Throwable => Unit): Double = {
+    val t0 = System.nanoTime()
+    // noop sink: materializes EVERY output column (count() would let
+    // Catalyst prune unobserved ones and under-report map-only queries)
+    try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => onError(e) }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
@@ -21,18 +41,40 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))
-    val results = ListMap(selected: _*).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: materializes EVERY output column (count() would let
-      // Catalyst prune unobserved ones and under-report map-only queries)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable => errors ::= s"$name: ${e.getClass.getSimpleName}" }
-      name -> (System.nanoTime() - t0) / 1e9
+    var failed = Set.empty[String]
+    val first = ListMap(selected: _*).map { case (name, fn) =>
+      name -> timeOne(spark, sfDir, fn,
+        e => { errors ::= s"$name: ${e.getClass.getSimpleName}"; failed += name })
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    // identify starvation suspects: > 5× the family median (a family of
+    // one is never suspect — v > 5v is false); re-time worst-first,
+    // bounded so a systemically-slow run can't double its own wall
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val famMedian = first.toSeq.groupBy(_._1.takeWhile(_ != '_'))
+      .map { case (f, qs) => f -> median(qs.map(_._2)) }
+    val suspects = first.toSeq
+      .filter { case (k, v) => !failed(k) && v > 5 * famMedian(k.takeWhile(_ != '_')) }
+      .sortBy { case (k, v) => -(v / famMedian(k.takeWhile(_ != '_'))) }
+      .take(8)
+      .map(_._1)
+    val fnByName = selected.toMap
+    val retimed = suspects.map { name =>
+      name -> timeOne(spark, sfDir, fnByName(name),
+        e => errors ::= s"$name(retime): ${e.getClass.getSimpleName}")
+    }.toMap
+    val results = first.map { case (k, v) =>
+      k -> math.min(v, retimed.getOrElse(k, v))
+    }
+
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"retimed":${jmap(retimed)},"sf":"$sfDir","errors":$errJson}""")
     spark.stop()
   }
 }
