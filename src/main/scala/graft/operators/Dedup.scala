@@ -290,8 +290,15 @@ object Dedup {
       .union(undirected.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     undirected.unpersist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
+    // seed with the min of (self, neighbors) instead of self: round 0's
+    // neighbor-min join is fused into the label build (one aggregate
+    // over the edge set either way), so every run starts one full
+    // round ahead — on LSH-shaped pair sets (star-like components)
+    // most nodes are already final before the first iteration
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"), least(col("src"), col("mn")).as("label"))
+      .localCheckpoint(true)
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
@@ -325,10 +332,13 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     if (changed > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      log.warn(
         s"connectedComponents: not converged after $maxRounds rounds " +
           "(pathological component diameter); clusters may be split — raise maxRounds")
+    else
+      log.info(s"connectedComponents: converged in $round rounds ($nPairs pairs)")
     labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
 
