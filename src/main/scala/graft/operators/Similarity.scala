@@ -104,13 +104,18 @@ object Similarity {
     * files by documentid for exactly this prune).
     */
   def semanticSearch(records: DataFrame, query: Array[Float], k: Int = 10,
-                     documentIdFilter: Option[String] = None): DataFrame = {
+                     documentIdFilter: Option[String] = None,
+                     distanceFunction: String = graft.sinks.VectorStoreWriter.Cosine): DataFrame = {
     val base = documentIdFilter match {
       case Some(id) if id.nonEmpty => records.where(col("documentid") === id)
       case _                       => records
     }
+    // the collection's configured metric (VectorStoreWriterOptions.cs:
+    // 24) drives the scoring expression; all metrics are oriented
+    // higher-is-closer so the top-k ordering is uniform
     base
-      .withColumn("cos", VectorFunctions.cosine(col("embedding"), lit(query)))
+      .withColumn("cos",
+        graft.sinks.VectorStoreWriter.distance(distanceFunction, col("embedding"), lit(query)))
       .orderBy(col("cos").desc, col("key"))
       .limit(k)
   }

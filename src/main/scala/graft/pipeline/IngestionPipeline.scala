@@ -3,8 +3,22 @@ package graft.pipeline
 import graft.model.Chunk
 import graft.operators.{Chunkers, ChunkerOptions, Processors}
 import graft.sinks.VectorStoreWriter
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** Per-stage pipeline metrics, collected via `Dataset.observe` taps at
+  * every stage boundary (reader → each document processor → chunker →
+  * each chunk processor). Row counts materialize with the pipeline's
+  * terminal action; reading them before any action has run blocks, so
+  * only consult [[rowCounts]] after the write/collect completes.
+  */
+final case class PipelineMetrics(stages: Seq[(String, Observation)]) {
+  /** Stage name → exact output row count of that stage. */
+  def rowCounts: Map[String, Long] =
+    stages.map { case (name, obs) =>
+      name -> obs.get("rows").asInstanceOf[Long]
+    }.toMap
+}
 
 /** The pipeline composer — graft's twin of IngestionPipeline.cs:
   * reader → documentProcessors* → chunker → chunkProcessors* → writer.
@@ -42,6 +56,48 @@ final case class IngestionPipeline(
     val processed = documentProcessors.foldLeft(documents)((df, p) => p(df))
     val chunked = chunker(spark, processed)
     chunkProcessors.foldLeft(chunked)((df, p) => p(df))
+  }
+
+  /** `chunks` with per-stage observability — graft's twin of the
+    * reference's per-stage Activity spans + document/chunk tags
+    * (IngestionPipeline.cs:100-170, DiagnosticsConstants.cs). Each
+    * stage boundary is tapped with `Dataset.observe`, so exact
+    * output-row counts per stage ride along with the terminal action —
+    * ZERO extra jobs and no break in the single lazy plan (an eager
+    * `count()` per stage would run the pipeline once per stage).
+    * Per-stage wall time deliberately does not exist here: stages fuse
+    * into one WholeStageCodegen pass, which is the point of the
+    * architecture — the Spark UI's stage/task timeline is the
+    * execution-time profile.
+    */
+  def observedChunks(spark: SparkSession,
+                     documents: DataFrame): (DataFrame, PipelineMetrics) = {
+    val taps = Seq.newBuilder[(String, Observation)]
+    def tap(df: DataFrame, stage: String): DataFrame = {
+      val obs = Observation() // auto-named; stage label kept alongside
+      taps += stage -> obs
+      df.observe(obs, count(lit(1)).as("rows"))
+    }
+    var df = tap(documents, "reader")
+    documentProcessors.zipWithIndex.foreach { case (p, i) =>
+      df = tap(p(df), s"documentProcessor[$i]")
+    }
+    df = tap(chunker(spark, df), "chunker")
+    chunkProcessors.zipWithIndex.foreach { case (p, i) =>
+      df = tap(p(df), s"chunkProcessor[$i]")
+    }
+    (df, PipelineMetrics(taps.result()))
+  }
+
+  /** Run with a custom terminal writer AND per-stage metrics: the
+    * writer's action materializes the observations, so the returned
+    * metrics are ready immediately after.
+    */
+  def runObserved(spark: SparkSession, documents: DataFrame,
+                  writer: DataFrame => Unit): PipelineMetrics = {
+    val (df, metrics) = observedChunks(spark, documents)
+    writer(df)
+    metrics
   }
 
   /** Run end-to-end into a vector store path. Enricher outputs (any

@@ -21,9 +21,64 @@ import org.apache.spark.sql.functions._
   * target vector store's own upsert — `key` is deterministic
   * (documentid:chunkid) precisely so that upsert is idempotent.
   */
+/** Writer options — the twin of VectorStoreWriterOptions.cs:10-30.
+  * `collectionName` (reference default "chunks") becomes a sub-path of
+  * the store root, so one store holds many collections like a vector
+  * DB does; `distanceFunction` is recorded per collection and drives
+  * the scoring expression search uses (see
+  * [[VectorStoreWriter.distance]]); `incrementalIngestion` mirrors the
+  * reference's delete-before-insert replace semantics (reference
+  * default false; graft keeps its historical default true — upsert is
+  * the common ingestion mode at scale).
+  */
+final case class VectorStoreWriterOptions(
+    collectionName: String = "chunks",
+    distanceFunction: String = VectorStoreWriter.Cosine,
+    incrementalIngestion: Boolean = true,
+    numBuckets: Int = VectorStoreWriter.NumBuckets) {
+  require(collectionName.nonEmpty, "collectionName must not be empty") // VectorStoreWriterOptions.cs:18
+  require(VectorStoreWriter.DistanceFunctions.contains(distanceFunction),
+    s"unknown distanceFunction '$distanceFunction' " +
+      s"(supported: ${VectorStoreWriter.DistanceFunctions.mkString(", ")})")
+}
+
 object VectorStoreWriter {
 
   val NumBuckets = 256
+
+  val Cosine = "cosine"
+  val Dot = "dot"
+  val Euclidean = "euclidean"
+  val DistanceFunctions: Set[String] = Set(Cosine, Dot, Euclidean)
+
+  /** Similarity expression for a configured distance function, oriented
+    * so HIGHER is always closer (euclidean is negated) — one ordering
+    * convention for every top-k search regardless of the collection's
+    * metric, like the reference's VectorData.DistanceFunction abstraction.
+    */
+  def distance(fn: String, a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = fn match {
+    case Cosine => VectorFunctions.cosine(a, b)
+    case Dot    => VectorFunctions.dot(a, b)
+    case Euclidean =>
+      -sqrt(aggregate(
+        zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v))
+    case other => throw new IllegalArgumentException(s"unknown distanceFunction '$other'")
+  }
+
+  /** Root-relative path of a collection. */
+  def collectionPath(root: String, options: VectorStoreWriterOptions): String =
+    s"$root/${options.collectionName}"
+
+  /** Write records into the options' collection under `root` — the
+    * twin of the reference writer's collection-scoped upsert.
+    */
+  def write(records: DataFrame, root: String,
+            options: VectorStoreWriterOptions): Unit =
+    write(records, collectionPath(root, options),
+      incremental = options.incrementalIngestion, numBuckets = options.numBuckets)
 
   /** Chunks (doc_id, chunk_id, content, context) → vector records.
     * Embedding is the hermetic hash embedder (swap for a model UDF in

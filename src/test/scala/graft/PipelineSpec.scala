@@ -152,4 +152,80 @@ class PipelineSpec extends SparkSpecBase {
     assert(out.count() > 0)
     assert(out.columns.toSet.contains("embedding"))
   }
+
+  // ------------------------------------------------- observability
+  test("observedChunks reports exact per-stage row counts with zero extra jobs") {
+    val three = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, ""), // dropped by the document processor
+      (3L, (1 to 120).map(i => s"w$i").mkString(" ")) // 2 chunks at maxTokens=64
+    ).toDF("doc_id", "text")
+    val pipeline = IngestionPipeline()
+      .withDocumentProcessor(df => df.where(length(col("text")) > 0))
+      .withChunker((s, d) => graft.operators.Chunkers.headerChunks(s, d,
+        graft.operators.ChunkerOptions(maxTokens = 64, overlap = 0)).toDF())
+      .withChunkProcessor(df => Processors.withSummary(df))
+    val (out, metrics) = pipeline.observedChunks(spark, three)
+    out.write.format("noop").mode("overwrite").save() // ONE terminal action
+    val counts = metrics.rowCounts
+    assert(counts("reader") == 3)
+    assert(counts("documentProcessor[0]") == 2)
+    assert(counts("chunker") == 3) // doc1 → 1 chunk, doc3 → 2 chunks
+    assert(counts("chunkProcessor[0]") == 3)
+  }
+
+  test("runObserved returns metrics materialized by the writer's action") {
+    val dir = Files.createTempDirectory("graft-observed").toString
+    val metrics = IngestionPipeline.canonical.runObserved(spark, docs,
+      _.write.mode("overwrite").parquet(dir))
+    val counts = metrics.rowCounts
+    assert(counts("reader") == 2)
+    assert(counts("chunker") >= 2)
+    assert(counts("chunkProcessor[0]") == counts("chunker")) // enrichers are 1:1
+    assert(counts("chunkProcessor[1]") == counts("chunker"))
+    assert(spark.read.parquet(dir).count() == counts("chunkProcessor[1]"))
+  }
+
+  // --------------------------------------------- writer options
+  test("VectorStoreWriterOptions: collection sub-path, validation, incremental knob") {
+    import graft.sinks.VectorStoreWriterOptions
+    val root = Files.createTempDirectory("graft-collections").toString
+    val records = VectorStoreWriter.toVectorRecords(
+      IngestionPipeline.canonical.chunks(spark, docs), dim = 16)
+    VectorStoreWriter.write(records, root, VectorStoreWriterOptions()) // default "chunks"
+    VectorStoreWriter.write(records, root,
+      VectorStoreWriterOptions(collectionName = "faq", incrementalIngestion = false))
+    assert(spark.read.parquet(s"$root/chunks").count() == records.count())
+    assert(spark.read.parquet(s"$root/faq").count() == records.count())
+    // reference VectorStoreWriterOptions.cs:18 throws on empty name
+    intercept[IllegalArgumentException](VectorStoreWriterOptions(collectionName = ""))
+    intercept[IllegalArgumentException](VectorStoreWriterOptions(distanceFunction = "hamming"))
+    // incremental re-ingest into a named collection replaces records
+    val v2 = records.withColumn("content", lit("v2"))
+    VectorStoreWriter.write(v2, root, VectorStoreWriterOptions(collectionName = "faq"))
+    val faq = spark.read.parquet(s"$root/faq")
+    assert(faq.count() == records.count())
+    assert(faq.where(col("content") === "v2").count() == records.count())
+  }
+
+  test("distanceFunction drives search scoring (cosine / dot / euclidean)") {
+    import graft.operators.Similarity
+    val records = Seq(
+      ("1:0", Array(1.0f, 0.0f), "a", "", "1"),
+      ("2:0", Array(10.0f, 0.0f), "b", "", "2"),
+      ("3:0", Array(0.0f, 1.0f), "c", "", "3")
+    ).toDF("key", "embedding", "content", "context", "documentid")
+    val q = Array(1.0f, 0.0f)
+    def top(fn: String) =
+      Similarity.semanticSearch(records, q, k = 3, distanceFunction = fn)
+        .select("key").as[String].collect().toSeq
+    // cosine: direction only → 1:0 and 2:0 tie at 1.0 (key tiebreak)
+    assert(top(VectorStoreWriter.Cosine).take(2) == Seq("1:0", "2:0"))
+    // dot: magnitude wins → 2:0 first
+    assert(top(VectorStoreWriter.Dot).head == "2:0")
+    // euclidean (higher-is-closer orientation): exact match wins
+    assert(top(VectorStoreWriter.Euclidean).head == "1:0")
+    intercept[IllegalArgumentException](
+      VectorStoreWriter.distance("hamming", col("embedding"), col("embedding")))
+  }
 }
