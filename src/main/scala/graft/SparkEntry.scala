@@ -821,6 +821,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_repeated_spans" -> ((s, dir) => {
+      // substring-level dedup: 8-token windows repeated across >= 2
+      // documents, merged into maximal per-document spans — the induced
+      // dup corpus repeats every 10th doc verbatim and with one token
+      // appended, so those documents flag end-to-end spans
+      Corpus.repeatedSpans(corpusWithDups(tbl(s, dir, "documents")), n = 8, minDocs = 2)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     "d_pack_sequences" -> ((s, dir) => {
       // training-sequence packing: 256-token budget, 8 shards (each
       // shard packs independently — no global window at any scale)
@@ -1529,6 +1538,28 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(DISTINCT ex.shingle) AS BIGINT) AS n_shared
          |FROM ex JOIN bsh USING (shingle)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_repeated_spans" ->
+      s"""WITH corpus AS ($corpusWithDupsSql),
+         |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
+         |w AS (
+         |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         |    ${sqlHash("array_to_string(t[u.i+1 : u.i+8], ' ')")} AS h
+         |  FROM toks, unnest(range(0, len(t) - 7)) AS u(i)
+         |  WHERE len(t) >= 8),
+         |hot AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |f AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM hot)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM (SELECT doc_id, pos,
+         |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM f))
+         |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+         |  CAST(max(pos) + 7 AS INT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_hits
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     "d_pack_sequences" ->
       s"""WITH t AS (

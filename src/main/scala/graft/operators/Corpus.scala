@@ -71,6 +71,58 @@ object Corpus {
         col("start_seq"), col("end_seq"))
   }
 
+  /** Repeated-span detection — exact substring-level duplication, the
+    * span-granular complement of the document-level near-dup family
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better": memorized boilerplate repeats as long verbatim spans
+    * inside otherwise-distinct documents). Finds n-token windows whose
+    * hash occurs in ≥ `minDocs` distinct documents and merges each
+    * document's flagged window offsets into maximal spans. Output:
+    * (doc_id, span_start, span_end, n_hits) in token coordinates
+    * (inclusive ends) — callers cut or down-weight the spans.
+    *
+    * Scale shape: positional window hashes are a narrow per-row
+    * expression; the only corpus-sized shuffle is the groupBy(hash)
+    * document-frequency aggregate over (hash, doc_id, pos) longs (raw
+    * text never shuffles). The hot-hash set — actual repeated spans —
+    * is tiny relative to the corpus, so the flagging semi-join
+    * broadcasts under AQE (no hint: a boilerplate-heavy corpus degrades
+    * to a shuffle join instead of failing at the broadcast cap). The
+    * window pipeline deliberately re-executes for the probe side
+    * instead of being checkpointed: it is corpus-token-proportional
+    * (one row per token), and a second narrow scan is cheaper than
+    * materializing it — the opposite trade from the (pair-sized) ngram
+    * checkpoint. Island merging then runs on flagged rows only.
+    */
+  def repeatedSpans(documents: DataFrame, n: Int = 8,
+                    minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs >= 2, "n > 0; minDocs >= 2 (cross-document repetition)")
+    val windows = documents
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("t")) - n),
+          i => TextFunctions.portableHash(array_join(slice(col("t"), i + 1, lit(n)), " "))))
+        .as(Seq("pos", "h")))
+    val hot = windows.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("h"))
+    val flagged = windows.join(hot, Seq("h"), "left_semi")
+    // merge overlapping/adjacent spans (gaps-and-islands): flagged
+    // positions p1 < p2 cover contiguous tokens iff p2 - p1 <= n
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged
+      .withColumn("newIsland",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > n, 1).otherwise(0))
+      .withColumn("island", sum(col("newIsland")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("max_pos"),
+        count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("span_start"),
+        (col("max_pos") + n - 1).as("span_end"), col("n_hits"))
+  }
+
   /** Stratified corpus mixing: keep a deterministic per-stratum
     * fraction of documents (e.g. lang -> sampling rate) — the data-mix
     * step of corpus assembly. RNG-free: membership is a portable hash

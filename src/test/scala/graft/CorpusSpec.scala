@@ -22,6 +22,44 @@ class CorpusSpec extends SparkSpecBase {
     assert(got.forall(_.getAs[Long]("n_shared") >= 1L))
   }
 
+  test("repeatedSpans: cross-document spans found, merged, and bounded exactly") {
+    // docs 1 and 2 share a 10-token run at different offsets; doc 3 is
+    // clean; doc 4 is too short to hold any window
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"a1 a2 a3 $shared z1 z2"),                 // span at tokens 3..12
+      (2L, s"$shared tail1 tail2 tail3"),              // span at tokens 0..9
+      (3L, "totally unrelated words that repeat nothing of interest here"),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val got = Corpus.repeatedSpans(corpus, n = 8, minDocs = 2)
+      .orderBy("doc_id", "span_start").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    val d1 = got(0); val d2 = got(1)
+    // 3 flagged windows (offsets 3,4,5) merge into ONE maximal span
+    assert(d1.getAs[Int]("span_start") == 3 && d1.getAs[Int]("span_end") == 12)
+    assert(d1.getAs[Long]("n_hits") == 3L)
+    assert(d2.getAs[Int]("span_start") == 0 && d2.getAs[Int]("span_end") == 9)
+  }
+
+  test("repeatedSpans: far-apart repeats stay separate spans; within-doc repeats don't count") {
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val filler = (1 to 20).map(i => s"f$i").mkString(" ") // unique to doc 1
+    val inner = (1 to 20).map(i => s"x$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$boiler $filler $boiler"), // two flagged regions, gap 20 > n
+      (2L, s"$boiler end"),
+      (3L, s"$inner $inner")            // repeats only within itself → not flagged
+    ).toDF("doc_id", "text")
+    val got = Corpus.repeatedSpans(corpus, n = 8, minDocs = 2)
+      .orderBy("doc_id", "span_start").collect()
+    val d1 = got.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.length == 2, s"expected two separate spans, got ${d1.toSeq}")
+    assert(d1(0).getAs[Int]("span_start") == 0 && d1(0).getAs[Int]("span_end") == 7)
+    assert(d1(1).getAs[Int]("span_start") == 28 && d1(1).getAs[Int]("span_end") == 35)
+    assert(!got.exists(_.getAs[Long]("doc_id") == 3L))
+  }
+
   test("packSequences: cumulative layout, boundary straddling, per-shard namespacing") {
     // single shard (nShards=1) for predictable layout: docs of 100
     // tokens each, 256-token sequences
