@@ -930,6 +930,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "t_unigram_lm" -> ((s, dir) => {
+      // rare-token quality signal: score the full corpus against the
+      // unigram distribution of a reference half (even doc ids) —
+      // integer sufficient statistics, so the gate is exact
+      val docs = tbl(s, dir, "documents")
+      TextAnalysis.unigramScore(docs, docs.where(col("doc_id") % 2 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     "t_clean_text" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.cleanText(col("text")).as("clean"))
@@ -1857,6 +1866,22 @@ object SparkEntry {
     "t_fingerprint" ->
       s"""SELECT doc_id, ${sqlHash("text")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_unigram_lm" ->
+      s"""WITH rt AS (
+         |  SELECT unnest(${sqlToks("lower(text)")}) AS tok
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |v AS (SELECT ${sqlHash("tok")} AS h, count(*) AS cnt FROM rt GROUP BY 1),
+         |dt AS (
+         |  SELECT doc_id, ${sqlHash("tok")} AS h FROM (
+         |    SELECT doc_id, unnest(${sqlToks("lower(text)")}) AS tok FROM documents))
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(sum(coalesce(cnt, 0)) AS BIGINT) AS freq_sum,
+         |  CAST(min(coalesce(cnt, 0)) AS BIGINT) AS min_freq
+         |FROM dt LEFT JOIN v USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x_sql_surface" ->
       s"""SELECT doc_id, ${sqlHash("text")} AS fp,

@@ -158,4 +158,39 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tok"), col("n_chars"), col("mean_tok_len"),
         col("symbol_ratio"), col("reason"), col("keep"))
   }
+
+  /** Unigram corpus-frequency scoring — the CCNet-style "how rare are
+    * this document's tokens against a reference corpus" quality signal
+    * (CCNet scores with a wiki-trained KenLM; with no model downloads,
+    * the unigram distribution of a reference corpus is the hermetic
+    * stand-in, and the sufficient statistics below are exact integers
+    * so the oracle gate is bit-precise — callers derive any smoothed
+    * log-prob score from them). Output per document: n_tokens, n_oov
+    * (tokens unseen in the reference), freq_sum (sum of reference
+    * frequencies), min_freq (rarest token's frequency, 0 if OOV).
+    *
+    * Scale shape: the vocabulary aggregate is map-side combined into
+    * ≤|vocab| rows (≪ corpus); both sides key on the 8-byte portable
+    * token hash, so the frequency join shuffles (doc_id, hash) longs —
+    * never token strings — and AQE broadcasts the vocab side whenever
+    * it fits. Self-scoring (reference = documents) is the common
+    * corpus-stats pass; a curated reference corpus plugs in unchanged.
+    */
+  def unigramScore(documents: DataFrame, reference: DataFrame): DataFrame = {
+    def hashedTokens(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+
+        explode(TextFunctions.tokens(lower(col("text")))).as("token"): _*)
+        .withColumn("h", TextFunctions.portableHash(col("token")))
+        .drop("token")
+    val vocab = hashedTokens(reference)
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    hashedTokens(documents, col("doc_id"))
+      .join(vocab, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("cnt"), lit(0L))).as("freq_sum"),
+        min(coalesce(col("cnt"), lit(0L))).as("min_freq"))
+  }
 }

@@ -125,6 +125,22 @@ class ProcessorsSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(("ok", 1), ("too_short", 0), ("tokens_too_long", 0)))
   }
 
+  test("unigramScore: exact frequencies, OOV counting, rarest-token signal") {
+    val reference = Seq(
+      (10L, "spark spark spark data query"),
+      (11L, "data table")
+    ).toDF("doc_id", "text") // counts: spark=3, data=2, query=1, table=1
+    val scored = TextAnalysis.unigramScore(Seq(
+      (1L, "spark data"),        // freq_sum 3+2, min 2
+      (2L, "query zebra spark")  // zebra is OOV → min_freq 0
+    ).toDF("doc_id", "text"), reference)
+      .orderBy("doc_id")
+      .select("n_tokens", "n_oov", "freq_sum", "min_freq")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(scored(0) == ((2L, 0L, 5L, 2L)))
+    assert(scored(1) == ((3L, 1L, 4L, 0L)))
+  }
+
   test("qualityScore components") {
     val goodText = (1 to 30).map(_ => "the words and more of it").mkString(" ")
     val got = Seq((1L, goodText), (2L, "!!! ??? ***"), (3L, "")).toDF("doc_id", "text")
