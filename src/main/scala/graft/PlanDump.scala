@@ -14,7 +14,9 @@ object PlanDump {
       ("d_dedup_minhash", "MinHash LSH: signatures MATERIALIZED once (both self-join sides read Scan ExistingRDD — without it the broadcast self-join re-ran the shingle+minhash pipeline per side); candidate verification happens before the pair-dedup exchange so only 5-long rows shuffle."),
       ("q_asof_join", "As-of join: merge-style union+window — ONE hash exchange on the key and one sort; no range-join fan-out (the naive theta-join is O(n·m) per key)."),
       ("q_range_join", "Band join: bands broadcast, inequality evaluated map-side (BroadcastNestedLoopJoin) — the fact side never shuffles."),
-      ("s_semantic_search", "Semantic search: vector records are a map-only pipeline; the literal query embedding scores every record in the scan stage; one TakeOrderedAndProject, no shuffle.")
+      ("s_semantic_search", "Semantic search: vector records are a map-only pipeline; the literal query embedding scores every record in the scan stage; one TakeOrderedAndProject, no shuffle."),
+      ("s_knn_ivf", "IVF ANN: corpus-to-list assignment is a scan-stage nearestCentroids argmax against the broadcast one-row centroid fold (BroadcastNestedLoopJoin + Generate — no exchange on the corpus branch); candidates are scored BEFORE dedup, so the dropDuplicates/top-k exchanges carry (query_id, nbr_id, cos) — ids + one double, never embedding arrays."),
+      ("d_repeated_spans", "Substring-level span dedup: the only corpus-sized exchange is the groupBy(hash) document-frequency aggregate over (hash, doc_id, pos) longs; the hot-hash semi-join broadcasts and island merging windows over flagged rows only.")
     )
     out.append("# PLANS — physical-plan evidence (sf0.01, local[32])\n\n")
     out.append("Regenerate with `sbt \"runMain graft.PlanDump\"`.\n")
