@@ -12,6 +12,8 @@ object Kernels {
   def polyHash(s: String): Long = native.polyHash(s)
   def tokenCount(s: String): Int = native.tokenOffsets(s).length / 2
   def shingleHashes(s: String, n: Int): Array[Long] = native.shingleHashes(s, n)
+  def positionalWindowHashes(s: String, n: Int): Array[Long] =
+    native.positionalWindowHashes(s, n)
   def minHashSig(shingles: ArrayData, k: Int): Array[Long] = native.minHashSig(shingles, k)
   def simHash64(s: String): Long = native.simHash64(s)
   def hyperplaneBucket(vec: ArrayData, isDouble: Boolean, nPlanes: Int, seed: Int): Long =

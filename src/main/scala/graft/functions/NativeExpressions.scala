@@ -91,6 +91,34 @@ object native {
     out
   }
 
+  /** POSITIONAL window hashes: the hash of every n-token window in
+    * document order (index = token offset of the window start; length
+    * = nTok - n + 1, empty when nTok < n). Same per-window polynomial
+    * as shingleHashes (space-joined token chain), but positions are
+    * kept and nothing is deduplicated — the kernel of repeated-SPAN
+    * detection, where the offset is the payload.
+    */
+  def positionalWindowHashes(s: String, n: Int): Array[Long] = {
+    val offs = tokenOffsets(s)
+    val nTok = offs.length / 2
+    if (nTok < n) return Array.emptyLongArray
+    val space = ' '.toInt
+    val out = new Array[Long](nTok - n + 1)
+    var w = 0
+    while (w <= nTok - n) {
+      var acc = 0L
+      var t = w
+      while (t < w + n) {
+        if (t > w) acc = (acc * 31 + space) % P
+        acc = polyHash(s, offs(2 * t), offs(2 * t + 1), acc)
+        t += 1
+      }
+      out(w) = acc
+      w += 1
+    }
+    out
+  }
+
   /** k-permutation MinHash signature (twin of
     * TextFunctions.minHashSignature): min over (x*(2i+1) + b_i) mod P.
     */
@@ -375,6 +403,16 @@ object native {
       copy(child = newChild)
   }
 
+  case class PositionalWindowHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      new GenericArrayData(positionalWindowHashes(input.asInstanceOf[UTF8String].toString, n))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"new $GAD($N.positionalWindowHashes($c.toString(), $n))")
+    override protected def withNewChildInternal(newChild: Expression): PositionalWindowHashesExpr =
+      copy(child = newChild)
+  }
+
   case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(input: Any): Any =
@@ -544,6 +582,8 @@ object native {
 
   def polyHash(s: Column): Column = col(PolyHashExpr(ex(s)))
   def shingleHashes(text: Column, n: Int): Column = col(ShingleHashesExpr(ex(text), n))
+  def positionalWindowHashes(text: Column, n: Int): Column =
+    col(PositionalWindowHashesExpr(ex(text), n))
   def minHashSig(shingles: Column, k: Int): Column = col(MinHashSigExpr(ex(shingles), k))
   def simHash64(text: Column): Column = col(SimHash64Expr(ex(text)))
   def hyperplaneBucket(vec: Column, nPlanes: Int, seed: Int = 0): Column =

@@ -97,12 +97,13 @@ object Corpus {
   def repeatedSpans(documents: DataFrame, n: Int = 8,
                     minDocs: Int = 2): DataFrame = {
     require(n > 0 && minDocs >= 2, "n > 0; minDocs >= 2 (cross-document repetition)")
+    // native one-pass kernel: same per-window polynomial as the HOF
+    // portableHash(array_join(slice(...))) chain (bit-identical — the
+    // DuckDB oracle keeps the SQL formulation) without materializing a
+    // string per window
     val windows = documents
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
-      .where(size(col("t")) >= n)
       .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), size(col("t")) - n),
-          i => TextFunctions.portableHash(array_join(slice(col("t"), i + 1, lit(n)), " "))))
+        graft.functions.native.positionalWindowHashes(col("text"), n))
         .as(Seq("pos", "h")))
     val hot = windows.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
