@@ -60,7 +60,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => native.TokenCountExpr(args.head)),
     ("graft_hyperplane_bucket",
       new ExpressionInfo(classOf[native.HyperplaneBucketExpr].getName, "graft_hyperplane_bucket"),
-      (args: Seq[Expression]) => native.HyperplaneBucketExpr(args.head, litInt(args(1), "nPlanes")))
+      (args: Seq[Expression]) => native.HyperplaneBucketExpr(args.head, litInt(args(1), "nPlanes"))),
+    ("graft_window_hashes",
+      new ExpressionInfo(classOf[native.PositionalWindowHashesExpr].getName, "graft_window_hashes"),
+      (args: Seq[Expression]) => native.PositionalWindowHashesExpr(args.head, litInt(args(1), "n"))),
+    ("graft_nearest_centroids",
+      new ExpressionInfo(classOf[native.NearestCentroidsExpr].getName, "graft_nearest_centroids"),
+      (args: Seq[Expression]) => native.NearestCentroidsExpr(args.head, args(1), litInt(args(2), "probes")))
   )
 
   /** Register on an already-running session. */

@@ -14,7 +14,11 @@ class ExtensionsSpec extends SparkSpecBase {
         |  size(graft_shingle_hashes('a b c d', 3)) AS nsh,
         |  size(graft_minhash_sig(graft_shingle_hashes('a b c d', 3), 8)) AS k,
         |  size(graft_hash_embed('a b c', 16)) AS dim,
-        |  graft_hyperplane_bucket(array(CAST(1.0 AS FLOAT)), 4) AS bkt
+        |  graft_hyperplane_bucket(array(CAST(1.0 AS FLOAT)), 4) AS bkt,
+        |  size(graft_window_hashes('a b c d', 3)) AS nw,
+        |  graft_nearest_centroids(array(1.0D, 0.0D),
+        |    array(struct(CAST(7 AS BIGINT) AS list_id, array(1.0D, 0.0D) AS centroid),
+        |          struct(CAST(9 AS BIGINT) AS list_id, array(0.0D, 1.0D) AS centroid)), 1) AS nc
         |""".stripMargin).head()
     assert(row.getAs[Long]("h") == graft.functions.native.polyHash("hello world"))
     assert(row.getAs[Int]("n") == 3)
@@ -23,6 +27,8 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(row.getAs[Int]("k") == 8)
     assert(row.getAs[Int]("dim") == 16)
     assert(row.getAs[Long]("bkt") >= 0 && row.getAs[Long]("bkt") < 16)
+    assert(row.getAs[Int]("nw") == 2) // windows at offsets 0 and 1
+    assert(row.getSeq[Long](row.fieldIndex("nc")).toSeq == Seq(7L)) // nearest centroid by cosine
   }
 
   test("extensions class wires the same definitions") {

@@ -16,6 +16,42 @@ class IvfFramesSpec extends SparkSpecBase {
     assert(ivf == bf)
   }
 
+  test("trainCentroids: Lloyd iterations converge to well-separated cluster centers") {
+    // three tight clusters on orthogonal axes; a bad seed (all three
+    // seeds inside cluster A) must still migrate two centroids out
+    def jitter(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (v, d) => v + (if (d == (i % 3) + 3) 0.01f * (i % 5) else 0f) }
+    val a = Array(1f, 0f, 0f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f, 0f, 0f)
+    val c = Array(0f, 0f, 1f, 0f, 0f, 0f)
+    val corpus = ((0 until 20).map(i => (i.toLong, jitter(a, i))) ++
+      (20 until 40).map(i => (i.toLong, jitter(b, i))) ++
+      (40 until 60).map(i => (i.toLong, jitter(c, i)))).toDF("vec_id", "embedding")
+    val seed = corpus.where(col("vec_id") < 3) // all seeds in cluster A
+      .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
+    val trained = Similarity.trainCentroids(corpus, seed, iters = 5)
+      .select("centroid").as[Array[Float]].collect()
+    assert(trained.length == 3)
+    // each true center must have SOME trained centroid highly aligned
+    for (center <- Seq(a, b, c)) {
+      def cos(x: Array[Float], y: Array[Float]): Double = {
+        val dot = x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+        dot / (math.sqrt(x.map(v => v.toDouble * v).sum) * math.sqrt(y.map(v => v.toDouble * v).sum))
+      }
+      assert(trained.exists(t => cos(t, center) > 0.99),
+        s"no trained centroid near ${center.toSeq}")
+    }
+  }
+
+  test("knnIvf with trained centroids and full probing still matches brute force") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+    val ivf = Similarity.knnIvf(emb, queries, k = 5, nLists = 8, nProbe = 8, trainIters = 2)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    val bf = Similarity.knnBruteForceBatch(emb, queries, k = 5)
+      .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == bf)
+  }
+
   test("knnIvf with partial probing returns correctly-ranked subset") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 3)
