@@ -10,14 +10,15 @@ import scala.collection.immutable.ListMap
   * Starvation guard: this host has sporadic vCPU-starvation windows
   * (30-160 s, root-caused in SURVEY §5) that inflate 1-3 random
   * queries per full run and mask real regressions. After the main
-  * loop, any query whose wall exceeds 5× its family median (family =
+  * loop, any query whose wall exceeds 2.5× its family median (family =
   * first key character: q/i/d/s/t/m/x — q01/q03 must share the q
   * family or they'd be un-retimeable singletons) is re-timed once and
   * the MINIMUM is reported; the re-timed values are surfaced in a
   * "retimed" map so the artifact shows exactly which numbers were
-  * corrected. A heavyweight query can exceed 5× its family median
-  * even when quiet (q01 vs the sub-second q_* lookups) — it just gets
-  * one cheap extra timing, which is the safe direction.
+  * corrected. The multiplier is deliberately aggressive (measured: a
+  * 5× threshold let an 81%-inflated query through because the noisy
+  * run inflated its family median too): a heavyweight query exceeding
+  * it while quiet just gets one cheap extra timing, the safe direction.
   */
 object Bench {
 
@@ -51,8 +52,8 @@ object Bench {
         e => { errors ::= s"$name: ${e.getClass.getSimpleName}"; failed += name })
     }
 
-    // identify starvation suspects: > 5× the family median (a family of
-    // one is never suspect — v > 5v is false); re-time worst-first,
+    // identify starvation suspects: > 2.5× the family median (a family
+    // of one is never suspect — v > 2.5v is false); re-time worst-first,
     // bounded so a systemically-slow run can't double its own wall
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -62,7 +63,7 @@ object Bench {
     val famMedian = first.toSeq.groupBy(kv => family(kv._1))
       .map { case (f, qs) => f -> median(qs.map(_._2)) }
     val suspects = first.toSeq
-      .filter { case (k, v) => !failed(k) && v > 5 * famMedian(family(k)) }
+      .filter { case (k, v) => !failed(k) && v > 2.5 * famMedian(family(k)) }
       .sortBy { case (k, v) => -(v / famMedian(family(k))) }
       .take(8)
       .map(_._1)

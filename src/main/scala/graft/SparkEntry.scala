@@ -724,14 +724,27 @@ object SparkEntry {
 
     "q_approx_sketch" -> ((s, dir) => {
       // sketch aggregates: HLL distinct + t-digest style percentile —
-      // at 100 TB these shuffle fixed-size sketches instead of keys
-      // (no SQL oracle: sketch internals are engine-specific)
+      // at 100 TB these shuffle fixed-size sketches instead of keys.
+      // Sketch VALUES are engine-specific, so the hard oracle checks
+      // each sketch against its own accuracy contract computed from the
+      // exact aggregate IN THE SAME QUERY: HLL (rsd=0.02) within 5%,
+      // approx p50 (accuracy=1000) between the exact p45 and p55. Both
+      // sketches are deterministic on a fixed input, so the booleans
+      // are stable rows the driver hash-compares against literal TRUE.
       tbl(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
           approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
+          countDistinct(col("o_custkey")).as("exact_custs"),
           percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+          expr("percentile(o_totalprice, array(0.45D, 0.55D))").as("p50_bounds"),
           count(lit(1)).as("n_orders"))
+        .select(
+          col("o_orderpriority"), col("n_orders"), col("exact_custs"),
+          (abs(col("approx_custs") - col("exact_custs")).cast("double")
+            <= col("exact_custs").cast("double") * 0.05).as("hll_ok"),
+          (col("p50_approx") >= element_at(col("p50_bounds"), 1)
+            && col("p50_approx") <= element_at(col("p50_bounds"), 2)).as("p50_ok"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -1305,6 +1318,17 @@ object SparkEntry {
         |        CAST(round(c_acctbal * 100) AS BIGINT) AS cents
         |      FROM customer)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_approx_sketch" ->
+      // sketch values are engine-specific; the gate is the exact
+      // aggregates plus the sketch-accuracy booleans, which must be
+      // TRUE when Spark's HLL/percentile sketches meet their contracts
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+        |  true AS hll_ok, true AS p50_ok
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "i_removal_processor" ->
       """SELECT doc_id, CAST(1 AS BIGINT) AS n_elements FROM documents
