@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   * per-document work narrow — a 100 TB corpus runs these as a map-only
   * stage.
   *
-  * Hash choices: `portableHash` is a 31-base polynomial rolling hash
-  * over unicode code points, mod 1e9+7. It is deliberately *portable*
-  * (DuckDB can replicate it with list_reduce) so the driver's oracle
-  * can verify fingerprints/minhash byte-for-byte. Hot paths that don't
-  * need oracle portability (SimHash) use the built-in xxhash64, which
-  * is codegen'd and faster.
+  * Hash choices: every hash here is deliberately *portable* — a
+  * 31-base polynomial over unicode code points mod 1e9+7
+  * (`portableHash`), plus a second 131-base family mod 998244353
+  * combined into the 60-bit simhash token hash — so DuckDB can
+  * replicate each one with list_reduce and the driver's oracle
+  * verifies fingerprints, minhash, AND simhash byte-for-byte. The hot
+  * paths run as fused native kernels (graft.functions.native), whose
+  * algebra is property-tested against independent BigInt models
+  * (KernelPropsSpec).
   */
 object TextFunctions {
 

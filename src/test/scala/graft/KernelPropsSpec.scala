@@ -1,0 +1,122 @@
+package graft
+
+import graft.functions.native
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based equivalence between the native kernels and
+  * independent reference models (BigInt folds / plain Scala
+  * collections) over arbitrary unicode text, including supplementary
+  * code points and every ASCII whitespace the tokenizer recognizes.
+  * The sample-based specs pin exact values; these pin the ALGEBRA —
+  * any divergence between a fused kernel and its definition is a
+  * silent oracle break, which is exactly what a generator finds first.
+  */
+object KernelPropsSpec extends Properties("native-kernels") {
+
+  private val P = BigInt(1000000007L)
+  private val P2 = BigInt(998244353L)
+
+  // valid unicode text: ASCII words, accented/CJK chars, supplementary
+  // code points (surrogate pairs), and all six ASCII whitespace chars
+  private val codepoint: Gen[Int] = Gen.frequency(
+    6 -> Gen.choose('a'.toInt, 'z'.toInt),
+    2 -> Gen.choose('0'.toInt, '9'.toInt),
+    1 -> Gen.oneOf('é'.toInt, 'ß'.toInt, '漢'.toInt, 'щ'.toInt),
+    1 -> Gen.oneOf(0x1F600, 0x10348, 0x2070E), // supplementary planes
+    3 -> Gen.oneOf(' '.toInt, '\t'.toInt, '\n'.toInt, 0x0B, '\f'.toInt, '\r'.toInt)
+  )
+  private val text: Gen[String] =
+    Gen.listOf(codepoint).map(_.flatMap(Character.toChars(_)).mkString)
+
+  private def modelTokens(s: String): List[String] =
+    s.split("[ \t\n\u000B\f\r]+").toList.filter(_.nonEmpty)
+
+  private def modelHash(s: String): Long =
+    s.codePoints().toArray.foldLeft(BigInt(0))((a, c) => (a * 31 + c) mod P).toLong
+
+  private def modelHash2(s: String): Long =
+    s.codePoints().toArray.foldLeft(BigInt(0))((a, c) => (a * 131 + c) mod P2).toLong
+
+  private def modelTokenHash60(tok: String): Long =
+    modelHash(tok) * P2.toLong + modelHash2(tok)
+
+  property("polyHash == BigInt codepoint fold") = forAll(text) { s =>
+    native.polyHash(s) == modelHash(s)
+  }
+
+  property("tokenOffsets slices == regex whitespace split") = forAll(text) { s =>
+    val offs = native.tokenOffsets(s)
+    val toks = offs.grouped(2).map(p => s.substring(p(0), p(1))).toList
+    toks == modelTokens(s)
+  }
+
+  property("shingleHashes == distinct space-joined window hashes (with <n fallback)") =
+    forAll(text, Gen.choose(1, 5)) { (s, n) =>
+      val toks = modelTokens(s)
+      val expected =
+        if (toks.length < n) List(modelHash(toks.mkString(" ")))
+        else toks.sliding(n).map(w => modelHash(w.mkString(" "))).toList.distinct
+      native.shingleHashes(s, n).toList == expected
+    }
+
+  property("positionalWindowHashes == per-offset window hashes, no dedup") =
+    forAll(text, Gen.choose(1, 5)) { (s, n) =>
+      val toks = modelTokens(s)
+      val expected =
+        if (toks.length < n) Nil
+        else toks.sliding(n).map(w => modelHash(w.mkString(" "))).toList
+      native.positionalWindowHashes(s, n).toList == expected
+    }
+
+  property("simHash64 == per-bit vote model over dual-polynomial token hashes") =
+    forAll(text) { s =>
+      val votes = new Array[Int](60)
+      for (tok <- modelTokens(s); h = modelTokenHash60(tok); bit <- 0 until 60)
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+      val expected = (0 until 60).foldLeft(0L)((acc, bit) =>
+        if (votes(bit) > 0) acc | (1L << bit) else acc)
+      native.simHash64(s) == expected
+    }
+
+  property("simHash64 is whitespace-normalization invariant") = forAll(text) { s =>
+    native.simHash64(s) == native.simHash64(modelTokens(s).mkString("\n"))
+  }
+
+  property("hashEmbed: L2-normalized token-bucket histogram") =
+    forAll(text, Gen.oneOf(4, 16, 64)) { (s, dim) =>
+      val counts = new Array[Double](dim)
+      for (tok <- modelTokens(s)) counts((modelHash(tok) % dim).toInt) += 1.0
+      val norm = math.sqrt(counts.map(c => c * c).sum)
+      val expected =
+        if (norm == 0) new Array[Float](dim)
+        else counts.map(c => (c / norm).toFloat)
+      native.hashEmbed(s, dim).toSeq == expected.toSeq
+    }
+
+  property("nearestCentroids picks by (cosine desc, list_id asc)") = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    val vec = Gen.listOfN(4, Gen.choose(-5, 5)).map(_.map(_.toFloat).toArray)
+    forAll(vec, Gen.nonEmptyListOf(vec), Gen.choose(1, 4)) { (q, cents, probes) =>
+      val ids = cents.indices.map(_.toLong * 7) // non-dense ids
+      val arr = new GenericArrayData(cents.zip(ids).map { case (c, id) =>
+        InternalRow(id, new GenericArrayData(c))
+      }.toArray[Any])
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+        val den = math.sqrt(na) * math.sqrt(nb)
+        if (den == 0) 0.0 else d / den
+      }
+      val expected = cents.zip(ids)
+        .map { case (c, id) => (id, cos(q, c)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(math.min(probes, cents.length))
+        .map(_._1)
+      val got = native.nearestCentroids(
+        new GenericArrayData(q), false, arr, false, probes).toList
+      got == expected
+    }
+  }
+}
