@@ -26,6 +26,10 @@ object GraftSession {
     // ingestion rows can be fat (whole documents): keep scan splits
     // at the default 128m but cap broadcasts at a safe 64m
     b = cfg(b, "spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // push filterless MIN/MAX/COUNT to parquet footer statistics (off
+    // by default): a bare count over a 100 TB table — e.g. knnIvf's
+    // corpus-size probe — becomes a metadata read instead of a scan
+    b = cfg(b, "spark.sql.parquet.aggregatePushdown", "true")
     cfg(b, "spark.ui.enabled", "false")
   }
 
