@@ -943,6 +943,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "t_bpe_pairs" -> ((s, dir) => {
+      // tokenizer training, iteration-1 statistic: adjacent-character
+      // pair counts weighted by word frequency, top 20 — the full
+      // iterative merge loop is spec-tested (BPE's rewrite step isn't
+      // SQL-expressible, but its driving statistic is)
+      Corpus.bpePairCounts(Corpus.bpeInitialSymbols(tbl(s, dir, "documents")))
+        .orderBy(col("pair_count").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     "t_unigram_lm" -> ((s, dir) => {
       // rare-token quality signal: score the full corpus against the
       // unigram distribution of a reference half (even doc ids) —
@@ -1890,6 +1900,22 @@ object SparkEntry {
     "t_fingerprint" ->
       s"""SELECT doc_id, ${sqlHash("text")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t_bpe_pairs" ->
+      s"""WITH w AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(${sqlToks("lower(text)")}) AS tok FROM documents)
+         |  GROUP BY tok),
+         |chars AS (
+         |  SELECT list_filter(regexp_split_to_array(tok, ''), x -> length(x) > 0) AS cs, c
+         |  FROM w),
+         |pairs AS (
+         |  SELECT cs[u.i + 1] AS a, cs[u.i + 2] AS b, c
+         |  FROM chars, unnest(range(0, len(cs) - 1)) AS u(i)
+         |  WHERE len(cs) >= 2)
+         |SELECT a, b, CAST(sum(c) AS BIGINT) AS pair_count
+         |FROM pairs GROUP BY a, b
+         |ORDER BY pair_count DESC, a, b LIMIT 20""".stripMargin,
 
     "t_unigram_lm" ->
       s"""WITH rt AS (

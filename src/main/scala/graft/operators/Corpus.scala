@@ -124,6 +124,77 @@ object Corpus {
         (col("max_pos") + n - 1).as("span_end"), col("n_hits"))
   }
 
+  /** BPE merge training (Sennrich et al., "Neural Machine Translation
+    * of Rare Words with Subword Units") — the tokenizer-training step
+    * of a training-data pipeline, in the canonical distributed shape:
+    * ONE corpus pass reduces 100 TB of text to a vocab-bounded word
+    * frequency table (map-side combined), and every merge iteration
+    * then runs on that table alone — pair counting is an explode +
+    * partial aggregate over ≤|vocab| rows, and the argmax pulls ONE
+    * row to the driver (bounded, like a broadcast). Deterministic:
+    * ties break on (pair count desc, a, b), so the learned merge list
+    * is reproducible across runs and cluster sizes.
+    */
+  def bpeInitialSymbols(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(split(col("word"), "").as("syms"), col("cnt"))
+
+  /** Adjacent-symbol pair counts over a (syms: array<string>, cnt)
+    * table, weighted by word frequency — one BPE iteration's statistic.
+    */
+  def bpePairCounts(symbols: DataFrame): DataFrame =
+    symbols
+      .where(size(col("syms")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("syms")) - 2),
+        i => struct(element_at(col("syms"), i + 1).as("a"),
+          element_at(col("syms"), i + 2).as("b")))).as("p"), col("cnt"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).as("pair_count"))
+
+  /** Learn `nMerges` BPE merges. Returns the merge list in order — the
+    * tokenizer artifact. Stops early when the best pair drops under
+    * `minPairCount`. Each iteration checkpoints the rewritten symbol
+    * table (truncating lineage like connectedComponents' rounds); the
+    * adjacent-pair rewrite is a narrow typed map over the vocab-bounded
+    * table — the corpus is never touched again after the first pass.
+    */
+  def bpeMerges(documents: DataFrame, nMerges: Int,
+                minPairCount: Long = 2): Seq[(String, String)] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var syms = bpeInitialSymbols(documents).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var stopped = false
+    for (_ <- 1 to nMerges if !stopped) {
+      // argmax with total-order tie-break → reproducible merge list;
+      // limit(1) is a TakeOrderedAndProject, one row to the driver
+      val top = bpePairCounts(syms)
+        .orderBy(col("pair_count").desc, col("a"), col("b")).limit(1).collect()
+      top.headOption.filter(_.getLong(2) >= minPairCount) match {
+        case Some(r) =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          merges += ((a, b))
+          val merged = syms.as[(Seq[String], Long)].map { case (s, c) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+                out += a + b; i += 2 // leftmost-first, non-overlapping
+              } else { out += s(i); i += 1 }
+            }
+            (out.toSeq, c)
+          }.toDF("syms", "cnt").localCheckpoint(true)
+          syms.unpersist()
+          syms = merged
+        case None => stopped = true
+      }
+    }
+    syms.unpersist()
+    merges.toSeq
+  }
+
   /** Stratified corpus mixing: keep a deterministic per-stratum
     * fraction of documents (e.g. lang -> sampling rate) — the data-mix
     * step of corpus assembly. RNG-free: membership is a portable hash

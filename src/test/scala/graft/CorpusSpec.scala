@@ -60,6 +60,28 @@ class CorpusSpec extends SparkSpecBase {
     assert(!got.exists(_.getAs[Long]("doc_id") == 3L))
   }
 
+  test("bpeMerges: learns the classic subword merges in frequency order") {
+    // Sennrich-style toy corpus: 'lo' dominates, then 'low'
+    val corpus = Seq(
+      (1L, "low low low low low lower lower newest newest"),
+      (2L, "newest newest newest newest widest widest widest")
+    ).toDF("doc_id", "text")
+    val merges = Corpus.bpeMerges(corpus, nMerges = 4)
+    // pair counts, iter 1: (e,s)=9+... est appears in newest(6)+widest(3)=9,
+    // (s,t)=9, (l,o)=7, (n,e)=6, (w,e)=6+... exact argmax order checked:
+    assert(merges.length == 4)
+    assert(merges.head == ("e", "s")) // 9, ties (s,t) broken by a asc
+    assert(merges(1) == ("es", "t"))  // after merge 1, (es,t)=9 dominates
+    assert(merges.contains(("l", "o")))
+    // determinism: same corpus → identical merge list
+    assert(Corpus.bpeMerges(corpus, nMerges = 4) == merges)
+  }
+
+  test("bpeMerges: stops early when no pair reaches minPairCount") {
+    val corpus = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    assert(Corpus.bpeMerges(corpus, nMerges = 10, minPairCount = 2).isEmpty)
+  }
+
   test("packSequences: cumulative layout, boundary straddling, per-shard namespacing") {
     // single shard (nShards=1) for predictable layout: docs of 100
     // tokens each, 256-token sequences
