@@ -834,6 +834,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_decontaminate_spans" -> ((s, dir) => {
+      // span-level decontamination: the exact token ranges overlapping
+      // the eval set's 8-grams (same benchmark derivation as
+      // d_decontaminate — every 25th doc stands in for the eval set)
+      val docs = tbl(s, dir, "documents")
+      Corpus.decontaminateSpans(
+        corpusWithDups(docs), docs.where(col("doc_id") % 25 === 0), n = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     "d_repeated_spans" -> ((s, dir) => {
       // substring-level dedup: 8-token windows repeated across >= 2
       // documents, merged into maximal per-document spans — the induced
@@ -1581,6 +1591,33 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(DISTINCT ex.shingle) AS BIGINT) AS n_shared
          |FROM ex JOIN bsh USING (shingle)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_decontaminate_spans" ->
+      s"""WITH corpus AS ($corpusWithDupsSql),
+         |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
+         |w AS (
+         |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         |    ${sqlHash("array_to_string(t[u.i+1 : u.i+8], ' ')")} AS h
+         |  FROM toks, unnest(range(0, len(t) - 7)) AS u(i)
+         |  WHERE len(t) >= 8),
+         |bt AS (SELECT ${sqlToks("text")} AS t FROM documents WHERE doc_id % 25 = 0),
+         |bh AS (
+         |  SELECT DISTINCT unnest(CASE WHEN len(t) < 8 THEN [${sqlHash("array_to_string(t, ' ')")}]
+         |    ELSE list_transform(range(0, len(t) - 7),
+         |         i -> ${sqlHash("array_to_string(t[i+1:i+8], ' ')")}) END) AS h
+         |  FROM bt),
+         |f AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM bh)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM (SELECT doc_id, pos,
+         |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM f))
+         |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+         |  CAST(max(pos) + 7 AS INT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_hits
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     "d_repeated_spans" ->
       s"""WITH corpus AS ($corpusWithDupsSql),

@@ -109,9 +109,36 @@ object Corpus {
       .agg(countDistinct(col("doc_id")).as("df"))
       .where(col("df") >= minDocs)
       .select(col("h"))
-    val flagged = windows.join(hot, Seq("h"), "left_semi")
-    // merge overlapping/adjacent spans (gaps-and-islands): flagged
-    // positions p1 < p2 cover contiguous tokens iff p2 - p1 <= n
+    mergeSpans(windows.join(hot, Seq("h"), "left_semi"), n)
+  }
+
+  /** Span-level benchmark decontamination: flag the exact token spans
+    * of corpus documents that overlap a held-out eval set's n-grams —
+    * the surgical variant of [[decontaminate]] (drop the contaminated
+    * SPAN, keep the document; whole-document drops throw away good
+    * tokens when contamination is one quoted benchmark item). Same
+    * scale shape as [[repeatedSpans]]: the eval side reduces to
+    * distinct n-gram hashes (tiny → AQE broadcasts the semi-join), the
+    * corpus side is a narrow positional-window-hash scan, and island
+    * merging runs on flagged rows only. Output: (doc_id, span_start,
+    * span_end, n_hits), token coordinates, inclusive ends.
+    */
+  def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
+                         n: Int = 8): DataFrame = {
+    val windows = corpus.select(col("doc_id"), posexplode(
+      graft.functions.native.positionalWindowHashes(col("text"), n))
+      .as(Seq("pos", "h")))
+    val benchHashes = benchmark
+      .select(explode(TextFunctions.shingleHashes(col("text"), n)).as("h"))
+      .distinct()
+    mergeSpans(windows.join(benchHashes, Seq("h"), "left_semi"), n)
+  }
+
+  /** Merge flagged window offsets into maximal spans (gaps-and-islands
+    * over (doc_id, pos) rows): flagged positions p1 < p2 cover
+    * contiguous tokens iff p2 - p1 <= n.
+    */
+  private def mergeSpans(flagged: DataFrame, n: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     flagged
       .withColumn("newIsland",

@@ -60,6 +60,20 @@ class CorpusSpec extends SparkSpecBase {
     assert(!got.exists(_.getAs[Long]("doc_id") == 3L))
   }
 
+  test("decontaminateSpans: flags exactly the contaminated token range, keeps the rest") {
+    val benchItem = (1 to 10).map(i => s"q$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"clean prefix words here $benchItem and a clean tail"),
+      (2L, "entirely clean document with nothing quoted")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, benchItem)).toDF("doc_id", "text")
+    val got = Corpus.decontaminateSpans(corpus, benchmark, n = 8).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("doc_id") == 1L)
+    // bench 10-gram at tokens 4..13 → flagged 8-windows at 4,5,6 → one span
+    assert(got.head.getAs[Int]("span_start") == 4)
+    assert(got.head.getAs[Int]("span_end") == 13)
+  }
+
   test("bpeMerges: learns the classic subword merges in frequency order") {
     // Sennrich-style toy corpus: 'lo' dominates, then 'low'
     val corpus = Seq(
