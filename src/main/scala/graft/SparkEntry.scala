@@ -726,25 +726,39 @@ object SparkEntry {
       // sketch aggregates: HLL distinct + t-digest style percentile —
       // at 100 TB these shuffle fixed-size sketches instead of keys.
       // Sketch VALUES are engine-specific, so the hard oracle checks
-      // each sketch against its own accuracy contract computed from the
-      // exact aggregate IN THE SAME QUERY: HLL (rsd=0.02) within 5%,
-      // approx p50 (accuracy=1000) between the exact p45 and p55. Both
-      // sketches are deterministic on a fixed input, so the booleans
-      // are stable rows the driver hash-compares against literal TRUE.
-      tbl(s, dir, "orders")
+      // each sketch against its accuracy contract: HLL (rsd=0.02)
+      // within 5% of exact distinct; approx p50 (accuracy=1000) has
+      // rank inside [0.45n, 0.55n], verified by COUNTING rows around
+      // the returned value in a second scan — an exact percentile() in
+      // the same agg would buffer every group value in one reducer,
+      // precisely the thing that cannot run at 100 TB. Sketches are
+      // deterministic on fixed input, so the booleans are stable rows
+      // the driver hash-compares against literal TRUE.
+      val orders = tbl(s, dir, "orders")
+      val sketched = orders
         .groupBy(col("o_orderpriority"))
         .agg(
           approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
           countDistinct(col("o_custkey")).as("exact_custs"),
           percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
-          expr("percentile(o_totalprice, array(0.45D, 0.55D))").as("p50_bounds"),
           count(lit(1)).as("n_orders"))
+        .localCheckpoint(true) // a handful of rows; consumed by both join sides
+      val ranks = orders
+        .join(broadcast(sketched.select(col("o_orderpriority"), col("p50_approx"))),
+          Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_totalprice") < col("p50_approx"), 1L).otherwise(0L)).as("n_lt"),
+          sum(when(col("o_totalprice") <= col("p50_approx"), 1L).otherwise(0L)).as("n_le"))
+      sketched.join(ranks, Seq("o_orderpriority"))
         .select(
           col("o_orderpriority"), col("n_orders"), col("exact_custs"),
           (abs(col("approx_custs") - col("exact_custs")).cast("double")
             <= col("exact_custs").cast("double") * 0.05).as("hll_ok"),
-          (col("p50_approx") >= element_at(col("p50_bounds"), 1)
-            && col("p50_approx") <= element_at(col("p50_bounds"), 2)).as("p50_ok"))
+          // the returned value's rank interval [n_lt, n_le] must
+          // intersect the contract window around the true median
+          (col("n_lt") <= col("n_orders") * 0.55
+            && col("n_le") >= col("n_orders") * 0.45).as("p50_ok"))
         .orderBy(col("o_orderpriority"))
     }),
 
