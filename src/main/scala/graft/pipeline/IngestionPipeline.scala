@@ -100,6 +100,27 @@ final case class IngestionPipeline(
     metrics
   }
 
+  /** Stage taps as NAMED observations — the streaming-compatible
+    * variant of [[observedChunks]] (`Observation` handles only batch
+    * queries): per-micro-batch row counts arrive in every
+    * `StreamingQueryProgress.observedMetrics` under keys
+    * `graft_reader`, `graft_documentProcessor_<i>`, `graft_chunker`,
+    * `graft_chunkProcessor_<i>`, each a row with a `rows` field.
+    */
+  def namedObservedChunks(spark: SparkSession, documents: DataFrame): DataFrame = {
+    def tap(df: DataFrame, stage: String): DataFrame =
+      df.observe(s"graft_$stage", count(lit(1)).as("rows"))
+    var df = tap(documents, "reader")
+    documentProcessors.zipWithIndex.foreach { case (p, i) =>
+      df = tap(p(df), s"documentProcessor_$i")
+    }
+    df = tap(chunker(spark, df), "chunker")
+    chunkProcessors.zipWithIndex.foreach { case (p, i) =>
+      df = tap(p(df), s"chunkProcessor_$i")
+    }
+    df
+  }
+
   /** Run end-to-end into a vector store path. Enricher outputs (any
     * column beyond the chunk contract) ride along as record metadata.
     */

@@ -37,6 +37,23 @@ object StreamingIngest {
     pipeline.chunks(spark, docs)
   }
 
+  /** `chunkStream` with per-stage observability: stage boundaries are
+    * tapped with named observe() calls, so every micro-batch's
+    * StreamingQueryProgress.observedMetrics carries exact per-stage row
+    * counts (`graft_reader`, `graft_chunker`, …) — the streaming twin
+    * of IngestionPipeline.observedChunks and of the reference's
+    * per-stage Activity spans. Zero extra jobs, monitoring rides the
+    * progress events a production stream already emits.
+    */
+  def observedChunkStream(spark: SparkSession, inputDir: String,
+                          pipeline: IngestionPipeline = IngestionPipeline.canonical): DataFrame = {
+    val docs = spark.readStream
+      .schema(documentSchema)
+      .option("maxFilesPerTrigger", 32)
+      .json(inputDir)
+    pipeline.namedObservedChunks(spark, docs)
+  }
+
   /** Write the chunk stream as vector records (append mode, checkpointed). */
   def writer(chunks: DataFrame, sinkPath: String, checkpoint: String,
              dim: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =

@@ -39,6 +39,28 @@ class StreamingSpec extends SparkSpecBase {
       got1.where(col("documentid") === "1").count())
   }
 
+  test("observedChunkStream: per-stage row counts arrive in streaming progress events") {
+    val in = Files.createTempDirectory("graft-obs-in").toString
+    Files.writeString(java.nio.file.Path.of(in, "b.json"),
+      """{"doc_id":1,"text":"alpha beta gamma","lang":"en","source":"t"}
+        |{"doc_id":2,"text":"delta epsilon","lang":"en","source":"t"}""".stripMargin)
+    val q = StreamingIngest.observedChunkStream(spark, in)
+      .writeStream.format("memory").queryName("graft_obs")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // per-stage counts ride the progress events — no extra jobs
+    val metrics = q.recentProgress.flatMap(p =>
+      scala.jdk.CollectionConverters.MapHasAsScala(p.observedMetrics).asScala)
+      .groupMapReduce(_._1)((kv: (String, org.apache.spark.sql.Row)) =>
+        kv._2.getAs[Long]("rows"))(_ + _)
+    assert(metrics("graft_reader") == 2)
+    assert(metrics("graft_chunker") == 2) // short docs → one chunk each
+    assert(metrics("graft_chunkProcessor_0") == 2)
+    assert(metrics("graft_chunkProcessor_1") == 2)
+  }
+
   test("text-analysis ops compose with streams: PII scrub + corpus filter on a file stream") {
     val in = Files.createTempDirectory("graft-pii-in").toString
     val out = Files.createTempDirectory("graft-pii-out").toString
