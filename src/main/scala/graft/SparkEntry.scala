@@ -848,6 +848,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_cut_spans" -> ((s, dir) => {
+      // flag → cut end-to-end: remove every cross-document repeated
+      // 8-token span from the dup-injected corpus; unflagged documents
+      // pass through (whitespace-normalized), and the removed-token
+      // count is part of the compared surface
+      val corpus = corpusWithDups(tbl(s, dir, "documents"))
+      Corpus.cutSpans(corpus, Corpus.repeatedSpans(corpus, n = 8, minDocs = 2))
+        .orderBy(col("doc_id"))
+    }),
+
     "d_decontaminate_spans" -> ((s, dir) => {
       // span-level decontamination: the exact token ranges overlapping
       // the eval set's 8-grams (same benchmark derivation as
@@ -1605,6 +1615,38 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(DISTINCT ex.shingle) AS BIGINT) AS n_shared
          |FROM ex JOIN bsh USING (shingle)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d_cut_spans" -> {
+      val inCut = "i - 1 >= s.a AND i - 1 <= s.b" // DuckDB lambda index is 1-based
+      val keptFilter =
+        s"list_filter(t, (tok, i) -> len(list_filter(coalesce(cuts, []::STRUCT(a INTEGER, b INTEGER)[]), s -> $inCut)) = 0)"
+      s"""WITH corpus AS ($corpusWithDupsSql),
+         |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
+         |w AS (
+         |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         |    ${sqlHash("array_to_string(t[u.i+1 : u.i+8], ' ')")} AS h
+         |  FROM toks, unnest(range(0, len(t) - 7)) AS u(i)
+         |  WHERE len(t) >= 8),
+         |hot AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |f AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM hot)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM (SELECT doc_id, pos,
+         |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM f)),
+         |spans AS (
+         |  SELECT doc_id, CAST(min(pos) AS INT) AS a, CAST(max(pos) + 7 AS INT) AS b
+         |  FROM isl GROUP BY doc_id, island),
+         |cutsets AS (SELECT doc_id, list(struct_pack(a := a, b := b)) AS cuts
+         |            FROM spans GROUP BY doc_id),
+         |joined AS (
+         |  SELECT t.doc_id, t.t, c.cuts FROM toks t LEFT JOIN cutsets c USING (doc_id))
+         |SELECT doc_id,
+         |  coalesce(array_to_string($keptFilter, ' '), '') AS text,
+         |  CAST(len(t) - len($keptFilter) AS INT) AS n_removed
+         |FROM joined ORDER BY doc_id""".stripMargin
+    },
 
     "d_decontaminate_spans" ->
       s"""WITH corpus AS ($corpusWithDupsSql),

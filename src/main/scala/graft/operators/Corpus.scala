@@ -134,6 +134,33 @@ object Corpus {
     mergeSpans(windows.join(benchHashes, Seq("h"), "left_semi"), n)
   }
 
+  /** Apply span cuts: remove the flagged token ranges (inclusive ends,
+    * token coordinates — the output shape of [[repeatedSpans]] /
+    * [[decontaminateSpans]]) from each document. Documents with no
+    * spans pass through with their text rebuilt from tokens the same
+    * way (single-space joined), so the output column is uniformly
+    * whitespace-normalized. Narrow: the span sets aggregate to one tiny
+    * row per FLAGGED doc (spans ≪ corpus), the join broadcasts under
+    * AQE, and the cut itself is a per-row HOF filter over indexed
+    * tokens — no corpus shuffle.
+    */
+  def cutSpans(documents: DataFrame, spans: DataFrame): DataFrame = {
+    val spanSets = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(
+        col("span_start").as("a"), col("span_end").as("b"))).as("cuts"))
+    val toks = TextFunctions.tokens(col("text"))
+    val kept = filter(
+      transform(col("t"), (tok, i) =>
+        when(!exists(col("cuts"), c => i >= c("a") && i <= c("b")), tok)),
+      x => x.isNotNull)
+    documents
+      .join(spanSets, Seq("doc_id"), "left")
+      .select(col("doc_id"), toks.as("t"), coalesce(col("cuts"), array()).as("cuts"))
+      .select(col("doc_id"),
+        array_join(kept, " ").as("text"),
+        (size(col("t")) - size(kept)).as("n_removed"))
+  }
+
   /** Merge flagged window offsets into maximal spans (gaps-and-islands
     * over (doc_id, pos) rows): flagged positions p1 < p2 cover
     * contiguous tokens iff p2 - p1 <= n.

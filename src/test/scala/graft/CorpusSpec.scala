@@ -74,6 +74,32 @@ class CorpusSpec extends SparkSpecBase {
     assert(got.head.getAs[Int]("span_end") == 13)
   }
 
+  test("cutSpans: flagged ranges removed, untouched docs pass through normalized") {
+    val corpus = Seq(
+      (1L, "k1 k2 c1 c2 c3 k3"),
+      (2L, "clean words only here")
+    ).toDF("doc_id", "text")
+    val spans = Seq((1L, 2, 4, 1L)).toDF("doc_id", "span_start", "span_end", "n_hits")
+    val got = Corpus.cutSpans(corpus, spans).orderBy("doc_id")
+      .select("text", "n_removed").as[(String, Int)].collect()
+    assert(got(0) == (("k1 k2 k3", 3)))
+    assert(got(1) == (("clean words only here", 0)))
+  }
+
+  test("cutSpans composes with repeatedSpans: duplicated docs empty out, unique docs survive") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, shared), (2L, shared), // full-doc duplicates
+      (3L, s"unique head $shared unique tail"),
+      (4L, "nothing repeated in this document at all")
+    ).toDF("doc_id", "text")
+    val cut = Corpus.cutSpans(corpus, Corpus.repeatedSpans(corpus, n = 8, minDocs = 2))
+      .orderBy("doc_id").select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(cut(1L) == "" && cut(2L) == "") // whole doc was a repeated span
+    assert(cut(3L) == "unique head unique tail")
+    assert(cut(4L) == "nothing repeated in this document at all")
+  }
+
   test("bpeMerges: learns the classic subword merges in frequency order") {
     // Sennrich-style toy corpus: 'lo' dominates, then 'low'
     val corpus = Seq(
