@@ -1568,7 +1568,7 @@ object SparkEntry {
         |c AS (
         |  SELECT doc_id,
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
-        |      '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/$', '') AS canon_url
+        |      '^https?://', ''), '^(www\.)+', ''), '[?#].*$', ''), '/+$', '') AS canon_url
         |  FROM u)
         |SELECT canon_url, min(doc_id) AS keeper, count(*) AS dup_count
         |FROM c GROUP BY canon_url HAVING count(*) > 1

@@ -365,9 +365,14 @@ object Dedup {
       regexp_replace(
         regexp_replace(
           regexp_replace(lower(url), "^https?://", ""),
-          "^www\\.", ""),
+          // repeated prefix too ("www.www.ex.com"), same fixpoint
+          // reasoning as the trailing slashes below
+          "^(www\\.)+", ""),
         "[?#].*$", ""),
-      "/$", "")
+      // ALL trailing slashes: "/$" stripped one per pass, so "ex.com//"
+      // and "ex.com/" canonicalized to DIFFERENT keys and escaped the
+      // dedup (caught by the idempotence property in DedupSimilaritySpec)
+      "/+$", "")
 
   def urlDedupGroups(docs: DataFrame): DataFrame =
     docs

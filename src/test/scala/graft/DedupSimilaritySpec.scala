@@ -29,6 +29,24 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got.head.getAs[Long]("dup_count") == 4L)
   }
 
+  test("urlCanonical is idempotent over adversarial variants") {
+    // a canonicalizer that isn't a fixpoint re-dedups differently on a
+    // second pass; drive scheme/www/query/fragment/slash/case combos
+    // (incl. doubled and empty forms) through canon twice
+    val parts = for {
+      scheme <- Seq("", "http://", "https://", "HTTP://", "hTtPs://")
+      www <- Seq("", "www.", "WWW.", "www.www.")
+      host <- Seq("ex.com", "EX.com", "")
+      path <- Seq("", "/", "//", "/P/1", "/p/1/")
+      q <- Seq("", "?", "?a=1", "#f", "?a=1#f")
+    } yield scheme + www + host + path + q
+    val df = parts.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url")
+    val once = Dedup.urlCanonical(col("url"))
+    val twice = Dedup.urlCanonical(once)
+    assert(df.where(not(twice <=> once)).isEmpty,
+      df.select(col("url"), once, twice).where(not(twice <=> once)).collect().mkString("\n"))
+  }
+
   test("exactGroups finds the verbatim pair, keeps min id") {
     val got = Dedup.exactGroups(corpus).collect()
     assert(got.length == 1)

@@ -94,6 +94,19 @@ object KernelPropsSpec extends Properties("native-kernels") {
       native.hashEmbed(s, dim).toSeq == expected.toSeq
     }
 
+  property("minHashSig: element i is the min affine re-hash over the shingle set") = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1000000006L)), Gen.choose(1, 16)) { (sh, k) =>
+      val got = native.minHashSig(new GenericArrayData(sh.toArray), k).toList
+      val expected = (0 until k).map { i =>
+        val a = BigInt(2L * i + 1)
+        val b = (BigInt(12582917L) * (i + 1)) mod P
+        sh.map(x => ((BigInt(x) * a + b) mod P).toLong).min
+      }.toList
+      got == expected
+    }
+  }
+
   property("nearestCentroids picks by (cosine desc, list_id asc)") = {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.sql.catalyst.InternalRow
