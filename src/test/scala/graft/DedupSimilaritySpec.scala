@@ -47,6 +47,25 @@ class DedupSimilaritySpec extends SparkSpecBase {
       df.select(col("url"), once, twice).where(not(twice <=> once)).collect().mkString("\n"))
   }
 
+  test("cleanText and piiRedact are idempotent over adversarial PII/URL mixes") {
+    import graft.operators.TextAnalysis
+    // mixes where a first pass could expose new matches to a second:
+    // adjacent tokens joined by URL stripping, placeholders abutting
+    // digits, doubled schemes, emails inside URLs
+    val samples = for {
+      a <- Seq("", "see ", "mail x@y.com ", "http://a.b ")
+      b <- Seq("http://ex.com/p?q=1", "x@y.zz", "123-456-7890", "10.0.0.1",
+        "httphttp://://x.com", "a@b@c.dd", "1.2.3.4.5.6", "999-999-99999")
+      c <- Seq("", " tail", "0 suffix", ".com", " x@", "@y.zz")
+    } yield s"$a$b$c"
+    val df = samples.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (fn <- Seq(TextAnalysis.cleanText(_), TextAnalysis.piiRedact(_))) {
+      val once = fn(col("text")); val twice = fn(once)
+      assert(df.where(not(twice <=> once)).isEmpty,
+        df.select(col("text"), once, twice).where(not(twice <=> once)).collect().mkString("\n"))
+    }
+  }
+
   test("exactGroups finds the verbatim pair, keeps min id") {
     val got = Dedup.exactGroups(corpus).collect()
     assert(got.length == 1)
