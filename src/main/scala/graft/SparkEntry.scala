@@ -211,6 +211,13 @@ object SparkEntry {
   private def sqlHash2(strExpr: String): String =
     s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(list_filter(regexp_split_to_array($strExpr, ''), c -> length(c) > 0), c -> CAST(unicode(c) AS BIGINT))), (acc, c) -> (acc * 131 + c) % 998244353)"
 
+  /** DuckDB twin of the wide (~60-bit) window hash used by the span /
+    * decontamination family: h31 * P2 + h131 < 2^60, no 64-bit
+    * wrapping arithmetic needed.
+    */
+  private def sqlHash60(strExpr: String): String =
+    s"(${sqlHash(strExpr)} * 998244353 + ${sqlHash2(strExpr)})"
+
   // ==================================================================
   // Flagship: 5-way star join (region⋈nation⋈customer⋈orders⋈lineitem
   // ⋈supplier) with broadcast dims — driver smoke-checks rows > 0.
@@ -1601,15 +1608,15 @@ object SparkEntry {
       s"""WITH corpus AS ($corpusWithDupsSql),
          |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
          |sh AS (
-         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 8 THEN [${sqlHash("array_to_string(t, ' ')")}]
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 8 THEN [${sqlHash60("array_to_string(t, ' ')")}]
          |    ELSE list_transform(range(0, len(t) - 7),
-         |         i -> ${sqlHash("array_to_string(t[i+1:i+8], ' ')")}) END) AS hashes
+         |         i -> ${sqlHash60("array_to_string(t[i+1:i+8], ' ')")}) END) AS hashes
          |  FROM toks),
          |bt AS (SELECT ${sqlToks("text")} AS t FROM documents WHERE doc_id % 25 = 0),
          |bsh AS (
-         |  SELECT DISTINCT unnest(CASE WHEN len(t) < 8 THEN [${sqlHash("array_to_string(t, ' ')")}]
+         |  SELECT DISTINCT unnest(CASE WHEN len(t) < 8 THEN [${sqlHash60("array_to_string(t, ' ')")}]
          |    ELSE list_transform(range(0, len(t) - 7),
-         |         i -> ${sqlHash("array_to_string(t[i+1:i+8], ' ')")}) END) AS shingle
+         |         i -> ${sqlHash60("array_to_string(t[i+1:i+8], ' ')")}) END) AS shingle
          |  FROM bt),
          |ex AS (SELECT doc_id, unnest(hashes) AS shingle FROM sh)
          |SELECT doc_id, CAST(count(DISTINCT ex.shingle) AS BIGINT) AS n_shared
@@ -1624,7 +1631,7 @@ object SparkEntry {
          |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
          |w AS (
          |  SELECT doc_id, CAST(u.i AS INT) AS pos,
-         |    ${sqlHash("array_to_string(t[u.i+1 : u.i+8], ' ')")} AS h
+         |    ${sqlHash60("array_to_string(t[u.i+1 : u.i+8], ' ')")} AS h
          |  FROM toks, unnest(range(0, len(t) - 7)) AS u(i)
          |  WHERE len(t) >= 8),
          |hot AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
@@ -1653,15 +1660,14 @@ object SparkEntry {
          |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
          |w AS (
          |  SELECT doc_id, CAST(u.i AS INT) AS pos,
-         |    ${sqlHash("array_to_string(t[u.i+1 : u.i+8], ' ')")} AS h
+         |    ${sqlHash60("array_to_string(t[u.i+1 : u.i+8], ' ')")} AS h
          |  FROM toks, unnest(range(0, len(t) - 7)) AS u(i)
          |  WHERE len(t) >= 8),
          |bt AS (SELECT ${sqlToks("text")} AS t FROM documents WHERE doc_id % 25 = 0),
          |bh AS (
-         |  SELECT DISTINCT unnest(CASE WHEN len(t) < 8 THEN [${sqlHash("array_to_string(t, ' ')")}]
-         |    ELSE list_transform(range(0, len(t) - 7),
-         |         i -> ${sqlHash("array_to_string(t[i+1:i+8], ' ')")}) END) AS h
-         |  FROM bt),
+         |  SELECT DISTINCT unnest(list_transform(range(0, len(t) - 7),
+         |    i -> ${sqlHash60("array_to_string(t[i+1:i+8], ' ')")})) AS h
+         |  FROM bt WHERE len(t) >= 8),
          |f AS (SELECT doc_id, pos FROM w WHERE h IN (SELECT h FROM bh)),
          |isl AS (
          |  SELECT doc_id, pos,
@@ -1680,7 +1686,7 @@ object SparkEntry {
          |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
          |w AS (
          |  SELECT doc_id, CAST(u.i AS INT) AS pos,
-         |    ${sqlHash("array_to_string(t[u.i+1 : u.i+8], ' ')")} AS h
+         |    ${sqlHash60("array_to_string(t[u.i+1 : u.i+8], ' ')")} AS h
          |  FROM toks, unnest(range(0, len(t) - 7)) AS u(i)
          |  WHERE len(t) >= 8),
          |hot AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),

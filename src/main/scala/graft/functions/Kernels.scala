@@ -12,8 +12,12 @@ object Kernels {
   def polyHash(s: String): Long = native.polyHash(s)
   def tokenCount(s: String): Int = native.tokenOffsets(s).length / 2
   def shingleHashes(s: String, n: Int): Array[Long] = native.shingleHashes(s, n)
+  def shingleHashes(s: String, n: Int, wide: Boolean): Array[Long] =
+    native.shingleHashes(s, n, wide)
   def positionalWindowHashes(s: String, n: Int): Array[Long] =
     native.positionalWindowHashes(s, n)
+  def positionalWindowHashes(s: String, n: Int, wide: Boolean): Array[Long] =
+    native.positionalWindowHashes(s, n, wide)
   def minHashSig(shingles: ArrayData, k: Int): Array[Long] = native.minHashSig(shingles, k)
   def simHash64(s: String): Long = native.simHash64(s)
   def hyperplaneBucket(vec: ArrayData, isDouble: Boolean, nPlanes: Int, seed: Int): Long =

@@ -62,22 +62,37 @@ object native {
     * TextFunctions.shingleHashes): windows of n tokens joined by a
     * single space, polynomial-hashed; texts with fewer than n tokens
     * yield ONE shingle of all tokens (hash 0 for empty text, matching
-    * the HOF/DuckDB behavior).
+    * the HOF/DuckDB behavior). `wide = true` spreads each window hash
+    * over ~60 bits (h31 * P2 + h131, the same dual-polynomial scheme
+    * as tokenHash60) — use it whenever hash EQUALITY is the match
+    * criterion over a large corpus (decontamination, span dedup):
+    * a single ~30-bit family birthday-collides at ~2^15 windows,
+    * which at 10^8+ windows means millions of false matches. The
+    * narrow family stays for minhash, where hashes feed a min over
+    * k permutations (h*(2i+1)+b must not overflow a Long) and a
+    * collision only perturbs one of k signature slots.
     */
-  def shingleHashes(s: String, n: Int): Array[Long] = {
+  def shingleHashes(s: String, n: Int): Array[Long] = shingleHashes(s, n, wide = false)
+
+  def shingleHashes(s: String, n: Int, wide: Boolean): Array[Long] = {
     val offs = tokenOffsets(s)
     val nTok = offs.length / 2
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     val space = ' '.toInt
     def windowHash(from: Int, len: Int): Long = {
       var acc = 0L
+      var acc2 = 0L
       var t = from
       while (t < from + len) {
-        if (t > from) acc = (acc * 31 + space) % P
+        if (t > from) {
+          acc = (acc * 31 + space) % P
+          if (wide) acc2 = (acc2 * 131 + space) % P2
+        }
         acc = polyHash(s, offs(2 * t), offs(2 * t + 1), acc)
+        if (wide) acc2 = polyHash2(s, offs(2 * t), offs(2 * t + 1), acc2)
         t += 1
       }
-      acc
+      if (wide) acc * P2 + acc2 else acc
     }
     if (nTok < n) seen.add(windowHash(0, nTok))
     else {
@@ -96,9 +111,15 @@ object native {
     * = nTok - n + 1, empty when nTok < n). Same per-window polynomial
     * as shingleHashes (space-joined token chain), but positions are
     * kept and nothing is deduplicated — the kernel of repeated-SPAN
-    * detection, where the offset is the payload.
+    * detection, where the offset is the payload. `wide` as in
+    * [[shingleHashes]]; span detection always passes true (a false
+    * positional match CUTS text, so collision resistance is a
+    * correctness property, not a tuning knob).
     */
-  def positionalWindowHashes(s: String, n: Int): Array[Long] = {
+  def positionalWindowHashes(s: String, n: Int): Array[Long] =
+    positionalWindowHashes(s, n, wide = false)
+
+  def positionalWindowHashes(s: String, n: Int, wide: Boolean): Array[Long] = {
     val offs = tokenOffsets(s)
     val nTok = offs.length / 2
     if (nTok < n) return Array.emptyLongArray
@@ -107,13 +128,18 @@ object native {
     var w = 0
     while (w <= nTok - n) {
       var acc = 0L
+      var acc2 = 0L
       var t = w
       while (t < w + n) {
-        if (t > w) acc = (acc * 31 + space) % P
+        if (t > w) {
+          acc = (acc * 31 + space) % P
+          if (wide) acc2 = (acc2 * 131 + space) % P2
+        }
         acc = polyHash(s, offs(2 * t), offs(2 * t + 1), acc)
+        if (wide) acc2 = polyHash2(s, offs(2 * t), offs(2 * t + 1), acc2)
         t += 1
       }
-      out(w) = acc
+      out(w) = if (wide) acc * P2 + acc2 else acc
       w += 1
     }
     out
@@ -147,8 +173,11 @@ object native {
     * with the base-31 family below to spread a portable token hash over
     * 60 bits.
     */
-  def polyHash2(s: String, from: Int, until: Int): Long = {
-    var acc = 0L
+  def polyHash2(s: String, from: Int, until: Int): Long =
+    polyHash2(s, from, until, 0L)
+
+  def polyHash2(s: String, from: Int, until: Int, init: Long): Long = {
+    var acc = init
     var i = from
     while (i < until) {
       val cp = s.codePointAt(i)
@@ -393,22 +422,26 @@ object native {
       copy(child = newChild)
   }
 
-  case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  case class ShingleHashesExpr(child: Expression, n: Int, wide: Boolean = false)
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(input: Any): Any =
-      new GenericArrayData(shingleHashes(input.asInstanceOf[UTF8String].toString, n))
+      new GenericArrayData(shingleHashes(input.asInstanceOf[UTF8String].toString, n, wide))
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"new $GAD($N.shingleHashes($c.toString(), $n))")
+      defineCodeGen(ctx, ev, c => s"new $GAD($N.shingleHashes($c.toString(), $n, $wide))")
     override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
       copy(child = newChild)
   }
 
-  case class PositionalWindowHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  case class PositionalWindowHashesExpr(child: Expression, n: Int, wide: Boolean = false)
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def nullSafeEval(input: Any): Any =
-      new GenericArrayData(positionalWindowHashes(input.asInstanceOf[UTF8String].toString, n))
+      new GenericArrayData(
+        positionalWindowHashes(input.asInstanceOf[UTF8String].toString, n, wide))
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, c => s"new $GAD($N.positionalWindowHashes($c.toString(), $n))")
+      defineCodeGen(ctx, ev, c =>
+        s"new $GAD($N.positionalWindowHashes($c.toString(), $n, $wide))")
     override protected def withNewChildInternal(newChild: Expression): PositionalWindowHashesExpr =
       copy(child = newChild)
   }
@@ -581,9 +614,10 @@ object native {
   private def col(e: Expression): Column = ColumnBridge.column(e)
 
   def polyHash(s: Column): Column = col(PolyHashExpr(ex(s)))
-  def shingleHashes(text: Column, n: Int): Column = col(ShingleHashesExpr(ex(text), n))
-  def positionalWindowHashes(text: Column, n: Int): Column =
-    col(PositionalWindowHashesExpr(ex(text), n))
+  def shingleHashes(text: Column, n: Int, wide: Boolean = false): Column =
+    col(ShingleHashesExpr(ex(text), n, wide))
+  def positionalWindowHashes(text: Column, n: Int, wide: Boolean = false): Column =
+    col(PositionalWindowHashesExpr(ex(text), n, wide))
   def minHashSig(shingles: Column, k: Int): Column = col(MinHashSigExpr(ex(shingles), k))
   def simHash64(text: Column): Column = col(SimHash64Expr(ex(text)))
   def hyperplaneBucket(vec: Column, nPlanes: Int, seed: Int = 0): Column =

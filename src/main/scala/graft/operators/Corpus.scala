@@ -24,14 +24,19 @@ object Corpus {
     * sets are MBs against a 100 TB corpus) so AQE broadcasts it; no
     * hint, so a pathological giant "benchmark" degrades to a shuffle
     * join instead of failing at the broadcast cap. Corpus text never
-    * shuffles: only (doc_id, shingle-hash) longs.
+    * shuffles: only (doc_id, shingle-hash) longs. Hashes are the
+    * ~60-bit dual-polynomial family (wide = true): a match DROPS a
+    * document, so at 10^8+ corpus shingles a ~30-bit hash would
+    * birthday-collide into false contamination flags.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
     val corpusShingles = corpus.select(
       col("doc_id"),
-      explode(TextFunctions.shingleHashes(col("text"), n)).as("shingle"))
+      explode(graft.functions.native.shingleHashes(col("text"), n, wide = true))
+        .as("shingle"))
     val benchShingles = benchmark
-      .select(explode(TextFunctions.shingleHashes(col("text"), n)).as("shingle"))
+      .select(explode(graft.functions.native.shingleHashes(col("text"), n, wide = true))
+        .as("shingle"))
       .distinct()
     corpusShingles
       .join(benchShingles, Seq("shingle"))
@@ -97,13 +102,15 @@ object Corpus {
   def repeatedSpans(documents: DataFrame, n: Int = 8,
                     minDocs: Int = 2): DataFrame = {
     require(n > 0 && minDocs >= 2, "n > 0; minDocs >= 2 (cross-document repetition)")
-    // native one-pass kernel: same per-window polynomial as the HOF
-    // portableHash(array_join(slice(...))) chain (bit-identical — the
-    // DuckDB oracle keeps the SQL formulation) without materializing a
-    // string per window
+    // native one-pass kernel; wide (~60-bit dual-polynomial) hashes
+    // because a false hash match here gets CUT out of the corpus by
+    // cutSpans — at 10^8+ windows a single ~30-bit family would
+    // birthday-collide into millions of destructive false spans. Still
+    // bit-reproducible in ANSI SQL (the DuckDB oracle computes
+    // h31 * 998244353 + h131 with two list_reduce folds).
     val windows = documents
       .select(col("doc_id"), posexplode(
-        graft.functions.native.positionalWindowHashes(col("text"), n))
+        graft.functions.native.positionalWindowHashes(col("text"), n, wide = true))
         .as(Seq("pos", "h")))
     val hot = windows.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -122,14 +129,32 @@ object Corpus {
     * corpus side is a narrow positional-window-hash scan, and island
     * merging runs on flagged rows only. Output: (doc_id, span_start,
     * span_end, n_hits), token coordinates, inclusive ends.
+    *
+    * Hashes are wide (~60-bit) — see [[repeatedSpans]]; the flagged
+    * spans are destined for [[cutSpans]].
+    *
+    * Minimum-length contract: benchmark items with fewer than `n`
+    * tokens are NOT detectable at span granularity (there is no
+    * n-token window to match) and are excluded here rather than
+    * silently hashed under shingleHashes' whole-text fallback, which
+    * can never equal an n-token corpus window and would only add
+    * collision surface. Screen short eval items separately with
+    * [[decontaminate]] (whole-doc n-grams share the same fallback on
+    * both sides, so a short benchmark item can still exact-match an
+    * equally short document there).
     */
   def decontaminateSpans(corpus: DataFrame, benchmark: DataFrame,
                          n: Int = 8): DataFrame = {
     val windows = corpus.select(col("doc_id"), posexplode(
-      graft.functions.native.positionalWindowHashes(col("text"), n))
+      graft.functions.native.positionalWindowHashes(col("text"), n, wide = true))
       .as(Seq("pos", "h")))
+    // positional windows on the benchmark side too: an item with < n
+    // tokens yields an empty array (the documented exclusion) instead
+    // of shingleHashes' whole-text fallback hash
     val benchHashes = benchmark
-      .select(explode(TextFunctions.shingleHashes(col("text"), n)).as("h"))
+      .select(explode(
+        graft.functions.native.positionalWindowHashes(col("text"), n, wide = true))
+        .as("h"))
       .distinct()
     mergeSpans(windows.join(benchHashes, Seq("h"), "left_semi"), n)
   }

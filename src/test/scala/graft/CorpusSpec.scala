@@ -74,6 +74,22 @@ class CorpusSpec extends SparkSpecBase {
     assert(got.head.getAs[Int]("span_end") == 13)
   }
 
+  test("decontaminateSpans: benchmark items shorter than n tokens are excluded (contract)") {
+    // a 3-token eval item has no 8-token window — it must NOT flag the
+    // doc that quotes it verbatim (shingleHashes' whole-text fallback
+    // hash used to enter the probe set here; it can never equal an
+    // n-token window hash, only add collision surface)
+    val corpus = Seq(
+      (1L, "some document that quotes short answer verbatim in passing text")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, "short answer verbatim")).toDF("doc_id", "text")
+    assert(Corpus.decontaminateSpans(corpus, benchmark, n = 8).isEmpty)
+    // ...but doc-level decontaminate still catches it: both sides take
+    // the whole-text fallback shingle when under n tokens
+    val shortDoc = Seq((2L, "short answer verbatim")).toDF("doc_id", "text")
+    assert(Corpus.decontaminate(shortDoc, benchmark, n = 8).count() == 1L)
+  }
+
   test("cutSpans: flagged ranges removed, untouched docs pass through normalized") {
     val corpus = Seq(
       (1L, "k1 k2 c1 c2 c3 k3"),

@@ -69,6 +69,27 @@ object KernelPropsSpec extends Properties("native-kernels") {
       native.positionalWindowHashes(s, n).toList == expected
     }
 
+  private def modelHash60(s: String): Long =
+    modelHash(s) * P2.toLong + modelHash2(s)
+
+  property("wide shingleHashes == distinct h31*P2+h131 window hashes (with <n fallback)") =
+    forAll(text, Gen.choose(1, 5)) { (s, n) =>
+      val toks = modelTokens(s)
+      val expected =
+        if (toks.length < n) List(modelHash60(toks.mkString(" ")))
+        else toks.sliding(n).map(w => modelHash60(w.mkString(" "))).toList.distinct
+      native.shingleHashes(s, n, wide = true).toList == expected
+    }
+
+  property("wide positionalWindowHashes == per-offset h31*P2+h131 hashes") =
+    forAll(text, Gen.choose(1, 5)) { (s, n) =>
+      val toks = modelTokens(s)
+      val expected =
+        if (toks.length < n) Nil
+        else toks.sliding(n).map(w => modelHash60(w.mkString(" "))).toList
+      native.positionalWindowHashes(s, n, wide = true).toList == expected
+    }
+
   property("simHash64 == per-bit vote model over dual-polynomial token hashes") =
     forAll(text) { s =>
       val votes = new Array[Int](60)
