@@ -146,33 +146,43 @@ object Dedup {
         TextFunctions.shingleHashes(col("text"), n).as("sh"))
       .withColumn("bands", TextFunctions.lshBandKeys(
         TextFunctions.minHashSignature(col("sh"), k), k, rowsPerBand))
-      // materialized ONCE: the self-join below consumes this subtree
-      // twice, and Spark plans it as a broadcast join — no shuffle
-      // exchange under either side, so ReuseExchange cannot dedup it
-      // and the full shingle+minhash+band pipeline would execute per
-      // side (plus a third partial evaluation as an inferred
-      // size(bands)>0 DataFilter pushed into the text scan). One
-      // materialization of (doc_id, shingles, bands) trades a
-      // corpus-sized spill for half the signature compute — the same
+      // materialized ONCE: four consumers below (both sides of the
+      // banded self-join + both verify rejoins) would otherwise each
+      // re-run the full shingle+minhash+band pipeline (plus partial
+      // re-evaluations as inferred DataFilters pushed into the text
+      // scan). One materialization of (doc_id, shingles, bands) trades
+      // a corpus-sized spill for 4× the signature compute — the same
       // trade a 1000-executor run wants.
       .localCheckpoint(true)
 
+    // candidate generation on BARE IDS: the (band, key) self-join
+    // moves 3 longs per banded row — shingle arrays never enter the
+    // bucket exchange (they used to ride both sides, ~nBands × corpus
+    // shingle volume through the biggest shuffle of the pipeline).
     val banded = withSig.select(
-      col("doc_id"), col("sh"),
-      posexplode(col("bands")).as(Seq("band", "key"))
-    )
-    val a = banded.select(col("band"), col("key"), col("doc_id").as("a"), col("sh").as("sha"))
-    val b = banded.select(col("band"), col("key"), col("doc_id").as("b"), col("sh").as("shb"))
-    a.join(b, Seq("band", "key"))
+      col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("a"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("b"))
+    val candidates = a.join(b, Seq("band", "key"))
       .where(col("a") < col("b"))
-      // verify BEFORE deduping candidate pairs: the arrays are consumed
-      // here, so the dropDuplicates shuffle carries 5 longs per row,
-      // not two shingle sets (a doc pair can collide in ≤ k/rowsPerBand
-      // bands, so the extra verify work is bounded by the band count)
+      .select(col("a"), col("b"))
+      // a pair can collide in ≤ k/rowsPerBand bands → dedup BEFORE the
+      // array verify so each pair fetches its shingle sets once; this
+      // shuffle carries 2 longs per row
+      .distinct()
+    // verify with two pairs-bounded rejoins against the checkpointed
+    // signature table: candidates ≪ corpus × bands after LSH, so AQE
+    // broadcasts the pair side and the (doc_id, sh) table never
+    // shuffles; the sort-merge fallback (a pathological boilerplate
+    // corpus) moves each shingle set once per rejoin — still ~4× less
+    // array volume than the old banded self-join at nBands = 4
+    val sig = withSig.select(col("doc_id"), col("sh"))
+    candidates
+      .join(sig.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sig.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"),
         size(array_intersect(col("sha"), col("shb"))).as("inter"),
         size(col("sha")).as("na"), size(col("shb")).as("nb"))
-      .dropDuplicates("a", "b")
       .where(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= threshold)
   }
 

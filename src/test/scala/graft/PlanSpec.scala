@@ -12,8 +12,30 @@ import org.apache.spark.sql.functions._
   */
 class PlanSpec extends SparkSpecBase {
 
+  /** Plan for structural asserts, with AQE OFF. Under AQE the
+    * un-executed executedPlan is an AdaptiveSparkPlanExec whose
+    * inputPlan has NOT been through EnsureRequirements — it contains
+    * no exchanges at all, so both "no Exchange" and "this exchange
+    * carries X" asserts pass vacuously. Disabling AQE for the plan
+    * access yields the fully-prepared physical plan (exchanges
+    * inserted, deterministic), which is what these tests must walk.
+    * executedPlan is a lazy val, so it must be FIRST accessed inside
+    * the conf window; `extra` lets a test also e.g. zero the broadcast
+    * threshold to see the plan a non-broadcastable corpus would get.
+    */
+  private def nonAdaptive[T](extra: (String, String)*)(f: => T): T = {
+    val confs = ("spark.sql.adaptive.enabled" -> "false") +: extra
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   private def executed(df: DataFrame): SparkPlan =
-    df.queryExecution.executedPlan
+    nonAdaptive() { df.queryExecution.executedPlan }
 
   private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(
@@ -129,12 +151,7 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"pipeline must not shuffle:\n$plan")
   }
 
-  // unwrap AQE so collect{} can walk the physical tree
-  private def physical(df: DataFrame): SparkPlan =
-    df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
-      case p => p
-    }
+  private def physical(df: DataFrame): SparkPlan = executed(df)
 
   private def shuffles(df: DataFrame) = physical(df).collect {
     case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
@@ -175,6 +192,51 @@ class PlanSpec extends SparkSpecBase {
       assert(offending.isEmpty,
         s"$name shuffles embedding arrays:\n${offending.map(_.output.mkString(", ")).mkString("\n")}")
     }
+  }
+
+  test("minhash bucket join shuffles bare ids — shingle arrays stay out of band exchanges") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.ArrayType
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    // structural half with auto-broadcast ALSO off: at spec scale the
+    // checkpointed signature table is tiny and every join broadcasts,
+    // leaving no bucket exchange to inspect — zeroing the threshold
+    // shows the plan a corpus too big to broadcast would get.
+    // Candidate generation: every exchange partitioned on the band key
+    // must carry (band, key, doc_id) longs only — the r5 plan moved the
+    // full shingle set of both sides through here, ~nBands × corpus
+    // shingle volume.
+    val bucketExchanges = nonAdaptive("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val big = graft.operators.Dedup.minhashLshPairs(docs, 3, 16, 4, 0.8)
+      big.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if (s.outputPartitioning match {
+              case h: HashPartitioning =>
+                h.expressions.exists(_.references.exists(_.name == "band"))
+              case _ => false
+            }) => s
+      }
+    }
+    assert(bucketExchanges.nonEmpty, "expected a (band, key) bucket shuffle")
+    for (e <- bucketExchanges)
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"bucket exchange carries an array payload: ${e.output.mkString(", ")}")
+    val pairs = graft.operators.Dedup.minhashLshPairs(docs, 3, 16, 4, 0.8)
+    // the verify rejoins are pairs-bounded: after execution AQE must
+    // have realized them as broadcasts, leaving NO array-carrying
+    // shuffle anywhere in the final adaptive plan
+    pairs.collect() // executes THIS QueryExecution, finalizing its adaptive plan
+    val finalPlan = pairs.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val arrayShuffles = finalPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if s.output.exists(_.dataType.isInstanceOf[ArrayType]) => s
+    }
+    assert(arrayShuffles.isEmpty,
+      s"verify rejoin shuffled shingle arrays instead of broadcasting pairs:\n" +
+        arrayShuffles.map(_.output.mkString(", ")).mkString("\n"))
   }
 
   test("brute-force knn batch broadcasts the query side") {
