@@ -39,12 +39,12 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect() // session warm-up off the clock
     var errors = List.empty[String]
     val only = args.toSet // optional subset filter (driver passes none)
-    val unknown = only.diff(SparkEntry.queries.keySet)
+    val unknown = only.diff(SparkEntry.benchQueries.keySet)
     if (unknown.nonEmpty) { // a typo'd subset must not time nothing, successfully
       System.err.println(s"[bench] unknown queries: ${unknown.mkString(", ")}")
       sys.exit(1)
     }
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))
     var failed = Set.empty[String]
     val first = ListMap(selected: _*).map { case (name, fn) =>
@@ -68,9 +68,14 @@ object Bench {
       .take(8)
       .map(_._1)
     val fnByName = selected.toMap
-    val retimed = suspects.map { name =>
-      name -> timeOne(spark, sfDir, fnByName(name),
-        e => errors ::= s"$name(retime): ${e.getClass.getSimpleName}")
+    val retimed = suspects.flatMap { name =>
+      // a FAILED retime returns time-to-exception — drop it entirely so
+      // that tiny number never replaces a successful first-pass
+      // measurement (and never reaches the printed "retimed" map)
+      var retimeFailed = false
+      val t = timeOne(spark, sfDir, fnByName(name),
+        e => { retimeFailed = true; errors ::= s"$name(retime): ${e.getClass.getSimpleName}" })
+      if (retimeFailed) None else Some(name -> t)
     }.toMap
     val results = first.map { case (k, v) =>
       k -> math.min(v, retimed.getOrElse(k, v))

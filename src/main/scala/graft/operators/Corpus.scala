@@ -234,17 +234,92 @@ object Corpus {
 
   /** Learn `nMerges` BPE merges. Returns the merge list in order — the
     * tokenizer artifact. Stops early when the best pair drops under
-    * `minPairCount`. Each iteration checkpoints the rewritten symbol
-    * table (truncating lineage like connectedComponents' rounds); the
-    * adjacent-pair rewrite is a narrow typed map over the vocab-bounded
-    * table — the corpus is never touched again after the first pass.
+    * `minPairCount`.
+    *
+    * Adaptive, like [[graft.operators.Dedup.connectedComponents]]'s
+    * driver gate: after the one corpus pass, the symbol table is
+    * vocab-bounded — for every real tokenizer run it is driver-sized
+    * (a few million distinct words), and a real merge count is
+    * 30k-100k, which as Spark jobs would schedule 60k+ stages over a
+    * table that fits in memory. At or under `localVocabThreshold`
+    * distinct words the merge loop runs locally (identical output:
+    * same pair statistic, same total-order tie-break, same
+    * leftmost-first rewrite — spec-asserted against the distributed
+    * path); a pathological vocabulary larger than the driver takes the
+    * distributed loop, each iteration checkpointing the rewritten
+    * symbol table (truncating lineage like connectedComponents'
+    * rounds) — the corpus is never touched again after the first pass
+    * on either path.
     */
   def bpeMerges(documents: DataFrame, nMerges: Int,
-                minPairCount: Long = 2): Seq[(String, String)] = {
+                minPairCount: Long = 2,
+                localVocabThreshold: Long = 4L << 20): Seq[(String, String)] = {
     val spark = documents.sparkSession
     import spark.implicits._
     var syms = bpeInitialSymbols(documents).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    if (syms.count() <= localVocabThreshold) {
+      // driver path: O(1) Spark jobs in nMerges
+      val words = syms.as[(Seq[String], Long)].collect()
+        .map { case (s, c) => (s.toArray, c) }
+      syms.unpersist()
+      var continue = true
+      while (continue && merges.length < nMerges) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        for ((s, c) <- words; i <- 0 until s.length - 1)
+          counts.updateWith((s(i), s(i + 1)))(v => Some(v.getOrElse(0L) + c))
+        // same total-order argmax as the distributed orderBy:
+        // (pair_count desc, a, b) — with a/b compared as UTF-8 bytes,
+        // Spark's StringType sort order (Java String compareTo is
+        // UTF-16 order, which disagrees above the BMP)
+        def ltUtf8(x: String, y: String): Boolean = {
+          val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = math.min(xb.length, yb.length)
+          var i = 0
+          while (i < n) {
+            val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+            if (c != 0) return c < 0
+            i += 1
+          }
+          xb.length < yb.length
+        }
+        def wins(x: ((String, String), Long), y: ((String, String), Long)): Boolean = {
+          val ((xa, xb), xc) = x; val ((ya, yb), yc) = y
+          if (xc != yc) xc > yc
+          else if (xa != ya) ltUtf8(xa, ya)
+          else ltUtf8(xb, yb)
+        }
+        val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
+          case (None, kv) => Some(kv)
+          case (acc @ Some(cur), kv) => if (wins(kv, cur)) Some(kv) else acc
+        }
+        best.filter(_._2 >= minPairCount) match {
+          case Some(((a, b), _)) =>
+            merges += ((a, b))
+            var w = 0
+            while (w < words.length) {
+              val s = words(w)._1
+              var hit = false
+              var i = 0
+              while (!hit && i < s.length - 1) { hit = s(i) == a && s(i + 1) == b; i += 1 }
+              if (hit) {
+                val out = scala.collection.mutable.ArrayBuffer.empty[String]
+                var j = 0
+                while (j < s.length) {
+                  if (j + 1 < s.length && s(j) == a && s(j + 1) == b) {
+                    out += a + b; j += 2 // leftmost-first, non-overlapping
+                  } else { out += s(j); j += 1 }
+                }
+                words(w) = (out.toArray, words(w)._2)
+              }
+              w += 1
+            }
+          case None => continue = false
+        }
+      }
+      return merges.toSeq
+    }
     var stopped = false
     for (_ <- 1 to nMerges if !stopped) {
       // argmax with total-order tie-break → reproducible merge list;

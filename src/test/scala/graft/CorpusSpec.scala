@@ -136,6 +136,37 @@ class CorpusSpec extends SparkSpecBase {
   test("bpeMerges: stops early when no pair reaches minPairCount") {
     val corpus = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
     assert(Corpus.bpeMerges(corpus, nMerges = 10, minPairCount = 2).isEmpty)
+    // ...on the distributed path too
+    assert(Corpus.bpeMerges(corpus, nMerges = 10, minPairCount = 2,
+      localVocabThreshold = 0).isEmpty)
+  }
+
+  test("bpeMerges: driver gate produces the distributed loop's exact merge list, O(1) jobs") {
+    val corpus = Seq(
+      (1L, "low low low low low lower lower newest newest"),
+      (2L, "newest newest newest newest widest widest widest"),
+      (3L, "wide wide wider widest lowest newest est est set")
+    ).toDF("doc_id", "text")
+    val distributed = Corpus.bpeMerges(corpus, nMerges = 12, localVocabThreshold = 0)
+    // count the Spark jobs the local path schedules: must not scale
+    // with nMerges (the whole point of the gate — 30k merges as jobs
+    // would be 60k+ scheduled stages over a driver-sized table)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val local = try {
+      val r = Corpus.bpeMerges(corpus, nMerges = 12)
+      Thread.sleep(500) // listener bus is async; let job-start events drain
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(local == distributed, s"paths diverged:\nlocal       = $local\ndistributed = $distributed")
+    assert(local.length == 12)
+    // checkpoint + count + collect cost a constant handful of jobs;
+    // the bound only has to be well under one-job-PER-MERGE (12+)
+    assert(jobs.get() <= 8, s"local path scheduled ${jobs.get()} jobs for 12 merges")
   }
 
   test("packSequences: cumulative layout, boundary straddling, per-shard namespacing") {
