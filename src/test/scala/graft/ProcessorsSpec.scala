@@ -14,6 +14,50 @@ class ProcessorsSpec extends SparkSpecBase {
     assert(got == "a b c")
   }
 
+  test("ClientEnricher: client seam matches the column-expression enricher, keeps all columns") {
+    import graft.operators.ClientEnricher
+    val in = docs(1L -> "a b c d e f", 2L -> "x y")
+    val viaClient = ClientEnricher.withSummary(in, maxWords = 3)
+    assert(viaClient.columns.toSeq ==
+      Seq("doc_id", "content", "summary", "summary_error"))
+    val got = viaClient.orderBy("doc_id")
+      .select("summary", "summary_error").as[(String, String)].collect()
+    val expected = Processors.withSummary(in, maxWords = 3)
+      .orderBy("doc_id").select("summary").as[String].collect()
+    assert(got.map(_._1).toSeq == expected.toSeq)
+    assert(got.forall(_._2 == null), "no error rows expected")
+  }
+
+  test("ClientEnricher: failures land in the per-row error channel, not the job") {
+    import graft.operators.ClientEnricher
+    // fails any prompt whose BODY contains "poison"; returns null for
+    // "empty" — both must surface as error rows among healthy ones
+    val flaky = new ClientEnricher.ChatClient {
+      def complete(prompts: Seq[String]): Seq[String] = prompts.map { p =>
+        if (p.contains("poison")) throw new IllegalStateException("model refused")
+        else if (p.contains("empty")) null
+        else "ok:" + p.linesIterator.drop(1).mkString(" ")
+      }
+    }
+    val in = docs(1L -> "fine text", 2L -> "poison pill", 3L -> "empty reply", 4L -> "also fine")
+    // batchSize = 1 isolates the thrown batch to its own row
+    val got = ClientEnricher.enrich(in, flaky, "summary",
+        ClientEnricher.summaryPrompt(100), batchSize = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "summary", "summary_error")
+      .as[(Long, String, String)].collect()
+    assert(got(0) == ((1L, "ok:fine text", null)))
+    assert(got(1)._2 == null && got(1)._3.contains("model refused"))
+    assert(got(2)._2 == null && got(2)._3.contains("null completion"))
+    assert(got(3) == ((4L, "ok:also fine", null)))
+    // a thrown batch fails every row IN that batch only (coalesce(1):
+    // batches form per partition, so all 4 rows must share one)
+    val batched = ClientEnricher.enrich(in.coalesce(1), flaky, "summary",
+        ClientEnricher.summaryPrompt(100), batchSize = 4)
+      .select("summary_error").as[String].collect()
+    assert(batched.forall(e => e != null && e.contains("model refused")))
+  }
+
   test("withKeywords: vocabulary terms ranked by tf, ties alphabetical") {
     val got = Processors.withKeywords(
       docs(1L -> "spark spark data join join join missing"),
