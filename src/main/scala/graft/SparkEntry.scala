@@ -959,6 +959,61 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "s_knn_ivf_trained" -> ((s, dir) => {
+      // Lloyd-trained IVF (trainIters > 0): same search plan as
+      // s_knn_ivf, centroids refined by two training iterations — the
+      // oracle re-derives the training (2 unrolled assign/mean rounds)
+      // so the trained path is hash-gated end-to-end, not just rows>0
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.knnIvf(emb, emb.where(col("vec_id") < 5), k = 5, nLists = 8,
+          nProbe = 4, trainIters = 2)
+        .select(col("query_id"), col("rank"), col("nbr_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "s_knn_recall" -> ((s, dir) => {
+      // ANN recall contract: LSH and IVF top-k overlap against the
+      // brute-force ground truth, per query — the accuracy twin of
+      // q_approx_sketch's sketch contract. The oracle recomputes the
+      // same integers, and the booleans pin the recall floor the
+      // bucketing must clear (bucketing is oracle-exact elsewhere;
+      // recall is the property a USER cares about).
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val k = 10
+      val ground = Similarity.knnBruteForceBatch(emb, queries, k)
+        .select(col("query_id"), col("nbr_id"))
+      def overlap(ann: DataFrame, name: String) = ann
+        .select(col("query_id"), col("nbr_id"))
+        .join(ground, Seq("query_id", "nbr_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as(name))
+      // bucketing sized to the corpus: 2^4 buckets x 4 independent
+      // tables (8 planes over a few hundred vectors leaves ~1 vector
+      // per bucket and near-zero candidates — the first thing this
+      // contract caught); 5 of 8 IVF lists probed
+      val lsh = overlap(
+        Similarity.knnLsh(emb, queries, dim = 64, k = k, nPlanes = 4, nTables = 8),
+        "lsh_overlap")
+      val ivf = overlap(Similarity.knnIvf(emb, queries, k = k, nLists = 8, nProbe = 5),
+        "ivf_overlap")
+      // floors, not aspirations: the synthetic embeddings are near-
+      // uniform random, so true cosine neighbors sit barely above the
+      // noise floor and NO bucketing scheme recalls them like it would
+      // clustered real-world vectors — measured at sf0.01: lsh 3-6/10
+      // (16x candidate reduction), ivf 6-10/10 (5 of 8 lists probed).
+      // The booleans pin those floors so a bucketing regression
+      // (wrong seed, nested tables, empty probe) trips the oracle.
+      queries.select(col("vec_id").as("query_id"))
+        .join(lsh, Seq("query_id"), "left")
+        .join(ivf, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("lsh_overlap"), lit(0L)).as("lsh_overlap"),
+          coalesce(col("ivf_overlap"), lit(0L)).as("ivf_overlap"),
+          (coalesce(col("lsh_overlap"), lit(0L)) >= 3).as("lsh_ok"),
+          (coalesce(col("ivf_overlap"), lit(0L)) >= 5).as("ivf_ok"))
+        .orderBy(col("query_id"))
+    }),
+
     "s_semantic_search" -> ((s, dir) => {
       // end-to-end RAG search (reference SemanticSearch.cs): ingest →
       // vector records → embed the query text → top-10 by cosine
@@ -1903,6 +1958,140 @@ object SparkEntry {
          |ORDER BY CASE WHEN $na * $nb = 0 THEN 0.0 ELSE $dot / ($na * $nb) END DESC, e.vec_id
          |LIMIT 10""".stripMargin
     },
+
+    "s_knn_ivf_trained" -> {
+      // two unrolled Lloyd iterations over the sampled seeds, then the
+      // s_knn_ivf search against the trained centroids. Means mirror
+      // the Spark formulation exactly: per-(list, dim) double sum /
+      // count, cast to float; empty lists keep the previous centroid.
+      def lloyd(i: Int, prev: String): String =
+        s"""assign$i AS (
+           |  SELECT vec_id, embedding, list_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.list_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqlCos("e.embedding", "c.centroid")} DESC, c.list_id) AS r
+           |    FROM embeddings e, $prev c)
+           |  WHERE r = 1),
+           |sums$i AS (
+           |  SELECT list_id, u.d AS d,
+           |    sum(CAST(embedding[u.d] AS DOUBLE)) AS s, count(*) AS c
+           |  FROM assign$i, unnest(range(1, 65)) AS u(d)
+           |  GROUP BY list_id, u.d),
+           |means$i AS (
+           |  SELECT list_id, list(CAST(s / c AS FLOAT) ORDER BY d) AS centroid
+           |  FROM sums$i GROUP BY list_id),
+           |cents$i AS (
+           |  SELECT list_id, centroid FROM means$i
+           |  UNION ALL
+           |  SELECT list_id, centroid FROM $prev
+           |  WHERE list_id NOT IN (SELECT list_id FROM means$i))""".stripMargin
+      s"""WITH params AS (
+         |  SELECT greatest(1, count(*) // 8) AS step FROM embeddings),
+         |cents0 AS (
+         |  SELECT e.vec_id AS list_id, e.embedding AS centroid
+         |  FROM embeddings e, params
+         |  WHERE e.vec_id % params.step = 0
+         |  ORDER BY e.vec_id LIMIT 8),
+         |${lloyd(1, "cents0")},
+         |${lloyd(2, "cents1")},
+         |corpus_assign AS (
+         |  SELECT vec_id AS nbr_id, embedding AS nbr_emb, list_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlCos("e.embedding", "c.centroid")} DESC, c.list_id) AS r
+         |    FROM embeddings e, cents2 c)
+         |  WHERE r = 1),
+         |query_assign AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, list_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlCos("e.embedding", "c.centroid")} DESC, c.list_id) AS r
+         |    FROM embeddings e, cents2 c WHERE e.vec_id < 5)
+         |  WHERE r <= 4),
+         |scored AS (
+         |  SELECT DISTINCT query_id, nbr_id, ${sqlCos("q_emb", "nbr_emb")} AS cos
+         |  FROM query_assign q JOIN corpus_assign n USING (list_id)
+         |  WHERE query_id <> nbr_id),
+         |ranked AS (
+         |  SELECT query_id, nbr_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, nbr_id, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "s_knn_recall" ->
+      s"""WITH banded AS (
+         |${(0 until 8).map(t =>
+        s"  SELECT $t AS tbl, vec_id, embedding, ${sqlBucket("embedding", 4, seed = t)} AS bucket FROM embeddings")
+        .mkString("", "\n  UNION ALL\n", "),")}
+         |lsh_cand AS (
+         |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS nbr_id
+         |  FROM banded x JOIN banded y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |  WHERE x.vec_id < 10 AND x.vec_id <> y.vec_id),
+         |lsh_top AS (
+         |  SELECT query_id, nbr_id FROM (
+         |    SELECT query_id, nbr_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, nbr_id) AS r
+         |    FROM lsh_cand JOIN embeddings q ON q.vec_id = query_id
+         |    JOIN embeddings e ON e.vec_id = nbr_id)
+         |  WHERE r <= 10),
+         |params AS (
+         |  SELECT greatest(1, count(*) // 8) AS step FROM embeddings),
+         |centroids AS (
+         |  SELECT e.vec_id AS list_id, e.embedding AS centroid
+         |  FROM embeddings e, params
+         |  WHERE e.vec_id % params.step = 0
+         |  ORDER BY e.vec_id LIMIT 8),
+         |corpus_assign AS (
+         |  SELECT vec_id AS nbr_id, embedding AS nbr_emb, list_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlCos("e.embedding", "c.centroid")} DESC, c.list_id) AS r
+         |    FROM embeddings e, centroids c)
+         |  WHERE r = 1),
+         |query_assign AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, list_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlCos("e.embedding", "c.centroid")} DESC, c.list_id) AS r
+         |    FROM embeddings e, centroids c WHERE e.vec_id < 10)
+         |  WHERE r <= 5),
+         |ivf_top AS (
+         |  SELECT query_id, nbr_id FROM (
+         |    SELECT query_id, nbr_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id) AS r
+         |    FROM (
+         |      SELECT DISTINCT query_id, nbr_id, ${sqlCos("q_emb", "nbr_emb")} AS cos
+         |      FROM query_assign q JOIN corpus_assign n USING (list_id)
+         |      WHERE query_id <> nbr_id))
+         |  WHERE r <= 10),
+         |ground AS (
+         |  SELECT query_id, nbr_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id) AS r
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE r <= 10),
+         |lsh_o AS (
+         |  SELECT query_id, count(*) AS lsh_overlap
+         |  FROM lsh_top JOIN ground USING (query_id, nbr_id) GROUP BY query_id),
+         |ivf_o AS (
+         |  SELECT query_id, count(*) AS ivf_overlap
+         |  FROM ivf_top JOIN ground USING (query_id, nbr_id) GROUP BY query_id)
+         |SELECT q.vec_id AS query_id,
+         |  CAST(coalesce(l.lsh_overlap, 0) AS BIGINT) AS lsh_overlap,
+         |  CAST(coalesce(i.ivf_overlap, 0) AS BIGINT) AS ivf_overlap,
+         |  coalesce(l.lsh_overlap, 0) >= 3 AS lsh_ok,
+         |  coalesce(i.ivf_overlap, 0) >= 5 AS ivf_ok
+         |FROM embeddings q
+         |LEFT JOIN lsh_o l ON l.query_id = q.vec_id
+         |LEFT JOIN ivf_o i ON i.query_id = q.vec_id
+         |WHERE q.vec_id < 10
+         |ORDER BY query_id""".stripMargin,
 
     "t_token_count" ->
       s"""SELECT doc_id,
