@@ -506,6 +506,26 @@ object native {
 
   case class NearestCentroidsExpr(left: Expression, right: Expression, probes: Int)
       extends BinaryExpression {
+    private def isVec(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    // analysis-time validation instead of a runtime ClassCastException /
+    // silent garbage: a SQL caller can hand this any shape (INT
+    // list_id, missing struct field, non-numeric centroid)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      val ok = isVec(left.dataType) && (right.dataType match {
+        case ArrayType(s: StructType, _) if s.fields.length == 2 =>
+          s.fields(0).dataType == LongType && isVec(s.fields(1).dataType)
+        case _ => false
+      })
+      if (ok) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "nearestCentroids expects (array<float|double>, " +
+          "array<struct<list_id: bigint, centroid: array<float|double>>>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
     private lazy val vDouble =
       left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
     private lazy val cDouble =

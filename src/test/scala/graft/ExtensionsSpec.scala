@@ -31,6 +31,27 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(row.getSeq[Long](row.fieldIndex("nc")).toSeq == Seq(7L)) // nearest centroid by cosine
   }
 
+  test("graft_nearest_centroids rejects malformed input at analysis time") {
+    GraftExtensions.register(spark)
+    // INT list_id (not BIGINT) used to surface as a runtime
+    // ClassCastException mid-job; it must be an analysis error
+    val intListId = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT graft_nearest_centroids(array(1.0D),
+          |  array(struct(7 AS list_id, array(1.0D) AS centroid)), 1)""".stripMargin)
+        .head()
+    }
+    assert(intListId.getMessage.contains("nearestCentroids expects"))
+    // non-array vector side
+    val scalarVec = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT graft_nearest_centroids('oops',
+          |  array(struct(CAST(7 AS BIGINT) AS list_id, array(1.0D) AS centroid)), 1)""".stripMargin)
+        .head()
+    }
+    assert(scalarVec.getMessage.contains("nearestCentroids expects"))
+  }
+
   test("extensions class wires the same definitions") {
     // the injectFunction path can't be exercised on the shared session
     // (extensions apply at construction); assert the catalog is complete
