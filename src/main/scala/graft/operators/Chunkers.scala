@@ -17,12 +17,33 @@ import org.apache.spark.sql.functions._
   * (tokenChunks' WINDOWS stay whitespace tokens — windowing needs the
   * token strings themselves, not just a count; see tokenChunks.)
   */
-final case class ChunkerOptions(maxTokens: Int = 2000, overlap: Int = 500,
+final case class ChunkerOptions(maxTokens: Int = 2000,
+    overlap: Int = ChunkerOptions.DefaultOverlap,
     tokenCounter: String => Int = ChunkerOptions.WhitespaceCounter) {
-  require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens)
+  require(tokenCounter != null, "tokenCounter is required") // ChunkerOptionsTests.TokenizerIsRequired
+  require(maxTokens > 0, "maxTokens must be positive")
+  /** The overlap actually applied. An UNSET overlap mirrors the
+    * reference's adaptive default (ChunkerOptionsTests.
+    * DefaultOverlapTokensIsZeroForSmallMaxTokensPerChunk): 500, but 0
+    * when the chunk budget is too small to fit it — so
+    * `ChunkerOptions(maxTokens = 100)` works instead of throwing. An
+    * EXPLICIT overlap is validated strictly: 0 ≤ overlap < maxTokens.
+    */
+  val overlapTokens: Int =
+    if (overlap == ChunkerOptions.DefaultOverlap) (if (maxTokens > 500) 500 else 0)
+    else overlap
+  require(overlapTokens >= 0 && overlapTokens < maxTokens,
+    s"overlap must be in [0, maxTokens): got $overlapTokens for budget $maxTokens")
 }
 
 object ChunkerOptions {
+  /** Sentinel for "overlap not set" — resolved to the reference's
+    * adaptive default (500, or 0 when maxTokens ≤ 500) at
+    * construction. Any real overlap is non-negative, so the sentinel
+    * can never collide with an explicit value.
+    */
+  val DefaultOverlap: Int = Int.MinValue
+
   /** Default counter: ASCII-whitespace tokens — the same tokenizer as
     * TextFunctions.tokens / native.tokenCount, so chunk token_count
     * never diverges from the column-level counters.
@@ -69,7 +90,7 @@ object Chunkers {
     */
   def tokenChunks(documents: DataFrame, opts: ChunkerOptions = ChunkerOptions(),
                   carryCols: Seq[String] = Nil): DataFrame = {
-    val step = opts.maxTokens - opts.overlap
+    val step = opts.maxTokens - opts.overlapTokens
     val toks = graft.functions.TextFunctions.tokens(col("text"))
     // carryCols: document columns (page_number, metadata maps, …)
     // copied onto every chunk — provenance survives chunking without a

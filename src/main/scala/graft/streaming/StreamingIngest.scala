@@ -27,12 +27,18 @@ object StreamingIngest {
     StructField("source", StringType)
   ))
 
-  /** Watch a directory of json documents and emit enriched chunks. */
+  /** Watch a directory of json documents and emit enriched chunks.
+    * `maxFilesPerTrigger` bounds micro-batch size: steady memory at
+    * any backlog (the default processes a 32-file backlog in one
+    * trigger; the stress spec drops it to 1 to measure per-batch
+    * throughput).
+    */
   def chunkStream(spark: SparkSession, inputDir: String,
-                  pipeline: IngestionPipeline = IngestionPipeline.canonical): DataFrame = {
+                  pipeline: IngestionPipeline = IngestionPipeline.canonical,
+                  maxFilesPerTrigger: Int = 32): DataFrame = {
     val docs = spark.readStream
       .schema(documentSchema)
-      .option("maxFilesPerTrigger", 32) // bound batch size: steady memory at any backlog
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inputDir)
     pipeline.chunks(spark, docs)
   }
@@ -46,10 +52,11 @@ object StreamingIngest {
     * progress events a production stream already emits.
     */
   def observedChunkStream(spark: SparkSession, inputDir: String,
-                          pipeline: IngestionPipeline = IngestionPipeline.canonical): DataFrame = {
+                          pipeline: IngestionPipeline = IngestionPipeline.canonical,
+                          maxFilesPerTrigger: Int = 32): DataFrame = {
     val docs = spark.readStream
       .schema(documentSchema)
-      .option("maxFilesPerTrigger", 32)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inputDir)
     pipeline.namedObservedChunks(spark, docs)
   }

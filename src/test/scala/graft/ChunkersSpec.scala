@@ -141,7 +141,31 @@ class ChunkersSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](ChunkerOptions(maxTokens = -5))
     intercept[IllegalArgumentException](ChunkerOptions(maxTokens = 10, overlap = -1))
     intercept[IllegalArgumentException](ChunkerOptions(maxTokens = 10, overlap = 10))
+    intercept[IllegalArgumentException](ChunkerOptions(maxTokens = 1000, overlap = 1500))
     ChunkerOptions(maxTokens = 10, overlap = 9) // boundary is legal
+    // TokenizerIsRequired: a null counter is a constructor-time error
+    intercept[IllegalArgumentException](ChunkerOptions(tokenCounter = null))
+  }
+
+  test("ChunkerOptions: default overlap adapts to a small budget (reference DefaultOverlap*)") {
+    // ChunkerOptionsTests.DefaultValues / DefaultOverlapTokensIsZero
+    // ForSmallMaxTokensPerChunk: untouched options carry 2000/500; a
+    // small explicit budget silently zeroes the DEFAULT overlap
+    // instead of failing the 500 >= 100 validation
+    val defaults = ChunkerOptions()
+    assert(defaults.maxTokens == 2000 && defaults.overlapTokens == 500)
+    assert(ChunkerOptions(maxTokens = 100).overlapTokens == 0)
+    assert(ChunkerOptions(maxTokens = 500).overlapTokens == 0)  // 500 !< 500
+    assert(ChunkerOptions(maxTokens = 501).overlapTokens == 500)
+    // ...but an EXPLICIT overlap is validated strictly, never adapted
+    intercept[IllegalArgumentException](ChunkerOptions(maxTokens = 100, overlap = 500))
+    // the adaptive default drives real chunking: budget 100, no overlap
+    val chunks = Chunkers.tokenChunks(
+      Seq((1L, (1 to 250).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text"),
+      ChunkerOptions(maxTokens = 100))
+      .orderBy("chunk_id").select("content").as[String].collect()
+    assert(chunks.length == 3) // 100 + 100 + 50, disjoint
+    assert(chunks.map(_.split(" ").length).toSeq == Seq(100, 100, 50))
   }
 
   test("packElements: respects token budget and context prefix") {
