@@ -205,11 +205,19 @@ object SparkEntry {
     s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(list_filter(regexp_split_to_array($strExpr, ''), c -> length(c) > 0), c -> CAST(unicode(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % 1000000007)"
 
   /** DuckDB twin of native.polyHash2 (second family: base 131 mod
-    * 998244353); h31 * 998244353 + h131 is native.tokenHash60, the
-    * simhash token hash.
+    * 998244353); h31 * 998244353 + h131 is the span/window 60-bit
+    * combiner (sqlHash60).
     */
   private def sqlHash2(strExpr: String): String =
     s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(list_filter(regexp_split_to_array($strExpr, ''), c -> length(c) > 0), c -> CAST(unicode(c) AS BIGINT))), (acc, c) -> (acc * 131 + c) % 998244353)"
+
+  /** DuckDB twin of native.polyHash3 (third family: base 257 mod
+    * 1000000009). The low 20 bits of families 1|2|3 concatenated are
+    * native.tokenHash60, the simhash token hash (per-bit-uniform,
+    * unlike the product combiner — see NativeExpressions.tokenHash60).
+    */
+  private def sqlHash3(strExpr: String): String =
+    s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform(list_filter(regexp_split_to_array($strExpr, ''), c -> length(c) > 0), c -> CAST(unicode(c) AS BIGINT))), (acc, c) -> (acc * 257 + c) % 1000000009)"
 
   /** DuckDB twin of the wide (~60-bit) window hash used by the span /
     * decontamination family: h31 * P2 + h131 < 2^60, no 64-bit
@@ -1857,7 +1865,7 @@ object SparkEntry {
       // side finds pairs via pigeonhole block bucketing, which is
       // complete for hamming <= maxHamming, so the sets must be equal
       // (the df-cut cannot trip at sf0.01: maxDocsPerBucket=1000 > corpus).
-      val tokHash = s"(${sqlHash("tok")} * 998244353 + ${sqlHash2("tok")})"
+      val tokHash = s"((${sqlHash("tok")} % 1048576) + (${sqlHash2("tok")} % 1048576) * 1048576 + (${sqlHash3("tok")} % 1048576) * 1099511627776)"
       s"""WITH corpus AS ($corpusWithDupsSql),
          |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
          |hashed AS (SELECT doc_id, list_transform(t, tok -> $tokHash) AS hs FROM toks),

@@ -187,14 +187,41 @@ object native {
     acc
   }
 
-  /** Portable ~60-bit token hash: h31 * P2 + h131 < 2^60, exactly
-    * reproducible in ANSI SQL (two list_reduce folds + one multiply —
-    * no 64-bit wrapping arithmetic, which DuckDB lacks). Replaces
-    * xxhash64 as the simhash token hash so the full signature is
-    * oracle-checkable end-to-end.
+  val P3: Long = 1000000009L
+
+  /** Third independent polynomial family (base 257 mod P3). */
+  def polyHash3(s: String, from: Int, until: Int): Long = {
+    var acc = 0L
+    var i = from
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 257 + cp) % P3
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Portable 60-bit token hash with PER-BIT uniformity: the low 20
+    * bits of three independent polynomial families, concatenated.
+    *
+    * Why not `h31 * P2 + h131` (the span/window combiner)? A product
+    * of mod-prime hashes is collision-resistant — which is all that
+    * hash-EQUALITY matching needs — but its high bits are biased
+    * (the value is uniform over [0, P·P2), not over [0, 2^60)), and
+    * simhash takes a MAJORITY VOTE per bit: any per-bit bias makes
+    * that bit of every long document's signature deterministic.
+    * Measured at sf1: the top 16-bit block of 53k of 60k signatures
+    * collapsed into three values, blowing every pigeonhole bucket
+    * past the df-cut and silently dropping ~20% of true pairs. Low
+    * bits of a mod-P polynomial hash have bias ≤ 2^j / P (≤ 2^-10 at
+    * j < 20), so a vote only goes deterministic past ~10^6 tokens per
+    * document. Still exactly reproducible in ANSI SQL: three
+    * list_reduce folds, `% 1048576`, two multiplies.
     */
   def tokenHash60(s: String, from: Int, until: Int): Long =
-    polyHash(s, from, until, 0L) * P2 + polyHash2(s, from, until)
+    (polyHash(s, from, until, 0L) & 0xFFFFFL) |
+      ((polyHash2(s, from, until) & 0xFFFFFL) << 20) |
+      ((polyHash3(s, from, until) & 0xFFFFFL) << 40)
 
   /** SimHash (twin of TextFunctions.simHash64): portable 60-bit token
     * hash per whitespace token, per-bit ±1 votes, sign → bit. Bits

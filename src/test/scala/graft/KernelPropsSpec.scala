@@ -38,8 +38,17 @@ object KernelPropsSpec extends Properties("native-kernels") {
   private def modelHash2(s: String): Long =
     s.codePoints().toArray.foldLeft(BigInt(0))((a, c) => (a * 131 + c) mod P2).toLong
 
+  private val P3 = BigInt(1000000009L)
+
+  private def modelHash3(s: String): Long =
+    s.codePoints().toArray.foldLeft(BigInt(0))((a, c) => (a * 257 + c) mod P3).toLong
+
+  // simhash token hash: low-20-bit slices of three families (per-bit
+  // uniform); the span/window combiner h31 * P2 + h131 stays separate
   private def modelTokenHash60(tok: String): Long =
-    modelHash(tok) * P2.toLong + modelHash2(tok)
+    (modelHash(tok) & 0xFFFFFL) |
+      ((modelHash2(tok) & 0xFFFFFL) << 20) |
+      ((modelHash3(tok) & 0xFFFFFL) << 40)
 
   property("polyHash == BigInt codepoint fold") = forAll(text) { s =>
     native.polyHash(s) == modelHash(s)
