@@ -11,7 +11,8 @@ object PlanDump {
       ("i_chunk_token", "Token chunker: a single Project/Generate pipeline — zero Exchange; 100 TB of documents chunk as a map-only stage."),
       ("d_dedup_ngram", "N-gram dedup: pairs are generated inside grouped shingle buckets (bare doc-id payloads) and MATERIALIZED once (localCheckpoint — the Scan ExistingRDDs below; without it the bucket pipeline re-executed once per consumer, 5 copies in the plan); per-doc size columns rejoin AFTER pair-gen via two broadcast joins."),
       ("d_dedup_url", "URL-canonical dedup: the regex canonicalization chain is evaluated map-side inside the partial aggregate — ONE hash exchange on the canonical key, no raw-URL shuffle."),
-      ("d_dedup_minhash", "MinHash LSH: signatures MATERIALIZED once (both self-join sides read Scan ExistingRDD — without it the broadcast self-join re-ran the shingle+minhash pipeline per side); candidate verification happens before the pair-dedup exchange so only 5-long rows shuffle."),
+      ("d_dedup_minhash", "MinHash LSH: signatures MATERIALIZED once (every consumer reads Scan ExistingRDD); the (band, key) bucket self-join carries bare ids (3 longs — shingle arrays never enter the candidate exchange), candidate (a, b) pairs dedup as 2-long rows, and the true-Jaccard verify is two pairs-bounded rejoins against the checkpointed signature table that AQE realizes as broadcasts."),
+      ("d_dedup_simhash", "SimHash combo tables (Manku-style): one 60-bit signature per doc, exploded into C(6,3)=20 tables keyed on packed 3-block (~30-bit) combinations — complete for hamming ≤ 3 by pigeonhole, spread enough that template-heavy corpora don't pile into the df-cut; hamming verified before the pair-dedup exchange."),
       ("q_asof_join", "As-of join: merge-style union+window — ONE hash exchange on the key and one sort; no range-join fan-out (the naive theta-join is O(n·m) per key)."),
       ("q_range_join", "Band join: bands broadcast, inequality evaluated map-side (BroadcastNestedLoopJoin) — the fact side never shuffles."),
       ("s_semantic_search", "Semantic search: vector records are a map-only pipeline; the literal query embedding scores every record in the scan stage; one TakeOrderedAndProject, no shuffle."),
