@@ -1557,9 +1557,12 @@ object SparkEntry {
          |FROM scored ORDER BY doc_id, chunk_id""".stripMargin
     },
 
+    // coalesce: DuckDB array_to_string([]) is NULL where Spark
+    // array_join(empty) is '' — zero-hit documents (sf1 has 348 of
+    // them for the keyword vocabulary) otherwise hash-mismatch
     "i_enrich_summary" ->
       s"""SELECT doc_id,
-         |  array_to_string((${sqlToks("text")})[1:20], ' ') AS summary
+         |  coalesce(array_to_string((${sqlToks("text")})[1:20], ' '), '') AS summary
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "i_enrich_keywords" -> {
@@ -1569,9 +1572,9 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, ${sqlToks("lower(text)")} AS toks FROM documents),
          |c AS (SELECT doc_id, [$scored] AS scored FROM t)
          |SELECT doc_id,
-         |  array_to_string(
+         |  coalesce(array_to_string(
          |    list_transform(list_slice(list_sort(list_filter(scored, s -> s.negc < 0)), 1, 5),
-         |                   s -> s.word), ',') AS keywords
+         |                   s -> s.word), ','), '') AS keywords
          |FROM c ORDER BY doc_id""".stripMargin
     },
 
