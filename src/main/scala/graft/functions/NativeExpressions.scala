@@ -58,6 +58,38 @@ object native {
     out.toArray
   }
 
+  /** One-pass twin of the BPE-ish regex piece count
+    * (`size(filter(split(text, "[^A-Za-z0-9]+"), length > 0)) +
+    * length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))`): number of
+    * maximal ASCII-alphanumeric runs plus number of code points that
+    * are neither ASCII-alphanumeric nor ASCII whitespace. Counting is
+    * per CODE POINT (an astral char is one piece), matching Spark's
+    * `length` over the regexp_replace remainder and the DuckDB
+    * oracle's RE2/length semantics. The regex formulation rebuilt a
+    * token array and a stripped copy of every document per row —
+    * 20× slower than the sibling single-pass scans at sf1.
+    */
+  def pieceCount(s: String): Int = {
+    var pieces = 0
+    var inRun = false
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val alnum = (cp >= '0' && cp <= '9') || (cp >= 'A' && cp <= 'Z') ||
+        (cp >= 'a' && cp <= 'z')
+      if (alnum) {
+        if (!inRun) pieces += 1
+        inRun = true
+      } else {
+        inRun = false
+        if (cp >= 128 || !isWs(cp.toChar)) pieces += 1
+      }
+      i += Character.charCount(cp)
+    }
+    pieces
+  }
+
   /** Distinct hashed word n-gram shingles (twin of
     * TextFunctions.shingleHashes): windows of n tokens joined by a
     * single space, polynomial-hashed; texts with fewer than n tokens
@@ -645,6 +677,16 @@ object native {
       copy(child = newChild)
   }
 
+  case class PieceCountExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(input: Any): Any =
+      pieceCount(input.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$N.pieceCount($c.toString())")
+    override protected def withNewChildInternal(newChild: Expression): PieceCountExpr =
+      copy(child = newChild)
+  }
+
   case class TokenCountExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override protected def nullSafeEval(input: Any): Any =
@@ -682,4 +724,5 @@ object native {
                    lowercase: Boolean = true): Column =
     col(KeywordsTopKExpr(ex(text), vocabulary, k, lowercase))
   def tokenCount(text: Column): Column = col(TokenCountExpr(ex(text)))
+  def pieceCount(text: Column): Column = col(PieceCountExpr(ex(text)))
 }

@@ -17,11 +17,12 @@ object TextAnalysis {
   /** BPE-ish token count: alphanumeric runs + individual
     * punctuation/symbol characters — approximates BPE piece counts
     * without engine-specific regex features (no lookarounds: the
-    * DuckDB oracle's RE2 has none).
+    * DuckDB oracle's RE2 has none). Native one-pass scan
+    * (property-tested against the defining two-regex formulation,
+    * which rebuilt a token array and a stripped text copy per row).
     */
   def regexTokenCount(text: Column): Column =
-    size(filter(split(text, "[^A-Za-z0-9]+"), t => length(t) > 0)) +
-      length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    graft.functions.native.pieceCount(text)
 
   /** Tiny per-language stopword lists for the n-gram/stopword language
     * heuristic. Deliberately small + deterministic.

@@ -24,7 +24,8 @@ object KernelPropsSpec extends Properties("native-kernels") {
     2 -> Gen.choose('0'.toInt, '9'.toInt),
     1 -> Gen.oneOf('é'.toInt, 'ß'.toInt, '漢'.toInt, 'щ'.toInt),
     1 -> Gen.oneOf(0x1F600, 0x10348, 0x2070E), // supplementary planes
-    3 -> Gen.oneOf(' '.toInt, '\t'.toInt, '\n'.toInt, 0x0B, '\f'.toInt, '\r'.toInt)
+    3 -> Gen.oneOf(' '.toInt, '\t'.toInt, '\n'.toInt, 0x0B, '\f'.toInt, '\r'.toInt),
+    1 -> Gen.oneOf('.'.toInt, ','.toInt, '!'.toInt, '-'.toInt, '_'.toInt, '('.toInt)
   )
   private val text: Gen[String] =
     Gen.listOf(codepoint).map(_.flatMap(Character.toChars(_)).mkString)
@@ -52,6 +53,14 @@ object KernelPropsSpec extends Properties("native-kernels") {
 
   property("polyHash == BigInt codepoint fold") = forAll(text) { s =>
     native.polyHash(s) == modelHash(s)
+  }
+
+  // the definitional two-regex formulation the native scan replaced:
+  // ASCII-alnum runs + code points outside [A-Za-z0-9\s]
+  property("pieceCount == alnum-run split + regex-strip remainder") = forAll(text) { s =>
+    val runs = s.split("[^A-Za-z0-9]+").count(_.nonEmpty)
+    val rest = s.replaceAll("[A-Za-z0-9\\s]", "")
+    native.pieceCount(s) == runs + rest.codePointCount(0, rest.length)
   }
 
   property("tokenOffsets slices == regex whitespace split") = forAll(text) { s =>
