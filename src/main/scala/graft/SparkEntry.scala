@@ -1088,6 +1088,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "t_bigram_lm" -> ((s, dir) => {
+      // CCNet-style LM filter statistic, one order up from unigram:
+      // bigram hits + Katz-backoff mass against the even-id reference
+      // half — integer sufficient statistics, so the gate is exact
+      val docs = tbl(s, dir, "documents")
+      TextAnalysis.bigramScore(docs, docs.where(col("doc_id") % 2 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     "t_clean_text" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.cleanText(col("text")).as("clean"))
@@ -2252,6 +2261,26 @@ object SparkEntry {
          |  CAST(sum(coalesce(cnt, 0)) AS BIGINT) AS freq_sum,
          |  CAST(min(coalesce(cnt, 0)) AS BIGINT) AS min_freq
          |FROM dt LEFT JOIN v USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t_bigram_lm" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_transform(${sqlToks("lower(text)")}, t -> ${sqlHash("t")}) AS hs
+         |  FROM documents),
+         |rb AS (SELECT hs[u.i] AS h1, hs[u.i + 1] AS h2
+         |  FROM toks, unnest(range(1, len(hs))) AS u(i) WHERE doc_id % 2 = 0),
+         |bv AS (SELECT h1, h2, count(*) AS bg_cnt FROM rb GROUP BY 1, 2),
+         |uv AS (SELECT h2, count(*) AS uni_cnt FROM (
+         |  SELECT unnest(hs) AS h2 FROM toks WHERE doc_id % 2 = 0) GROUP BY 1),
+         |db AS (SELECT doc_id, hs[u.i] AS h1, hs[u.i + 1] AS h2
+         |  FROM toks, unnest(range(1, len(hs))) AS u(i))
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN bg_cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bg_oov,
+         |  CAST(sum(coalesce(bg_cnt, 0)) AS BIGINT) AS bg_freq_sum,
+         |  CAST(sum(CASE WHEN bg_cnt IS NULL THEN coalesce(uni_cnt, 0) ELSE 0 END) AS BIGINT)
+         |    AS backoff_freq_sum
+         |FROM db LEFT JOIN bv USING (h1, h2) LEFT JOIN uv USING (h2)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x_sql_surface" ->

@@ -194,4 +194,57 @@ object TextAnalysis {
         sum(coalesce(col("cnt"), lit(0L))).as("freq_sum"),
         min(coalesce(col("cnt"), lit(0L))).as("min_freq"))
   }
+
+  /** Bigram-LM scoring with unigram backoff — the CCNet-style
+    * perplexity-filter statistic one step up from [[unigramScore]]
+    * (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data" filters corpora by reference-LM
+    * perplexity; a count-based bigram model is its distributed,
+    * engine-exact core). Emits INTEGER sufficient statistics per
+    * document — n_bigrams, n_bg_oov (bigrams unseen in the
+    * reference), bg_freq_sum (sum of reference bigram counts), and
+    * backoff_freq_sum (for OOV bigrams, the reference unigram count
+    * of the continuation token — the Katz-backoff mass) — from which
+    * any smoothing formula is a deterministic map-only function;
+    * keeping floats out of the operator keeps the cross-engine gate
+    * exact. Documents with fewer than 2 tokens have no bigram and no
+    * output row.
+    *
+    * Scale shape: both vocab tables aggregate map-side to ≤|vocab|
+    * rows (≪ corpus) and join the document side by AQE broadcast —
+    * the corpus-sized stream of (doc_id, h1, h2) longs (token text
+    * never leaves the scan) flows shuffle-free into the single
+    * groupBy(doc_id) exchange. Bigram identity is the exact
+    * (h1, h2) pair of two portable token hashes — no combined
+    * bigram hash, so no birthday-collision surface at 10^10+
+    * distinct bigrams.
+    */
+  def bigramScore(documents: DataFrame, reference: DataFrame): DataFrame = {
+    def hashedBigrams(df: DataFrame, cols: Column*): DataFrame = {
+      val hs = transform(TextFunctions.tokens(lower(col("text"))),
+        t => graft.functions.native.polyHash(t))
+      df.select(cols :+ hs.as("hs"): _*)
+        .where(size(col("hs")) >= 2)
+        .select(cols :+ explode(transform(sequence(lit(0), size(col("hs")) - 2),
+          i => struct(element_at(col("hs"), i + 1).as("h1"),
+            element_at(col("hs"), i + 2).as("h2")))).as("b"): _*)
+        .select(cols :+ col("b.h1") :+ col("b.h2"): _*)
+    }
+    val bgVocab = hashedBigrams(reference)
+      .groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("bg_cnt"))
+    val uniVocab = reference
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
+      .select(TextFunctions.portableHash(col("token")).as("h2"))
+      .groupBy(col("h2")).agg(count(lit(1)).as("uni_cnt"))
+    hashedBigrams(documents, col("doc_id"))
+      .join(bgVocab, Seq("h1", "h2"), "left")
+      .join(uniVocab, Seq("h2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("bg_cnt").isNull, 1L).otherwise(0L)).as("n_bg_oov"),
+        sum(coalesce(col("bg_cnt"), lit(0L))).as("bg_freq_sum"),
+        sum(when(col("bg_cnt").isNull, coalesce(col("uni_cnt"), lit(0L)))
+          .otherwise(0L)).as("backoff_freq_sum"))
+  }
 }

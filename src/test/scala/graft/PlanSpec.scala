@@ -239,6 +239,29 @@ class PlanSpec extends SparkSpecBase {
         arrayShuffles.map(_.output.mkString(", ")).mkString("\n"))
   }
 
+  test("LM scoring exchanges carry hashed longs, never token strings") {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    for ((name, df) <- Seq(
+      "unigramScore" -> graft.operators.TextAnalysis.unigramScore(
+        docs, docs.where(col("doc_id") % 2 === 0)),
+      "bigramScore" -> graft.operators.TextAnalysis.bigramScore(
+        docs, docs.where(col("doc_id") % 2 === 0)))) {
+      // tokens are hashed inside the scan stage: every exchange in any
+      // realizable plan (vocab aggregates, doc-side joins if the vocab
+      // ever exceeds broadcast size, the final groupBy) moves 8-byte
+      // hashes and counts — raw text/token strings stay columnar
+      val offending = shuffles(df).filter(_.output.exists(a =>
+        a.dataType == StringType ||
+          (a.dataType match {
+            case ArrayType(StringType, _) => true
+            case _ => false
+          })))
+      assert(offending.isEmpty,
+        s"$name shuffles token strings:\n${offending.map(_.output.mkString(", ")).mkString("\n")}")
+    }
+  }
+
   test("brute-force knn batch broadcasts the query side") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val plan = executed(graft.operators.Similarity.knnBruteForceBatch(

@@ -185,6 +185,26 @@ class ProcessorsSpec extends SparkSpecBase {
     assert(scored(1) == ((3L, 1L, 4L, 0L)))
   }
 
+  test("bigramScore: bigram hits, OOV count, Katz-backoff mass; <2-token docs dropped") {
+    val reference = Seq(
+      (10L, "the quick fox the quick dog"),
+      (11L, "quick fox")
+    ).toDF("doc_id", "text")
+    // reference bigrams: (the,quick)=2 (quick,fox)=2 (fox,the)=1 (quick,dog)=1
+    // reference unigrams: the=2 quick=3 fox=2 dog=1
+    val scored = TextAnalysis.bigramScore(Seq(
+      (1L, "the quick fox"),   // both bigrams seen: bg_freq 2+2
+      (2L, "lazy quick fox"),  // (lazy,quick) OOV → backoff on 'quick'=3
+      (3L, "one")              // no bigram → no row
+    ).toDF("doc_id", "text"), reference)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "n_bg_oov", "bg_freq_sum", "backoff_freq_sum")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(scored.toSeq == Seq(
+      (1L, 2L, 0L, 4L, 0L),
+      (2L, 2L, 1L, 2L, 3L)))
+  }
+
   test("qualityScore components") {
     val goodText = (1 to 30).map(_ => "the words and more of it").mkString(" ")
     val got = Seq((1L, goodText), (2L, "!!! ??? ***"), (3L, "")).toDF("doc_id", "text")
