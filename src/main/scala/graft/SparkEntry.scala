@@ -1097,6 +1097,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "t_quality_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail corpus partition at the rank-exact 1/3
+      // and 2/3 points of the integer OOV-rate distribution
+      val docs = tbl(s, dir, "documents")
+      TextAnalysis.qualityBuckets(docs, docs.where(col("doc_id") % 2 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     "t_clean_text" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.cleanText(col("text")).as("clean"))
@@ -2282,6 +2290,31 @@ object SparkEntry {
          |    AS backoff_freq_sum
          |FROM db LEFT JOIN bv USING (h1, h2) LEFT JOIN uv USING (h2)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t_quality_buckets" ->
+      s"""WITH rt AS (
+         |  SELECT unnest(${sqlToks("lower(text)")}) AS tok
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |v AS (SELECT ${sqlHash("tok")} AS h, count(*) AS cnt FROM rt GROUP BY 1),
+         |dt AS (
+         |  SELECT doc_id, ${sqlHash("tok")} AS h FROM (
+         |    SELECT doc_id, unnest(${sqlToks("lower(text)")}) AS tok FROM documents)),
+         |stats AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    sum(CASE WHEN cnt IS NULL THEN 1 ELSE 0 END) AS n_oov
+         |  FROM dt LEFT JOIN v USING (h) GROUP BY doc_id),
+         |scored AS (SELECT doc_id, (n_oov * 1000000) // n_tokens AS score FROM stats),
+         |dist AS (SELECT score, count(*) AS cnt FROM scored GROUP BY 1),
+         |cumt AS (SELECT score, sum(cnt) OVER (ORDER BY score) AS cum FROM dist),
+         |th AS (SELECT
+         |    min(CASE WHEN cum * 3 >= n THEN score END) AS t1,
+         |    min(CASE WHEN cum * 3 >= 2 * n THEN score END) AS t2
+         |  FROM cumt, (SELECT count(*) AS n FROM scored))
+         |SELECT doc_id, CAST(score AS BIGINT) AS score,
+         |  CASE WHEN score <= t1 THEN 'head'
+         |       WHEN score <= t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM scored, th ORDER BY doc_id""".stripMargin,
 
     "x_sql_surface" ->
       s"""SELECT doc_id, ${sqlHash("text")} AS fp,

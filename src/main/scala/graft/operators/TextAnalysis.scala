@@ -247,4 +247,49 @@ object TextAnalysis {
         sum(when(col("bg_cnt").isNull, coalesce(col("uni_cnt"), lit(0L)))
           .otherwise(0L)).as("backoff_freq_sum"))
   }
+
+  /** CCNet-style corpus partition into head/middle/tail quality
+    * buckets (Wenzek et al. split each language's corpus at the 1/3
+    * and 2/3 points of the per-document LM score distribution and
+    * train on the head). Score: per-document OOV rate vs the
+    * reference vocabulary in parts-per-million — an INTEGER in
+    * [0, 1e6], so thresholds and buckets are engine-exact. Bucket
+    * boundaries are rank-defined (no engine percentile formula):
+    * t_k = the smallest score with at least ceil(k·n/3) documents at
+    * or below it; head = score ≤ t1 (lowest OOV = most reference-like,
+    * the CCNet convention), middle ≤ t2, else tail.
+    *
+    * Scale shape: NOT a global ntile window (that single-partitions
+    * the corpus). The score distribution aggregates to ≤ 1e6+1
+    * (score, count) rows — bounded by the score RANGE, not the corpus
+    * — so the cumulative rank runs on a bounded table, the two
+    * thresholds reduce to one broadcast row, and bucketing is a
+    * map-only comparison. Documents with zero tokens have no score
+    * and no output row (unigramScore drops them).
+    */
+  def qualityBuckets(documents: DataFrame, reference: DataFrame): DataFrame = {
+    // materialized once (16 bytes/doc — doc-proportional, not
+    // token-proportional): three consumers below (distribution, corpus
+    // count, final bucket join) would otherwise re-execute the full
+    // vocab-join scoring scan per consumer — same trade as the ngram
+    // pair checkpoint (Dedup.ngramJaccardPairs)
+    val scored = unigramScore(documents, reference)
+      .select(col("doc_id"),
+        expr("n_oov * 1000000 div n_tokens").as("score"))
+      .localCheckpoint(true)
+    val dist = scored.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+    val cum = dist.withColumn("cum",
+      sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score"))))
+    val thresholds = cum
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+      .agg(
+        min(when(col("cum") * 3 >= col("n"), col("score"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("score"))).as("t2"))
+    scored.crossJoin(broadcast(thresholds))
+      .select(col("doc_id"), col("score"),
+        when(col("score") <= col("t1"), "head")
+          .when(col("score") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

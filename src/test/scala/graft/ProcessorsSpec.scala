@@ -205,6 +205,24 @@ class ProcessorsSpec extends SparkSpecBase {
       (2L, 2L, 1L, 2L, 3L)))
   }
 
+  test("qualityBuckets: rank-exact terciles of the OOV-ppm score, head = reference-like") {
+    val reference = Seq((10L, "alpha beta gamma")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta"),        // 0 OOV → score 0
+      (2L, "alpha zzz"),         // 1/2 OOV → 500000
+      (3L, "yyy zzz"),           // 2/2 OOV → 1000000
+      (4L, "alpha beta gamma")   // 0 OOV → 0
+    ).toDF("doc_id", "text")
+    // n=4: t1 = min score with cum*3 >= 4  → cum(0)=2 ≥ 2 → t1=0
+    //      t2 = min score with cum*3 >= 8  → cum(500000)=3 → t2=500000
+    val got = TextAnalysis.qualityBuckets(docs, reference)
+      .orderBy("doc_id").select("doc_id", "score", "bucket")
+      .as[(Long, Long, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 0L, "head"), (2L, 500000L, "middle"),
+      (3L, 1000000L, "tail"), (4L, 0L, "head")))
+  }
+
   test("qualityScore components") {
     val goodText = (1 to 30).map(_ => "the words and more of it").mkString(" ")
     val got = Seq((1L, goodText), (2L, "!!! ??? ***"), (3L, "")).toDF("doc_id", "text")
