@@ -78,6 +78,17 @@ object SparkEntry {
       |UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
       |UNION ALL SELECT doc_id + 2000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
+  /** Fixed merge table for the t_bpe_encode query (rank = position).
+    * Drawn from the corpus's real top character pairs; the last two
+    * are second-order (they merge PIECES made by earlier ranks), so
+    * the query exercises the iterative min-rank encode, not just one
+    * pass. One Seq feeds both the Spark kernel and the generated
+    * DuckDB CASE arms — they cannot drift.
+    */
+  private val BpeQueryMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("t", "a"), ("l", "e"), ("ta", "b"), ("tab", "le"))
+
   /** DuckDB twin of TextFunctions.tokens. */
   private def sqlToks(textExpr: String): String =
     s"list_filter(regexp_split_to_array($textExpr, '\\s+'), x -> length(x) > 0)"
@@ -1072,11 +1083,25 @@ object SparkEntry {
     "t_bpe_pairs" -> ((s, dir) => {
       // tokenizer training, iteration-1 statistic: adjacent-character
       // pair counts weighted by word frequency, top 20 — the full
-      // iterative merge loop is spec-tested (BPE's rewrite step isn't
-      // SQL-expressible, but its driving statistic is)
+      // iterative merge loop is spec-tested (training's argmax loop
+      // has no SQL twin; the ENCODE side does — see t_bpe_encode's
+      // recursive-CTE oracle)
       Corpus.bpePairCounts(Corpus.bpeInitialSymbols(tbl(s, dir, "documents")))
         .orderBy(col("pair_count").desc, col("a"), col("b"))
         .limit(20)
+    }),
+
+    "t_bpe_encode" -> ((s, dir) => {
+      // tokenizer APPLY: encode every word against a fixed 8-merge
+      // table (two second-order merges — tab, table — exercise the
+      // iterative min-rank path). The DuckDB twin replays the encode
+      // exactly with a recursive CTE: replace() is leftmost-first
+      // non-overlapping, the same one-round rewrite as the kernel
+      Corpus.bpeEncode(tbl(s, dir, "documents"), BpeQueryMerges)
+        .select(col("doc_id"), col("word_idx"), col("word"),
+          array_join(col("pieces"), " ").as("pieces"),
+          size(col("pieces")).as("n_pieces"))
+        .orderBy(col("doc_id"), col("word_idx"))
     }),
 
     "t_unigram_lm" -> ((s, dir) => {
@@ -2254,6 +2279,37 @@ object SparkEntry {
          |SELECT a, b, CAST(sum(c) AS BIGINT) AS pair_count
          |FROM pairs GROUP BY a, b
          |ORDER BY pair_count DESC, a, b LIMIT 20""".stripMargin,
+
+    // exact replay of the iterative min-rank BPE encode: each
+    // recursion step merges the lowest-rank pair present (CASE arms in
+    // rank order = min-rank selection; replace() on the chr(1)-joined
+    // symbol string is leftmost-first non-overlapping, the kernel's
+    // one-round rewrite). Fixpoint rows (no learned pair left) are the
+    // final encodes. Assumes chr(1) never occurs in a word.
+    "t_bpe_encode" -> {
+      val bestCase = BpeQueryMerges.zipWithIndex.map { case ((a, b), i) =>
+        s"WHEN contains(j, '$a' || chr(1) || '$b') THEN $i"
+      }.mkString("CASE ", " ", " ELSE -1 END")
+      val rewriteCase = BpeQueryMerges.zipWithIndex.map { case ((a, b), i) =>
+        s"WHEN $i THEN replace(j, '$a' || chr(1) || '$b', '$a$b')"
+      }.mkString("CASE best ", " ", " END")
+      s"""WITH RECURSIVE w AS (
+         |  SELECT doc_id, CAST(u.i AS INT) AS word_idx, t[u.i + 1] AS word
+         |  FROM (SELECT doc_id, ${sqlToks("lower(text)")} AS t FROM documents),
+         |       unnest(range(0, len(t))) AS u(i)),
+         |enc AS (
+         |  SELECT doc_id, word_idx, word,
+         |    array_to_string(list_filter(regexp_split_to_array(word, ''), c -> length(c) > 0), chr(1)) AS j
+         |  FROM w
+         |  UNION ALL
+         |  SELECT doc_id, word_idx, word, $rewriteCase AS j
+         |  FROM (SELECT *, $bestCase AS best FROM enc) WHERE best >= 0)
+         |SELECT doc_id, word_idx, word,
+         |  replace(j, chr(1), ' ') AS pieces,
+         |  CAST(len(string_split(j, chr(1))) AS INT) AS n_pieces
+         |FROM (SELECT *, $bestCase AS best FROM enc) WHERE best < 0
+         |ORDER BY doc_id, word_idx""".stripMargin
+    },
 
     "t_unigram_lm" ->
       s"""WITH rt AS (

@@ -37,4 +37,7 @@ object Kernels {
   def keywordsTopK(s: String, vocab: Array[String],
                    index: java.util.HashMap[String, Integer], k: Int): Array[UTF8String] =
     native.keywordsTopK(s, vocab, index, k)
+  def bpeEncodeWord(s: String,
+                    ranks: java.util.HashMap[String, Integer]): Array[UTF8String] =
+    native.bpeEncodeWord(s, ranks)
 }

@@ -460,6 +460,55 @@ object native {
       .toArray
   }
 
+  /** Sennrich BPE encode of ONE whitespace token against a learned
+    * merge table (rank = training order, keyed "a b"): start from
+    * code-point symbols and repeatedly merge the LOWEST-RANK adjacent
+    * pair present — leftmost-first, non-overlapping within a round,
+    * the same rewrite as [[graft.operators.Corpus.bpeMerges]]'
+    * training loop — until no learned pair remains. Iterative
+    * min-rank selection (not one sequential pass per merge) so a
+    * later merge that recreates an earlier-rank pair still gets that
+    * earlier merge applied, matching the reference BPE encoders.
+    */
+  def bpeEncodeWord(word: String,
+                    ranks: java.util.HashMap[String, Integer]): Array[UTF8String] = {
+    var syms = {
+      val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+      var i = 0
+      while (i < word.length) {
+        val cc = Character.charCount(word.codePointAt(i))
+        out += word.substring(i, i + cc)
+        i += cc
+      }
+      out
+    }
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var bi = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.get(syms(j) + " " + syms(j + 1))
+        if (r != null && r.intValue() < best) { best = r.intValue(); bi = j }
+        j += 1
+      }
+      if (bi < 0) done = true
+      else {
+        val a = syms(bi); val b = syms(bi + 1)
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var k = 0
+        while (k < syms.length) {
+          if (k + 1 < syms.length && syms(k) == a && syms(k + 1) == b) {
+            out += a + b; k += 2
+          } else { out += syms(k); k += 1 }
+        }
+        syms = out
+        done = syms.length < 2
+      }
+    }
+    syms.iterator.map(UTF8String.fromString).toArray
+  }
+
   // ---------------------------------------------------------------- exprs
   //
   // Every expression implements BOTH eval (nullSafeEval) and real
@@ -677,6 +726,30 @@ object native {
       copy(child = newChild)
   }
 
+  case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    @transient private lazy val ranks = {
+      val m = new java.util.HashMap[String, Integer]()
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        // first occurrence wins: training order is the rank
+        m.putIfAbsent(a + " " + b, i)
+      }
+      m
+    }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      new GenericArrayData(
+        bpeEncodeWord(input.asInstanceOf[UTF8String].toString, ranks)
+          .asInstanceOf[Array[Any]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ranksRef = ctx.addReferenceObj("graftBpeRanks", ranks, "java.util.HashMap")
+      defineCodeGen(ctx, ev, c =>
+        s"new $GAD((Object[]) $N.bpeEncodeWord($c.toString(), $ranksRef))")
+    }
+    override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+      copy(child = newChild)
+  }
+
   case class PieceCountExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override protected def nullSafeEval(input: Any): Any =
@@ -725,4 +798,6 @@ object native {
     col(KeywordsTopKExpr(ex(text), vocabulary, k, lowercase))
   def tokenCount(text: Column): Column = col(TokenCountExpr(ex(text)))
   def pieceCount(text: Column): Column = col(PieceCountExpr(ex(text)))
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
+    col(BpeEncodeExpr(ex(word), merges))
 }

@@ -349,6 +349,26 @@ object Corpus {
     merges.toSeq
   }
 
+  /** Apply a learned BPE merge list to the corpus — the encode half of
+    * the tokenizer story ([[bpeMerges]] trains the list). Tokenizes
+    * each document (lowercased whitespace words, the same
+    * normalization as [[bpeInitialSymbols]]) and encodes every word by
+    * the iterative min-rank procedure of the reference BPE encoders
+    * (see [[graft.functions.native.bpeEncodeWord]]). Output one row
+    * per (doc_id, word_idx) with the word and its pieces.
+    *
+    * Scale shape: map-only at any corpus size — the merge table is a
+    * codegen reference object riding with the task binary (30k-100k
+    * merges ≈ MBs, broadcast-sized by construction), the explode is
+    * word-proportional, and nothing shuffles.
+    */
+  def bpeEncode(documents: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    documents
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(lower(col("text")))).as(Seq("word_idx", "word")))
+      .select(col("doc_id"), col("word_idx"), col("word"),
+        graft.functions.native.bpeEncode(col("word"), merges).as("pieces"))
+
   /** Stratified corpus mixing: keep a deterministic per-stratum
     * fraction of documents (e.g. lang -> sampling rate) — the data-mix
     * step of corpus assembly. RNG-free: membership is a portable hash

@@ -169,6 +169,37 @@ class CorpusSpec extends SparkSpecBase {
     assert(jobs.get() <= 8, s"local path scheduled ${jobs.get()} jobs for 12 merges")
   }
 
+  test("bpeEncode: iterative min-rank greedy, multi-level merges, leftmost-first rounds") {
+    val merges = Seq(("t", "a"), ("l", "e"), ("ta", "b"), ("tab", "le"))
+    val got = Corpus.bpeEncode(
+      Seq((1L, "Table stable aaa tale")).toDF("doc_id", "text"), merges)
+      .orderBy("word_idx")
+      .select("word", "pieces").as[(String, Seq[String])].collect().toMap
+    // table: ta|b|l|e → ta|b|le → tab|le → table (second-order chain)
+    assert(got("table") == Seq("table"))
+    // stable: s,ta,b,l,e → s,ta,b,le → s,tab,le → s + table? (tab,le)
+    // merges to table only via rank 3 — s|table
+    assert(got("stable") == Seq("s", "table"))
+    // no learned pair in 'aaa' → code-point symbols survive
+    assert(got("aaa") == Seq("a", "a", "a"))
+    // tale: t,a,l,e → ta,l,e (rank 0) → ta,le (rank 1); (ta,le) unlearned
+    assert(got("tale") == Seq("ta", "le"))
+  }
+
+  test("bpeEncode: a later merge recreating an earlier-rank pair still gets it applied") {
+    // ranks: 0=(b,c)  1=(a,b)  — word 'abc': pairs (a,b)=1, (b,c)=0;
+    // min-rank first merges (b,c) → a|bc; (a,bc) unlearned → a|bc.
+    // word 'aabc': (a,a)=∅ (a,b)=1 (b,c)=0 → a,a,bc → (a,a)∅ (a,bc)∅ done
+    val merges = Seq(("b", "c"), ("a", "b"))
+    val got = Corpus.bpeEncode(
+      Seq((1L, "abc aabc abab")).toDF("doc_id", "text"), merges)
+      .select("word", "pieces").as[(String, Seq[String])].collect().toMap
+    assert(got("abc") == Seq("a", "bc"))
+    assert(got("aabc") == Seq("a", "a", "bc"))
+    // abab: (a,b) everywhere → one round leftmost-first merges BOTH
+    assert(got("abab") == Seq("ab", "ab"))
+  }
+
   test("packSequences: cumulative layout, boundary straddling, per-shard namespacing") {
     // single shard (nShards=1) for predictable layout: docs of 100
     // tokens each, 256-token sequences
