@@ -990,6 +990,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "s_knn_pq" -> ((s, dir) => {
+      // product quantization: corpus collapses to m=8 sub-codes over a
+      // 16-entry deterministic codebook; ADC distance ranks. The
+      // oracle re-derives codebooks, encoding, and the ADC sums with
+      // identical fold order — hash-exact, like s_knn_ivf
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.knnPq(emb, emb.where(col("vec_id") < 5), k = 5,
+          m = 8, nCodes = 16, dim = 64)
+        .select(col("query_id"), col("rank"), col("nbr_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "s_knn_recall" -> ((s, dir) => {
       // ANN recall contract: LSH and IVF top-k overlap against the
       // brute-force ground truth, per query — the accuracy twin of
@@ -2000,6 +2013,49 @@ object SparkEntry {
          |SELECT query_id, rank, nbr_id, round(cos, 6) AS cos
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // exact PQ replay: codebook = the modulo sample in id order (code
+    // = rank), encode = per-(vector, subspace) argmin of L2² (ties →
+    // lowest code), ADC = nested list_reduce folds seeded with 0.0 —
+    // the same left-to-right summation order as the Spark aggregate/
+    // zip_with expressions, so doubles match bit-for-bit pre-round
+    "s_knn_pq" -> {
+      def sq(a: String, b: String) = s"(CAST($a AS DOUBLE) - CAST($b AS DOUBLE)) * (CAST($a AS DOUBLE) - CAST($b AS DOUBLE))"
+      val encD = sq("e.embedding[u.mi*8 + i]", "c.embedding[u.mi*8 + i]")
+      val adcD = sq("q.embedding[mi*8 + i]", "b.bl[n.cs[mi + 1] + 1][mi*8 + i]")
+      s"""WITH params AS (SELECT greatest(1, count(*) // 16) AS step FROM embeddings),
+         |cbrows AS (
+         |  SELECT e.vec_id, e.embedding FROM embeddings e, params
+         |  WHERE e.vec_id % params.step = 0 ORDER BY e.vec_id LIMIT 16),
+         |cb AS (SELECT vec_id, embedding,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code FROM cbrows),
+         |books AS (SELECT list(embedding ORDER BY code) AS bl FROM cb),
+         |subd AS (
+         |  SELECT e.vec_id, u.mi, c.code,
+         |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |      list_transform(range(1, 9), i -> $encD)), (x, y) -> x + y) AS d
+         |  FROM embeddings e, unnest(range(0, 8)) AS u(mi), cb c),
+         |enc AS (
+         |  SELECT vec_id, mi, code FROM (
+         |    SELECT vec_id, mi, code,
+         |      row_number() OVER (PARTITION BY vec_id, mi ORDER BY d, code) AS r FROM subd)
+         |  WHERE r = 1),
+         |codes AS (SELECT vec_id AS nbr_id, list(code ORDER BY mi) AS cs FROM enc GROUP BY vec_id),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, n.nbr_id,
+         |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |      list_transform(range(0, 8), mi ->
+         |        list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |          list_transform(range(1, 9), i -> $adcD)), (x, y) -> x + y))),
+         |      (x, y) -> x + y) AS dist
+         |  FROM embeddings q, codes n, books b
+         |  WHERE q.vec_id < 5 AND q.vec_id <> n.nbr_id),
+         |ranked AS (SELECT query_id, nbr_id, dist,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, nbr_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, nbr_id, round(dist, 6) AS dist
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "s_knn_bruteforce" -> {
       val dot = "list_reduce(list_concat([CAST(0.0 AS DOUBLE)], list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))), (x, y) -> x + y)"

