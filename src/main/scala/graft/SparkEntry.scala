@@ -1003,6 +1003,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "s_knn_ivfpq" -> ((s, dir) => {
+      // the FAISS-style composition: IVF list pruning × PQ codes,
+      // ADC-scored — oracle composes the two exact derivations
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.knnIvfPq(emb, emb.where(col("vec_id") < 5), k = 5,
+          nLists = 8, nProbe = 4, m = 8, nCodes = 16, dim = 64)
+        .select(col("query_id"), col("rank"), col("nbr_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "s_knn_recall" -> ((s, dir) => {
       // ANN recall contract: LSH and IVF top-k overlap against the
       // brute-force ground truth, per query — the accuracy twin of
@@ -2050,6 +2061,70 @@ object SparkEntry {
          |      (x, y) -> x + y) AS dist
          |  FROM embeddings q, codes n, books b
          |  WHERE q.vec_id < 5 AND q.vec_id <> n.nbr_id),
+         |ranked AS (SELECT query_id, nbr_id, dist,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, nbr_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, nbr_id, round(dist, 6) AS dist
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // IVF-PQ = the s_knn_ivf coarse-assignment CTEs composed with the
+    // s_knn_pq codebook/encode/ADC CTEs; candidates come from probed
+    // lists instead of the full code scan
+    "s_knn_ivfpq" -> {
+      def sq(a: String, b: String) = s"(CAST($a AS DOUBLE) - CAST($b AS DOUBLE)) * (CAST($a AS DOUBLE) - CAST($b AS DOUBLE))"
+      val encD = sq("e.embedding[u.mi*8 + i]", "c.embedding[u.mi*8 + i]")
+      val adcD = sq("q.q_emb[mi*8 + i]", "b.bl[n.cs[mi + 1] + 1][mi*8 + i]")
+      s"""WITH ivfparams AS (SELECT greatest(1, count(*) // 8) AS step FROM embeddings),
+         |centroids AS (
+         |  SELECT e.vec_id AS list_id, e.embedding AS centroid
+         |  FROM embeddings e, ivfparams
+         |  WHERE e.vec_id % ivfparams.step = 0
+         |  ORDER BY e.vec_id LIMIT 8),
+         |corpus_assign AS (
+         |  SELECT vec_id AS nbr_id, list_id FROM (
+         |    SELECT e.vec_id, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlCos("e.embedding", "c.centroid")} DESC, c.list_id) AS r
+         |    FROM embeddings e, centroids c)
+         |  WHERE r = 1),
+         |query_assign AS (
+         |  SELECT vec_id AS query_id, q_emb, list_id FROM (
+         |    SELECT e.vec_id, e.embedding AS q_emb, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlCos("e.embedding", "c.centroid")} DESC, c.list_id) AS r
+         |    FROM embeddings e, centroids c WHERE e.vec_id < 5)
+         |  WHERE r <= 4),
+         |pqparams AS (SELECT greatest(1, count(*) // 16) AS step FROM embeddings),
+         |cbrows AS (
+         |  SELECT e.vec_id, e.embedding FROM embeddings e, pqparams
+         |  WHERE e.vec_id % pqparams.step = 0 ORDER BY e.vec_id LIMIT 16),
+         |cb AS (SELECT vec_id, embedding,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code FROM cbrows),
+         |books AS (SELECT list(embedding ORDER BY code) AS bl FROM cb),
+         |subd AS (
+         |  SELECT e.vec_id, u.mi, c.code,
+         |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |      list_transform(range(1, 9), i -> $encD)), (x, y) -> x + y) AS d
+         |  FROM embeddings e, unnest(range(0, 8)) AS u(mi), cb c),
+         |enc AS (
+         |  SELECT vec_id, mi, code FROM (
+         |    SELECT vec_id, mi, code,
+         |      row_number() OVER (PARTITION BY vec_id, mi ORDER BY d, code) AS r FROM subd)
+         |  WHERE r = 1),
+         |codes AS (SELECT vec_id AS nbr_id, list(code ORDER BY mi) AS cs FROM enc GROUP BY vec_id),
+         |scored AS (
+         |  SELECT DISTINCT q.query_id, n.nbr_id,
+         |    list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |      list_transform(range(0, 8), mi ->
+         |        list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |          list_transform(range(1, 9), i -> $adcD)), (x, y) -> x + y))),
+         |      (x, y) -> x + y) AS dist
+         |  FROM query_assign q
+         |  JOIN corpus_assign ca USING (list_id)
+         |  JOIN codes n ON n.nbr_id = ca.nbr_id
+         |  CROSS JOIN books b
+         |  WHERE q.query_id <> n.nbr_id),
          |ranked AS (SELECT query_id, nbr_id, dist,
          |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, nbr_id) AS INT) AS rank
          |  FROM scored)

@@ -144,21 +144,7 @@ object Similarity {
     */
   def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int = 10,
              nLists: Int = 16, nProbe: Int = 4, trainIters: Int = 0): DataFrame = {
-    val nRows = corpus.agg(count(lit(1))).head().getLong(0)
-    val step = math.max(1L, nRows / nLists)
-    val sampled = corpus
-      .where(pmod(col("vec_id"), lit(step)) === 0)
-      .orderBy(col("vec_id")).limit(nLists)
-      .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
-    // structured id domains (all-odd, strided, fixed low bits) can
-    // defeat the modulo sample entirely; fall back to the first nLists
-    // ids — still a TakeOrderedAndProject, never a full sort — rather
-    // than silently searching zero lists
-    val centroids =
-      if (sampled.isEmpty)
-        corpus.orderBy(col("vec_id")).limit(nLists)
-          .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
-      else sampled
+    val centroids = sampleCentroids(corpus, nLists)
 
     // optional Lloyd refinement (trainIters=0 keeps the deterministic
     // sample — the oracle-checked default); the search plan below is
@@ -186,6 +172,28 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic centroid sample shared by the IVF family: one
+    * scalar count fixes step = N/nLists, vectors with vec_id % step
+    * == 0 feed a TakeOrderedAndProject (no global sort; only the
+    * count's long reaches the driver). Structured id domains
+    * (all-odd, strided, fixed low bits) can defeat the modulo sample
+    * entirely; fall back to the first nLists ids — still a
+    * TakeOrderedAndProject — rather than silently searching zero
+    * lists.
+    */
+  private def sampleCentroids(corpus: DataFrame, nLists: Int): DataFrame = {
+    val nRows = corpus.agg(count(lit(1))).head().getLong(0)
+    val step = math.max(1L, nRows / nLists)
+    val sampled = corpus
+      .where(pmod(col("vec_id"), lit(step)) === 0)
+      .orderBy(col("vec_id")).limit(nLists)
+      .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
+    if (sampled.isEmpty)
+      corpus.orderBy(col("vec_id")).limit(nLists)
+        .select(col("vec_id").as("list_id"), col("embedding").as("centroid"))
+    else sampled
   }
 
   /** Product-quantization codebooks (Jégou et al., "Product
@@ -237,12 +245,14 @@ object Similarity {
     */
   private def pqCodes(emb: Column, m: Int, sub: Int, nCodes: Int): Column =
     transform(sequence(lit(0), lit(m - 1)), mi => {
-      val scored = transform(sequence(lit(0), lit(nCodes - 1)), ci =>
-        struct(
-          l2sq(slice(emb, mi * sub + 1, lit(sub)),
-            element_at(element_at(col("books"), mi + 1), ci + 1)).as("d"),
-          ci.as("c")))
-      array_min(scored)("c")
+      // argmin as position-of-min: array_position returns the FIRST
+      // index of the minimum, which IS the lowest-code tie-break (no
+      // named struct here — aliases inside lambdas are stripped when
+      // the enclosing select also carries a generator)
+      val dists = transform(sequence(lit(0), lit(nCodes - 1)), ci =>
+        l2sq(slice(emb, mi * sub + 1, lit(sub)),
+          element_at(element_at(col("books"), mi + 1), ci + 1)))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
     })
 
   /** PQ ANN via asymmetric distance computation: corpus vectors
@@ -278,6 +288,50 @@ object Similarity {
     coded.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"), adc.as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("dist"), col("rank"))
+  }
+
+  /** IVF-PQ — the canonical billion-scale ANN composition (FAISS's
+    * default index family): coarse quantization prunes the search to
+    * `nProbe` of `nLists` inverted lists, product quantization
+    * collapses each corpus vector to `m` sub-codes, and candidates in
+    * probed lists are ADC-scored against the exact query. One corpus
+    * scan computes BOTH the list assignment and the PQ codes (two
+    * broadcast folds into the same map stage), and the corpus'
+    * embeddings are dropped at the scan: everything downstream moves
+    * (nbr_id, list_id, m codes) — at 10⁹ × 64-dim vectors that is
+    * ~12 GB of codes against ~256 GB of floats, and only 1/nLists·
+    * nProbe of it is ever scored. No residual re-encoding (codes
+    * quantize the raw vector, not vector − centroid): recall at these
+    * code sizes is the spec'd contract, and the oracle stays a
+    * composition of the two exact derivations it already checks.
+    * Output (query_id, nbr_id, dist, rank), rank by (dist asc,
+    * nbr_id asc).
+    */
+  def knnIvfPq(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+               nLists: Int = 16, nProbe: Int = 4,
+               m: Int = 8, nCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val centroidSet = foldCentroids(sampleCentroids(corpus, nLists)).localCheckpoint(true)
+    val books = pqCodebooks(corpus, m, nCodes, dim).localCheckpoint(true)
+    val coded = corpus.crossJoin(broadcast(centroidSet)).crossJoin(broadcast(books))
+      .select(col("vec_id").as("nbr_id"),
+        explode(VectorFunctions.nearestCentroids(col("embedding"), col("cents"), 1))
+          .as("list_id"),
+        pqCodes(col("embedding"), m, sub, nCodes).as("codes"), col("books"))
+    val probed = assignFolded(queries, centroidSet, "query_id", "q_emb", probes = nProbe)
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0d), (acc, mi) =>
+      acc + l2sq(slice(col("q_emb"), mi * sub + 1, lit(sub)),
+        element_at(element_at(col("books"), mi + 1),
+          element_at(col("codes"), mi + 1) + 1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist").asc, col("nbr_id").asc)
+    broadcast(probed).join(coded, Seq("list_id"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"), adc.as("dist"))
+      .dropDuplicates("query_id", "nbr_id")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("dist"), col("rank"))

@@ -251,6 +251,23 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got.map(t => (t._1, t._2, t._3, t._4)).toSet == expect)
   }
 
+  test("knnIvfPq: probing every list reproduces plain PQ exactly") {
+    // with nProbe = nLists the coarse quantizer prunes nothing, so the
+    // composition must equal knnPq bit-for-bit — pins that IVF
+    // assignment and PQ encoding compose without disturbing either
+    val vs = (0 until 24).map(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 5 + j * 7) % 9 - 4).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vs.where(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "nbr_id", "dist")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val full = rows(Similarity.knnIvfPq(vs, queries, k = 4,
+      nLists = 4, nProbe = 4, m = 4, nCodes = 6, dim = 8))
+    val pq = rows(Similarity.knnPq(vs, queries, k = 4, m = 4, nCodes = 6, dim = 8))
+    assert(full == pq && full.nonEmpty)
+  }
+
   test("knnPq: coarse codebook still ranks the near-copy first") {
     val got = Similarity.knnPq(vecs, vecs.where(col("vec_id") === 0),
       k = 2, m = 2, nCodes = 3, dim = 4).orderBy("rank")

@@ -181,7 +181,9 @@ class PlanSpec extends SparkSpecBase {
       "knnLsh" -> graft.operators.Similarity.knnLsh(emb, queries, dim = 64, k = 5),
       "knnIvf" -> graft.operators.Similarity.knnIvf(emb, queries, k = 5, nLists = 4, nProbe = 2),
       "knnBruteForceBatch" -> graft.operators.Similarity.knnBruteForceBatch(emb, queries, k = 5),
-      "knnPq" -> graft.operators.Similarity.knnPq(emb, queries, k = 5, m = 8, nCodes = 4, dim = 64))) {
+      "knnPq" -> graft.operators.Similarity.knnPq(emb, queries, k = 5, m = 8, nCodes = 4, dim = 64),
+      "knnIvfPq" -> graft.operators.Similarity.knnIvfPq(emb, queries, k = 5,
+        nLists = 4, nProbe = 2, m = 8, nCodes = 4, dim = 64))) {
       // no repartitioning exchange may carry an array column: candidate
       // pairs are scored first, so dedup + window shuffle (ids, cos)
       // only. (SinglePartition folds — the ≤nLists centroid collect —
