@@ -1014,6 +1014,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "s_mmr_rerank" -> ((s, dir) => {
+      // MMR-diversified top-5 from a 20-candidate pool, λ=0.7 — the
+      // oracle unrolls the 5 greedy picks as plain CTE steps; output
+      // is ids-only, so the hash gate pins the entire scoring path
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.mmrSearch(emb, emb.where(col("vec_id") < 5),
+          k = 5, poolSize = 20, lambda = 0.7)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "s_knn_recall" -> ((s, dir) => {
       // ANN recall contract: LSH and IVF top-k overlap against the
       // brute-force ground truth, per query — the accuracy twin of
@@ -2024,6 +2034,64 @@ object SparkEntry {
          |SELECT query_id, rank, nbr_id, round(cos, 6) AS cos
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // MMR replay: the greedy loop unrolls to 5 CTE steps (pen_s = max
+    // pairwise cosine vs the selected set; pick = row_number over
+    // 0.7·rel − (1 − 0.7)·pen, ties → lowest id). Identical double
+    // expressions to the kernel: same cosine folds, same literal
+    // arithmetic — so the ids-only output hash-matches
+    "s_mmr_rerank" -> {
+      val lam = "0.7"
+      val steps = (2 to 5).map { s =>
+        s"""pen$s AS (
+           |  SELECT pr.query_id, pr.a AS nbr_id, max(pr.cos) AS mx
+           |  FROM pairs pr JOIN selected${s - 1} sl
+           |    ON pr.query_id = sl.query_id AND pr.b = sl.nbr_id
+           |  GROUP BY pr.query_id, pr.a),
+           |sel$s AS (
+           |  SELECT query_id, nbr_id, $s AS rank FROM (
+           |    SELECT p.query_id, p.nbr_id,
+           |      row_number() OVER (PARTITION BY p.query_id
+           |        ORDER BY $lam * p.rel - (1 - $lam) * pen.mx DESC, p.nbr_id) AS r
+           |    FROM pool p JOIN pen$s pen
+           |      ON pen.query_id = p.query_id AND pen.nbr_id = p.nbr_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM selected${s - 1} s2
+           |      WHERE s2.query_id = p.query_id AND s2.nbr_id = p.nbr_id))
+           |  WHERE r = 1),
+           |selected$s AS (
+           |  SELECT query_id, nbr_id FROM selected${s - 1}
+           |  UNION ALL SELECT query_id, nbr_id FROM sel$s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pool AS (
+         |  SELECT query_id, nbr_id, rel FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+         |      ${sqlCos("q.embedding", "e.embedding")} AS rel,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id) AS r
+         |    FROM embeddings q, embeddings e
+         |    WHERE q.vec_id < 5 AND q.vec_id <> e.vec_id)
+         |  WHERE r <= 20),
+         |pairs AS (
+         |  SELECT p1.query_id, p1.nbr_id AS a, p2.nbr_id AS b,
+         |    ${sqlCos("ea.embedding", "eb.embedding")} AS cos
+         |  FROM pool p1 JOIN pool p2 USING (query_id)
+         |  JOIN embeddings ea ON ea.vec_id = p1.nbr_id
+         |  JOIN embeddings eb ON eb.vec_id = p2.nbr_id
+         |  WHERE p1.nbr_id <> p2.nbr_id),
+         |sel1 AS (
+         |  SELECT query_id, nbr_id, 1 AS rank FROM (
+         |    SELECT query_id, nbr_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, nbr_id) AS r
+         |    FROM pool)
+         |  WHERE r = 1),
+         |selected1 AS (SELECT query_id, nbr_id FROM sel1),
+         |$steps
+         |SELECT query_id, CAST(rank AS INT) AS rank, nbr_id
+         |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+         |  UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+         |  UNION ALL SELECT * FROM sel5)
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     // exact PQ replay: codebook = the modulo sample in id order (code
     // = rank), encode = per-(vector, subspace) argmin of L2² (ties →

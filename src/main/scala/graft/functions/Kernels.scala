@@ -40,4 +40,6 @@ object Kernels {
   def bpeEncodeWord(s: String,
                     ranks: java.util.HashMap[String, Integer]): Array[UTF8String] =
     native.bpeEncodeWord(s, ranks)
+  def mmrSelect(cands: ArrayData, k: Int, lambda: Double): Array[Long] =
+    native.mmrSelect(cands, k, lambda)
 }

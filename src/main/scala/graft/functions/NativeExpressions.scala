@@ -460,6 +460,64 @@ object native {
       .toArray
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein) over
+    * one query's candidate pool: greedily pick `k` candidates by
+    * score = λ·rel − (1−λ)·max cosine(candidate, already-selected)
+    * (first pick: penalty 0 → argmax rel), ties to the lowest id.
+    * `cands` is array<struct<nbr_id:long, rel:double,
+    * emb:array<float>>> — POSITIONAL contract, field names free.
+    * Order-insensitive (argmax with a total tie-break), so an
+    * unordered collect_list feeds it safely. Returns selected ids in
+    * pick order.
+    */
+  def mmrSelect(cands: ArrayData, k: Int, lambda: Double): Array[Long] = {
+    val n = cands.numElements()
+    val ids = new Array[Long](n)
+    val rel = new Array[Double](n)
+    val embs = new Array[ArrayData](n)
+    var i = 0
+    while (i < n) {
+      val r = cands.getStruct(i, 3)
+      ids(i) = r.getLong(0)
+      rel(i) = r.getDouble(1)
+      embs(i) = r.getArray(2)
+      i += 1
+    }
+    val beta = 1.0 - lambda
+    val taken = new Array[Boolean](n)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](math.min(k, n))
+    val sel = new scala.collection.mutable.ArrayBuffer[Int](math.min(k, n))
+    while (out.length < math.min(k, n)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < n) {
+        if (!taken(c)) {
+          // max-sim penalty over the selected set; -inf seed (cosines
+          // can be negative — a zero seed would silently floor them)
+          var pen = Double.NegativeInfinity
+          var s = 0
+          while (s < sel.length) {
+            pen = math.max(pen,
+              cosine(embs(c), aDouble = false, embs(sel(s)), bDouble = false))
+            s += 1
+          }
+          val score =
+            if (sel.isEmpty) lambda * rel(c) else lambda * rel(c) - beta * pen
+          if (best < 0 || score > bestScore ||
+            (score == bestScore && ids(c) < ids(best))) {
+            best = c; bestScore = score
+          }
+        }
+        c += 1
+      }
+      taken(best) = true
+      sel += best
+      out += ids(best)
+    }
+    out.toArray
+  }
+
   /** Sennrich BPE encode of ONE whitespace token against a learned
     * merge table (rank = training order, keyed "a b"): start from
     * code-point symbols and repeatedly merge the LOWEST-RANK adjacent
@@ -726,6 +784,17 @@ object native {
       copy(child = newChild)
   }
 
+  case class MmrSelectExpr(child: Expression, k: Int, lambda: Double)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      new GenericArrayData(mmrSelect(input.asInstanceOf[ArrayData], k, lambda))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"new $GAD($N.mmrSelect($c, $k, $lambda))")
+    override protected def withNewChildInternal(newChild: Expression): MmrSelectExpr =
+      copy(child = newChild)
+  }
+
   case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
       extends UnaryExpression {
     @transient private lazy val ranks = {
@@ -800,4 +869,6 @@ object native {
   def pieceCount(text: Column): Column = col(PieceCountExpr(ex(text)))
   def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
     col(BpeEncodeExpr(ex(word), merges))
+  def mmrSelect(cands: Column, k: Int, lambda: Double): Column =
+    col(MmrSelectExpr(ex(cands), k, lambda))
 }

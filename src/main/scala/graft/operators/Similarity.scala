@@ -337,6 +337,42 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("dist"), col("rank"))
   }
 
+  /** MMR-diversified search (Carbonell & Goldstein, "The Use of MMR …
+    * in Summarization"): retrieve a `poolSize` relevance pool per
+    * query, then greedily re-rank it by marginal relevance — score =
+    * λ·rel − (1−λ)·max cos(candidate, already-picked) — so the top-k
+    * covers the query's neighborhood instead of k near-duplicates
+    * (retrieval diversity is a first-order concern when the corpus is
+    * dedup'd softly). Output (query_id, rank, nbr_id), rank = pick
+    * order; ties at any step go to the lowest id, so results are
+    * deterministic.
+    *
+    * Scale shape: the pool selection is [[knnBruteForceBatch]]'s
+    * id+double top-k (no embedding exchanges); candidate embeddings
+    * REJOIN by id afterward — a pool-bounded join (queries ×
+    * poolSize rows), the minhash-verify trick — then one
+    * groupBy(query_id) collects ≤ poolSize candidates per row, and
+    * the O(k·poolSize) greedy runs as a single scan-stage kernel.
+    * Nothing corpus-sized ever carries an embedding. Swap the pool
+    * source for [[knnIvfPq]] output at billion scale — the re-rank
+    * stage is source-agnostic.
+    */
+  def mmrSearch(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                poolSize: Int = 20, lambda: Double = 0.7): DataFrame = {
+    val pool = knnBruteForceBatch(corpus, queries, poolSize)
+      .select(col("query_id"), col("nbr_id"), col("cos"))
+    val withEmb = pool.join(
+      corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_emb")),
+      Seq("nbr_id"))
+    withEmb
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("nbr_id"), col("cos"), col("nbr_emb"))).as("cands"))
+      .select(col("query_id"),
+        posexplode(graft.functions.native.mmrSelect(col("cands"), k, lambda))
+          .as(Seq("pos", "nbr_id")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"), col("nbr_id"))
+  }
+
   /** Lloyd-iteration centroid training over the SAME map-only
     * assignment kernel knnIvf searches with (VERDICT r4: "swap in
     * trained centroids for better recall without changing the plan

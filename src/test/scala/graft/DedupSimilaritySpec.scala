@@ -268,6 +268,28 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(full == pq && full.nonEmpty)
   }
 
+  test("mmrSearch: near-duplicate of the first pick is demoted below a diverse candidate") {
+    // query along e1 (NOT equal to any candidate — a first pick equal
+    // to the query makes rel ≡ sim-to-pick-1 and MMR degenerates to
+    // relevance order at any λ). rel: 10 ≈ .994, 11 ≈ .993, 12 = .6;
+    // step 2 at λ=0.5: 11 scores .5(.993 − .99995) < 0, 12 scores
+    // .5(.6 − .508) > 0 → the diverse candidate wins
+    val vs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), // the query
+      (10L, Array(0.9f, 0.1f, 0f, 0f)),
+      (11L, Array(0.9f, 0.11f, 0f, 0f)),
+      (12L, Array(0.6f, -0.8f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSearch(vs, vs.where(col("vec_id") === 0),
+      k = 3, poolSize = 10, lambda = 0.5)
+      .orderBy("rank").select("nbr_id").as[Long].collect().toSeq
+    assert(got == Seq(10L, 12L, 11L))
+    // pure relevance control: brute force ranks the near-dup second
+    val rel = Similarity.knnBruteForceBatch(vs, vs.where(col("vec_id") === 0), k = 3)
+      .orderBy("rank").select("nbr_id").as[Long].collect().toSeq
+    assert(rel == Seq(10L, 11L, 12L))
+  }
+
   test("knnPq: coarse codebook still ranks the near-copy first") {
     val got = Similarity.knnPq(vecs, vecs.where(col("vec_id") === 0),
       k = 2, m = 2, nCodes = 3, dim = 4).orderBy("rank")
