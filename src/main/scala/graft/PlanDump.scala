@@ -17,7 +17,10 @@ object PlanDump {
       ("q_range_join", "Band join: bands broadcast, inequality evaluated map-side (BroadcastNestedLoopJoin) — the fact side never shuffles."),
       ("s_semantic_search", "Semantic search: vector records are a map-only pipeline; the literal query embedding scores every record in the scan stage; one TakeOrderedAndProject, no shuffle."),
       ("s_knn_ivf", "IVF ANN: corpus-to-list assignment is a scan-stage nearestCentroids argmax against the broadcast one-row centroid fold (BroadcastNestedLoopJoin + Generate — no exchange on the corpus branch); candidates are scored BEFORE dedup, so the dropDuplicates/top-k exchanges carry (query_id, nbr_id, cos) — ids + one double, never embedding arrays."),
-      ("d_repeated_spans", "Substring-level span dedup: the only corpus-sized exchange is the groupBy(hash) document-frequency aggregate over (hash, doc_id, pos) longs; the hot-hash semi-join broadcasts and island merging windows over flagged rows only.")
+      ("d_repeated_spans", "Substring-level span dedup: the only corpus-sized exchange is the groupBy(hash) document-frequency aggregate over (hash, doc_id, pos) longs; the hot-hash semi-join broadcasts and island merging windows over flagged rows only."),
+      ("s_knn_ivfpq", "IVF-PQ: ONE corpus scan computes the coarse list assignment (nearestCentroids argmax vs the broadcast centroid fold) AND the PQ sub-codes (argmin vs the broadcast codebook fold) — embeddings are dropped at the scan, every downstream exchange moves (nbr_id, list_id, codes) and the top-k shuffle carries ids + one double."),
+      ("t_bigram_lm", "Bigram LM scoring: tokens hash inside the scan stage (no token strings in any exchange); both vocab aggregates are map-side combined to ≤|vocab| rows and rejoin by broadcast; the doc side's only exchange is the final groupBy(doc_id)."),
+      ("t_bpe_encode", "BPE encode: a pure Project/Generate pipeline — the merge-rank table rides as a codegen reference object, zero Exchange before the output sort; 100 TB of corpus encodes as a map-only stage.")
     )
     out.append("# PLANS — physical-plan evidence (sf0.01, local[32])\n\n")
     out.append("Regenerate with `sbt \"runMain graft.PlanDump\"`.\n")
