@@ -34,6 +34,12 @@ object GraftExtensions {
     case Literal(l: Long, _) => l.toInt
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
+  private def litDouble(e: Expression, what: String): Double = e match {
+    case Literal(d: Double, _) => d
+    case Literal(f: Float, _) => f.toDouble
+    case Literal(i: Int, _) => i.toDouble
+    case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
+  }
 
   /** (name, info, builder) triples for every SQL-exposed kernel. */
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -66,7 +72,22 @@ object GraftExtensions {
       (args: Seq[Expression]) => native.PositionalWindowHashesExpr(args.head, litInt(args(1), "n"))),
     ("graft_nearest_centroids",
       new ExpressionInfo(classOf[native.NearestCentroidsExpr].getName, "graft_nearest_centroids"),
-      (args: Seq[Expression]) => native.NearestCentroidsExpr(args.head, args(1), litInt(args(2), "probes")))
+      (args: Seq[Expression]) => native.NearestCentroidsExpr(args.head, args(1), litInt(args(2), "probes"))),
+    ("graft_piece_count",
+      new ExpressionInfo(classOf[native.PieceCountExpr].getName, "graft_piece_count"),
+      (args: Seq[Expression]) => native.PieceCountExpr(args.head)),
+    // merges as 'a b' pairs joined by ',' — SQL has no Seq[(String,
+    // String)] literal; rank = position in the list
+    ("graft_bpe_encode",
+      new ExpressionInfo(classOf[native.BpeEncodeExpr].getName, "graft_bpe_encode"),
+      (args: Seq[Expression]) => native.BpeEncodeExpr(args.head,
+        litString(args(1), "merges").split(',').toSeq.map { p =>
+          val Array(a, b) = p.split(' '); (a, b)
+        })),
+    ("graft_mmr_select",
+      new ExpressionInfo(classOf[native.MmrSelectExpr].getName, "graft_mmr_select"),
+      (args: Seq[Expression]) => native.MmrSelectExpr(args.head,
+        litInt(args(1), "k"), litDouble(args(2), "lambda")))
   )
 
   /** Register on an already-running session. */

@@ -31,6 +31,24 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(row.getSeq[Long](row.fieldIndex("nc")).toSeq == Seq(7L)) // nearest centroid by cosine
   }
 
+  test("graft_piece_count / graft_bpe_encode / graft_mmr_select on the SQL surface") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  graft_piece_count('a-b c!') AS pc,
+        |  graft_bpe_encode('table', 't a,l e,ta b,tab le') AS enc,
+        |  graft_mmr_select(array(
+        |    struct(CAST(10 AS BIGINT) AS id, 0.9D AS rel, array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)) AS emb),
+        |    struct(CAST(11 AS BIGINT) AS id, 0.89D AS rel, array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)) AS emb),
+        |    struct(CAST(12 AS BIGINT) AS id, 0.5D AS rel, array(CAST(0.0 AS FLOAT), CAST(1.0 AS FLOAT)) AS emb)),
+        |    2, 0.5D) AS mmr
+        |""".stripMargin).head()
+    assert(row.getAs[Int]("pc") == 5) // alnum runs a, b, c + symbols '-', '!'
+    assert(row.getSeq[String](row.fieldIndex("enc")) == Seq("table"))
+    // 10 first (rel), then the orthogonal 12 over the duplicate 11
+    assert(row.getSeq[Long](row.fieldIndex("mmr")).toSeq == Seq(10L, 12L))
+  }
+
   test("graft_nearest_centroids rejects malformed input at analysis time") {
     GraftExtensions.register(spark)
     // INT list_id (not BIGINT) used to surface as a runtime
