@@ -932,6 +932,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_pack_bins" -> ((s, dir) => {
+      // FFD whole-document packing, same budget/shards as
+      // d_pack_sequences — the oracle replays the per-shard
+      // first-fit fold with a recursive CTE over rank order
+      Corpus.packBins(tbl(s, dir, "documents"), tokensPerBin = 256, nShards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "d_sample_mix" -> ((s, dir) => {
       // stratified corpus mixing: per-language keep rates in basis
       // points, deterministic hash membership (en all, zh default)
@@ -1881,6 +1889,40 @@ object SparkEntry {
          |  (cum - n_tok) // 256 AS start_seq,
          |  (cum - 1) // 256 AS end_seq
          |FROM c WHERE n_tok > 0 ORDER BY doc_id""".stripMargin,
+
+    // exact FFD replay: the recursive CTE walks each shard's
+    // (n_tok desc, doc_id) rank order carrying the open-bin loads as
+    // list state; list_position(fits, true) IS first-fit (it yields
+    // 0, not NULL, when nothing fits — normalized via coalesce), and
+    // no-fit opens bin len(bins) — the same 0-based id the Spark
+    // fold assigns
+    "d_pack_bins" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id,
+         |    CAST(len(${sqlToks("text")}) AS BIGINT) AS n_tok,
+         |    CAST(${sqlHash("CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard
+         |  FROM documents),
+         |ord AS (
+         |  SELECT doc_id, n_tok, shard,
+         |    CAST(row_number() OVER (PARTITION BY shard ORDER BY n_tok DESC, doc_id) AS INT) AS i
+         |  FROM t WHERE n_tok > 0),
+         |pack AS (
+         |  SELECT shard, i, doc_id, n_tok, CAST(0 AS BIGINT) AS bin, [n_tok] AS bins
+         |  FROM ord WHERE i = 1
+         |  UNION ALL
+         |  SELECT shard, i, doc_id, n_tok,
+         |    CASE WHEN idx = 0 THEN len(bins) ELSE idx - 1 END AS bin,
+         |    CASE WHEN idx = 0 THEN list_append(bins, n_tok)
+         |         ELSE list_transform(range(1, len(bins) + 1),
+         |                j -> CASE WHEN j = idx THEN bins[j] + n_tok ELSE bins[j] END)
+         |    END AS bins
+         |  FROM (
+         |    SELECT o.shard, o.i, o.doc_id, o.n_tok, p.bins,
+         |      coalesce(list_position(
+         |        list_transform(p.bins, b -> b + o.n_tok <= 256), true), 0) AS idx
+         |    FROM pack p JOIN ord o ON o.shard = p.shard AND o.i = p.i + 1))
+         |SELECT doc_id, shard, n_tok, CAST(bin AS INT) AS bin
+         |FROM pack ORDER BY doc_id""".stripMargin,
 
     "d_sample_mix" ->
       s"""SELECT doc_id, lang FROM documents

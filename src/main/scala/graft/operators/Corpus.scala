@@ -76,6 +76,52 @@ object Corpus {
         col("start_seq"), col("end_seq"))
   }
 
+  /** First-fit-decreasing bin packing of documents into fixed
+    * token-budget bins — the padding-minimizing alternative to
+    * [[packSequences]]' sequential layout (sequential packing splits
+    * documents across sequence boundaries; bin packing keeps each
+    * document whole and minimizes the padding a whole-document batch
+    * pays, the trade used for instruction-tuning data). FFD within a
+    * shard: documents sorted (n_tok desc, doc_id), each placed in the
+    * FIRST bin it fits; no fit → a new bin (a document over the
+    * budget gets a bin of its own). Output (doc_id, shard, n_tok,
+    * bin), bin ids 0-based per shard.
+    *
+    * Scale shape: same as [[packSequences]] — one shuffle on the
+    * content-hash shard id, each shard packs independently
+    * (flatMapGroups: packing is a genuinely sequential fold, the
+    * documented last-resort case for typed imperative logic; state
+    * is one long per open bin, shard-bounded). Deterministic: total
+    * order (n_tok desc, doc_id) and first-fit are RNG-free, so the
+    * same corpus packs identically on any cluster size.
+    */
+  def packBins(docs: DataFrame, tokensPerBin: Int = 2048,
+               nShards: Int = 256): DataFrame = {
+    require(tokensPerBin > 0 && nShards > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"),
+        graft.functions.native.tokenCount(col("text")).cast("long").as("n_tok"))
+      .where(col("n_tok") > 0)
+      .withColumn("shard",
+        pmod(TextFunctions.portableHash(col("doc_id").cast("string")), lit(nShards)).cast("int"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shard, it) =>
+        val ds = it.toArray.sortBy(t => (-t._2, t._1))
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ds.iterator.map { case (docId, nTok, _) =>
+          val idx = bins.indexWhere(_ + nTok <= tokensPerBin)
+          val bin =
+            if (idx < 0) { bins += nTok; bins.length - 1 }
+            else { bins(idx) += nTok; idx }
+          (docId, shard, nTok, bin)
+        }
+      }
+      .toDF("doc_id", "shard", "n_tok", "bin")
+  }
+
   /** Repeated-span detection — exact substring-level duplication, the
     * span-granular complement of the document-level near-dup family
     * (Lee et al., "Deduplicating Training Data Makes Language Models

@@ -200,6 +200,27 @@ class CorpusSpec extends SparkSpecBase {
     assert(got("abab") == Seq("ab", "ab"))
   }
 
+  test("packBins: first-fit-decreasing order, bin reuse, oversize doc gets its own bin") {
+    // sizes 200, 100, 100, 50, 300 at cap 256, one shard. FFD order:
+    // 300 → new bin0 (oversize, alone); 200 → bin1; 100 → bin2;
+    // 100 → bin2 (100+100 ≤ 256); 50 → bin1 (200+50 ≤ 256)
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    val docs = Seq(
+      (1L, words(200)), (2L, words(100)), (3L, words(100)),
+      (4L, words(50)), (5L, words(300))
+    ).toDF("doc_id", "text")
+    val got = Corpus.packBins(docs, tokensPerBin = 256, nShards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tok", "bin").as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 200L, 1), (2L, 100L, 2), (3L, 100L, 2), (4L, 50L, 1), (5L, 300L, 0)))
+    // determinism across runs
+    val again = Corpus.packBins(docs, tokensPerBin = 256, nShards = 1)
+      .orderBy("doc_id").select("doc_id", "n_tok", "bin")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(again == got)
+  }
+
   test("packSequences: cumulative layout, boundary straddling, per-shard namespacing") {
     // single shard (nShards=1) for predictable layout: docs of 100
     // tokens each, 256-token sequences
