@@ -933,10 +933,11 @@ object SparkEntry {
     }),
 
     "d_pack_bins" -> ((s, dir) => {
-      // FFD whole-document packing, same budget/shards as
-      // d_pack_sequences — the oracle replays the per-shard
-      // first-fit fold with a recursive CTE over rank order
-      Corpus.packBins(tbl(s, dir, "documents"), tokensPerBin = 256, nShards = 8)
+      // FFD whole-document packing, d_pack_sequences' budget — 64
+      // shards (not 8): the oracle replays the per-shard first-fit
+      // fold with a recursive CTE whose depth is the LARGEST SHARD,
+      // so shard count bounds oracle cost at validation scales
+      Corpus.packBins(tbl(s, dir, "documents"), tokensPerBin = 256, nShards = 64)
         .orderBy(col("doc_id"))
     }),
 
@@ -1900,7 +1901,7 @@ object SparkEntry {
       s"""WITH RECURSIVE t AS (
          |  SELECT doc_id,
          |    CAST(len(${sqlToks("text")}) AS BIGINT) AS n_tok,
-         |    CAST(${sqlHash("CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard
+         |    CAST(${sqlHash("CAST(doc_id AS VARCHAR)")} % 64 AS INT) AS shard
          |  FROM documents),
          |ord AS (
          |  SELECT doc_id, n_tok, shard,
