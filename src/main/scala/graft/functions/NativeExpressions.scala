@@ -519,7 +519,7 @@ object native {
   }
 
   /** Sennrich BPE encode of ONE whitespace token against a learned
-    * merge table (rank = training order, keyed "a b"): start from
+    * merge table (rank = training order, keyed "a b"): start from
     * code-point symbols and repeatedly merge the LOWEST-RANK adjacent
     * pair present — leftmost-first, non-overlapping within a round,
     * the same rewrite as [[graft.operators.Corpus.bpeMerges]]'
@@ -546,7 +546,7 @@ object native {
       var bi = -1
       var j = 0
       while (j < syms.length - 1) {
-        val r = ranks.get(syms(j) + " " + syms(j + 1))
+        val r = ranks.get(syms(j) + " " + syms(j + 1))
         if (r != null && r.intValue() < best) { best = r.intValue(); bi = j }
         j += 1
       }
@@ -801,7 +801,7 @@ object native {
       val m = new java.util.HashMap[String, Integer]()
       merges.zipWithIndex.foreach { case ((a, b), i) =>
         // first occurrence wins: training order is the rank
-        m.putIfAbsent(a + " " + b, i)
+        m.putIfAbsent(a + " " + b, i)
       }
       m
     }

@@ -171,4 +171,42 @@ object KernelPropsSpec extends Properties("native-kernels") {
       got == expected
     }
   }
+
+  property("bpeEncodeWord: pieces concatenate back to the word; fixpoint has no learned pair") = {
+    val sym = Gen.oneOf("a", "b", "c", "d")
+    val word = Gen.listOfN(8, sym).map(_.mkString)
+    val merge = Gen.zip(sym, sym)
+    forAll(word, Gen.listOfN(4, merge)) { (w, merges) =>
+      val ranks = new java.util.HashMap[String, Integer]()
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        ranks.putIfAbsent(a + " " + b, i)
+      }
+      val pieces = native.bpeEncodeWord(w, ranks).map(_.toString)
+      val rebuilt = pieces.mkString == w
+      val fixpoint = pieces.length < 2 || pieces.sliding(2).forall(p =>
+        !ranks.containsKey(p(0) + " " + p(1)))
+      rebuilt && fixpoint && pieces.forall(_.nonEmpty)
+    }
+  }
+
+  property("mmrSelect: a permutation-free subset of the pool, first pick = argmax rel") = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    val emb = Gen.listOfN(4, Gen.choose(-3, 3)).map(_.map(_.toFloat).toArray)
+    val cand = Gen.zip(Gen.choose(0L, 50L), Gen.choose(-100, 100), emb)
+    forAll(Gen.nonEmptyListOf(cand), Gen.choose(1, 6)) { (cs0, k) =>
+      val cs = cs0.distinctBy(_._1) // unique ids (pool ids are unique by construction)
+      val arr = new GenericArrayData(cs.map { case (id, rel, e) =>
+        InternalRow(id, rel / 100.0, new GenericArrayData(e))
+      }.toArray[Any])
+      val got = native.mmrSelect(arr, k, 0.7).toList
+      val ids = cs.map(_._1).toSet
+      val firstExpected = cs.map(t => (t._1, t._2 / 100.0))
+        .sortBy { case (id, rel) => (-rel, id) }.head._1
+      got.length == math.min(k, cs.length) &&
+        got.toSet.size == got.length &&
+        got.forall(ids.contains) &&
+        got.head == firstExpected
+    }
+  }
 }
