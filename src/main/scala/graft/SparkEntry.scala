@@ -963,6 +963,17 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    "d_dedup_semantic" -> ((s, dir) => {
+      // SemDeDup: 16-way cluster of the dup-injected vector table,
+      // within-cluster cosine ε-ball dedup, lowest id survives. The
+      // oracle re-derives centroids (the IVF modulo sample), the
+      // argmax assignment, and the NOT EXISTS survivor rule; output
+      // is integers only, so the gate needs no float rounding at all
+      Dedup.semanticDedup(vecsWithDups(tbl(s, dir, "embeddings")),
+          nClusters = 16, threshold = 0.95)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---------------------------------------------- similarity search
     "s_knn_bruteforce" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -1030,6 +1041,21 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       Similarity.mmrSearch(emb, emb.where(col("vec_id") < 5),
           k = 5, poolSize = 20, lambda = 0.7)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "s_bm25" -> ((s, dir) => {
+      // BM25 lexical retrieval, the keyword twin of the ANN family:
+      // queries are the first-four-token prefixes of docs 0-2, scored
+      // over the whole corpus. Ranking is over the 6-dp-rounded score
+      // (the per-doc sum's association order is engine-dependent),
+      // ties to the lowest doc_id — reproducible across engines
+      val docs = tbl(s, dir, "documents")
+      val queries = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextFunctions.tokens(lower(col("text"))), 1, 4), " ")
+            .as("text"))
+      Retrieval.bm25Search(docs, queries, k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1162,6 +1188,16 @@ object SparkEntry {
       // half — integer sufficient statistics, so the gate is exact
       val docs = tbl(s, dir, "documents")
       TextAnalysis.bigramScore(docs, docs.where(col("doc_id") % 2 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
+    "t_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights: hashed-bigram (4096 buckets)
+      // log-likelihood ratio of the English slice vs the whole corpus
+      // — the "tilt the raw corpus toward the target domain" score.
+      // n_feat anchors the gate exactly; log_weight rounds to 6 dp
+      TextAnalysis.dsirWeights(tbl(s, dir, "documents"),
+          isTarget = col("lang") === "en", nBuckets = 4096)
         .orderBy(col("doc_id"))
     }),
 
@@ -2013,6 +2049,33 @@ object SparkEntry {
          |WHERE ${sqlCos("x.embedding", "y.embedding")} >= 0.9
          |ORDER BY a, b""".stripMargin,
 
+    // SemDeDup replay: same centroid modulo sample as s_knn_ivf, top-1
+    // argmax assignment, then the survivor rule as NOT IN over the
+    // within-cluster ε-ball pairs — integers only, no float rounding
+    "d_dedup_semantic" ->
+      s"""WITH v AS ($vecsWithDupsSql),
+         |params AS (SELECT greatest(1, count(*) // 16) AS step FROM v),
+         |centroids AS (
+         |  SELECT x.vec_id AS list_id, x.embedding AS centroid
+         |  FROM v x, params
+         |  WHERE x.vec_id % params.step = 0
+         |  ORDER BY x.vec_id LIMIT 16),
+         |assign AS (
+         |  SELECT vec_id, embedding, list_id FROM (
+         |    SELECT x.vec_id, x.embedding, c.list_id,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${sqlCos("x.embedding", "c.centroid")} DESC, c.list_id) AS r
+         |    FROM v x, centroids c)
+         |  WHERE r = 1),
+         |dropped AS (
+         |  SELECT DISTINCT y.vec_id
+         |  FROM assign x JOIN assign y
+         |    ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+         |  WHERE ${sqlCos("x.embedding", "y.embedding")} >= 0.95)
+         |SELECT a.vec_id, a.list_id FROM assign a
+         |WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY a.vec_id""".stripMargin,
+
     "s_pairwise_dups" ->
       s"""WITH v AS ($vecsWithDupsSql),
          |b AS (SELECT vec_id, embedding, ${sqlBucket("embedding", 8)} AS bucket FROM v)
@@ -2020,6 +2083,42 @@ object SparkEntry {
          |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${sqlCos("x.embedding", "y.embedding")} >= 0.85
          |ORDER BY a, b""".stripMargin,
+
+    // BM25 replay: postings with doc length riding along, df over the
+    // corpus restricted to query terms, Lucene idf, identical literal
+    // arithmetic to Retrieval.bm25Search (1.2 + 1.0, 1.0 - 0.75 + ...
+    // — never pre-folded, so the doubles match bit-for-bit); the rank
+    // runs over the 6-dp-ROUNDED score on both engines
+    "s_bm25" ->
+      s"""WITH dtoks AS (SELECT doc_id, ${sqlToks("lower(text)")} AS t FROM documents),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |                 avg(CAST(len(t) AS DOUBLE)) AS avgdl FROM dtoks),
+         |post AS (
+         |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM dtoks)
+         |  GROUP BY doc_id, dl, term),
+         |qt AS (
+         |  SELECT DISTINCT doc_id AS query_id, unnest(t[1:4]) AS term
+         |  FROM dtoks WHERE doc_id < 3),
+         |dfs AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+         |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+         |qidf AS (
+         |  SELECT query_id, term,
+         |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
+         |  FROM qt JOIN dfs USING (term), stats),
+         |scored AS (
+         |  SELECT query_id, doc_id,
+         |    round(sum(idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+         |      AS score
+         |  FROM post JOIN qidf USING (term), stats
+         |  GROUP BY query_id, doc_id),
+         |ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "s_knn_lsh" ->
       s"""WITH banded AS (
@@ -2587,6 +2686,32 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN bg_cnt IS NULL THEN coalesce(uni_cnt, 0) ELSE 0 END) AS BIGINT)
          |    AS backoff_freq_sum
          |FROM db LEFT JOIN bv USING (h1, h2) LEFT JOIN uv USING (h2)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR replay: hashed-bigram bucket model (the d_repeated_spans
+    // window-hash twin at n=2, folded mod 4096), add-one-smoothed
+    // target/raw log-ratio summed per document. The ln-term sum is the
+    // only float and rounds to 6 dp; n_feat anchors the gate exactly
+    "t_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang = 'en' AS is_target, ${sqlToks("lower(text)")} AS t
+         |  FROM documents),
+         |feats AS (
+         |  SELECT doc_id, is_target,
+         |    ${sqlHash60("array_to_string(t[u.i+1 : u.i+2], ' ')")} % 4096 AS bucket
+         |  FROM toks, unnest(range(0, len(t) - 1)) AS u(i)
+         |  WHERE len(t) >= 2),
+         |model AS (
+         |  SELECT bucket,
+         |    CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+         |    CAST(count(*) AS BIGINT) AS rc
+         |  FROM feats GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS t_tot,
+         |               CAST(sum(rc) AS BIGINT) AS r_tot FROM model)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+         |  round(sum(ln((tc + 1.0) / (t_tot + 4096.0)) - ln((rc + 1.0) / (r_tot + 4096.0))), 6)
+         |    AS log_weight
+         |FROM feats JOIN model USING (bucket), tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t_quality_buckets" ->

@@ -410,6 +410,51 @@ object Dedup {
       .where(col("dup_count") > 1)
       .select(col("canon_url"), col("keeper"), col("dup_count"))
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, then deduplicate WITHIN clusters only — the cluster
+    * assignment bounds the otherwise-quadratic pair search to
+    * O(Σ cluster²) instead of O(N²), which is the whole reason the
+    * method works at web scale. A vector survives iff no LOWER-id
+    * vector in its cluster sits within `threshold` cosine (the paper
+    * keeps one representative per ε-ball; lowest-id is the
+    * deterministic stand-in for its random choice).
+    *
+    * Plan shape: centroid sample + fold reuse [[Similarity.knnIvf]]'s
+    * machinery — the assignment is a map-only argmax over one
+    * broadcast centroid row (zero corpus exchanges, the property
+    * PlanSpec pins for IVF). The assigned table materializes once and
+    * the within-cluster self-join shuffles on `list_id` alone; cluster
+    * sizes bound the join fan-out, so `nClusters` must scale with the
+    * corpus exactly like [[embeddingCosinePairs]]'s `nPlanes`
+    * (√N-ish clusters keeps expected cluster size √N).
+    *
+    * Returns survivors as (vec_id, list_id) — integers only, so the
+    * oracle gate is hash-exact with no float rounding in the output.
+    */
+  def semanticDedup(vectors: DataFrame,
+                    nClusters: Int = 16,
+                    threshold: Double = 0.95): DataFrame = {
+    val centroidSet = Similarity
+      .foldCentroids(Similarity.sampleCentroids(vectors, nClusters))
+      .localCheckpoint(true)
+    // (vec_id, emb, list_id), map-only; materialized once because the
+    // pair join consumes it twice and the survivor anti-join a third
+    // time — re-planning would redo the centroid argmax per consumer
+    val assigned = Similarity
+      .assignFolded(vectors, centroidSet, "vec_id", "emb", probes = 1)
+      .localCheckpoint(true)
+    val a = assigned.select(col("list_id"), col("vec_id").as("a"), col("emb").as("ea"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("b"), col("emb").as("eb"))
+    val dropped = a.join(b, Seq("list_id"))
+      .where(col("a") < col("b"))
+      .where(VectorFunctions.cosine(col("ea"), col("eb")) >= threshold)
+      .select(col("b").as("vec_id"))
+      .distinct()
+    assigned.select(col("vec_id"), col("list_id"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs over a vector table
     * (vec_id, embedding): random-hyperplane LSH buckets (same-bucket
     * candidates only) verified by exact cosine.

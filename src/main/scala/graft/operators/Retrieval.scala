@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text ranked retrieval over the corpus (Robertson et al.,
+  * "Okapi at TREC-3" — the BM25 family), the lexical twin of
+  * [[Similarity]]'s vector search: score = Σ_t idf(t) · tf-saturation,
+  * idf = ln(1 + (N − df + ½)/(df + ½)) (the Lucene non-negative
+  * variant).
+  *
+  * Scale posture: ONE corpus tokenize pass builds the postings table
+  * (doc_id, dl, term, tf) — a single map-side-combined shuffle on
+  * (doc_id, term); everything downstream is pruned by the QUERY terms,
+  * which broadcast (a query set is KBs — the per-term df aggregate,
+  * the idf join, and the scoring join all hang off that broadcast, so
+  * corpus postings never shuffle again until the pairs-bounded
+  * (query_id, doc_id) score sum). Postings are materialized once
+  * (localCheckpoint) because both the df aggregate and the scoring
+  * join consume them — the same single-materialization trade as
+  * [[Dedup.minhashLshPairs]]'s signature table. On a real cluster the
+  * postings table is the thing you'd persist/bucket by term once and
+  * reuse across query batches.
+  */
+object Retrieval {
+
+  /** Lowercased whitespace tokens — the corpus-wide tokenization every
+    * text operator here shares (TextFunctions.tokens' split).
+    */
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  /** Postings with per-doc length riding along: (doc_id, dl, term,
+    * tf). dl rides from the tokenize select so no second corpus
+    * aggregate is needed for document length.
+    */
+  private[operators] def postings(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("dl"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-k BM25 documents per query. `documents` = (doc_id, text),
+    * `queries` = (query_id, text); each query scores by its DISTINCT
+    * terms (standard bag-of-words BM25, no query-term multiplicity).
+    *
+    * Ranking is over the score rounded to 6 decimals (ties → lowest
+    * doc_id): the per-document score is a sum of per-term doubles
+    * whose association order is engine- and partition-dependent, so
+    * ranking raw doubles would make equal-text documents order
+    * nondeterministically. Rounding collapses the last-bit noise
+    * before the rank, which makes the output reproducible across runs
+    * AND engines — same reason the ANN family rounds `cos` in its
+    * driver projections.
+    */
+  def bm25Search(documents: DataFrame, queries: DataFrame, k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // two scalars to the driver (count + mean doc length), like
+    // Similarity.sampleCentroids' count — the corpus never collects
+    val stats = documents
+      .select(size(toks(col("text"))).as("dl"))
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+      .head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getDouble(1)
+
+    val post = postings(documents).localCheckpoint(true)
+
+    val qterms = queries
+      .select(col("query_id"), explode(toks(col("text"))).as("term"))
+      .distinct()
+    // df over the whole corpus, restricted to query terms: the
+    // broadcast semi-join prunes the postings scan's aggregate to
+    // ≤ |query vocabulary| rows (map-side combined)
+    val dfs = post
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    // (query_id, term, idf): still query-vocabulary-sized → broadcast
+    val qidf = qterms.join(dfs, Seq("term"))
+      .select(col("query_id"), col("term"),
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          .as("idf"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    post.join(broadcast(qidf), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        (col("idf") * (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+          .as("term_score"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("term_score")), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+}

@@ -183,7 +183,7 @@ object Similarity {
     * TakeOrderedAndProject — rather than silently searching zero
     * lists.
     */
-  private def sampleCentroids(corpus: DataFrame, nLists: Int): DataFrame = {
+  private[operators] def sampleCentroids(corpus: DataFrame, nLists: Int): DataFrame = {
     val nRows = corpus.agg(count(lit(1))).head().getLong(0)
     val step = math.max(1L, nRows / nLists)
     val sampled = corpus
@@ -425,10 +425,10 @@ object Similarity {
                                  probes: Int): DataFrame =
     assignFolded(df, foldCentroids(centroids), idName, embName, probes)
 
-  private def foldCentroids(centroids: DataFrame): DataFrame =
+  private[operators] def foldCentroids(centroids: DataFrame): DataFrame =
     centroids.agg(collect_list(struct(col("list_id"), col("centroid"))).as("cents"))
 
-  private def assignFolded(df: DataFrame, centroidSet: DataFrame,
+  private[operators] def assignFolded(df: DataFrame, centroidSet: DataFrame,
                            idName: String, embName: String,
                            probes: Int): DataFrame =
     df.crossJoin(broadcast(centroidSet))

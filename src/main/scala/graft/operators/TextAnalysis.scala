@@ -248,6 +248,58 @@ object TextAnalysis {
           .otherwise(0L)).as("backoff_freq_sum"))
   }
 
+  /** DSIR importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by the log-likelihood ratio of two hashed-bigram
+    * bag-of-words models — one fit on the TARGET distribution
+    * (`isTarget` rows, e.g. a curated high-quality slice), one on the
+    * full raw corpus — with add-one smoothing over the `nBuckets`
+    * feature space. Resampling by these weights tilts a web-scale
+    * corpus toward the target domain; the weight is
+    * Σ_features [ln p_target(b) − ln p_raw(b)].
+    *
+    * Hash-bucket collisions are PART of the model (the paper's hashed
+    * n-gram features), not corruption — so the ~60-bit window hash
+    * folds to `nBuckets` by plain modulo and the bucket model is the
+    * estimand itself. Emits (doc_id, n_feat, log_weight): n_feat is
+    * the exact integer anchor; log_weight rounds to 6 dp because the
+    * per-document sum of ln terms is association-order sensitive
+    * across engines. Documents with < 2 tokens have no feature and no
+    * output row.
+    *
+    * Scale shape: one corpus pass aggregates the bucket model
+    * map-side into ≤ `nBuckets` rows (checkpointed once — totals and
+    * the scoring join both read it); the scoring pass joins the
+    * corpus feature stream against that broadcast table and folds
+    * into the single groupBy(doc_id) exchange, which moves one
+    * (doc_id, double, long) triple per map-side-combined document.
+    */
+  def dsirWeights(documents: DataFrame, isTarget: Column,
+                  nBuckets: Int = 4096): DataFrame = {
+    def feats = documents
+      .select(col("doc_id"), isTarget.as("is_target"),
+        explode(graft.functions.native.positionalWindowHashes(
+          lower(col("text")), 2, wide = true)).as("h"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(col("h"), lit(nBuckets.toLong)).as("bucket"))
+    val model = feats.groupBy(col("bucket"))
+      .agg(
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"),
+        count(lit(1)).as("rc"))
+      .localCheckpoint(true)
+    // two exact-integer totals to the driver from the bounded model
+    // table (the corpus never collects)
+    val tot = model.agg(sum(col("tc")), sum(col("rc"))).head()
+    val (tTot, rTot) = (tot.getLong(0), tot.getLong(1))
+    feats.join(broadcast(model), Seq("bucket"))
+      .select(col("doc_id"),
+        (log((col("tc") + lit(1.0)) / lit((tTot + nBuckets).toDouble)) -
+          log((col("rc") + lit(1.0)) / lit((rTot + nBuckets).toDouble))).as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"),
+        round(sum(col("term")), 6).as("log_weight"))
+  }
+
   /** CCNet-style corpus partition into head/middle/tail quality
     * buckets (Wenzek et al. split each language's corpus at the 1/3
     * and 2/3 points of the per-document LM score distribution and

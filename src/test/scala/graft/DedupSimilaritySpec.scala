@@ -152,6 +152,25 @@ class DedupSimilaritySpec extends SparkSpecBase {
     (4L, Array(0.0f, 0.0f, 0.0f, 1.0f))
   ).toDF("vec_id", "embedding")
 
+  test("semanticDedup: within-cluster ε-ball keeps the lowest id") {
+    // nClusters=2 → centroid sample picks vec_ids 0 and 2 (step=2);
+    // cluster 0 holds {0,1,4} (4 ties 0-cos to both, lowest list id
+    // wins), cluster 2 holds {2,3}; (0,1) and (2,3) are ≥0.9 cosine
+    val got = Dedup.semanticDedup(vecs, nClusters = 2, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == Set(0L, 2L, 4L))
+  }
+
+  test("semanticDedup: orthogonal vectors all survive") {
+    val ortho = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    assert(Dedup.semanticDedup(ortho, nClusters = 2, threshold = 0.9).count() == 4)
+  }
+
   test("simhashPairs honors larger maxHamming via more blocks (regression)") {
     // identical docs (hamming 0) must be found at any maxHamming
     val got = Dedup.simhashPairs(corpus, maxHamming = 5)

@@ -271,4 +271,52 @@ class PlanSpec extends SparkSpecBase {
       emb, emb.where(col("vec_id") < 3), k = 5)).toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
   }
+
+  test("bm25 scoring side: query-term join broadcasts; score exchanges carry no strings") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.types.StringType
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val queries = docs.where(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val df = graft.operators.Retrieval.bm25Search(docs, queries, k = 10)
+    // the (query_id, term, idf) table is KBs and must broadcast into
+    // the postings scan — the corpus-sized postings never shuffle to
+    // meet the query terms
+    assert(executed(df).toString.contains("BroadcastHashJoin"),
+      "query-term scoring join must broadcast")
+    // downstream of the scoring join, the per-query exchanges (score
+    // sum + top-k window) repartition on query_id and move ids + one
+    // double — the term strings stay behind the broadcast. (The
+    // query-side qterms distinct also partitions on query_id but keys
+    // on the term STRING — that exchange is query-sized by contract
+    // and exempt, filtered out by the string-free partition key.)
+    val scoring = shuffles(df).filter(_.outputPartitioning match {
+      case h: HashPartitioning =>
+        h.expressions.exists(_.references.exists(_.name == "query_id")) &&
+          !h.expressions.exists(_.references.exists(_.dataType == StringType))
+      case _ => false
+    })
+    assert(scoring.nonEmpty, "expected query_id-partitioned score exchanges")
+    for (e <- scoring)
+      assert(!e.output.exists(_.dataType == StringType),
+        s"score exchange carries term strings: ${e.output.mkString(", ")}")
+  }
+
+  test("dsir scoring exchanges carry bucket longs, never token strings") {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val df = graft.operators.TextAnalysis.dsirWeights(
+      docs, isTarget = col("lang") === "en")
+    // window hashes fold to buckets inside the scan stage: the model
+    // aggregate and the per-document sum shuffle (bucket|doc_id,
+    // counts, partial double) — raw text never leaves the scan
+    val offending = shuffles(df).filter(_.output.exists(a =>
+      a.dataType == StringType ||
+        (a.dataType match {
+          case ArrayType(StringType, _) => true
+          case _ => false
+        })))
+    assert(offending.isEmpty,
+      s"dsirWeights shuffles strings:\n${offending.map(_.output.mkString(", ")).mkString("\n")}")
+  }
 }

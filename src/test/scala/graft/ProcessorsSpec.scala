@@ -205,6 +205,30 @@ class ProcessorsSpec extends SparkSpecBase {
       (2L, 2L, 1L, 2L, 3L)))
   }
 
+  test("dsirWeights: target-like bigrams score above raw-only; <2-token docs dropped") {
+    val docs = Seq(
+      (1L, "a b a b", "t"),  // 3 bigram features, all target-seen
+      (2L, "c d", "r"),      // raw-only bigram
+      (3L, "a b", "r"),      // target-seen bigram from a raw doc
+      (4L, "x", "r")         // 1 token → no feature, no row
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.dsirWeights(docs, isTarget = col("lang") === "t")
+      .orderBy("doc_id")
+      .select("doc_id", "n_feat", "log_weight")
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 3L), (2L, 1L), (3L, 1L)))
+    val w = got.map(t => t._1 -> t._3).toMap
+    // same feature multiset as doc 1's prefix → target-tilted docs win
+    assert(w(3L) > w(2L))
+    // hand-computed: target counts (a b)=2 (b a)=1, raw adds doc3's
+    // (a b) and doc2's (c d) → tTot=3 rTot=5; add-one over B=4096
+    def term(tc: Long, rc: Long) =
+      math.log((tc + 1.0) / (3 + 4096).toDouble) - math.log((rc + 1.0) / (5 + 4096).toDouble)
+    assert(math.abs(w(3L) - term(2, 3)) < 1e-5)
+    assert(math.abs(w(2L) - term(0, 1)) < 1e-5)
+    assert(math.abs(w(1L) - (2 * term(2, 3) + term(1, 1))) < 1e-5)
+  }
+
   test("qualityBuckets: rank-exact terciles of the OOV-ppm score, head = reference-like") {
     val reference = Seq((10L, "alpha beta gamma")).toDF("doc_id", "text")
     val docs = Seq(
