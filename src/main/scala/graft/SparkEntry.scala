@@ -964,13 +964,18 @@ object SparkEntry {
     }),
 
     "d_dedup_semantic" -> ((s, dir) => {
-      // SemDeDup: 16-way cluster of the dup-injected vector table,
-      // within-cluster cosine ε-ball dedup, lowest id survives. The
-      // oracle re-derives centroids (the IVF modulo sample), the
-      // argmax assignment, and the NOT EXISTS survivor rule; output
-      // is integers only, so the gate needs no float rounding at all
-      Dedup.semanticDedup(vecsWithDups(tbl(s, dir, "embeddings")),
-          nClusters = 16, threshold = 0.95)
+      // SemDeDup over the dup-injected vector table: within-cluster
+      // cosine ε-ball dedup, lowest id survives. Cluster count scales
+      // as ⌈√N⌉ (floor 16) — expected cluster size √N keeps the
+      // within-cluster pair work at N^1.5/2 total instead of N²/2C
+      // with a fixed C, the knob the paper turns for web scale. The
+      // oracle re-derives the count-dependent centroid set (sqrt/ceil
+      // are IEEE-exact in both engines), the argmax assignment, and
+      // the NOT-IN survivor rule; output is integers only, so the
+      // gate needs no float rounding at all
+      val v = vecsWithDups(tbl(s, dir, "embeddings"))
+      val c = math.max(16, math.ceil(math.sqrt(v.count().toDouble)).toInt)
+      Dedup.semanticDedup(v, nClusters = c, threshold = 0.95)
         .orderBy(col("vec_id"))
     }),
 
@@ -2049,17 +2054,24 @@ object SparkEntry {
          |WHERE ${sqlCos("x.embedding", "y.embedding")} >= 0.9
          |ORDER BY a, b""".stripMargin,
 
-    // SemDeDup replay: same centroid modulo sample as s_knn_ivf, top-1
-    // argmax assignment, then the survivor rule as NOT IN over the
-    // within-cluster ε-ball pairs — integers only, no float rounding
+    // SemDeDup replay: same centroid modulo sample as s_knn_ivf but
+    // with the ⌈√N⌉-scaled cluster count (sqrt/ceil are IEEE-exact in
+    // both engines), top-1 argmax assignment, then the survivor rule
+    // as NOT IN over the within-cluster ε-ball pairs — integers only,
+    // no float rounding
     "d_dedup_semantic" ->
       s"""WITH v AS ($vecsWithDupsSql),
-         |params AS (SELECT greatest(1, count(*) // 16) AS step FROM v),
+         |params AS (
+         |  SELECT greatest(16, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS c,
+         |    greatest(1, count(*) // greatest(16, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS step
+         |  FROM v),
          |centroids AS (
-         |  SELECT x.vec_id AS list_id, x.embedding AS centroid
-         |  FROM v x, params
-         |  WHERE x.vec_id % params.step = 0
-         |  ORDER BY x.vec_id LIMIT 16),
+         |  SELECT list_id, centroid FROM (
+         |    SELECT x.vec_id AS list_id, x.embedding AS centroid,
+         |      row_number() OVER (ORDER BY x.vec_id) AS r
+         |    FROM v x, params
+         |    WHERE x.vec_id % params.step = 0), params
+         |  WHERE r <= params.c),
          |assign AS (
          |  SELECT vec_id, embedding, list_id FROM (
          |    SELECT x.vec_id, x.embedding, c.list_id,
