@@ -1206,6 +1206,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "t_tfidf_keywords" -> ((s, dir) => {
+      // corpus-statistical keyword extraction: top-3 tf·ln(N/df)
+      // terms per document, rank over the rounded score (a single
+      // deterministic product per term — no sum-order sensitivity)
+      Retrieval.tfidfKeywords(tbl(s, dir, "documents"), k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     "t_quality_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail corpus partition at the rank-exact 1/3
       // and 2/3 points of the integer OOV-rate distribution
@@ -2699,6 +2707,27 @@ object SparkEntry {
          |    AS backoff_freq_sum
          |FROM db LEFT JOIN bv USING (h1, h2) LEFT JOIN uv USING (h2)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // tf-idf replay: same postings CTE shape as s_bm25; the score is
+    // one product per (doc, term) so round(…, 6) + the term tie-break
+    // pins the rank across engines
+    "t_tfidf_keywords" ->
+      s"""WITH dtoks AS (SELECT doc_id, ${sqlToks("lower(text)")} AS t FROM documents),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dtoks),
+         |post AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(t) AS term FROM dtoks)
+         |  GROUP BY doc_id, term),
+         |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+         |scored AS (
+         |  SELECT doc_id, term, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+         |  FROM post JOIN dfs USING (term), stats),
+         |ranked AS (
+         |  SELECT doc_id, term, tfidf,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
 
     // DSIR replay: hashed-bigram bucket model (the d_repeated_spans
     // window-hash twin at n=2, folded mod 4096), add-one-smoothed

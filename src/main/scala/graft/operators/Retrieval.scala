@@ -42,6 +42,35 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Top-k tf-idf keywords per document — corpus-statistical keyword
+    * extraction (no predefined vocabulary, unlike the reference's
+    * KeywordEnricher): score = tf · ln(N/df), rank per document over
+    * the 6-dp-rounded score, ties to the lexicographically first
+    * term. The score is a single product of deterministic doubles (no
+    * accumulation), so rounding alone makes the rank engine-stable.
+    *
+    * Scale shape: one postings pass (the same map-side-combined
+    * (doc_id, term) aggregate as [[bm25Search]], materialized once for
+    * its two consumers); the df aggregate combines to ≤|vocab| rows
+    * and AQE broadcasts it into the scoring join when it fits. The
+    * only exchanges carrying the term string are the postings build
+    * and the per-document top-k — the term IS the output payload
+    * there, unlike the LM-scoring family where hashes suffice.
+    */
+  def tfidfKeywords(documents: DataFrame, k: Int = 5): DataFrame = {
+    val nDocs = documents.agg(count(lit(1))).head().getLong(0)
+    val post = postings(documents).localCheckpoint(true)
+    val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    post.join(dfs, Seq("term"))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
+
   /** Top-k BM25 documents per query. `documents` = (doc_id, text),
     * `queries` = (query_id, text); each query scores by its DISTINCT
     * terms (standard bag-of-words BM25, no query-term multiplicity).

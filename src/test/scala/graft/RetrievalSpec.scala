@@ -51,6 +51,30 @@ class RetrievalSpec extends SparkSpecBase {
     assert(ranked.take(2).toSet == Set(1L, 4L) && ranked.last == 2L)
   }
 
+  test("tfidfKeywords: rare terms outrank common ones; ubiquitous terms score zero") {
+    val corpus = Seq(
+      (1L, "spark spark shuffle common"),
+      (2L, "spark window common"),
+      (3L, "spark common common")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.tfidfKeywords(corpus, k = 2)
+      .orderBy(col("doc_id"), col("rank"))
+      .select("doc_id", "rank", "term", "tfidf")
+      .as[(Long, Int, String, Double)].collect()
+    // N=3; 'spark' and 'common' appear in every doc → idf = ln(1) = 0;
+    // doc-unique terms (df=1) → idf = ln(3), tf=1
+    val rare = math.log(3.0)
+    assert(got.filter(_._1 == 1L).map(t => (t._3, t._4)).toSeq
+      == Seq(("shuffle", round6(rare)), ("common", 0.0)))
+    assert(got.filter(_._1 == 2L).map(_._3).toSeq == Seq("window", "common"))
+    // doc 3 has no df=1 term: every keyword scores 0, tie → lexicographic
+    assert(got.filter(_._1 == 3L).map(t => (t._3, t._4)).toSeq
+      == Seq(("common", 0.0), ("spark", 0.0)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("bm25: k truncates per query independently") {
     val q = Seq((0L, "apple"), (1L, "banana")).toDF("query_id", "text")
     val got = Retrieval.bm25Search(docs, q, k = 1)
