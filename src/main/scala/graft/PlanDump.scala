@@ -20,7 +20,10 @@ object PlanDump {
       ("d_repeated_spans", "Substring-level span dedup: the only corpus-sized exchange is the groupBy(hash) document-frequency aggregate over (hash, doc_id, pos) longs; the hot-hash semi-join broadcasts and island merging windows over flagged rows only."),
       ("s_knn_ivfpq", "IVF-PQ: ONE corpus scan computes the coarse list assignment (nearestCentroids argmax vs the broadcast centroid fold) AND the PQ sub-codes (argmin vs the broadcast codebook fold) — embeddings are dropped at the scan, every downstream exchange moves (nbr_id, list_id, codes) and the top-k shuffle carries ids + one double."),
       ("t_bigram_lm", "Bigram LM scoring: tokens hash inside the scan stage (no token strings in any exchange); both vocab aggregates are map-side combined to ≤|vocab| rows and rejoin by broadcast; the doc side's only exchange is the final groupBy(doc_id)."),
-      ("t_bpe_encode", "BPE encode: a pure Project/Generate pipeline — the merge-rank table rides as a codegen reference object, zero Exchange before the output sort; 100 TB of corpus encodes as a map-only stage.")
+      ("t_bpe_encode", "BPE encode: a pure Project/Generate pipeline — the merge-rank table rides as a codegen reference object, zero Exchange before the output sort; 100 TB of corpus encodes as a map-only stage."),
+      ("s_bm25", "BM25 retrieval: postings MATERIALIZED once (Scan ExistingRDD) from a single map-side-combined (doc_id, term) aggregate; the (query_id, term, idf) table broadcasts into the scoring join, so every query_id-partitioned exchange downstream carries ids + one double — term strings never shuffle past the postings build."),
+      ("d_dedup_semantic", "SemDeDup: cluster assignment is the IVF scan-stage argmax against the broadcast ⌈√N⌉-centroid fold (no exchange on the corpus branch); the within-cluster ε-ball self-join shuffles the checkpointed assignment once on list_id, with cluster size √N bounding the pair fan-out."),
+      ("t_dsir_weights", "DSIR weights: window hashes fold to 4096 buckets inside the scan stage; the bucket model aggregates map-side to ≤4096 rows and broadcasts into the scoring join — the corpus stream's only exchange is the final groupBy(doc_id) carrying (doc_id, count, partial double).")
     )
     out.append("# PLANS — physical-plan evidence (sf0.01, local[32])\n\n")
     out.append("Regenerate with `sbt \"runMain graft.PlanDump\"`.\n")
