@@ -93,6 +93,40 @@ object SparkEntry {
   private def sqlToks(textExpr: String): String =
     s"list_filter(regexp_split_to_array($textExpr, '\\s+'), x -> length(x) > 0)"
 
+  /** Shared BM25 CTE chain (ends in `bm_ranked`, rank unbounded):
+    * postings with doc length riding along, df restricted to the
+    * doc_id<3 first-four-token queries, Lucene idf, 6-dp-rounded
+    * score. Used by s_bm25 and as the lexical arm of s_hybrid_rrf.
+    */
+  private lazy val bm25RankedCte: String =
+    s"""dtoks AS (SELECT doc_id, ${sqlToks("lower(text)")} AS t FROM documents),
+       |bm_stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |                 avg(CAST(len(t) AS DOUBLE)) AS avgdl FROM dtoks),
+       |post AS (
+       |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM dtoks)
+       |  GROUP BY doc_id, dl, term),
+       |qt AS (
+       |  SELECT DISTINCT doc_id AS query_id, unnest(t[1:4]) AS term
+       |  FROM dtoks WHERE doc_id < 3),
+       |dfs AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+       |qidf AS (
+       |  SELECT query_id, term,
+       |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
+       |  FROM qt JOIN dfs USING (term), bm_stats),
+       |bm_scored AS (
+       |  SELECT query_id, doc_id,
+       |    round(sum(idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+       |      AS score
+       |  FROM post JOIN qidf USING (term), bm_stats
+       |  GROUP BY query_id, doc_id),
+       |bm_ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
+       |  FROM bm_scored)""".stripMargin
+
   /** Shared ngram near-dup pair CTE chain (ends in `dup_pairs`):
     * shingle hashes (3-gram, portable hash), distinct per doc;
     * pairwise intersection via self-join, integer jaccard threshold.
@@ -1061,6 +1095,27 @@ object SparkEntry {
           array_join(slice(TextFunctions.tokens(lower(col("text"))), 1, 4), " ")
             .as("text"))
       Retrieval.bm25Search(docs, queries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "s_hybrid_rrf" -> ((s, dir) => {
+      // hybrid search: BM25 lexical ranks fused with brute-force
+      // cosine vector ranks by reciprocal-rank fusion (1/(60+rank) —
+      // exact rationals, fixed two-term sum → bit-deterministic, no
+      // rounding). Queries 0-2 drive both sources; the two corpora
+      // (documents, embeddings) share the low id range, so the fused
+      // list genuinely interleaves both signals
+      val docs = tbl(s, dir, "documents")
+      val emb = tbl(s, dir, "embeddings")
+      val qTxt = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(TextFunctions.tokens(lower(col("text"))), 1, 4), " ")
+            .as("text"))
+      val lex = Retrieval.bm25Search(docs, qTxt, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val vec = Similarity.knnBruteForceBatch(emb, emb.where(col("vec_id") < 3), k = 10)
+        .select(col("query_id"), col("nbr_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex, vec, k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2110,34 +2165,34 @@ object SparkEntry {
     // — never pre-folded, so the doubles match bit-for-bit); the rank
     // runs over the 6-dp-ROUNDED score on both engines
     "s_bm25" ->
-      s"""WITH dtoks AS (SELECT doc_id, ${sqlToks("lower(text)")} AS t FROM documents),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |                 avg(CAST(len(t) AS DOUBLE)) AS avgdl FROM dtoks),
-         |post AS (
-         |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM (
-         |    SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM dtoks)
-         |  GROUP BY doc_id, dl, term),
-         |qt AS (
-         |  SELECT DISTINCT doc_id AS query_id, unnest(t[1:4]) AS term
-         |  FROM dtoks WHERE doc_id < 3),
-         |dfs AS (
-         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post
-         |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
-         |qidf AS (
-         |  SELECT query_id, term,
-         |    ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf
-         |  FROM qt JOIN dfs USING (term), stats),
-         |scored AS (
+      s"""WITH $bm25RankedCte
+         |SELECT query_id, rank, doc_id, score FROM bm_ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // hybrid-search replay: the shared BM25 CTE chain fused with a
+    // brute-force cosine ranking by RRF — 1/(60+rank) terms are exact
+    // rationals and the two-term sum has a fixed association, so rrf
+    // is bit-identical across engines with no rounding anywhere
+    "s_hybrid_rrf" ->
+      s"""WITH $bm25RankedCte,
+         |lex AS (SELECT query_id, doc_id, rank FROM bm_ranked WHERE rank <= 10),
+         |vec AS (
+         |  SELECT query_id, nbr_id AS doc_id, rank FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+         |      CAST(row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id) AS INT) AS rank
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 3)
+         |  WHERE rank <= 10),
+         |fused AS (
          |  SELECT query_id, doc_id,
-         |    round(sum(idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
-         |      AS score
-         |  FROM post JOIN qidf USING (term), stats
-         |  GROUP BY query_id, doc_id),
-         |ranked AS (
-         |  SELECT query_id, doc_id, score,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank
-         |  FROM scored)
-         |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+         |    coalesce(1.0 / (60 + l.rank), 0.0) + coalesce(1.0 / (60 + v.rank), 0.0) AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v USING (query_id, doc_id)),
+         |rrf_ranked AS (
+         |  SELECT query_id, doc_id, rrf,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank
+         |  FROM fused)
+         |SELECT query_id, rank, doc_id, rrf FROM rrf_ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
     "s_knn_lsh" ->

@@ -71,6 +71,37 @@ object Retrieval {
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., "Reciprocal Rank Fusion
+    * outperforms Condorcet and individual rank learning methods") of
+    * two ranked lists — the standard hybrid-search combiner fusing a
+    * lexical ([[bm25Search]]) and a vector
+    * ([[Similarity.knnBruteForceBatch]]/knnIvf) ranking:
+    * rrf = Σ_sources 1/(rrfK + rank). Inputs are (query_id, doc_id,
+    * rank) with rank from each source's own top-k; a document absent
+    * from one source contributes 0 for it.
+    *
+    * Both inputs are top-k-bounded per query, so the fusion join is
+    * queries × ≤2k rows — negligible next to the upstream retrieval;
+    * the full-outer join and the final window both hang off the same
+    * (query_id, doc_id)-sized data. The rrf terms are exact rationals
+    * in doubles and the two-term sum has a fixed association, so the
+    * score is bit-deterministic across engines — no rounding needed.
+    */
+  def rrfFuse(lexical: DataFrame, vector: DataFrame, k: Int = 10,
+              rrfK: Int = 60): DataFrame = {
+    val a = lexical.select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+    val b = vector.select(col("query_id"), col("doc_id"), col("rank").as("rank_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    a.join(b, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_vec")), lit(0.0))).as("rrf"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
+  }
+
   /** Top-k BM25 documents per query. `documents` = (doc_id, text),
     * `queries` = (query_id, text); each query scores by its DISTINCT
     * terms (standard bag-of-words BM25, no query-term multiplicity).

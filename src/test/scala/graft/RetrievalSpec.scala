@@ -72,6 +72,19 @@ class RetrievalSpec extends SparkSpecBase {
       == Seq(("common", 0.0), ("spark", 0.0)))
   }
 
+  test("rrfFuse: both-source docs outrank single-source; absent source contributes 0") {
+    val lex = Seq((0L, 10L, 1), (0L, 20L, 2)).toDF("query_id", "doc_id", "rank")
+    val vec = Seq((0L, 20L, 1), (0L, 30L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(lex, vec, k = 10)
+      .orderBy(col("rank"))
+      .select("doc_id", "rrf").as[(Long, Double)].collect()
+    // d20 = 1/62 + 1/61 (both sources); d10 = 1/61; d30 = 1/62
+    assert(got.map(_._1).toSeq == Seq(20L, 10L, 30L))
+    assert(got(0)._2 == 1.0 / 62 + 1.0 / 61)
+    assert(got(1)._2 == 1.0 / 61)
+    assert(got(2)._2 == 1.0 / 62)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
