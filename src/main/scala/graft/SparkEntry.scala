@@ -985,6 +985,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_sample_balanced" -> ((s, dir) => {
+      // quota sampling: at most 40 docs per language, lowest portable
+      // content-id hashes win — the count-budget twin of d_sample_mix
+      Corpus.balancedSample(tbl(s, dir, "documents"), "lang", cap = 40)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    "d_dedup_containment" -> ((s, dir) => {
+      // corpus + induced excerpts: every 20th doc reappears at
+      // id+3000000 as its first 12 tokens. A verbatim excerpt of a long
+      // doc has tiny symmetric jaccard (union ≈ the long doc) but
+      // containment 1.0 — exactly the quote/boilerplate case this
+      // operator exists to catch.
+      val docs = tbl(s, dir, "documents")
+      val excerpts = docs.where(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          array_join(slice(graft.functions.TextFunctions.tokens(col("text")), 1, 12), " ").as("text"))
+      Dedup.containmentPairs(corpusWithDups(docs).unionByName(excerpts),
+          n = 3, threshold = 0.9)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "d_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(corpusWithDups(tbl(s, dir, "documents")), maxHamming = 3)
         .orderBy(col("a"), col("b"))
@@ -2035,6 +2058,38 @@ object SparkEntry {
          |  CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
          |            WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 ELSE 500 END
          |ORDER BY doc_id""".stripMargin,
+
+    "d_sample_balanced" ->
+      s"""SELECT doc_id, lang, source FROM (
+         |  SELECT doc_id, lang, source,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${sqlHash("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 40
+         |ORDER BY lang, doc_id""".stripMargin,
+
+    "d_dedup_containment" ->
+      s"""WITH corpus AS ($corpusWithDupsSql
+         |UNION ALL SELECT doc_id + 3000000,
+         |  coalesce(array_to_string((${sqlToks("text")})[1:12], ' '), '')
+         |FROM documents WHERE doc_id % 20 = 0),
+         |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [${sqlHash("array_to_string(t, ' ')")}]
+         |    ELSE list_transform(range(0, len(t) - 2),
+         |         i -> ${sqlHash("array_to_string(t[i+1:i+3], ' ')")}) END) AS hashes
+         |  FROM toks),
+         |ex AS (SELECT doc_id, len(hashes) AS n_sh, unnest(hashes) AS shingle FROM sh),
+         |capped AS (
+         |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM ex)
+         |  WHERE df <= 1000),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb, count(*) AS inter
+         |  FROM capped x JOIN capped y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT a, b, inter, na, nb FROM pairs
+         |WHERE inter * 10000 >= 9000 * least(na, nb)
+         |ORDER BY a, b""".stripMargin,
 
     "d_dedup_clusters" ->
       // transitive closure of the undirected near-dup pair graph via a

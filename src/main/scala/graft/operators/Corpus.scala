@@ -434,4 +434,31 @@ object Corpus {
     docs.where(
       pmod(TextFunctions.portableHash(col("doc_id").cast("string")), lit(10000)) < threshold)
   }
+
+  /** Quota (cap-per-group) sampling: keep at most `cap` documents per
+    * stratum, chosen as the `cap` LOWEST portable content-id hashes —
+    * the balancing step of corpus assembly when a count budget per
+    * language/source/cluster is the contract (vs [[stratifiedSample]]'s
+    * per-stratum rates). RNG-free and order-free like the rest of the
+    * sampling family: membership depends only on a document's own id
+    * and its stratum's population, so the sample is reproducible
+    * across runs, partitionings and engines.
+    *
+    * Scale shape: rank-within-stratum is a window, but filtering
+    * `row_number <= cap` lets Spark 4 rewrite it to WindowGroupLimit —
+    * each map task pre-prunes to its local top-`cap` per stratum
+    * BEFORE the exchange, so the shuffle carries ≤ cap × strata ×
+    * tasks rows, not the corpus (asserted in PlanSpec). A giant
+    * stratum therefore costs bounded memory: no full per-group sort
+    * materializes anywhere.
+    */
+  def balancedSample(docs: DataFrame, stratumCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(TextFunctions.portableHash(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    docs.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= cap)
+      .drop("__rk")
+  }
 }

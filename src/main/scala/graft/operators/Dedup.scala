@@ -59,7 +59,38 @@ object Dedup {
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3,
                         threshold: Double = 0.8,
-                        maxDocsPerShingle: Int = 1000): DataFrame = {
+                        maxDocsPerShingle: Int = 1000): DataFrame =
+    ngramPairCounts(documents, n, maxDocsPerShingle)
+      // jaccard >= t  ⇔  inter >= t * (na + nb - inter); basis-point
+      // scaling keeps integer arithmetic without quantizing the
+      // caller's threshold to whole percents
+      .where(col("inter") * lit(10000) >= lit((threshold * 10000).round) * (col("na") + col("nb") - col("inter")))
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
+
+  /** Asymmetric near-dup pairs by Jaccard CONTAINMENT (Broder):
+    * |A∩B| / min(|A|,|B|) >= threshold — flags a short document whose
+    * shingles sit (almost) entirely inside a longer one (an excerpt, a
+    * quotation, a page wrapped in boilerplate). Symmetric Jaccard
+    * misses exactly these: an excerpt of a long doc has tiny
+    * |A∩B|/|A∪B| however verbatim the copy is. Same candidate
+    * machinery and scale shape as [[ngramJaccardPairs]] — only the
+    * acceptance inequality differs (min instead of union), so the df-cut,
+    * bare-id buckets and pairs-bounded size rejoins all carry over.
+    */
+  def containmentPairs(documents: DataFrame, n: Int = 3,
+                       threshold: Double = 0.9,
+                       maxDocsPerShingle: Int = 1000): DataFrame =
+    ngramPairCounts(documents, n, maxDocsPerShingle)
+      // containment >= t  ⇔  inter >= t * min(na, nb)
+      .where(col("inter") * lit(10000) >= lit((threshold * 10000).round) * least(col("na"), col("nb")))
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
+
+  /** Shared candidate stage for [[ngramJaccardPairs]] /
+    * [[containmentPairs]]: every unordered doc pair sharing ≥1
+    * surviving shingle, with intersection and both distinct-shingle
+    * sizes attached. */
+  private def ngramPairCounts(documents: DataFrame, n: Int,
+                              maxDocsPerShingle: Int): DataFrame = {
     val shingled = documents
       .select(col("doc_id"), explode(TextFunctions.shingleHashes(col("text"), n)).as("shingle"))
     // per-doc distinct-shingle counts: computed map-only straight from
@@ -122,11 +153,6 @@ object Dedup {
     pairCounts
       .join(prunedSizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
       .join(prunedSizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
-      // jaccard >= t  ⇔  inter >= t * (na + nb - inter); basis-point
-      // scaling keeps integer arithmetic without quantizing the
-      // caller's threshold to whole percents
-      .where(col("inter") * lit(10000) >= lit((threshold * 10000).round) * (col("na") + col("nb") - col("inter")))
-      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
   }
 
   /** MinHash + LSH near-duplicate pairs: k-minhash signature, banded

@@ -254,4 +254,23 @@ class CorpusSpec extends SparkSpecBase {
     assert(n1 > 0 && n1 < 100) // ~half the zh docs
     assert(some.count() == n1)
   }
+
+  test("balancedSample: caps each stratum at the lowest-hash members, deterministically") {
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 4 == 0) "de" else "en", s"doc $i")).toDF("doc_id", "lang", "text")
+    val got = Corpus.balancedSample(docs, "lang", cap = 30)
+    // en has 150 members → capped at 30; de has 50 → capped at 30
+    val byLang = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang == Map("en" -> 30L, "de" -> 30L))
+    // membership = the cap lowest portable hashes of each stratum
+    val enIds = got.where(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    val expected = docs.where(col("lang") === "en")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.portableHash(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(enIds == expected)
+    // a stratum smaller than the cap passes through whole
+    assert(Corpus.balancedSample(docs, "lang", cap = 500).count() == 200)
+  }
 }

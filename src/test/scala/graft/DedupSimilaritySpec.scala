@@ -85,6 +85,21 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(!got.exists { case (a, b) => a >= 4L || b >= 4L })
   }
 
+  test("containmentPairs flags an excerpt symmetric jaccard misses") {
+    // doc 20 = a verbatim 12-token excerpt of the 60-token doc 21:
+    // jaccard = 10/58 ≈ 0.17 (invisible at 0.8) but containment = 1.0
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val excerpt = (1 to 12).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val docs = Seq((20L, excerpt), (21L, long), (22L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, n = 3, threshold = 0.9)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(cont == Set((20L, 21L)))
+    val jac = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(jac.isEmpty) // the same pair is invisible to symmetric jaccard
+  }
+
   test("minhashLshPairs candidates verified by true jaccard") {
     val got = Dedup.minhashLshPairs(corpus, n = 3, k = 16, rowsPerBand = 4, threshold = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet

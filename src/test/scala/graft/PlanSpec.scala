@@ -138,6 +138,18 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("balancedSample pre-prunes each map task via WindowGroupLimit") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = executed(graft.operators.Corpus.balancedSample(docs, "lang", 40)).toString
+    // the row_number<=cap filter must be rewritten to WindowGroupLimit
+    // in Partial mode below the stratum exchange (map tasks keep only
+    // their local top-cap per stratum) and Final mode above it — the
+    // difference between shuffling ≤cap×strata×tasks rows and the corpus
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit, got:\n$plan")
+    assert(plan.contains("Partial"), s"expected a map-side partial group limit:\n$plan")
+  }
+
   test("token chunker is a shuffle-free narrow plan") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val plan = executed(graft.operators.Chunkers.tokenChunks(docs)).toString
