@@ -76,6 +76,9 @@ object GraftExtensions {
     ("graft_piece_count",
       new ExpressionInfo(classOf[native.PieceCountExpr].getName, "graft_piece_count"),
       (args: Seq[Expression]) => native.PieceCountExpr(args.head)),
+    ("graft_char_entropy",
+      new ExpressionInfo(classOf[native.CharEntropyExpr].getName, "graft_char_entropy"),
+      (args: Seq[Expression]) => native.CharEntropyExpr(args.head)),
     // merges as 'a b' pairs joined by ',' — SQL has no Seq[(String,
     // String)] literal; rank = position in the list
     ("graft_bpe_encode",

@@ -1214,6 +1214,16 @@ object SparkEntry {
       ).orderBy(col("doc_id"))
     }),
 
+    "t_entropy" -> ((s, dir) => {
+      // code-point Shannon entropy (map-only native kernel) + the
+      // low-entropy junk flag at the corpus median
+      tbl(s, dir, "documents")
+        .withColumn("entropy", TextAnalysis.charEntropy(col("text")))
+        .select(col("doc_id"), col("entropy"),
+          (col("entropy") < 2.8).cast("int").as("low_entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t_lang_id" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -2624,6 +2634,24 @@ object SparkEntry {
          |    + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS INT) AS n_pieces,
          |  CAST(length(text) AS INT) AS n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // entropy terms are folded in ASCENDING code-point order on both
+    // engines (list(c ORDER BY cp) here, sorted-key loop in the
+    // kernel) so the doubles agree to the gate's 10 significant digits
+    "t_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, ''), c -> length(c) > 0)) AS ch
+        |  FROM documents),
+        |cc AS (SELECT doc_id, unicode(ch) AS cp, CAST(count(*) AS DOUBLE) AS c FROM chars GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, list(c ORDER BY cp) AS cs, sum(c) AS n FROM cc GROUP BY doc_id),
+        |e AS (SELECT doc_id,
+        |  list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |    list_transform(cs, c -> -(c / n) * ln(c / n))), (a, b) -> a + b) AS entropy
+        |  FROM agg)
+        |SELECT d.doc_id, coalesce(e.entropy, 0.0) AS entropy,
+        |  CAST(coalesce(e.entropy, 0.0) < 2.8 AS INT) AS low_entropy
+        |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "t_lang_id" -> {
       def hits(words: Seq[String]) =

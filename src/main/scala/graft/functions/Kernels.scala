@@ -12,6 +12,7 @@ object Kernels {
   def polyHash(s: String): Long = native.polyHash(s)
   def tokenCount(s: String): Int = native.tokenOffsets(s).length / 2
   def pieceCount(s: String): Int = native.pieceCount(s)
+  def charEntropy(s: String): Double = native.charEntropy(s)
   def shingleHashes(s: String, n: Int): Array[Long] = native.shingleHashes(s, n)
   def shingleHashes(s: String, n: Int, wide: Boolean): Array[Long] =
     native.shingleHashes(s, n, wide)

@@ -90,6 +90,39 @@ object native {
     pieces
   }
 
+  /** Shannon entropy (nats) over the text's code-point frequency
+    * distribution — the classic cheap junk detector: base64 blobs and
+    * minified markup score high, stutter/boilerplate ("aaaa…", repeated
+    * padding) scores low, prose sits in a narrow band. One pass to a
+    * code-point histogram, then -Σ p·ln(p) accumulated in ASCENDING
+    * code-point order: the fold order is part of the contract so the
+    * DuckDB oracle (same terms, same order, via list(c ORDER BY cp))
+    * reproduces the double bit-for-bit-ish (gate compares 10
+    * significant digits). Empty text → 0.0.
+    */
+  def charEntropy(s: String): Double = {
+    if (s.isEmpty) return 0.0
+    val counts = scala.collection.mutable.LongMap.empty[Long]
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts(cp.toLong) = counts.getOrElse(cp.toLong, 0L) + 1L
+      n += 1
+      i += Character.charCount(cp)
+    }
+    val keys = counts.keysIterator.toArray
+    java.util.Arrays.sort(keys)
+    var h = 0.0
+    var j = 0
+    while (j < keys.length) {
+      val p = counts(keys(j)).toDouble / n
+      h -= p * math.log(p)
+      j += 1
+    }
+    h
+  }
+
   /** Distinct hashed word n-gram shingles (twin of
     * TextFunctions.shingleHashes): windows of n tokens joined by a
     * single space, polynomial-hashed; texts with fewer than n tokens
@@ -829,6 +862,16 @@ object native {
       copy(child = newChild)
   }
 
+  case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(input: Any): Any =
+      charEntropy(input.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$N.charEntropy($c.toString())")
+    override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
+      copy(child = newChild)
+  }
+
   case class TokenCountExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override protected def nullSafeEval(input: Any): Any =
@@ -866,6 +909,7 @@ object native {
                    lowercase: Boolean = true): Column =
     col(KeywordsTopKExpr(ex(text), vocabulary, k, lowercase))
   def tokenCount(text: Column): Column = col(TokenCountExpr(ex(text)))
+  def charEntropy(text: Column): Column = col(CharEntropyExpr(ex(text)))
   def pieceCount(text: Column): Column = col(PieceCountExpr(ex(text)))
   def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
     col(BpeEncodeExpr(ex(word), merges))

@@ -70,6 +70,13 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = TextFunctions.fingerprint(text)
 
+  /** Code-point Shannon entropy (nats) — the cheap junk detector:
+    * base64/minified blobs score high, stutter and padding boilerplate
+    * score low. One-pass native kernel ([[graft.functions.native.charEntropy]]),
+    * codegen-inlined, map-only at any scale.
+    */
+  def charEntropy(text: Column): Column = graft.functions.native.charEntropy(text)
+
   /** C4-style cleaning: strip URLs and e-mail addresses, collapse
     * whitespace runs, trim. Pure regex column ops (codegen'd).
     */

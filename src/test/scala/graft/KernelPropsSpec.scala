@@ -55,6 +55,24 @@ object KernelPropsSpec extends Properties("native-kernels") {
     native.polyHash(s) == modelHash(s)
   }
 
+  // independent histogram via Java code-point stream + groupBy; the
+  // fold order (ascending code point) is part of the kernel's contract
+  // with the DuckDB oracle, so the model replays it exactly
+  property("charEntropy == sorted-codepoint histogram fold") = forAll(text) { s =>
+    val cps = s.codePoints().toArray
+    val model =
+      if (cps.isEmpty) 0.0
+      else {
+        val n = cps.length.toDouble
+        cps.toSeq.groupBy(identity).toSeq.sortBy(_._1)
+          .foldLeft(0.0) { case (h, (_, g)) =>
+            val p = g.size / n
+            h - p * math.log(p)
+          }
+      }
+    native.charEntropy(s) == model
+  }
+
   // the definitional two-regex formulation the native scan replaced:
   // ASCII-alnum runs + code points outside [A-Za-z0-9\s]
   property("pieceCount == alnum-run split + regex-strip remainder") = forAll(text) { s =>

@@ -48,7 +48,8 @@ class PlanSpec extends SparkSpecBase {
         graft.functions.native.polyHash(col("text")).as("fp"),
         graft.functions.native.hashEmbed(col("text"), 16).as("emb"),
         graft.functions.native.simHash64(col("text")).as("sh"),
-        graft.functions.native.positionalWindowHashes(col("text"), 8).as("pw"))
+        graft.functions.native.positionalWindowHashes(col("text"), 8).as("pw"),
+        graft.functions.native.charEntropy(col("text")).as("ent"))
     df.collect() // a Janino failure would fall back (and fail the asserts)
     val code = df.queryExecution.debug.codegenToSeq().map(_._2).mkString
     // real doGenCode: the generated Java calls the kernels directly —
@@ -58,6 +59,7 @@ class PlanSpec extends SparkSpecBase {
     assert(code.contains("graft.functions.Kernels.simHash64"), "simHash64 not inlined")
     assert(code.contains("graft.functions.Kernels.positionalWindowHashes"),
       "positionalWindowHashes not inlined")
+    assert(code.contains("graft.functions.Kernels.charEntropy"), "charEntropy not inlined")
   }
 
   test("q06: filters pushed to the parquet scan, columns pruned") {
