@@ -23,7 +23,10 @@ object PlanDump {
       ("t_bpe_encode", "BPE encode: a pure Project/Generate pipeline — the merge-rank table rides as a codegen reference object, zero Exchange before the output sort; 100 TB of corpus encodes as a map-only stage."),
       ("s_bm25", "BM25 retrieval: postings MATERIALIZED once (Scan ExistingRDD) from a single map-side-combined (doc_id, term) aggregate; the (query_id, term, idf) table broadcasts into the scoring join, so every query_id-partitioned exchange downstream carries ids + one double — term strings never shuffle past the postings build."),
       ("d_dedup_semantic", "SemDeDup: cluster assignment is the IVF scan-stage argmax against the broadcast ⌈√N⌉-centroid fold (no exchange on the corpus branch); the within-cluster ε-ball self-join shuffles the checkpointed assignment once on list_id, with cluster size √N bounding the pair fan-out."),
-      ("t_dsir_weights", "DSIR weights: window hashes fold to 4096 buckets inside the scan stage; the bucket model aggregates map-side to ≤4096 rows and broadcasts into the scoring join — the corpus stream's only exchange is the final groupBy(doc_id) carrying (doc_id, count, partial double).")
+      ("t_dsir_weights", "DSIR weights: window hashes fold to 4096 buckets inside the scan stage; the bucket model aggregates map-side to ≤4096 rows and broadcasts into the scoring join — the corpus stream's only exchange is the final groupBy(doc_id) carrying (doc_id, count, partial double)."),
+      ("d_dedup_containment", "Containment dedup: same materialized-once candidate stage as d_dedup_ngram (bare-id shingle buckets, pairs-bounded size rejoins) — only the acceptance inequality differs (inter ≥ t·min(na,nb)), so the excerpt/quote catch costs no extra exchange."),
+      ("d_sample_balanced", "Quota sampling: the row_number≤cap filter is rewritten to WindowGroupLimit(Partial) BELOW the stratum exchange and WindowGroupLimit(Final) above it — map tasks pre-prune to their local top-cap, so the shuffle carries ≤ cap×strata×tasks rows, never the corpus."),
+      ("t_entropy", "Entropy signal: the charEntropy kernel evaluates inside the scan-stage Project (codegen-inlined, map-only) — the only operator below the output sort is the parquet scan.")
     )
     out.append("# PLANS — physical-plan evidence (sf0.01, local[32])\n\n")
     out.append("Regenerate with `sbt \"runMain graft.PlanDump\"`.\n")
