@@ -1214,6 +1214,14 @@ object SparkEntry {
       ).orderBy(col("doc_id"))
     }),
 
+    "q_profile" -> ((s, dir) => {
+      // per-column dataset profile (the DESCRIBE pass): one Expand-based
+      // exact multi-distinct aggregate, unpivoted in-row
+      graft.operators.Profiler.profile(tbl(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("column"))
+    }),
+
     "t_entropy" -> ((s, dir) => {
       // code-point Shannon entropy (map-only native kernel) + the
       // low-entropy junk flag at the corpus median
@@ -2634,6 +2642,18 @@ object SparkEntry {
          |    + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS INT) AS n_pieces,
          |  CAST(length(text) AS INT) AS n_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_profile" -> {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     // entropy terms are folded in ASCENDING code-point order on both
     // engines (list(c ORDER BY cp) here, sorted-key loop in the

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling — the DESCRIBE/data-quality pass every ingestion
+  * run wants before training on a new drop: per-column row count,
+  * null count, exact distinct count, and min/max (rendered as strings
+  * so one result schema covers every input type; numeric min/max is
+  * computed in the NATIVE type first and cast after, so "10" < "9"
+  * lexicographic traps don't apply).
+  *
+  * Shape: ONE aggregate pass over the input. Multiple exact
+  * `count(DISTINCT col)`s in a single agg become one Expand-based
+  * plan (rows × (|cols|+1)) — the standard Spark shape for exact
+  * multi-distinct; partial aggregation still combines map-side, and
+  * the result is a single row that is then unpivoted driver-free via
+  * explode over an in-row struct array. At 100 TB, exact distinct on
+  * a near-unique column shuffles that column's values once — when the
+  * contract allows it, the approx twin (HLL sketches, see
+  * q_approx_sketch) profiles in fixed memory; this operator is the
+  * exact-gate version.
+  */
+object Profiler {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    def n(c: String, what: String) = s"${c}__$what"
+    val aggs: Seq[Column] = count(lit(1)).as("__rows") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(n(c, "nonnull")),
+        countDistinct(col(c)).as(n(c, "distinct")),
+        min(col(c)).cast("string").as(n(c, "min")),
+        max(col(c)).cast("string").as(n(c, "max")))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val pieces = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(n(c, "nonnull"))).as("n_null"),
+        col(n(c, "distinct")).as("n_distinct"),
+        col(n(c, "min")).as("min_value"),
+        col(n(c, "max")).as("max_value"))
+    }
+    one.select(explode(array(pieces: _*)).as("p")).select(col("p.*"))
+  }
+}
