@@ -985,6 +985,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_split_leakage" -> ((s, dir) => {
+      // split-leakage audit: near-dup pairs that STRADDLE the
+      // hash-split boundary — each one leaks train text into eval.
+      // Pure composition: ngram pairs ⋈ split assignment twice (both
+      // joins are pairs-bounded, so AQE broadcasts them), demonstrating
+      // why dedup must run before (or be checked against) the split.
+      val docs = corpusWithDups(tbl(s, dir, "documents"))
+      val split = docs.select(col("doc_id"),
+        when(pmod(graft.functions.TextFunctions.portableHash(
+          col("doc_id").cast("string")), lit(100)) < 80, "train")
+          .when(pmod(graft.functions.TextFunctions.portableHash(
+            col("doc_id").cast("string")), lit(100)) < 90, "val")
+          .otherwise("test").as("split"))
+      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.8)
+        .join(split.select(col("doc_id").as("a"), col("split").as("split_a")), Seq("a"))
+        .join(split.select(col("doc_id").as("b"), col("split").as("split_b")), Seq("b"))
+        .where(col("split_a") =!= col("split_b"))
+        .select(col("a"), col("b"), col("split_a"), col("split_b"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "d_sample_balanced" -> ((s, dir) => {
       // quota sampling: at most 40 docs per language, lowest portable
       // content-id hashes win — the count-budget twin of d_sample_mix
@@ -2076,6 +2097,21 @@ object SparkEntry {
          |  CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
          |            WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 ELSE 500 END
          |ORDER BY doc_id""".stripMargin,
+
+    "d_split_leakage" ->
+      s"""WITH $ngramPairsCte,
+         |split AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${sqlHash("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |         WHEN ${sqlHash("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM corpus)
+         |SELECT p.a, p.b, sa.split AS split_a, sb.split AS split_b
+         |FROM dup_pairs p
+         |JOIN split sa ON sa.doc_id = p.a
+         |JOIN split sb ON sb.doc_id = p.b
+         |WHERE sa.split <> sb.split
+         |ORDER BY p.a, p.b""".stripMargin,
 
     "d_sample_balanced" ->
       s"""SELECT doc_id, lang, source FROM (
