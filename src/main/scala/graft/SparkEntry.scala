@@ -1243,6 +1243,14 @@ object SparkEntry {
         .orderBy(col("column"))
     }),
 
+    "q_histogram" -> ((s, dir) => {
+      // top-5 values per column with counts: skew/drift/junk-sentinel
+      // detection; deterministic (cnt desc, value asc) total order
+      graft.operators.Profiler.histogram(tbl(s, dir, "documents"),
+          Seq("lang", "source", "n_chars"), k = 5)
+        .orderBy(col("column"), col("rank"))
+    }),
+
     "t_entropy" -> ((s, dir) => {
       // code-point Shannon entropy (map-only native kernel) + the
       // low-entropy junk flag at the corpus median
@@ -2689,6 +2697,23 @@ object SparkEntry {
            |  CAST(max($c) AS VARCHAR) AS max_value
            |FROM documents""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
+    "q_histogram" -> {
+      val cols = Seq("lang", "source", "n_chars")
+      val per = cols.map { c =>
+        s"""SELECT '$c' AS "column", coalesce(CAST($c AS VARCHAR), '<null>') AS value,
+           |  CAST(count(*) AS BIGINT) AS cnt
+           |FROM documents GROUP BY 2""".stripMargin
+      }.mkString("(", ")\nUNION ALL\n(", ")")
+      s"""WITH counts AS ($per),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY "column"
+         |    ORDER BY cnt DESC, value ASC) AS INT) AS rank
+         |  FROM counts)
+         |SELECT "column", value, cnt, rank FROM ranked
+         |WHERE rank <= 5
+         |ORDER BY "column", rank""".stripMargin
     },
 
     // entropy terms are folded in ASCENDING code-point order on both

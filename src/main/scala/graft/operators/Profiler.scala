@@ -45,4 +45,30 @@ object Profiler {
     }
     one.select(explode(array(pieces: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Top-k most frequent values per column — the other half of the
+    * data-quality pass (what IS in this column, not just how many):
+    * skew detection, category drift, junk sentinel values. ONE scan
+    * explodes each row into (column, value-as-string) pairs, a
+    * two-key aggregate map-side combines to ≤Σ|distinct| rows, and
+    * the per-column top-k (count desc, value asc — total order, so
+    * ties are deterministic) rewrites to partial+final
+    * WindowGroupLimit like [[Corpus.balancedSample]]: map tasks
+    * pre-prune before the exchange. Nulls are profiled as the
+    * sentinel "<null>" rather than dropped.
+    */
+  def histogram(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    require(cols.nonEmpty && k > 0, "histogram needs columns and k > 0")
+    val pairs = df.select(explode(array(cols.map { c =>
+      struct(lit(c).as("column"),
+        coalesce(col(c).cast("string"), lit("<null>")).as("value"))
+    }: _*)).as("p")).select(col("p.*"))
+    val counts = pairs.groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("column"))
+      .orderBy(col("cnt").desc, col("value").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }

@@ -29,6 +29,31 @@ class ProfilerSpec extends SparkSpecBase {
     assert(n.getString(4) == "2" && n.getString(5) == "10")
   }
 
+  test("histogram: top-k per column, count-then-value order, nulls as sentinel") {
+    val df = Seq(
+      (Some("en"), 1L), (Some("en"), 1L), (Some("de"), 2L),
+      (Some("de"), 1L), (None, 3L)
+    ).toDF("lang", "n")
+    val got = Profiler.histogram(df, Seq("lang", "n"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got == Set(
+      ("lang", "de", 2L, 1), ("lang", "en", 2L, 2), // tie at 2 → value asc
+      ("n", "1", 3L, 1), ("n", "2", 1L, 2)          // tie at 1 → "2" < "3"
+    ))
+    // null profiled, not dropped
+    val all = Profiler.histogram(df, Seq("lang"), k = 10)
+      .select("value").as[String].collect().toSet
+    assert(all.contains("<null>"))
+  }
+
+  test("histogram: per-column top-k pre-prunes via WindowGroupLimit") {
+    val df = (1L to 500L).map(i => (s"v${i % 50}", i % 9)).toDF("a", "b")
+    val plan = Profiler.histogram(df, Seq("a", "b"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, s"expected group-limit rewrite:\n$plan")
+  }
+
   test("profile: single-row aggregate plan with map-side partials") {
     val df = (1L to 100L).map(i => (i, s"s${i % 7}")).toDF("id", "s")
     val plan = Profiler.profile(df, Seq("id", "s")).queryExecution.executedPlan.toString
