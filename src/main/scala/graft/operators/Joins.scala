@@ -103,4 +103,37 @@ object Joins {
       explode(sequence(lit(0), lit(nSalts - 1))))
     salted.join(exploded, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Skew-aware refinement of [[saltedJoin]]: only keys whose probe
+    * frequency exceeds `hotThreshold` get salted — the build side is
+    * exploded nSalts ways ONLY for those keys, and every other key
+    * takes a plain single-copy join. Output rows are identical to
+    * `probe.join(build, key)` (and to [[saltedJoin]]); what changes is
+    * the work: full salting replicates the ENTIRE build side ×nSalts
+    * through the shuffle, which at 100 TB is nSalts× the dominant
+    * exchange, while the skew that motivated salting lives in a
+    * handful of keys. Cost of finding them: one map-side-combined
+    * count over the probe's key column (≤|keys| rows), joined back as
+    * a hot-key flag — AQE realizes both flag joins as broadcasts
+    * whenever the hot set is small, which is the premise of skew.
+    *
+    * This is the manual-control twin of AQE's OptimizeSkewedJoin
+    * (which splits oversized post-shuffle partitions on its own):
+    * use AQE's when runtime stats suffice, this one when the salt
+    * must be deterministic and explicit (e.g. reproducible layouts).
+    */
+  def skewSaltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                     saltExpr: Column, nSalts: Int,
+                     hotThreshold: Long): DataFrame = {
+    require(nSalts > 0 && hotThreshold > 0)
+    val hot = probe.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > hotThreshold)
+      .select(col(key))
+    val probeHot = probe.join(hot, Seq(key), "left_semi")
+    val probeCold = probe.join(hot, Seq(key), "left_anti")
+    val buildHot = build.join(hot, Seq(key), "left_semi")
+    val cold = probeCold.join(build, Seq(key))
+    val salted = saltedJoin(probeHot, buildHot, key, saltExpr, nSalts)
+    cold.unionByName(salted.select(cold.columns.map(col): _*))
+  }
 }

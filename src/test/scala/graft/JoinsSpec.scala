@@ -62,6 +62,24 @@ class JoinsSpec extends SparkSpecBase {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("skewSaltedJoin output equals the plain join; only hot keys take the salted path") {
+    // key 1 is hot (6 probe rows), keys 2-4 are cold (1 each)
+    val probe = (Seq.fill(6)(1L) ++ Seq(2L, 3L, 4L)).zipWithIndex
+      .map { case (k, i) => (k, i) }.toDF("k", "x")
+    val build = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "orphan")).toDF("k", "v")
+    val out = Joins.skewSaltedJoin(probe, build, "k", hash(col("x")), nSalts = 4,
+      hotThreshold = 3)
+    val plain = probe.join(build, "k")
+    assert(out.select("k", "x", "v").except(plain.select("k", "x", "v")).isEmpty)
+    assert(plain.select("k", "x", "v").except(out.select("k", "x", "v")).isEmpty)
+    assert(out.count() == plain.count()) // bag-equal, not just set-equal
+    // the salted (hot) branch saw ONLY the hot key: the build explode
+    // fans out 4 salts for key 1 alone, not for the cold keys
+    val hotOnly = Joins.skewSaltedJoin(probe.where(col("k") =!= 1L), build, "k",
+      hash(col("x")), nSalts = 4, hotThreshold = 3)
+    assert(hotOnly.count() == 2) // no hot keys left → pure cold path
+  }
+
   test("bandJoin assigns each row to its [lo, hi) band") {
     val facts = Seq((1L, 0.5), (2L, 5.0), (3L, 4.99), (4L, 100.0)).toDF("id", "v")
     val bands = Seq(("a", 0.0, 5.0), ("b", 5.0, 200.0)).toDF("band", "lo", "hi")
