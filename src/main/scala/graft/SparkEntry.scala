@@ -1006,6 +1006,30 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    "d_snapshot_diff" -> ((s, dir) => {
+      // incremental-ingestion delta plan: v2 drops ids ≡3 (mod 17),
+      // revises text on ids ≡5 (mod 11), adds ids ≡7 (mod 13) under
+      // id+10M — the diff classifies every non-identical id. Digest
+      // compare in Spark (sha-256, text never joins); the oracle
+      // compares text directly
+      val old = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val v2 = old.where(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 5, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(old.where(col("doc_id") % 13 === 7)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+      Corpus.snapshotDiff(old, v2).orderBy(col("doc_id"))
+    }),
+
+    "d_corpus_overlap" -> ((s, dir) => {
+      // provenance audit: pairwise 8-gram fingerprint overlap between
+      // sources — shared distinct windows, per-source totals, Jaccard
+      // (rounded 6 dp; the division operands are exact integers)
+      Corpus.corpusOverlap(tbl(s, dir, "documents"), groupCol = "source", n = 8)
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     "d_sample_balanced" -> ((s, dir) => {
       // quota sampling: at most 40 docs per language, lowest portable
       // content-id hashes win — the count-budget twin of d_sample_mix
@@ -1328,6 +1352,17 @@ object SparkEntry {
       // n_feat anchors the gate exactly; log_weight rounds to 6 dp
       TextAnalysis.dsirWeights(tbl(s, dir, "documents"),
           isTarget = col("lang") === "en", nBuckets = 4096)
+        .orderBy(col("doc_id"))
+    }),
+
+    "t_nb_classifier" -> ((s, dir) => {
+      // trained linear filter, the DCLM/RefinedWeb curation shape:
+      // multinomial NB over portable token hashes, trained on the
+      // even-id half labeled by lang, argmax class per document.
+      // Integer n_tokens/n_hits anchor the gate; score rounds to 6 dp
+      val docs = tbl(s, dir, "documents")
+      TextAnalysis.naiveBayesClassify(
+          docs, docs.where(col("doc_id") % 2 === 0), labelCol = "lang")
         .orderBy(col("doc_id"))
     }),
 
@@ -2120,6 +2155,45 @@ object SparkEntry {
          |JOIN split sb ON sb.doc_id = p.b
          |WHERE sa.split <> sb.split
          |ORDER BY p.a, p.b""".stripMargin,
+
+    "d_snapshot_diff" ->
+      s"""WITH old AS (SELECT doc_id, text FROM documents),
+         |nw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 5 THEN text || ' rev2' ELSE text END AS text
+         |  FROM old WHERE doc_id % 17 <> 3
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, text FROM old WHERE doc_id % 13 = 7),
+         |j AS (
+         |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |         WHEN n.doc_id IS NULL THEN 'removed'
+         |         WHEN o.text <> n.text THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+         |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+         |ORDER BY doc_id""".stripMargin,
+
+    "d_corpus_overlap" ->
+      s"""WITH toks AS (SELECT source AS g, ${sqlToks("text")} AS t FROM documents),
+         |fp AS (
+         |  SELECT DISTINCT g, unnest(CASE WHEN len(t) < 8 THEN [${sqlHash60("array_to_string(t, ' ')")}]
+         |    ELSE list_transform(range(0, len(t) - 7),
+         |         i -> ${sqlHash60("array_to_string(t[i+1:i+8], ' ')")}) END) AS h
+         |  FROM toks),
+         |tot AS (SELECT g, count(*) AS n_fp FROM fp GROUP BY 1),
+         |sh AS (
+         |  SELECT a.g AS src_a, b.g AS src_b, count(*) AS shared
+         |  FROM fp a JOIN fp b ON a.h = b.h AND a.g < b.g GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT ta.g AS src_a, tb.g AS src_b, ta.n_fp AS n_a, tb.n_fp AS n_b
+         |  FROM tot ta JOIN tot tb ON ta.g < tb.g)
+         |SELECT src_a, src_b, CAST(coalesce(shared, 0) AS BIGINT) AS shared,
+         |  n_a, n_b,
+         |  round(CAST(coalesce(shared, 0) AS BIGINT)
+         |    / (n_a + n_b - CAST(coalesce(shared, 0) AS BIGINT)), 6) AS jaccard
+         |FROM pr LEFT JOIN sh USING (src_a, src_b)
+         |ORDER BY src_a, src_b""".stripMargin,
 
     "d_sample_balanced" ->
       s"""SELECT doc_id, lang, source FROM (
@@ -2952,6 +3026,36 @@ object SparkEntry {
     // window-hash twin at n=2, folded mod 4096), add-one-smoothed
     // target/raw log-ratio summed per document. The ln-term sum is the
     // only float and rounds to 6 dp; n_feat anchors the gate exactly
+    "t_nb_classifier" ->
+      s"""WITH tr AS (
+         |  SELECT lang AS cls, doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |trt AS (SELECT cls, ${sqlHash("tok")} AS h FROM (
+         |  SELECT cls, unnest(${sqlToks("lower(text)")}) AS tok FROM tr)),
+         |model AS (SELECT cls, h, count(*) AS cnt FROM trt GROUP BY 1, 2),
+         |cstat AS (SELECT cls, sum(cnt) AS n_tok FROM model GROUP BY 1),
+         |prior AS (SELECT cls, count(*) AS n_docs FROM tr GROUP BY 1),
+         |vsz AS (SELECT count(DISTINCT h) AS v FROM model),
+         |nd AS (SELECT count(*) AS n FROM tr),
+         |dt AS (SELECT doc_id, ${sqlHash("tok")} AS h FROM (
+         |  SELECT doc_id, unnest(${sqlToks("lower(text)")}) AS tok FROM documents)),
+         |dc AS (SELECT doc_id, count(*) AS n_tokens FROM dt GROUP BY 1),
+         |hits AS (
+         |  SELECT doc_id, cls, sum(ln(cnt + 1.0)) AS hit_sum, count(*) AS n_hits
+         |  FROM dt JOIN model USING (h) GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT dc.doc_id, c.cls,
+         |    CAST(dc.n_tokens AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |    round(ln(p.n_docs) - ln(nd.n) + coalesce(h.hit_sum, 0)
+         |      - dc.n_tokens * ln(c.n_tok + vsz.v), 6) AS score
+         |  FROM dc CROSS JOIN cstat c CROSS JOIN vsz CROSS JOIN nd
+         |  JOIN prior p ON p.cls = c.cls
+         |  LEFT JOIN hits h ON h.doc_id = dc.doc_id AND h.cls = c.cls)
+         |SELECT doc_id, cls AS pred_label, score, n_tokens, n_hits
+         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, cls) AS rk FROM scored)
+         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
     "t_dsir_weights" ->
       s"""WITH toks AS (
          |  SELECT doc_id, lang = 'en' AS is_target, ${sqlToks("lower(text)")} AS t

@@ -461,4 +461,79 @@ object Corpus {
       .where(col("__rk") <= cap)
       .drop("__rk")
   }
+
+  /** Snapshot diff between two corpus versions keyed by `idCol`:
+    * classify every id as `added` (present only in the new snapshot),
+    * `removed` (only in the old), or `changed` (present in both with
+    * different content) — the planning pass of incremental ingestion
+    * (recrawl deltas, upsert batches for [[graft.sinks.VectorStoreWriter]]'s
+    * incremental mode). Unchanged ids are filtered out, so the output
+    * is delta-sized, not corpus-sized.
+    *
+    * Scale shape: each side reduces MAP-ONLY to (id, sha-256 digest)
+    * — 40 bytes/doc — before anything shuffles, so the full-outer
+    * join moves digests, never document text, and keys on the id
+    * (co-partitioned snapshots of the same corpus join without a
+    * repartition under bucketing). Content equality via a 256-bit
+    * digest is collision-free at any corpus size (same contract as
+    * [[Dedup.exactGroups]]).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String = "doc_id",
+                   contentCol: String = "text"): DataFrame = {
+    def digests(df: DataFrame, as: String) =
+      df.select(col(idCol), sha2(col(contentCol), 256).as(as))
+    digests(oldSnap, "old_digest")
+      .join(digests(newSnap, "new_digest"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("old_digest").isNull, "added")
+          .when(col("new_digest").isNull, "removed")
+          .when(col("old_digest") =!= col("new_digest"), "changed")
+          .otherwise("unchanged").as("status"))
+      .where(col("status") =!= "unchanged")
+  }
+
+  /** Pairwise corpus-overlap matrix: for every pair of groups
+    * (sources, shards, languages, snapshots), the number of distinct
+    * token n-gram fingerprints the two share, each side's total, and
+    * the fingerprint Jaccard — the provenance audit that answers
+    * "how much of source B is already in source A" before paying for
+    * a full cross-source dedup, and the standard between-corpus
+    * contamination estimate (n-gram overlap of pretraining sources,
+    * GPT-3 appendix-C style, lifted from doc-level to corpus-level).
+    *
+    * Scale shape: the corpus reduces to distinct (group, window-hash)
+    * pairs via a map-side-combined aggregate — raw text never
+    * shuffles, and the ~60-bit wide hash family keeps cross-group
+    * birthday collisions from inflating the overlap at 10^10+
+    * distinct windows (same reasoning as [[decontaminate]]). The
+    * self-join keys on the hash: per-hash fan-out is bounded by
+    * #groups² — groups are enumerable (sources, langs), not
+    * corpus-scaled — and the pair counts map-side-combine to
+    * ≤ #groups² rows. Zero-overlap pairs still appear, via the
+    * bounded per-group-total cross join.
+    */
+  def corpusOverlap(docs: DataFrame, groupCol: String, n: Int = 8): DataFrame = {
+    val fp = docs
+      .select(col(groupCol).as("g"),
+        explode(graft.functions.native.shingleHashes(col("text"), n, wide = true)).as("h"))
+      .distinct()
+      .localCheckpoint(true) // three consumers: totals + both join sides
+    val totals = fp.groupBy(col("g")).agg(count(lit(1)).as("n_fp"))
+    val shared = fp.as("a")
+      .join(fp.as("b"), col("a.h") === col("b.h") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    totals.as("ta")
+      .join(totals.as("tb"), col("ta.g") < col("tb.g"))
+      .select(col("ta.g").as("src_a"), col("tb.g").as("src_b"),
+        col("ta.n_fp").as("n_a"), col("tb.n_fp").as("n_b"))
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        col("n_a"), col("n_b"),
+        round(coalesce(col("shared"), lit(0L)) /
+          (col("n_a") + col("n_b") - coalesce(col("shared"), lit(0L))), 6)
+          .as("jaccard"))
+  }
 }

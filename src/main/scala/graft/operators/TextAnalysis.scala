@@ -351,4 +351,72 @@ object TextAnalysis {
           .when(col("score") <= col("t2"), "middle")
           .otherwise("tail").as("bucket"))
   }
+
+  /** Multinomial Naive Bayes text classifier, train + score in one
+    * operator: learn per-class token distributions from a labeled
+    * training set, score every document against every class with
+    * Laplace-smoothed log-likelihoods, and return each document's
+    * argmax class — the cheap-linear-classifier filter shape modern
+    * curation pipelines run corpus-wide (DCLM / RefinedWeb gate on a
+    * fasttext-style bag-of-words model; count-based NB is its
+    * engine-exact, training-included core, and doubles as a learned
+    * language ID next to [[languageId]]'s fixed heuristic).
+    *
+    * score(d,c) = ln P(c) + Σ_{t∈d matched in c} ln(cnt_{c,t}+1)
+    *              − |d|·ln(n_c + V)
+    * (Laplace numerator for an unmatched token is 0+1, so it adds
+    * ln(1) = 0 — the inner join over matched (token, class) rows IS
+    * the full smoothed sum; no per-missing-token bookkeeping.)
+    *
+    * Scale shape: the model is one map-side-combined aggregate over
+    * the TRAINING set — ≤ |classes|·|vocab| rows ≪ corpus — joined to
+    * the corpus token stream by the 8-byte portable token hash (AQE
+    * broadcasts the model when it fits; token strings never shuffle).
+    * Vocab size and the training doc count are the only driver
+    * scalars, both from bounded tables. The score matrix is
+    * |docs|·|classes| rows; the argmax is a row_number-=-1 filter,
+    * which Spark 4 rewrites to WindowGroupLimit so map tasks pre-prune
+    * to their local best class per doc before the exchange. Scores
+    * round to 6 dp (the [[dsirWeights]] float contract); ties break
+    * by class name ascending. Zero-token documents have no score and
+    * no output row.
+    */
+  def naiveBayesClassify(documents: DataFrame, train: DataFrame,
+                         labelCol: String = "label"): DataFrame = {
+    def toks(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(TextFunctions.tokens(lower(col("text")))).as("token"): _*)
+        .withColumn("h", TextFunctions.portableHash(col("token")))
+        .drop("token")
+    val model = toks(train, col(labelCol).as("cls"))
+      .groupBy(col("cls"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // consumers: class totals, vocab size, score join
+    val classStats = model.groupBy(col("cls")).agg(sum(col("cnt")).as("n_tok"))
+    val priors = train.groupBy(col(labelCol).as("cls"))
+      .agg(count(lit(1)).as("n_docs"))
+    val vocabSize = model.select(countDistinct(col("h"))).head().getLong(0)
+    val totalDocs = train.count()
+    val docToks = toks(documents, col("doc_id"))
+    val docCounts = docToks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val hits = docToks.join(model, Seq("h"))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(log(col("cnt") + lit(1.0))).as("hit_sum"),
+        count(lit(1)).as("n_hits"))
+    val scored = docCounts
+      .crossJoin(broadcast(classStats.join(priors, Seq("cls"))))
+      .join(hits, Seq("doc_id", "cls"), "left")
+      .select(col("doc_id"), col("cls"), col("n_tokens"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(log(col("n_docs")) - log(lit(totalDocs.toDouble)) +
+          coalesce(col("hit_sum"), lit(0.0)) -
+          col("n_tokens") * log(col("n_tok") + lit(vocabSize)), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("doc_id"), col("cls").as("pred_label"), col("score"),
+        col("n_tokens"), col("n_hits"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Corpus
+import graft.operators.{Corpus, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class CorpusSpec extends SparkSpecBase {
@@ -272,5 +272,49 @@ class CorpusSpec extends SparkSpecBase {
     assert(enIds == expected)
     // a stratum smaller than the cap passes through whole
     assert(Corpus.balancedSample(docs, "lang", cap = 500).count() == 200)
+  }
+
+  test("snapshotDiff: classifies added/removed/changed and drops unchanged ids") {
+    val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "alpha"), (2L, "beta revised"), (4L, "delta")).toDF("doc_id", "text")
+    val got = Corpus.snapshotDiff(old, v2).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("status"))).toSeq
+    assert(got == Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("corpusOverlap: identical groups share every window; disjoint pairs still appear") {
+    val docs = Seq(
+      (1L, "g1", "one two three four five six seven eight nine ten"),
+      (2L, "g2", "one two three four five six seven eight nine ten"),
+      (3L, "g3", "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "g", "text")
+    val got = Corpus.corpusOverlap(docs, "g", n = 8).collect()
+    assert(got.length == 3) // all pairs emitted, including zero-overlap ones
+    val m = got.map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+      ((r.getAs[Long]("shared"), r.getAs[Long]("n_a"), r.getAs[Double]("jaccard")))).toMap
+    // 10 tokens, n=8 → 3 windows per doc; g1 ≡ g2 → jaccard exactly 1
+    assert(m(("g1", "g2")) == ((3L, 3L, 1.0)))
+    assert(m(("g1", "g3"))._1 == 0L && m(("g1", "g3"))._3 == 0.0)
+  }
+
+  test("naiveBayesClassify: argmax picks the dominant class; all-OOV ties break by name") {
+    val train = Seq(
+      ("en", "the cat sat on the mat"), ("en", "the dog ate the food"),
+      ("fr", "le chat est sur le tapis"), ("fr", "le chien mange le pain")
+    ).toDF("label", "text")
+    val docs = Seq(
+      (1L, "the cat ate"), (2L, "le chat mange"), (3L, "zzz qqq")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.naiveBayesClassify(docs, train, "label")
+      .orderBy("doc_id").collect()
+    val byId = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[String]("pred_label") == "en")
+    assert(byId(2L).getAs[String]("pred_label") == "fr")
+    assert(byId(1L).getAs[Long]("n_tokens") == 3L)
+    assert(byId(1L).getAs[Long]("n_hits") == 3L) // the/cat/ate all in the en model
+    // doc 3 is fully OOV and both classes have equal priors and token
+    // totals → identical smoothed scores → ascending-name tie-break
+    assert(byId(3L).getAs[String]("pred_label") == "en")
+    assert(byId(3L).getAs[Long]("n_hits") == 0L)
   }
 }
