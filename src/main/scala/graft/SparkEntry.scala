@@ -1038,6 +1038,15 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    "d_sample_temperature" -> ((s, dir) => {
+      // XLM-R-style temperature mixing: α=0.5 flattens the language
+      // head; quotas from the driver-side contracted-order fold,
+      // membership = lowest portable hashes (RNG-free, reproducible)
+      Corpus.temperatureSample(tbl(s, dir, "documents"), "lang",
+          alpha = 0.5, target = 300L)
+        .orderBy(col("doc_id"))
+    }),
+
     "d_dedup_containment" -> ((s, dir) => {
       // corpus + induced excerpts: every 20th doc reappears at
       // id+3000000 as its first 12 tokens. A verbatim excerpt of a long
@@ -1273,6 +1282,19 @@ object SparkEntry {
       graft.operators.Profiler.histogram(tbl(s, dir, "documents"),
           Seq("lang", "source", "n_chars"), k = 5)
         .orderBy(col("column"), col("rank"))
+    }),
+
+    "q_drift" -> ((s, dir) => {
+      // PSI drift gate between snapshots: v2 drops ids ≡3 (mod 17)
+      // and re-sources ids ≡7 (mod 13) into 'src_new' — lang shifts
+      // mildly, source grows a bin. Integer n_bins/t_old/t_new anchor
+      // the gate; psi rounds to 6 dp
+      val docs = tbl(s, dir, "documents")
+      val v2 = docs.where(col("doc_id") % 17 =!= 3)
+        .unionByName(docs.where(col("doc_id") % 13 === 7)
+          .withColumn("source", lit("src_new")))
+      graft.operators.Profiler.drift(docs, v2, Seq("lang", "source"))
+        .orderBy(col("column"))
     }),
 
     "t_entropy" -> ((s, dir) => {
@@ -2204,6 +2226,20 @@ object SparkEntry {
          |WHERE rk <= 40
          |ORDER BY lang, doc_id""".stripMargin,
 
+    "d_sample_temperature" ->
+      s"""WITH ws AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(power(n, 0.5) ORDER BY lang)), (a, b) -> a + b) AS s FROM ws),
+         |q AS (SELECT lang, CAST(least(n, greatest(1,
+         |    CAST(floor(300 * (power(n, 0.5) / s)) AS BIGINT))) AS BIGINT) AS quota
+         |  FROM ws, tot),
+         |rk AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${sqlHash("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, lang, quota FROM rk JOIN q USING (lang)
+         |WHERE rk <= quota
+         |ORDER BY doc_id""".stripMargin,
+
     "d_dedup_containment" ->
       s"""WITH corpus AS ($corpusWithDupsSql
          |UNION ALL SELECT doc_id + 3000000,
@@ -2788,6 +2824,35 @@ object SparkEntry {
          |SELECT "column", value, cnt, rank FROM ranked
          |WHERE rank <= 5
          |ORDER BY "column", rank""".stripMargin
+    },
+
+    "q_drift" -> {
+      val mk = (src: String, cnt: String) => Seq("lang", "source").map { c =>
+        s"""SELECT '$c' AS "column", coalesce(CAST($c AS VARCHAR), '<null>') AS value,
+           |  count(*) AS $cnt FROM $src GROUP BY 2""".stripMargin
+      }.mkString("(", ")\nUNION ALL\n(", ")")
+      s"""WITH oldd AS (SELECT lang, source FROM documents),
+         |nw AS (SELECT lang, source FROM documents WHERE doc_id % 17 <> 3
+         |  UNION ALL
+         |  SELECT lang, 'src_new' FROM documents WHERE doc_id % 13 = 7),
+         |po AS (${mk("oldd", "n_old")}),
+         |pn AS (${mk("nw", "n_new")}),
+         |bins AS (
+         |  SELECT coalesce(po."column", pn."column") AS "column",
+         |    coalesce(po.value, pn.value) AS value,
+         |    CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+         |    CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+         |  FROM po FULL OUTER JOIN pn
+         |    ON po."column" = pn."column" AND po.value = pn.value),
+         |tot AS (SELECT "column", CAST(sum(n_old) AS BIGINT) AS t_old,
+         |    CAST(sum(n_new) AS BIGINT) AS t_new, count(*) AS n_bins
+         |  FROM bins GROUP BY 1)
+         |SELECT "column", n_bins, t_old, t_new,
+         |  round(sum(((n_new + 1) / (t_new + n_bins) - (n_old + 1) / (t_old + n_bins))
+         |    * ln(((n_new + 1) / (t_new + n_bins)) / ((n_old + 1) / (t_old + n_bins)))), 6) AS psi
+         |FROM bins JOIN tot USING ("column")
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY "column"""".stripMargin
     },
 
     // entropy terms are folded in ASCENDING code-point order on both

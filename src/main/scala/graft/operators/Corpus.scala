@@ -462,6 +462,53 @@ object Corpus {
       .drop("__rk")
   }
 
+  /** Temperature-based stratum resampling — the multilingual-mixing
+    * step of XLM-R/mT5-style training (Conneau et al. sample language
+    * ℓ with probability ∝ p_ℓ^α, α<1 flattening the head so
+    * low-resource strata aren't drowned): compute each stratum's
+    * quota as floor(target · n_s^α / Σ n^α) (≥1, ≤n_s), then keep the
+    * quota lowest-portable-hash members per stratum — the same
+    * RNG-free membership rule as [[balancedSample]], so the sample is
+    * reproducible across runs, partitionings and engines.
+    *
+    * Scale shape: the weight computation runs on the DRIVER over the
+    * bounded per-stratum count table (strata are enumerable —
+    * languages, sources — not corpus-scaled), folded in ascending
+    * stratum order so the float sum has a contracted association
+    * order the DuckDB oracle replays exactly (the t_entropy
+    * contract). The corpus-side rank filters first against the
+    * LITERAL max quota — keeping Spark 4's WindowGroupLimit pre-prune
+    * (map tasks drop to their local top-maxQuota per stratum before
+    * the exchange) — then exactly against the per-stratum quota from
+    * a broadcast join.
+    */
+  def temperatureSample(docs: DataFrame, stratumCol: String, alpha: Double,
+                        target: Long): DataFrame = {
+    require(alpha > 0 && target > 0, "alpha and target must be positive")
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .orderBy(col(stratumCol))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val wsum = counts.foldLeft(0.0) { case (a, (_, n)) =>
+      a + math.pow(n.toDouble, alpha)
+    }
+    val quotas = counts.map { case (g, n) =>
+      val q = math.floor(target * (math.pow(n.toDouble, alpha) / wsum)).toLong
+      (g, math.min(n, math.max(1L, q)))
+    }
+    val maxQuota = quotas.map(_._2).max
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val quotaDf = quotas.toSeq.toDF(stratumCol, "quota")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(TextFunctions.portableHash(col("doc_id").cast("string")).asc,
+        col("doc_id").asc)
+    docs.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= lit(maxQuota)) // literal bound → WindowGroupLimit
+      .join(broadcast(quotaDf), Seq(stratumCol))
+      .where(col("__rk") <= col("quota"))
+      .select(col("doc_id"), col(stratumCol), col("quota"))
+  }
+
   /** Snapshot diff between two corpus versions keyed by `idCol`:
     * classify every id as `added` (present only in the new snapshot),
     * `removed` (only in the old), or `changed` (present in both with

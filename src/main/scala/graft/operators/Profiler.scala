@@ -71,4 +71,49 @@ object Profiler {
     counts.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Distribution drift between two snapshots — per-column Population
+    * Stability Index over categorical value histograms, the standard
+    * "did this data drop change shape" gate before a new corpus
+    * version enters training (PSI < 0.1 stable / > 0.25 shifted, by
+    * the usual credit-scoring convention). Bins are the union of
+    * values seen on either side (nulls as the "<null>" sentinel);
+    * shares are Laplace-smoothed ((n+1)/(t+bins)) so one-sided bins
+    * keep ln finite without dropping mass. psi = Σ (p_new − p_old) ·
+    * ln(p_new / p_old), rounded to 6 dp (the dsirWeights float
+    * contract); integer n_bins / t_old / t_new anchor the gate
+    * exactly.
+    *
+    * Scale shape: each snapshot reduces in ONE scan to a map-side-
+    * combined (column, value) histogram ≤ Σ|distinct| rows ≪ corpus;
+    * the full-outer bin join, totals, and the psi sum all run on
+    * bounded histogram tables. Nothing corpus-sized ever shuffles.
+    */
+  def drift(oldDf: DataFrame, newDf: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "drift needs at least one column")
+    def hist(df: DataFrame, side: String) =
+      df.select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"),
+          coalesce(col(c).cast("string"), lit("<null>")).as("value"))
+      }: _*)).as("p")).select(col("p.*"))
+        .groupBy(col("column"), col("value"))
+        .agg(count(lit(1)).as(side))
+    val bins = hist(oldDf, "n_old")
+      .join(hist(newDf, "n_new"), Seq("column", "value"), "full_outer")
+      .select(col("column"), col("value"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = bins.groupBy(col("column")).agg(
+      sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"),
+      count(lit(1)).as("n_bins"))
+    val pOld = (col("n_old") + lit(1)) / (col("t_old") + col("n_bins"))
+    val pNew = (col("n_new") + lit(1)) / (col("t_new") + col("n_bins"))
+    bins.join(broadcast(totals), Seq("column"))
+      .select(col("column"), col("n_bins"), col("t_old"), col("t_new"),
+        ((pNew - pOld) * log(pNew / pOld)).as("term"))
+      .groupBy(col("column"))
+      .agg(first(col("n_bins")).as("n_bins"),
+        first(col("t_old")).as("t_old"), first(col("t_new")).as("t_new"),
+        round(sum(col("term")), 6).as("psi"))
+  }
 }

@@ -274,6 +274,30 @@ class CorpusSpec extends SparkSpecBase {
     assert(Corpus.balancedSample(docs, "lang", cap = 500).count() == 200)
   }
 
+  test("temperatureSample: alpha flattens the head; quotas floor-exact with min 1") {
+    // 160 en / 36 de / 4 zh — heavily headed
+    val docs = ((1L to 160L).map((_, "en")) ++ (161L to 196L).map((_, "de")) ++
+      (197L to 200L).map((_, "zh"))).map { case (i, l) => (i, l, s"doc $i") }
+      .toDF("doc_id", "lang", "text")
+    val got = Corpus.temperatureSample(docs, "lang", alpha = 0.5, target = 100L)
+    val byLang = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // sqrt weights: (sqrt160, sqrt36, sqrt4)/(sum≈20.649) → quotas
+    // 61/29/min(4,9) — alpha=0.5 lifts zh above its proportional share,
+    // and the stratum-size cap keeps quotas realizable
+    val s = math.sqrt(160.0) + math.sqrt(36.0) + math.sqrt(4.0)
+    def q(n: Double) = math.floor(100L * (math.sqrt(n) / s)).toLong
+    assert(byLang == Map("en" -> q(160), "de" -> q(36), "zh" -> math.min(4L, q(4))))
+    assert(math.min(4L, q(4)) > 4L * 100L / 200L) // flatter than proportional
+    // quota column rides along and matches the realized count
+    val quotas = got.select("lang", "quota").distinct().as[(String, Long)].collect().toMap
+    assert(quotas == byLang)
+    // alpha→0 degenerates toward equal quotas (floor puts each at
+    // target/strata ± 1) regardless of the 160/36/4 skew
+    val flat = Corpus.temperatureSample(docs, "lang", alpha = 0.001, target = 9L)
+    val flatCounts = flat.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(flatCounts.values.forall(c => c == 2L || c == 3L), flatCounts.toString)
+  }
+
   test("snapshotDiff: classifies added/removed/changed and drops unchanged ids") {
     val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
     val v2 = Seq((1L, "alpha"), (2L, "beta revised"), (4L, "delta")).toDF("doc_id", "text")

@@ -61,4 +61,21 @@ class ProfilerSpec extends SparkSpecBase {
     assert(plan.contains("Expand"), s"expected Expand-based multi-distinct:\n$plan")
     assert(plan.contains("partial"), s"expected map-side partial aggregation:\n$plan")
   }
+
+  test("drift: identical snapshots score psi 0; a shifted column scores positive") {
+    val old = (1L to 300L).map(i =>
+      (if (i % 3 == 0) "en" else "de", s"s${i % 4}")).toDF("lang", "source")
+    val same = Profiler.drift(old, old, Seq("lang", "source")).collect()
+    assert(same.length == 2 && same.forall(_.getAs[Double]("psi") == 0.0))
+    // shift: drop every en row → lang drifts, source barely moves
+    val shifted = old.where(col("lang") =!= "en")
+    val got = Profiler.drift(old, shifted, Seq("lang", "source")).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(got("lang").getAs[Double]("psi") > got("source").getAs[Double]("psi"))
+    assert(got("lang").getAs[Double]("psi") > 0.0)
+    // union-of-values binning: en keeps a (smoothed) bin on both sides
+    assert(got("lang").getAs[Long]("n_bins") == 2L)
+    assert(got("lang").getAs[Long]("t_old") == 300L)
+    assert(got("lang").getAs[Long]("t_new") == 200L)
+  }
 }
