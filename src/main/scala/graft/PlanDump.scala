@@ -26,7 +26,10 @@ object PlanDump {
       ("t_dsir_weights", "DSIR weights: window hashes fold to 4096 buckets inside the scan stage; the bucket model aggregates map-side to ≤4096 rows and broadcasts into the scoring join — the corpus stream's only exchange is the final groupBy(doc_id) carrying (doc_id, count, partial double)."),
       ("d_dedup_containment", "Containment dedup: same materialized-once candidate stage as d_dedup_ngram (bare-id shingle buckets, pairs-bounded size rejoins) — only the acceptance inequality differs (inter ≥ t·min(na,nb)), so the excerpt/quote catch costs no extra exchange."),
       ("d_sample_balanced", "Quota sampling: the row_number≤cap filter is rewritten to WindowGroupLimit(Partial) BELOW the stratum exchange and WindowGroupLimit(Final) above it — map tasks pre-prune to their local top-cap, so the shuffle carries ≤ cap×strata×tasks rows, never the corpus."),
-      ("t_entropy", "Entropy signal: the charEntropy kernel evaluates inside the scan-stage Project (codegen-inlined, map-only) — the only operator below the output sort is the parquet scan.")
+      ("t_entropy", "Entropy signal: the charEntropy kernel evaluates inside the scan-stage Project (codegen-inlined, map-only) — the only operator below the output sort is the parquet scan."),
+      ("t_nb_classifier", "Naive Bayes classifier: the ≤|classes|·|vocab| model MATERIALIZES once (Scan ExistingRDD) and broadcasts into the scoring join — the corpus stream shuffles (doc_id, hash) longs into one groupBy(doc_id, cls); the per-doc argmax rewrites to WindowGroupLimit(Partial/Final) so map tasks pre-prune to their best class before the exchange."),
+      ("d_corpus_overlap", "Corpus-overlap matrix: the corpus reduces to distinct (group, 60-bit hash) via a map-side-combined aggregate BEFORE any join; the hash-keyed self-join carries (group) payloads only — per-hash fan-out bounded by #groups² — and pair counts map-side-combine to ≤#groups² rows."),
+      ("d_sample_temperature", "Temperature sampling: quotas come from a driver fold over the bounded stratum-count aggregate; the corpus-side row_number≤maxQuota LITERAL filter rewrites to WindowGroupLimit(Partial) below the stratum exchange, then the exact per-stratum quota applies via a broadcast join — the shuffle never carries more than maxQuota×strata×tasks rows.")
     )
     out.append("# PLANS — physical-plan evidence (sf0.01, local[32])\n\n")
     out.append("Regenerate with `sbt \"runMain graft.PlanDump\"`.\n")
