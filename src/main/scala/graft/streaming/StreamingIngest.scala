@@ -122,6 +122,60 @@ object StreamingIngest {
                          key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming drift monitor — per-window Population Stability Index
+    * of a categorical column against a static baseline histogram, the
+    * streaming twin of [[graft.operators.Profiler.drift]]: the
+    * data-quality alarm that fires while ingestion runs, instead of a
+    * batch audit after the fact.
+    *
+    * Shape: the only streaming state is the watermarked tumbling-
+    * window value histogram (bounded by |values| × open windows, not
+    * by stream length). Each micro-batch of FINALIZED window
+    * histograms joins the broadcast baseline batch-side inside
+    * foreachBatch — a per-window full outer, so baseline-only bins
+    * keep their Laplace-smoothed mass exactly like the batch gate —
+    * and appends one (window_start, n_bins, t_new, psi) row per
+    * closed window to the sink. Callers set a trigger on the returned
+    * writer if they need one.
+    */
+  def driftMonitor(stream: DataFrame, baseline: DataFrame, valueCol: String,
+                   sinkPath: String, checkpoint: String,
+                   windowLen: String = "10 minutes",
+                   watermark: String = "20 minutes"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val base = baseline
+      .groupBy(coalesce(col(valueCol).cast("string"), lit("<null>")).as("value"))
+      .agg(count(lit(1)).as("n_old"))
+    val winCounts = stream.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen),
+        coalesce(col(valueCol).cast("string"), lit("<null>")).as("value"))
+      .agg(count(lit(1)).as("n_new"))
+      .select(col("window.start").as("window_start"), col("value"), col("n_new"))
+    winCounts.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bins = batch.select(col("window_start")).distinct()
+          .crossJoin(broadcast(base))
+          .join(batch, Seq("window_start", "value"), "full_outer")
+          .select(col("window_start"), col("value"),
+            coalesce(col("n_old"), lit(0L)).as("n_old"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
+        val totals = bins.groupBy(col("window_start")).agg(
+          sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"),
+          count(lit(1)).as("n_bins"))
+        val pOld = (col("n_old") + lit(1)) / (col("t_old") + col("n_bins"))
+        val pNew = (col("n_new") + lit(1)) / (col("t_new") + col("n_bins"))
+        bins.join(broadcast(totals), Seq("window_start"))
+          .select(col("window_start"), col("n_bins"), col("t_new"),
+            ((pNew - pOld) * log(pNew / pOld)).as("term"))
+          .groupBy(col("window_start"))
+          .agg(first(col("n_bins")).as("n_bins"),
+            first(col("t_new")).as("t_new"),
+            round(sum(col("term")), 6).as("psi"))
+          .write.mode("append").parquet(sinkPath)
+      }
+  }
+
   /** Stream-stream inner join within a time bound: right events match
     * left events with the same key whose timestamp falls in
     * [left.ts, left.ts + within]. Both sides are watermarked, so the

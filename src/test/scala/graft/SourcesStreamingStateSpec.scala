@@ -123,4 +123,36 @@ class SourcesStreamingStateSpec extends SparkSpecBase {
       assert(got.contains((1L, 5000L, 5000L, 1L)), s"open session must not absorb it: $got")
     } finally query.stop()
   }
+
+  test("driftMonitor: closed windows score PSI against the static baseline") {
+    val sink = Files.createTempDirectory("graft-drift-out").toString
+    val ckpt = Files.createTempDirectory("graft-drift-ckpt").toString
+    val baseline = (Seq.fill(50)("en") ++ Seq.fill(50)("de")).toDF("lang")
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val stream = input.toDF().toDF("ts", "lang")
+    val B = 1000000L
+    def ts(sec: Long) = new Timestamp((B + sec) * 1000)
+    val query = StreamingIngest.driftMonitor(stream, baseline, "lang",
+      sink, ckpt, windowLen = "10 minutes", watermark = "0 seconds").start()
+    try {
+      // window [B, B+600): all-zh traffic — maximal drift vs en/de
+      input.addData((ts(10), "zh"), (ts(20), "zh"), (ts(30), "zh"))
+      query.processAllAvailable()
+      // two flush batches: first advances the watermark past the
+      // window end, second triggers the append-mode emission
+      input.addData((ts(5000), "en"))
+      query.processAllAvailable()
+      input.addData((ts(9000), "en"))
+      query.processAllAvailable()
+      // the all-zh window closed (and no-data micro-batches may close
+      // later flush windows too) — assert on the zh window's row
+      val got = spark.read.parquet(sink).where(col("t_new") === 3L).collect()
+      assert(got.length == 1, s"expected the zh window row, got ${got.toSeq}")
+      // union-of-values bins: en + de (baseline) + zh (stream-only)
+      assert(got(0).getAs[Long]("n_bins") == 3L)
+      assert(got(0).getAs[Long]("t_new") == 3L)
+      // complete distribution shift → PSI far above the 0.25 alarm bar
+      assert(got(0).getAs[Double]("psi") > 0.25, got(0).toString)
+    } finally query.stop()
+  }
 }
