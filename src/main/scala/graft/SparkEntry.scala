@@ -1006,6 +1006,17 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    "d_dedup_incremental" -> ((s, dir) => {
+      // incremental dedup: every 10th doc re-arrives at id+5M as an
+      // exact copy — pairs touch the delta only; the existing corpus
+      // is scanned, never self-paired (old↔old dups do NOT appear)
+      val docs = tbl(s, dir, "documents")
+      val delta = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      Dedup.incrementalNgramPairs(docs, delta, n = 3, threshold = 0.8)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "d_snapshot_diff" -> ((s, dir) => {
       // incremental-ingestion delta plan: v2 drops ids ≡3 (mod 17),
       // revises text on ids ≡5 (mod 11), adds ids ≡7 (mod 13) under
@@ -2177,6 +2188,30 @@ object SparkEntry {
          |JOIN split sb ON sb.doc_id = p.b
          |WHERE sa.split <> sb.split
          |ORDER BY p.a, p.b""".stripMargin,
+
+    "d_dedup_incremental" ->
+      s"""WITH delta AS (
+         |  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |comb AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM delta),
+         |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM comb),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [${sqlHash("array_to_string(t, ' ')")}]
+         |    ELSE list_transform(range(0, len(t) - 2),
+         |         i -> ${sqlHash("array_to_string(t[i+1:i+3], ' ')")}) END) AS hashes
+         |  FROM toks),
+         |ex AS (SELECT doc_id, len(hashes) AS n_sh, unnest(hashes) AS shingle FROM sh),
+         |capped AS (
+         |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM ex)
+         |  WHERE df <= 1000),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb, count(*) AS inter
+         |  FROM capped x JOIN capped y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  WHERE y.doc_id >= 5000000
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT a, b, inter, na, nb FROM pairs
+         |WHERE inter * 10000 >= 8000 * (na + nb - inter)
+         |ORDER BY a, b""".stripMargin,
 
     "d_snapshot_diff" ->
       s"""WITH old AS (SELECT doc_id, text FROM documents),

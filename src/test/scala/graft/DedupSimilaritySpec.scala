@@ -324,6 +324,26 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(rel == Seq(10L, 11L, 12L))
   }
 
+  test("incrementalNgramPairs: pairs touch the delta; existing corpus never self-pairs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // old↔old dup — must NOT appear
+      (3L, "totally different content words here now")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // copy of 1 and 2
+      (11L, "alpha beta gamma delta epsilon zeta"), // new↔new dup with 10
+      (12L, "unrelated fresh text with novel tokens")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNgramPairs(corpus, delta, n = 3, threshold = 0.8)
+    val pairs = got.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (10L, 11L)))
+    // 6 tokens, n=3 → 4 shingles; identical docs → inter = na = nb = 4
+    val row = got.where(col("a") === 1L && col("b") === 10L).collect().head
+    assert((row.getAs[Long]("inter"), row.getAs[Int]("na"), row.getAs[Int]("nb"))
+      == ((4L, 4, 4)))
+  }
+
   test("knnPq: coarse codebook still ranks the near-copy first") {
     val got = Similarity.knnPq(vecs, vecs.where(col("vec_id") === 0),
       k = 2, m = 2, nCodes = 3, dim = 4).orderBy("rank")
