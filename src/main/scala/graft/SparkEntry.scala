@@ -881,6 +881,22 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    "d_dedup_fuzzy" -> ((s, dir) => {
+      // small-edit near-dups: every 10th doc reappears with one char
+      // substituted at head position 5 (edit distance 1) on top of
+      // corpusWithDups' exact (+1e6) and suffix-append (+2e6,
+      // head-identical) variants — the typo'd-recrawl shape that
+      // token-level Jaccard misses
+      val docs = tbl(s, dir, "documents")
+      val corpus = corpusWithDups(docs).union(
+        docs.where(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + 3000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 4), lit("Z"),
+            expr("substring(text, 6)")).as("text")))
+      Dedup.fuzzyEditPairs(corpus, headLen = 64, segments = 3, maxDist = 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "d_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashLshPairs(corpusWithDups(tbl(s, dir, "documents")),
           n = 3, k = 16, rowsPerBand = 4, threshold = 0.8)
@@ -928,6 +944,18 @@ object SparkEntry {
       Corpus.decontaminate(
         corpusWithDups(docs), docs.where(col("doc_id") % 25 === 0), n = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    "d_decontaminate_semantic" -> ((s, dir) => {
+      // embedding-similarity decontamination: every 200th embedding
+      // stands in for the eval set; any corpus vector (incl. the
+      // induced scaled dups) with cosine >= 0.9 to ANY eval vector is
+      // flagged — the paraphrase-catching companion to the n-gram
+      // check in d_decontaminate
+      val emb = tbl(s, dir, "embeddings")
+      Corpus.decontaminateSemantic(
+        vecsWithDups(emb), emb.where(col("vec_id") % 200 === 0), threshold = 0.9)
+        .orderBy(col("vec_id"))
     }),
 
     "d_cut_spans" -> ((s, dir) => {
@@ -1978,6 +2006,28 @@ object SparkEntry {
          |SELECT a, b, inter, na, nb FROM dup_pairs
          |ORDER BY a, b""".stripMargin,
 
+    // segment-blocked Levenshtein replay: same 64-char heads, same
+    // three 21-char slices, same <=1000-per-segment hot guard,
+    // distinct candidates, then exact edit distance <= 2
+    "d_dedup_fuzzy" ->
+      s"""WITH corpus AS ($corpusWithDupsSql
+         |  UNION ALL SELECT doc_id + 3000000,
+         |    substr(text, 1, 4) || 'Z' || substr(text, 6)
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |h AS (SELECT doc_id, substr(text, 1, 64) AS head FROM corpus),
+         |sl AS (
+         |  SELECT doc_id, head, s.slot, substr(head, s.slot * 21 + 1, 21) AS seg
+         |  FROM h, (SELECT unnest([0, 1, 2]) AS slot) s
+         |  WHERE length(substr(head, s.slot * 21 + 1, 21)) > 0),
+         |ok AS (SELECT slot, seg FROM sl GROUP BY slot, seg HAVING count(*) <= 1000),
+         |c AS (SELECT sl.* FROM sl JOIN ok USING (slot, seg)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.head AS ha, y.head AS hb
+         |  FROM c x JOIN c y ON x.slot = y.slot AND x.seg = y.seg AND x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(levenshtein(ha, hb) AS BIGINT) AS dist
+         |FROM cand WHERE levenshtein(ha, hb) <= 2
+         |ORDER BY a, b""".stripMargin,
+
     "d_dedup_url" ->
       """WITH u AS (
         |  SELECT doc_id,
@@ -2037,6 +2087,28 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(DISTINCT ex.shingle) AS BIGINT) AS n_shared
          |FROM ex JOIN bsh USING (shingle)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // brute-force cosine vs the broadcast eval set, norms hoisted per
+    // vector (bit-identical to the per-pair kernel: same fold order,
+    // same na*nb product order), count+max over matching pairs only
+    "d_decontaminate_semantic" -> {
+      def fold(expr: String) =
+        s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], list_transform(range(1, 65), i -> $expr)), (x, y) -> x + y)"
+      def nrm(v: String) = s"sqrt(${fold(s"CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)")})"
+      s"""WITH v AS ($vecsWithDupsSql),
+         |c AS (SELECT vec_id, embedding, ${nrm("embedding")} AS nrm FROM v),
+         |bench AS (SELECT embedding AS be, ${nrm("embedding")} AS bnrm
+         |  FROM embeddings WHERE vec_id % 200 = 0),
+         |pairs AS (
+         |  SELECT x.vec_id,
+         |    CASE WHEN x.nrm * b.bnrm = 0 THEN 0.0
+         |         ELSE ${fold("CAST(x.embedding[i] AS DOUBLE) * CAST(b.be[i] AS DOUBLE)")} / (x.nrm * b.bnrm) END AS cos
+         |  FROM c x, bench b)
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_matched,
+         |  round(max(cos), 6) AS max_cos
+         |FROM pairs WHERE cos >= 0.9
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
 
     "d_cut_spans" -> {
       val inCut = "i - 1 >= s.a AND i - 1 <= s.b" // DuckDB lambda index is 1-based

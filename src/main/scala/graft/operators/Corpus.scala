@@ -583,4 +583,38 @@ object Corpus {
           (col("n_a") + col("n_b") - coalesce(col("shared"), lit(0L))), 6)
           .as("jaccard"))
   }
+
+  /** Semantic benchmark decontamination: flag corpus vectors whose
+    * embedding is near-duplicate (cosine ≥ threshold) of ANY held-out
+    * benchmark/eval vector — the embedding-similarity contamination
+    * check modern pipelines run ALONGSIDE [[decontaminate]]'s n-gram
+    * check (n-grams miss paraphrases; embeddings catch them). Returns
+    * (vec_id, n_matched, max_cos) for contaminated vectors only —
+    * callers anti-join to drop them, mirroring [[decontaminate]]'s
+    * output contract.
+    *
+    * Scale shape: eval sets are MBs against a 100 TB corpus, so the
+    * benchmark side is broadcast (explicit hint — it is the whole
+    * point of the operator) and the corpus streams through a
+    * broadcast nested-loop join with the cosine predicate applied
+    * per pair: corpus embeddings NEVER shuffle. Only matching pairs
+    * (a vanishing fraction) reach the per-vec_id aggregate, which
+    * map-side-combines to one row per contaminated vector. Brute
+    * force over the benchmark is deliberate: |bench| is small and
+    * exactness matters for a DROP decision — an LSH prefilter here
+    * would trade silent recall loss for nothing (the BNLJ is
+    * O(|corpus|·|bench|) map-side work with no shuffle at all).
+    */
+  def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: Double = 0.9): DataFrame = {
+    val bench = broadcast(
+      benchmark.select(col("vec_id").as("bench_id"), col("embedding").as("be")))
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(bench,
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("be")) >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        round(max(graft.functions.VectorFunctions.cosine(col("embedding"), col("be"))), 6)
+          .as("max_cos"))
+  }
 }

@@ -567,6 +567,58 @@ object Dedup {
     * buckets are dropped via a broadcast anti-join (the bucket-count
     * aggregate is map-side combined into ≤ 2^nPlanes rows).
     */
+  /** Fuzzy (edit-distance) near-duplicate pairs over a fixed-length
+    * document head: (a, b, dist) with levenshtein(head_a, head_b) <=
+    * maxDist, the classic small-edit catch (typo'd re-crawls, trailing
+    * tweak variants) that token-level Jaccard misses because a one-char
+    * edit rewrites a whole token. Candidates are blocked on exact
+    * equality of one of `segments` fixed-width head slices —
+    * pigeonhole: <= maxDist substitutions with segments > maxDist
+    * leave at least one slice untouched, so substitution-only recall
+    * is total; insert/delete edits shift alignment past the edit
+    * point, so indel recall is partial (the trade every segment-
+    * blocking edit join makes short of full PassJoin-style shift
+    * enumeration, documented here as the operator's contract).
+    *
+    * Scale shape: one shuffle on the (slot, segment) key carrying
+    * (doc_id, head) — heads are `headLen` chars, never whole
+    * documents. Per-key fan-out is s² for a segment shared by s docs,
+    * so boilerplate-prefix hot segments are dropped via the same
+    * broadcast anti-join guard as [[embeddingCosinePairs]]. Catalyst
+    * pushes the Levenshtein predicate INTO the candidate join (it is
+    * a deterministic filter over the final grouping columns), so the
+    * verify runs per candidate co-occurrence — at most `segments`×
+    * per pair — and only VERIFIED pairs shuffle into the distinct
+    * aggregate. That is the right trade at corpus scale: the
+    * O(headLen²) verify is cheap CPU inside the join stage, while
+    * deduping first would shuffle every raw candidate pair with two
+    * heads of payload (PlanSpec pins this shape).
+    */
+  def fuzzyEditPairs(documents: DataFrame, headLen: Int = 64,
+                     segments: Int = 3, maxDist: Int = 2,
+                     maxDocsPerSegment: Int = 1000): DataFrame = {
+    require(segments > maxDist, "pigeonhole blocking needs segments > maxDist")
+    val width = headLen / segments
+    val slots = documents
+      .select(col("doc_id"), substring(col("text"), 1, headLen).as("head"))
+      .select(col("doc_id"), col("head"),
+        explode(sequence(lit(0), lit(segments - 1))).as("slot"))
+      .withColumn("seg", expr(s"substring(head, slot * $width + 1, $width)"))
+      .where(length(col("seg")) > 0)
+    val hot = slots.groupBy(col("slot"), col("seg"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") > maxDocsPerSegment)
+      .select(col("slot"), col("seg"))
+    val capped = slots.join(broadcast(hot), Seq("slot", "seg"), "left_anti")
+    val a = capped.select(col("slot"), col("seg"), col("doc_id").as("a"), col("head").as("ha"))
+    val b = capped.select(col("slot"), col("seg"), col("doc_id").as("b"), col("head").as("hb"))
+    a.join(b, Seq("slot", "seg"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
+      .withColumn("dist", levenshtein(col("ha"), col("hb")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist"))
+  }
+
   def embeddingCosinePairs(vectors: DataFrame,
                            threshold: Double = 0.95,
                            nPlanes: Int = 8,

@@ -341,4 +341,32 @@ class CorpusSpec extends SparkSpecBase {
     assert(byId(3L).getAs[String]("pred_label") == "en")
     assert(byId(3L).getAs[Long]("n_hits") == 0L)
   }
+
+  test("decontaminateSemantic: cosine-near vectors flagged, orthogonal ones clean") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),       // exact benchmark member
+      (2L, Array(0.99f, 0.01f, 0f, 0f)), // near-dup of benchmark vec
+      (3L, Array(0f, 1f, 0f, 0f)),       // orthogonal → clean
+      (4L, Array(0.7f, 0.7f, 0f, 0f))    // cos ≈ 0.707 < 0.9 → clean
+    ).toDF("vec_id", "embedding")
+    val bench = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Corpus.decontaminateSemantic(corpus, bench, threshold = 0.9)
+      .orderBy("vec_id").collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L))
+    assert(got.head.getAs[Double]("max_cos") == 1.0)
+    assert(got.forall(_.getAs[Long]("n_matched") == 1L))
+  }
+
+  test("decontaminateSemantic: n_matched counts every matching benchmark vector") {
+    val corpus = Seq((1L, Array(1f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (100L, Array(1f, 1f, 0f, 0f)),
+      (101L, Array(2f, 2f, 0f, 0f)),      // same direction, different norm
+      (102L, Array(0f, 0f, 1f, 0f))       // orthogonal
+    ).toDF("vec_id", "embedding")
+    val got = Corpus.decontaminateSemantic(corpus, bench, threshold = 0.9).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_matched") == 2L)
+    assert(got.head.getAs[Double]("max_cos") == 1.0)
+  }
 }

@@ -351,6 +351,39 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(got.nonEmpty) // quantized search returns ranked candidates
   }
 
+  test("fuzzyEditPairs: substitution typo pairs, unrelated heads rejected") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("beta", "bXta")),    // 1 substitution inside the head
+      (3L, base),                            // exact duplicate of 1
+      (4L, "totally different words that share no head segment at all ok")
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyEditPairs(docs, headLen = 64, segments = 3, maxDist = 2)
+    val pairs = got.select("a", "b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L)))
+  }
+
+  test("fuzzyEditPairs: edits in different slices still block via the untouched slice") {
+    // two substitutions, one in slice 0 and one in slice 2 → only
+    // slice 1 is shared; pigeonhole blocking must still find the pair
+    val base = "one two three four five six seven eight nine ten eleven twelve!"
+    val edited = "Xne two three four five six seven eight nine ten eleven twelvX!"
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val got = Dedup.fuzzyEditPairs(docs, headLen = 64, segments = 3, maxDist = 2)
+      .collect()
+    assert(got.length == 1 && got.head.getAs[Long]("dist") == 2L)
+  }
+
+  test("fuzzyEditPairs: hot segments are dropped by maxDocsPerSegment") {
+    val docs = (1L to 10L).map(i => (i, "identical boilerplate prefix shared by every single document here"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.fuzzyEditPairs(docs, maxDocsPerSegment = 5)
+    assert(capped.count() == 0L) // all segments over the cap → no candidates
+    val uncapped = Dedup.fuzzyEditPairs(docs, maxDocsPerSegment = 100)
+    assert(uncapped.count() == 45L) // all C(10,2) identical-head pairs
+  }
+
   test("knnLsh: returns correctly-scored subset with ranks") {
     val got = Similarity.knnLsh(vecs, vecs.where(col("vec_id") === 0), dim = 4, k = 3)
       .collect()

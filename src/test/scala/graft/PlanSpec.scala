@@ -152,6 +152,47 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("Partial"), s"expected a map-side partial group limit:\n$plan")
   }
 
+  test("decontaminateSemantic: corpus never shuffles; bench side broadcasts") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val df = graft.operators.Corpus.decontaminateSemantic(
+      emb, emb.where(col("vec_id") % 200 === 0), threshold = 0.9)
+    val plan = executed(df)
+    val txt = plan.toString
+    // the whole point of the operator: brute force over a BROADCAST
+    // eval set — a sort-merge or shuffled-hash formulation would
+    // shuffle 100 TB of corpus embeddings
+    assert(txt.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast nested-loop over the eval set:\n$txt")
+    assert(!txt.contains("SortMergeJoin") && !txt.contains("CartesianProduct"),
+      s"corpus embeddings must not shuffle into the join:\n$txt")
+    // the only row shuffle allowed is the final per-vec_id aggregate,
+    // fed by matching pairs only (and map-side combined)
+    val rowShuffles = plan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(rowShuffles.size == 1,
+      s"expected exactly the final aggregate exchange, got ${rowShuffles.size}:\n$txt")
+  }
+
+  test("fuzzyEditPairs: Levenshtein verify is pushed into the candidate join") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val plan = executed(Dedup.fuzzyEditPairs(docs)).toString
+    // the verify predicate must sit IN the join condition, below the
+    // distinct aggregate: only verified pairs then shuffle into the
+    // dedup, instead of every raw candidate pair carrying two heads
+    // of payload (the verify itself is cheap CPU inside the join
+    // stage — at most `segments`× per true pair)
+    val joinLine = plan.linesIterator.find(l =>
+      l.contains("Join") && l.contains("levenshtein")).getOrElse("")
+    assert(joinLine.nonEmpty,
+      s"levenshtein must be part of the candidate join condition:\n$plan")
+    val aggIdx = plan.indexOf("HashAggregate")
+    val levIdx = plan.indexOf("levenshtein")
+    assert(aggIdx >= 0 && aggIdx < levIdx, // top-down: dedup agg ABOVE the verify
+      s"distinct agg must consume verified pairs only:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "segment-blocked join expected")
+  }
+
   test("token chunker is a shuffle-free narrow plan") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val plan = executed(graft.operators.Chunkers.tokenChunks(docs)).toString
