@@ -29,7 +29,9 @@ object PlanDump {
       ("t_entropy", "Entropy signal: the charEntropy kernel evaluates inside the scan-stage Project (codegen-inlined, map-only) — the only operator below the output sort is the parquet scan."),
       ("t_nb_classifier", "Naive Bayes classifier: the ≤|classes|·|vocab| model MATERIALIZES once (Scan ExistingRDD) and broadcasts into the scoring join — the corpus stream shuffles (doc_id, hash) longs into one groupBy(doc_id, cls); the per-doc argmax rewrites to WindowGroupLimit(Partial/Final) so map tasks pre-prune to their best class before the exchange."),
       ("d_corpus_overlap", "Corpus-overlap matrix: the corpus reduces to distinct (group, 60-bit hash) via a map-side-combined aggregate BEFORE any join; the hash-keyed self-join carries (group) payloads only — per-hash fan-out bounded by #groups² — and pair counts map-side-combine to ≤#groups² rows."),
-      ("d_sample_temperature", "Temperature sampling: quotas come from a driver fold over the bounded stratum-count aggregate; the corpus-side row_number≤maxQuota LITERAL filter rewrites to WindowGroupLimit(Partial) below the stratum exchange, then the exact per-stratum quota applies via a broadcast join — the shuffle never carries more than maxQuota×strata×tasks rows.")
+      ("d_sample_temperature", "Temperature sampling: quotas come from a driver fold over the bounded stratum-count aggregate; the corpus-side row_number≤maxQuota LITERAL filter rewrites to WindowGroupLimit(Partial) below the stratum exchange, then the exact per-stratum quota applies via a broadcast join — the shuffle never carries more than maxQuota×strata×tasks rows."),
+      ("d_decontaminate_semantic", "Semantic decontamination: the eval set BROADCASTS into a BroadcastNestedLoopJoin with the cosine predicate evaluated map-side — corpus embeddings never shuffle; the only row exchange is the final per-vec_id aggregate, fed by matching pairs only and map-side combined."),
+      ("d_dedup_fuzzy", "Fuzzy edit-distance dedup: heads-only payloads into the (slot, segment) candidate join, hot segments dropped via a broadcast anti-join, and Catalyst pushes the levenshtein≤k verify INTO the join condition — only verified pairs shuffle into the distinct aggregate, never raw candidates with two heads of payload.")
     )
     out.append("# PLANS — physical-plan evidence (sf0.01, local[32])\n\n")
     out.append("Regenerate with `sbt \"runMain graft.PlanDump\"`.\n")
