@@ -968,6 +968,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "d_dedup_lines" -> ((s, dir) => {
+      // C4-style line dedup over a lineified dup-injected corpus:
+      // texts re-wrapped at 8 tokens per line, so every full line of a
+      // %10 doc recurs in its base/+1e6/+2e6 variants (3 distinct docs
+      // = minDocs) and gets cut, while the +2e6 variant's trailing
+      // " graftdup" keeps its last line unique
+      val corpus = corpusWithDups(tbl(s, dir, "documents"))
+        .withColumn("t", graft.functions.TextFunctions.tokens(col("text")))
+        .select(col("doc_id"),
+          array_join(transform(
+            sequence(lit(0), greatest(lit(1), expr("(size(t) + 7) div 8")) - 1),
+            i => array_join(slice(col("t"), i * lit(8) + lit(1), lit(8)), " ")),
+            "\n").as("text"))
+        // materialized once: the lineification is query-side input
+        // synthesis (real corpora store lines on disk); without this
+        // the tokens+slice chain re-evaluates for each of the
+        // operator's three passes over its input
+        .localCheckpoint(true)
+      Corpus.dedupLines(corpus, minDocs = 3).orderBy(col("doc_id"))
+    }),
+
     "d_decontaminate_spans" -> ((s, dir) => {
       // span-level decontamination: the exact token ranges overlapping
       // the eval set's 8-grams (same benchmark derivation as
@@ -2087,6 +2108,34 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(DISTINCT ex.shingle) AS BIGINT) AS n_shared
          |FROM ex JOIN bsh USING (shingle)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // C4 line-dedup replay: identical 8-token lineification, distinct-
+    // doc line frequency, cut-by-position HOF; coalesce('') because
+    // array_to_string of an empty list is NULL in DuckDB where Spark
+    // array_join is ''
+    "d_dedup_lines" ->
+      s"""WITH corpus AS ($corpusWithDupsSql),
+         |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
+         |lined AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(range(0, greatest(1, (len(t) + 7) // 8)),
+         |      i -> array_to_string(t[i*8+1 : i*8+8], ' ')), chr(10)) AS text
+         |  FROM toks),
+         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM lined),
+         |l AS (
+         |  SELECT doc_id, CAST(u.i AS INT) AS pos, arr[u.i + 1] AS line
+         |  FROM ls, unnest(range(0, len(arr))) AS u(i)),
+         |hot AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+         |cuts AS (
+         |  SELECT doc_id, list_sort(list(pos)) AS cut_pos
+         |  FROM l JOIN hot USING (line) GROUP BY doc_id)
+         |SELECT c.doc_id,
+         |  coalesce(array_to_string(
+         |    list_filter(arr, (x, i) -> NOT list_contains(coalesce(cut_pos, []), i - 1)),
+         |    chr(10)), '') AS text,
+         |  CAST(coalesce(len(cut_pos), 0) AS INT) AS n_removed
+         |FROM ls c LEFT JOIN cuts USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // brute-force cosine vs the broadcast eval set, norms hoisted per
     // vector (bit-identical to the per-pair kernel: same fold order,

@@ -232,6 +232,45 @@ object Corpus {
         (size(col("t")) - size(kept)).as("n_removed"))
   }
 
+  /** C4-style line-level dedup (Raffel et al., "Exploring the Limits
+    * of Transfer Learning", §2.2): cut every line that occurs in at
+    * least `minDocs` DISTINCT documents — the canonical boilerplate
+    * remover (nav bars, cookie banners, license headers) that
+    * document-level dedup can't touch and token-window spans only
+    * catch when the boilerplate is long. Returns every document,
+    * cleaned, with n_removed; line order is preserved.
+    *
+    * Keys are the line STRINGS, deliberately not hashes: a cut is
+    * destructive, and at 10^10+ distinct lines a narrow hash would
+    * birthday-collide good lines into the boilerplate set (the same
+    * false-cut reasoning that moved the span family to 60-bit
+    * hashes — here lines are short enough to ship whole). Scale
+    * shape: the doc-frequency aggregate shuffles distinct (line,
+    * doc_id) pairs map-side combined; the hot set (lines in ≥
+    * minDocs docs) is vanishingly small and AQE broadcasts it back
+    * onto the exploded lines, so only FLAGGED (doc_id, pos) rows
+    * reach the per-doc cut-list aggregate; the cut itself is a
+    * map-side HOF over the re-split text, mirroring [[cutSpans]].
+    */
+  def dedupLines(documents: DataFrame, minDocs: Int = 3): DataFrame = {
+    val lines = documents.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val hot = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDocs).select(col("line"))
+    val cuts = lines.join(hot, Seq("line"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("cut_pos"))
+    documents
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"), split(col("text"), "\n").as("ls"),
+        coalesce(col("cut_pos"), array().cast("array<int>")).as("cut_pos"))
+      .select(col("doc_id"),
+        array_join(filter(col("ls"),
+          (l, i) => !array_contains(col("cut_pos"), i)), "\n").as("text"),
+        size(col("cut_pos")).as("n_removed"))
+  }
+
   /** Merge flagged window offsets into maximal spans (gaps-and-islands
     * over (doc_id, pos) rows): flagged positions p1 < p2 cover
     * contiguous tokens iff p2 - p1 <= n.

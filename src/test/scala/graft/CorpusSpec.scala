@@ -342,6 +342,44 @@ class CorpusSpec extends SparkSpecBase {
     assert(byId(3L).getAs[Long]("n_hits") == 0L)
   }
 
+  test("dedupLines: boilerplate lines cut, unique lines survive in order") {
+    val docs = Seq(
+      (1L, "cookie banner\nreal content one\nfooter text"),
+      (2L, "cookie banner\nreal content two\nfooter text"),
+      (3L, "cookie banner\nreal content three\nfooter text"),
+      (4L, "totally unique document\nwith its own lines")
+    ).toDF("doc_id", "text")
+    val got = Corpus.dedupLines(docs, minDocs = 3).orderBy("doc_id").collect()
+    // banner+footer occur in 3 distinct docs → cut; content lines survive
+    assert(got.map(_.getAs[String]("text")).toSeq == Seq(
+      "real content one", "real content two", "real content three",
+      "totally unique document\nwith its own lines"))
+    assert(got.map(_.getAs[Int]("n_removed")).toSeq == Seq(2, 2, 2, 0))
+  }
+
+  test("dedupLines: within-doc repeats don't count toward the doc threshold") {
+    val docs = Seq(
+      (1L, "repeat me\nrepeat me\nrepeat me\nkeep this"),
+      (2L, "other stuff\nentirely different")
+    ).toDF("doc_id", "text")
+    val got = Corpus.dedupLines(docs, minDocs = 3).orderBy("doc_id").collect()
+    // "repeat me" occurs 3× but only in ONE distinct doc → kept
+    assert(got.head.getAs[String]("text") == "repeat me\nrepeat me\nrepeat me\nkeep this")
+    assert(got.map(_.getAs[Int]("n_removed")).sum == 0)
+  }
+
+  test("dedupLines: a fully-boilerplate document empties but still appears") {
+    val docs = Seq(
+      (1L, "shared line"), (2L, "shared line"), (3L, "shared line"),
+      (4L, "shared line\nplus own content")
+    ).toDF("doc_id", "text")
+    val got = Corpus.dedupLines(docs, minDocs = 3).orderBy("doc_id").collect()
+    assert(got.length == 4)
+    assert(got.take(3).forall(r =>
+      r.getAs[String]("text") == "" && r.getAs[Int]("n_removed") == 1))
+    assert(got.last.getAs[String]("text") == "plus own content")
+  }
+
   test("decontaminateSemantic: cosine-near vectors flagged, orthogonal ones clean") {
     val corpus = Seq(
       (1L, Array(1f, 0f, 0f, 0f)),       // exact benchmark member
