@@ -1409,6 +1409,13 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("word_idx"))
     }),
 
+    "t_vocab_stats" -> ((s, dir) => {
+      // per-source corpus-health row: tokens, types, hapaxes, TTR —
+      // the Heaps/Zipf diagnostic read per crawl slice
+      TextAnalysis.vocabStats(tbl(s, dir, "documents"), "source")
+        .orderBy(col("source"))
+    }),
+
     "t_unigram_lm" -> ((s, dir) => {
       // rare-token quality signal: score the full corpus against the
       // unigram distribution of a reference half (even doc ids) —
@@ -3185,6 +3192,27 @@ object SparkEntry {
          |FROM (SELECT *, $bestCase AS best FROM enc) WHERE best < 0
          |ORDER BY doc_id, word_idx""".stripMargin
     },
+
+    "t_vocab_stats" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(${sqlToks("text")}) AS tok FROM documents),
+         |tc AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+         |st AS (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_types,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |  FROM tc GROUP BY source),
+         |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY source)
+         |SELECT d.source, n_docs,
+         |  coalesce(n_tokens, 0) AS n_tokens,
+         |  coalesce(n_types, 0) AS n_types,
+         |  coalesce(n_hapax, 0) AS n_hapax,
+         |  CASE WHEN coalesce(n_tokens, 0) > 0
+         |       THEN round(CAST(n_types AS DOUBLE) / n_tokens, 6)
+         |       ELSE 0.0 END AS ttr
+         |FROM d LEFT JOIN st USING (source)
+         |ORDER BY source""".stripMargin,
 
     "t_unigram_lm" ->
       s"""WITH rt AS (

@@ -167,6 +167,40 @@ object TextAnalysis {
         col("symbol_ratio"), col("reason"), col("keep"))
   }
 
+  /** Per-group corpus vocabulary statistics — the corpus-health
+    * dashboard row (Heaps/Zipf diagnostics): token count, distinct
+    * type count, hapax-legomena count (types occurring exactly once),
+    * and type-token ratio per group. A collapsing TTR or a hapax
+    * spike is the standard early-warning for template spam or
+    * boilerplate floods in a crawl slice, read per source/snapshot.
+    *
+    * Scale shape: ONE map-side-combined (group, token) aggregate
+    * reduces the corpus to its vocabulary (≤ |groups|·|vocab| rows ≪
+    * corpus); the per-group rollup and the doc-count aggregate are
+    * both bounded, joined at |groups| rows. Types are counted on the
+    * raw token STRINGS — a hashed vocabulary would undercount types
+    * by its collision rate, and tokens are short enough that the one
+    * vocab shuffle is immaterial.
+    */
+  def vocabStats(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val tc = docs
+      .select(col(groupCol).as("g"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+    val stats = tc.groupBy(col("g")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    docs.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n_docs"))
+      .join(stats, Seq("g"), "left")
+      .select(col("g").as(groupCol), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          round(col("n_types").cast("double") / col("n_tokens"), 6))
+          .otherwise(0.0).as("ttr"))
+  }
+
   /** Unigram corpus-frequency scoring — the CCNet-style "how rare are
     * this document's tokens against a reference corpus" quality signal
     * (CCNet scores with a wiki-trained KenLM; with no model downloads,

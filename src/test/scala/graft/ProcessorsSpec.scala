@@ -247,6 +247,27 @@ class ProcessorsSpec extends SparkSpecBase {
       (3L, 1000000L, "tail"), (4L, 0L, "head")))
   }
 
+  test("vocabStats: tokens/types/hapaxes/TTR per group, empty group zeroed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b b c", "s1"),   // s1: tokens 7, types {a,b,c,d}, hapax {c,d}? — see below
+      (2L, "a b d", "s1"),
+      (3L, "", "s2"),          // tokenless group
+      (4L, "x x x", "s3")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.vocabStats(docs, "source").orderBy("source").collect()
+    val s1 = got(0)
+    // s1 corpus counts: a=2, b=3, c=1, d=1 → 7 tokens, 4 types, 2 hapaxes
+    assert(s1.getAs[Long]("n_docs") == 2L && s1.getAs[Long]("n_tokens") == 7L)
+    assert(s1.getAs[Long]("n_types") == 4L && s1.getAs[Long]("n_hapax") == 2L)
+    assert(math.abs(s1.getAs[Double]("ttr") - 0.571429) < 1e-9)
+    val s2 = got(1)
+    assert(s2.getAs[Long]("n_docs") == 1L && s2.getAs[Long]("n_tokens") == 0L
+      && s2.getAs[Double]("ttr") == 0.0)
+    val s3 = got(2)
+    assert(s3.getAs[Long]("n_types") == 1L && s3.getAs[Long]("n_hapax") == 0L)
+  }
+
   test("qualityScore components") {
     val goodText = (1 to 30).map(_ => "the words and more of it").mkString(" ")
     val got = Seq((1L, goodText), (2L, "!!! ??? ***"), (3L, "")).toDF("doc_id", "text")
