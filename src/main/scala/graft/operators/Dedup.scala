@@ -575,7 +575,9 @@ object Dedup {
     * equality of one of `segments` fixed-width head slices —
     * pigeonhole: <= maxDist substitutions with segments > maxDist
     * leave at least one slice untouched, so substitution-only recall
-    * is total; insert/delete edits shift alignment past the edit
+    * is total for heads that fill all `segments` slices (shorter
+    * heads expose fewer slices to the pigeonhole — KernelPropsSpec
+    * pins the algebra); insert/delete edits shift alignment past the edit
     * point, so indel recall is partial (the trade every segment-
     * blocking edit join makes short of full PassJoin-style shift
     * enumeration, documented here as the operator's contract).

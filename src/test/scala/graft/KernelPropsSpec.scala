@@ -227,4 +227,29 @@ object KernelPropsSpec extends Properties("native-kernels") {
         got.head == firstExpected
     }
   }
+
+  // fuzzyEditPairs' documented recall contract, as pure slice algebra
+  // (the Spark operator applies exactly this segmentation:
+  // substring(head, slot*width+1, width), empty slices filtered).
+  // Pigeonhole: ≤ maxDist substitutions with more nonempty slices
+  // than maxDist MUST leave one shared nonempty slice — if this ever
+  // fails, the blocking join silently loses guaranteed pairs.
+  property("fuzzy blocking: ≤2 substitutions leave a shared slice when ≥3 slices are filled") = {
+    val headLen = 64; val segments = 3; val width = headLen / segments
+    def slices(s: String): Seq[(Int, String)] =
+      (0 until segments).map(i => i -> s.slice(i * width, i * width + width))
+        .filter(_._2.nonEmpty)
+    val baseGen = for {
+      n <- Gen.choose(2 * width + 1, 80) // head fills all 3 slices
+      cs <- Gen.listOfN(n, Gen.alphaLowerChar)
+    } yield cs.mkString
+    forAll(baseGen, Gen.choose(0, 63), Gen.choose(0, 63)) { (base, p1, p2) =>
+      val head = base.take(headLen)
+      val edited = head.toCharArray
+      for (p <- Seq(p1, p2) if p < edited.length) edited(p) = 'Z'
+      val eh = new String(edited)
+      val shared = slices(head).toSet.intersect(slices(eh).toSet)
+      shared.nonEmpty
+    }
+  }
 }
