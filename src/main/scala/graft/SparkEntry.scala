@@ -1409,6 +1409,14 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("word_idx"))
     }),
 
+    "t_bpe_fertility" -> ((s, dir) => {
+      // tokenizer-eval metric: pieces per word by language under the
+      // fixed 8-merge table — English words hit the en-drawn merges
+      // more often, so its fertility lands visibly below the others
+      Corpus.bpeFertility(tbl(s, dir, "documents"), BpeQueryMerges, "lang")
+        .orderBy(col("lang"))
+    }),
+
     "t_vocab_stats" -> ((s, dir) => {
       // per-source corpus-health row: tokens, types, hapaxes, TTR —
       // the Heaps/Zipf diagnostic read per crawl slice
@@ -3191,6 +3199,36 @@ object SparkEntry {
          |  CAST(len(string_split(j, chr(1))) AS INT) AS n_pieces
          |FROM (SELECT *, $bestCase AS best FROM enc) WHERE best < 0
          |ORDER BY doc_id, word_idx""".stripMargin
+    },
+
+    // fertility replay: same recursive-CTE encode as t_bpe_encode but
+    // over the DISTINCT (lang, word) frequency table, weighted by
+    // count — mirroring the operator's vocab-bounded shape exactly
+    "t_bpe_fertility" -> {
+      val bestCase = BpeQueryMerges.zipWithIndex.map { case ((a, b), i) =>
+        s"WHEN contains(j, '$a' || chr(1) || '$b') THEN $i"
+      }.mkString("CASE ", " ", " ELSE -1 END")
+      val rewriteCase = BpeQueryMerges.zipWithIndex.map { case ((a, b), i) =>
+        s"WHEN $i THEN replace(j, '$a' || chr(1) || '$b', '$a$b')"
+      }.mkString("CASE best ", " ", " END")
+      s"""WITH RECURSIVE wf AS (
+         |  SELECT lang, word, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT lang, unnest(${sqlToks("lower(text)")}) AS word FROM documents)
+         |  GROUP BY lang, word),
+         |enc AS (
+         |  SELECT lang, word, n,
+         |    array_to_string(list_filter(regexp_split_to_array(word, ''), c -> length(c) > 0), chr(1)) AS j
+         |  FROM wf
+         |  UNION ALL
+         |  SELECT lang, word, n, $rewriteCase AS j
+         |  FROM (SELECT *, $bestCase AS best FROM enc) WHERE best >= 0),
+         |fin AS (
+         |  SELECT lang, n, CAST(len(string_split(j, chr(1))) AS BIGINT) AS np
+         |  FROM (SELECT *, $bestCase AS best FROM enc) WHERE best < 0)
+         |SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+         |  CAST(sum(n * np) AS BIGINT) AS n_pieces,
+         |  round(CAST(sum(n * np) AS DOUBLE) / sum(n), 6) AS fertility
+         |FROM fin GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "t_vocab_stats" ->

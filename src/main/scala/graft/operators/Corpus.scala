@@ -454,6 +454,35 @@ object Corpus {
       .select(col("doc_id"), col("word_idx"), col("word"),
         graft.functions.native.bpeEncode(col("word"), merges).as("pieces"))
 
+  /** Tokenizer fertility per group (avg BPE pieces per word) — the
+    * standard tokenizer-evaluation metric (e.g. the XLM-R/NLLB
+    * tokenizer comparisons): a language whose fertility is far above
+    * the corpus mean is being over-fragmented by the merge table,
+    * which inflates its effective sequence length and training cost.
+    *
+    * Scale shape: the corpus reduces FIRST to a per-group word
+    * frequency table (one map-side-combined aggregate, ≤ |groups|·
+    * |vocab| rows ≪ corpus tokens), and the encode kernel runs once
+    * per DISTINCT word, weighted by its count — the same
+    * vocab-bounded trick as [[bpeMerges]]. Output per group: n_words
+    * (token occurrences), n_pieces (weighted piece count), fertility
+    * (pieces per word, 6 dp).
+    */
+  def bpeFertility(documents: DataFrame, merges: Seq[(String, String)],
+                   groupCol: String = "lang"): DataFrame =
+    documents
+      .select(col(groupCol).as("g"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+      .groupBy(col("g"), col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("np",
+        size(graft.functions.native.bpeEncode(col("word"), merges)).cast("long"))
+      .groupBy(col("g"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("np")).as("n_pieces"),
+        round(sum(col("n") * col("np")).cast("double") / sum(col("n")), 6)
+          .as("fertility"))
+      .select(col("g").as(groupCol), col("n_words"), col("n_pieces"), col("fertility"))
+
   /** Stratified corpus mixing: keep a deterministic per-stratum
     * fraction of documents (e.g. lang -> sampling rate) — the data-mix
     * step of corpus assembly. RNG-free: membership is a portable hash

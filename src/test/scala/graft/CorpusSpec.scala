@@ -342,6 +342,22 @@ class CorpusSpec extends SparkSpecBase {
     assert(byId(3L).getAs[Long]("n_hits") == 0L)
   }
 
+  test("bpeFertility: weighted pieces per word, per language") {
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val docs = Seq(
+      (1L, "abc abc xy", "en"),  // abc→[abc] (1 piece) ×2, xy→[x,y] (2)
+      (2L, "abc", "en"),
+      (3L, "zzz", "fr")          // zzz→[z,z,z] (3 pieces)
+    ).toDF("doc_id", "text", "lang")
+    val got = Corpus.bpeFertility(docs, merges, "lang").orderBy("lang").collect()
+    val en = got(0)
+    // en: 4 words, pieces = 3×1 (abc) + 2 (xy) = 5 → fertility 1.25
+    assert(en.getAs[Long]("n_words") == 4L && en.getAs[Long]("n_pieces") == 5L)
+    assert(en.getAs[Double]("fertility") == 1.25)
+    val fr = got(1)
+    assert(fr.getAs[Long]("n_words") == 1L && fr.getAs[Double]("fertility") == 3.0)
+  }
+
   test("dedupLines: boilerplate lines cut, unique lines survive in order") {
     val docs = Seq(
       (1L, "cookie banner\nreal content one\nfooter text"),
