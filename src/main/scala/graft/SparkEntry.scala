@@ -881,6 +881,13 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    "d_dedup_sweep" -> ((s, dir) => {
+      // threshold-tuning curve: pair/doc counts at 50..90% jaccard
+      // from one candidate pass over the dup-injected corpus
+      Dedup.dedupSweep(corpusWithDups(tbl(s, dir, "documents")), n = 3)
+        .orderBy(col("t_bps"))
+    }),
+
     "d_dedup_fuzzy" -> ((s, dir) => {
       // small-edit near-dups: every 10th doc reappears with one char
       // substituted at head position 5 (edit distance 1) on top of
@@ -2041,6 +2048,24 @@ object SparkEntry {
       s"""WITH $ngramPairsCte
          |SELECT a, b, inter, na, nb FROM dup_pairs
          |ORDER BY a, b""".stripMargin,
+
+    // threshold sweep over the shared unfiltered `pairs` stage —
+    // same integer basis-point acceptance as the production operators
+    "d_dedup_sweep" ->
+      s"""WITH $ngramPairsCte,
+         |ths AS (SELECT unnest([5000, 6000, 7000, 8000, 9000]) AS t_bps),
+         |ex2 AS (
+         |  SELECT t.t_bps, unnest([p.a, p.b]) AS d
+         |  FROM pairs p JOIN ths t
+         |    ON p.inter * 10000 >= t.t_bps * (p.na + p.nb - p.inter)),
+         |ag AS (
+         |  SELECT t_bps, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+         |    CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+         |  FROM ex2 GROUP BY t_bps)
+         |SELECT t.t_bps, coalesce(n_pairs, 0) AS n_pairs,
+         |  coalesce(n_docs, 0) AS n_docs
+         |FROM ths t LEFT JOIN ag USING (t_bps)
+         |ORDER BY t_bps""".stripMargin,
 
     // segment-blocked Levenshtein replay: same 64-char heads, same
     // three 21-char slices, same <=1000-per-segment hot guard,

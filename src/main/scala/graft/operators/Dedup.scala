@@ -67,6 +67,40 @@ object Dedup {
       .where(col("inter") * lit(10000) >= lit((threshold * 10000).round) * (col("na") + col("nb") - col("inter")))
       .select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
 
+  /** Dedup-aggressiveness sweep: pair and affected-document counts at
+    * several Jaccard thresholds from ONE candidate pass — the tuning
+    * curve an operator reads before committing a threshold to a
+    * 100 TB dedup run (re-running the full pairing per candidate
+    * threshold would cost the corpus-sized stages |thresholds|
+    * times). Output (t_bps, n_pairs, n_docs), one row per requested
+    * threshold in basis points, zero-count thresholds included.
+    *
+    * Scale shape: the shared [[ngramJaccardPairs]] candidate stage
+    * runs once; the tiny threshold table broadcasts into an
+    * inequality join against the pairs-bounded counts, and the
+    * acceptance test is the same integer basis-point arithmetic as
+    * the production operators — no float threshold can disagree with
+    * what [[ngramJaccardPairs]] would actually keep.
+    */
+  def dedupSweep(documents: DataFrame, n: Int = 3,
+                 thresholdsBps: Seq[Int] = Seq(5000, 6000, 7000, 8000, 9000),
+                 maxDocsPerShingle: Int = 1000): DataFrame = {
+    require(thresholdsBps.nonEmpty)
+    import documents.sparkSession.implicits._
+    val tdf = thresholdsBps.toDF("t_bps")
+    val hits = ngramPairCounts(documents, n, maxDocsPerShingle)
+      .join(broadcast(tdf),
+        col("inter") * lit(10000) >= col("t_bps") * (col("na") + col("nb") - col("inter")))
+      .select(col("t_bps"), explode(array(col("a"), col("b"))).as("d"))
+    val ag = hits.groupBy(col("t_bps")).agg(
+      (count(lit(1)) / 2).cast("long").as("n_pairs"),
+      countDistinct(col("d")).as("n_docs"))
+    tdf.join(ag, Seq("t_bps"), "left")
+      .select(col("t_bps"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** Asymmetric near-dup pairs by Jaccard CONTAINMENT (Broder):
     * |A∩B| / min(|A|,|B|) >= threshold — flags a short document whose
     * shingles sit (almost) entirely inside a longer one (an excerpt, a

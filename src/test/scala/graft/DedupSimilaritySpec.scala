@@ -85,6 +85,22 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(!got.exists { case (a, b) => a >= 4L || b >= 4L })
   }
 
+  test("dedupSweep counts agree with per-threshold ngramJaccardPairs") {
+    val ths = Seq(5000, 6000, 7000, 8000, 9000)
+    val got = Dedup.dedupSweep(corpus, n = 3, thresholdsBps = ths)
+      .orderBy("t_bps").as[(Int, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == ths) // every threshold gets a row, even zero-count
+    for ((t, nPairs, nDocs) <- got) {
+      val pairs = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = t / 10000.0)
+        .select("a", "b").as[(Long, Long)].collect()
+      assert(nPairs == pairs.length.toLong, s"pair count at $t bps")
+      assert(nDocs == pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong,
+        s"doc count at $t bps")
+    }
+    // the curve is monotone: raising the threshold never adds pairs
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse)
+  }
+
   test("containmentPairs flags an excerpt symmetric jaccard misses") {
     // doc 20 = a verbatim 12-token excerpt of the 60-token doc 21:
     // jaccard = 10/58 ≈ 0.17 (invisible at 0.8) but containment = 1.0
