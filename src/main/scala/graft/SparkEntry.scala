@@ -1105,6 +1105,15 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    "d_sample_weighted" -> ((s, dir) => {
+      // A-Res weighted reservoir: 30 docs per source, inclusion
+      // probability proportional to token count — the token-budget
+      // sample (weight = a quality/DSIR score works the same way)
+      Corpus.weightedSample(tbl(s, dir, "documents"),
+          TextAnalysis.tokenCount(col("text")), k = 30, stratumCol = "source")
+        .orderBy(col("source"), col("rk"))
+    }),
+
     "d_sample_temperature" -> ((s, dir) => {
       // XLM-R-style temperature mixing: α=0.5 flattens the language
       // head; quotas from the driver-side contracted-order fold,
@@ -1523,6 +1532,12 @@ object SparkEntry {
 
     "t_corpus_filter" -> ((s, dir) => {
       TextAnalysis.corpusFilter(tbl(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+
+    "t_gopher_rules" -> ((s, dir) => {
+      // the published Gopher/MassiveText rule set with the paper's
+      // thresholds; line/word-structure signals + first failing rule
+      TextAnalysis.gopherRules(tbl(s, dir, "documents")).orderBy(col("doc_id"))
     }),
 
     "x_sql_surface" -> ((s, dir) => {
@@ -2422,6 +2437,24 @@ object SparkEntry {
          |WHERE rk <= 40
          |ORDER BY lang, doc_id""".stripMargin,
 
+    // A-Res replay: u from the portable id hash (exact in a double),
+    // key = ln(u)/w computed identically in both engines, 6-dp-rounded
+    "d_sample_weighted" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    greatest(CAST(len(${sqlToks("text")}) AS DOUBLE), 1e-9) AS w,
+         |    CAST(${sqlHash("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE) / 1000000008.0 AS u
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, ln(u) / w AS key,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ln(u) / w DESC, doc_id) AS rk
+         |  FROM t)
+         |SELECT doc_id, source, CAST(rk AS INT) AS rk,
+         |  round(key, 6) AS ares_key
+         |FROM r WHERE rk <= 30
+         |ORDER BY source, rk""".stripMargin,
+
     "d_sample_temperature" ->
       s"""WITH ws AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
          |tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -3173,6 +3206,52 @@ object SparkEntry {
          |  FROM sig)
          |SELECT doc_id, CAST(n_tok AS INT) AS n_tok, n_chars, mean_tok_len, symbol_ratio,
          |  reason, CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Gopher rule replay: every signal is a count of list_filter hits
+    // or a replace()-delta, fractions are single divisions of exact
+    // integer-valued doubles; CASE order mirrors the paper's rule order
+    "t_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(${sqlToks("text")}) AS n_words,
+         |    length(regexp_replace(text, '\\s+', '', 'g')) AS tok_chars,
+         |    length(text) - length(regexp_replace(text, '#', '', 'g')) AS n_hash,
+         |    (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS n_ell3,
+         |    length(text) - length(regexp_replace(text, '…', '', 'g')) AS n_ellu,
+         |    len(list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0)) AS n_lines,
+         |    len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^\\s*[-*•]'))) AS n_bullet,
+         |    len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS n_ell_lines,
+         |    len(list_filter(regexp_split_to_array(text, '\\s+'), w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         |    ${TextAnalysis.GopherStopwords.map(s =>
+              s"CASE WHEN regexp_matches(lower(text), '\\b$s\\b') THEN 1 ELSE 0 END")
+             .mkString("(", " + ", ")")} AS n_stop
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, n_words,
+         |    CASE WHEN n_words > 0 THEN CAST(tok_chars AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
+         |    CASE WHEN n_words > 0 THEN (CAST(n_hash AS DOUBLE) + n_ell3 + CAST(n_ellu AS DOUBLE)) / n_words ELSE 0.0 END AS symbol_ratio,
+         |    CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS bullet_frac,
+         |    CASE WHEN n_lines > 0 THEN CAST(n_ell_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS ellipsis_frac,
+         |    CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END AS alpha_frac,
+         |    n_stop
+         |  FROM t),
+         |r AS (
+         |  SELECT *, CASE WHEN n_words < 50 THEN 'too_few_words'
+         |    WHEN n_words > 100000 THEN 'too_many_words'
+         |    WHEN mean_word_len < 3.0 THEN 'word_len_low'
+         |    WHEN mean_word_len > 10.0 THEN 'word_len_high'
+         |    WHEN symbol_ratio > 0.1 THEN 'symbol_ratio'
+         |    WHEN bullet_frac > 0.9 THEN 'bullet_lines'
+         |    WHEN ellipsis_frac > 0.3 THEN 'ellipsis_lines'
+         |    WHEN alpha_frac < 0.8 THEN 'non_alpha_words'
+         |    WHEN n_stop < 2 THEN 'few_stopwords'
+         |    ELSE 'ok' END AS reason
+         |  FROM sig)
+         |SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+         |  symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac,
+         |  CAST(n_stop AS INT) AS n_stopwords, reason,
+         |  CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INT) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
 
     "t_fingerprint" ->

@@ -577,6 +577,47 @@ object Corpus {
       .select(col("doc_id"), col(stratumCol), col("quota"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-Res): keep the `k` documents per stratum whose reservoir key
+    * ln(u)/w is largest, where w is the caller's weight column (token
+    * count for token-budget-proportional selection, a quality or DSIR
+    * importance score for quality-weighted selection) and u ∈ (0,1] is
+    * derived from the portable content-id hash — each document's
+    * inclusion probability is proportional to its weight, the
+    * textbook one-pass weighted reservoir scheme. RNG-free like the
+    * rest of the sampling family ([[stratifiedSample]] /
+    * [[balancedSample]] / [[temperatureSample]]): membership depends
+    * only on a document's own id and weight, so the sample is
+    * reproducible across runs, partitionings and engines, and any
+    * document's fate is auditable.
+    *
+    * Scale shape: key computation is map-only; the rank filter is
+    * `row_number <= k` over (stratum, key desc), which Spark 4
+    * rewrites to WindowGroupLimit — map tasks pre-prune to their
+    * local top-k per stratum BEFORE the exchange (the
+    * [[balancedSample]] contract), so the shuffle carries ≤ k ×
+    * strata × tasks rows at any corpus size.
+    *
+    * u = (h+1)/(HashMod+1) is exact in a double (both operands are
+    * small integers) and the key needs one ln() and one division, so
+    * the DuckDB oracle reproduces the ordering; emitted keys are
+    * 6-dp-rounded (the bm25 float contract).
+    */
+  def weightedSample(docs: DataFrame, weight: org.apache.spark.sql.Column,
+                     k: Int, stratumCol: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (TextFunctions.portableHash(col("doc_id").cast("string")) + lit(1L))
+      .cast("double") / lit((TextFunctions.HashMod + 1L).toDouble)
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("__key").desc, col("doc_id").asc)
+    docs
+      .withColumn("__key", log(u) / greatest(weight.cast("double"), lit(1e-9)))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(col("doc_id"), col(stratumCol), col("__rk").as("rk"),
+        round(col("__key"), 6).as("ares_key"))
+  }
+
   /** Snapshot diff between two corpus versions keyed by `idCol`:
     * classify every id as `added` (present only in the new snapshot),
     * `removed` (only in the old), or `changed` (present in both with

@@ -65,6 +65,85 @@ object TextAnalysis {
     (lengthScore + punctScore + stopScore).cast("int")
   }
 
+  /** Gopher stopwords (Rae et al. 2021, MassiveText appendix A1.1):
+    * a document must contain at least `minStopwords` of these to pass
+    * the rule set.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher/MassiveText quality rule set (Rae et al. 2021 appendix
+    * A1.1) — the published heuristic filter for web-scale pretraining
+    * corpora, complementing [[corpusFilter]]'s generic length/symbol
+    * bounds with the line- and word-STRUCTURE signals: fraction of
+    * lines starting with a bullet, fraction ending in an ellipsis,
+    * fraction of words containing an alphabetic character, and
+    * required-stopword presence. Emits every signal plus the FIRST
+    * failing rule (rules applied in the paper's order), so a corpus
+    * operator can audit *why* mass was dropped, not just how much.
+    *
+    * Scale shape: pure column expressions over each row (split/filter
+    * HOFs and regexes, all codegen'd) — map-only at any scale, no
+    * shuffle, no UDF. Fractions are single divisions of exact
+    * integer-valued doubles, so the DuckDB oracle matches
+    * bit-for-bit.
+    */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8, minStopwords: Int = 2): DataFrame = {
+    val text = col("text")
+    val nWords = tokenCount(text)
+    val tokChars = length(regexp_replace(text, "\\s+", ""))
+    // Gopher's "symbols": '#' plus ellipses (both the three-dot and the
+    // unicode form), as a ratio to WORDS not characters. replace() is
+    // leftmost non-overlapping in both engines, so the '...' count is
+    // the same integer everywhere.
+    val nHash = length(text) - length(regexp_replace(text, "#", ""))
+    val nEll3 = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)
+    val nEllU = length(text) - length(regexp_replace(text, "…", ""))
+    val lines = split(text, "\n", -1)
+    val nLines = size(filter(lines, l => length(trim(l)) > 0))
+    val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+    val nEllLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+    val nAlpha = size(filter(split(text, "\\s+", -1), w => w.rlike("[A-Za-z]")))
+    val nStop = GopherStopwords
+      .map(s => when(lower(text).rlike("\\b" + s + "\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len",
+        when(col("n_words") > 0, tokChars.cast("double") / col("n_words")).otherwise(0.0))
+      .withColumn("symbol_ratio",
+        when(col("n_words") > 0,
+          (nHash.cast("double") + nEll3 + nEllU.cast("double")) / col("n_words"))
+          .otherwise(0.0))
+      .withColumn("bullet_frac",
+        when(nLines > 0, nBullet.cast("double") / nLines.cast("double")).otherwise(0.0))
+      .withColumn("ellipsis_frac",
+        when(nLines > 0, nEllLines.cast("double") / nLines.cast("double")).otherwise(0.0))
+      .withColumn("alpha_frac",
+        when(col("n_words") > 0, nAlpha.cast("double") / col("n_words")).otherwise(0.0))
+      .withColumn("n_stopwords", nStop)
+      .withColumn("reason",
+        when(col("n_words") < minWords, "too_few_words")
+          .when(col("n_words") > maxWords, "too_many_words")
+          .when(col("mean_word_len") < minMeanWordLen, "word_len_low")
+          .when(col("mean_word_len") > maxMeanWordLen, "word_len_high")
+          .when(col("symbol_ratio") > maxSymbolRatio, "symbol_ratio")
+          .when(col("bullet_frac") > maxBulletFrac, "bullet_lines")
+          .when(col("ellipsis_frac") > maxEllipsisFrac, "ellipsis_lines")
+          .when(col("alpha_frac") < minAlphaFrac, "non_alpha_words")
+          .when(col("n_stopwords") < minStopwords, "few_stopwords")
+          .otherwise("ok"))
+      .withColumn("keep", (col("reason") === "ok").cast("int"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
+        col("alpha_frac"), col("n_stopwords"), col("reason"), col("keep"))
+  }
+
   /** Document fingerprint: portable polynomial rolling hash (see
     * TextFunctions.portableHash for the DuckDB twin).
     */

@@ -255,6 +255,35 @@ class CorpusSpec extends SparkSpecBase {
     assert(some.count() == n1)
   }
 
+  test("weightedSample: exact A-Res top-k replay; partitioning-invariant") {
+    // weights 1..200 (token counts of i repeated-word docs)
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 3 == 0) "web" else "book",
+        (1L to i).map(_ => "w").mkString(" "))).toDF("doc_id", "src", "text")
+    val got = Corpus.weightedSample(docs,
+        graft.operators.TextAnalysis.tokenCount(col("text")), k = 20, stratumCol = "src")
+      .select("src", "rk", "doc_id").as[(String, Int, Long)].collect()
+    assert(got.count(_._1 == "web") == 20 && got.count(_._1 == "book") == 20)
+    assert(got.filter(_._1 == "web").map(_._2).sorted.toSeq == (1 to 20))
+    // replay ln(u)/w on the driver and compare the exact member sets
+    val mod = graft.functions.TextFunctions.HashMod
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % mod)
+    val expected = (1L to 200L).groupBy(i => if (i % 3 == 0) "web" else "book")
+      .map { case (src, ids) =>
+        src -> ids.sortBy { i =>
+          (-math.log((polyHash(i.toString) + 1).toDouble / (mod + 1).toDouble) / i.toDouble, i)
+        }.take(20).toSet
+      }
+    for (src <- Seq("web", "book"))
+      assert(got.filter(_._1 == src).map(_._3).toSet == expected(src), src)
+    // reproducible under a different physical partitioning
+    val re = Corpus.weightedSample(docs.repartition(13),
+        graft.operators.TextAnalysis.tokenCount(col("text")), k = 20, stratumCol = "src")
+      .select("src", "rk", "doc_id").as[(String, Int, Long)].collect()
+    assert(re.toSet == got.toSet)
+  }
+
   test("balancedSample: caps each stratum at the lowest-hash members, deterministically") {
     val docs = (1L to 200L).map(i =>
       (i, if (i % 4 == 0) "de" else "en", s"doc $i")).toDF("doc_id", "lang", "text")

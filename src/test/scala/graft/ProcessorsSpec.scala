@@ -169,6 +169,39 @@ class ProcessorsSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(("ok", 1), ("too_short", 0), ("tokens_too_long", 0)))
   }
 
+  test("gopherRules: every rule fires on its construction, in the paper's order") {
+    val ok = ("the cat and that dog have fun with nice toys here " * 6).trim // 66 words, stopwords present
+    val bullets = (1 to 10).map(_ => "- alpha beta gamma delta epsilon").mkString("\n") // 60 words, all lines bulleted
+    val ellipsis = Seq(
+      "the cat and that dog have fun with toys...",
+      "more plain words here about the garden today...",
+      "the dog and the cat with all that stuff...",
+      "plain line about nothing much at all today",
+      "another plain line with the usual words here",
+      "more of the same words that fill this out") // 3/6 lines end in '...', 3 symbols / 59 words
+      .mkString("\n")
+    val numeric = ((1 to 50).map(_ => "word") ++ (1 to 15).map(_ => "12345")).mkString(" ")
+    val got = TextAnalysis.gopherRules(Seq(
+      (1L, ok),
+      (2L, "just a few words"),                                   // too_few_words
+      (3L, (1 to 60).map(_ => "ab").mkString(" ")),               // word_len_low (mean 2)
+      (4L, (1 to 60).map(_ => "extraordinarily").mkString(" ")),  // word_len_high (mean 15)
+      (5L, ((1 to 60).map(_ => "word") ++ (1 to 10).map(_ => "#")).mkString(" ")), // symbol_ratio 10/70
+      (6L, bullets),                                              // bullet_lines
+      (7L, ellipsis),                                             // ellipsis_lines
+      (8L, numeric),                                              // non_alpha_words 50/65
+      (9L, (1 to 60).map(i => s"word$i").mkString(" "))           // few_stopwords
+    ).toDF("doc_id", "text"))
+      .orderBy("doc_id").select("reason", "keep").as[(String, Int)].collect()
+    assert(got.toSeq == Seq(("ok", 1), ("too_few_words", 0), ("word_len_low", 0),
+      ("word_len_high", 0), ("symbol_ratio", 0), ("bullet_lines", 0),
+      ("ellipsis_lines", 0), ("non_alpha_words", 0), ("few_stopwords", 0)))
+    // fraction signals are exact rationals of the constructed counts
+    val row = TextAnalysis.gopherRules(Seq((7L, ellipsis)).toDF("doc_id", "text"))
+      .select("ellipsis_frac", "symbol_ratio", "n_words").as[(Double, Double, Int)].head()
+    assert(row._1 == 3.0 / 6.0 && row._2 == 3.0 / row._3)
+  }
+
   test("unigramScore: exact frequencies, OOV counting, rarest-token signal") {
     val reference = Seq(
       (10L, "spark spark spark data query"),
