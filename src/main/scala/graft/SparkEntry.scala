@@ -1534,6 +1534,13 @@ object SparkEntry {
       TextAnalysis.corpusFilter(tbl(s, dir, "documents")).orderBy(col("doc_id"))
     }),
 
+    "t_zipf_fit" -> ((s, dir) => {
+      // Zipf slope/R² per language over the top-1000 token ranks —
+      // the corpus-health fit (natural text ≈ −1)
+      TextAnalysis.zipfFit(tbl(s, dir, "documents"), "lang", topV = 1000)
+        .orderBy(col("lang"))
+    }),
+
     "t_gopher_rules" -> ((s, dir) => {
       // the published Gopher/MassiveText rule set with the paper's
       // thresholds; line/word-structure signals + first failing rule
@@ -3207,6 +3214,34 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_tok AS INT) AS n_tok, n_chars, mean_tok_len, symbol_ratio,
          |  reason, CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INT) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Zipf replay: identical rank table, sums folded by ordered
+    // list_reduce (the contracted-order float contract), identical
+    // arithmetic shape for slope/intercept/r2
+    "t_zipf_fit" ->
+      s"""WITH toks AS (
+         |  SELECT lang, unnest(${sqlToks("text")}) AS tok FROM documents),
+         |tc AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+         |rk AS (SELECT lang, c, row_number() OVER (PARTITION BY lang
+         |    ORDER BY c DESC, tok) AS r FROM tc),
+         |top AS (SELECT lang, r, ln(CAST(r AS DOUBLE)) AS x,
+         |    ln(CAST(c AS DOUBLE)) AS y
+         |  FROM rk WHERE r <= 1000),
+         |s AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS v,
+         |    CAST(count(*) AS DOUBLE) AS vd,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x ORDER BY r)), (a, b) -> a + b) AS sx,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(y ORDER BY r)), (a, b) -> a + b) AS sy,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x * y ORDER BY r)), (a, b) -> a + b) AS sxy,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(x * x ORDER BY r)), (a, b) -> a + b) AS sxx,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(y * y ORDER BY r)), (a, b) -> a + b) AS syy
+         |  FROM top GROUP BY lang HAVING count(*) >= 3)
+         |SELECT lang, v,
+         |  (vd * sxy - sx * sy) / (vd * sxx - sx * sx) AS slope,
+         |  (sy - ((vd * sxy - sx * sy) / (vd * sxx - sx * sx)) * sx) / vd AS intercept,
+         |  ((vd * sxy - sx * sy) * (vd * sxy - sx * sy)) /
+         |    ((vd * sxx - sx * sx) * (vd * syy - sy * sy)) AS r2
+         |FROM s ORDER BY lang""".stripMargin,
 
     // Gopher rule replay: every signal is a count of list_filter hits
     // or a replace()-delta, fractions are single divisions of exact

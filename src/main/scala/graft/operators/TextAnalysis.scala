@@ -65,6 +65,59 @@ object TextAnalysis {
     (lengthScore + punctScore + stopScore).cast("int")
   }
 
+  /** Zipf-law fit per group: least-squares slope / intercept / R² of
+    * ln(freq) against ln(rank) over the group's `topV` most frequent
+    * tokens — the corpus-health statistic (natural language tracks
+    * slope ≈ −1; template/boilerplate or machine-generated corpora
+    * deviate, so a drifting slope between snapshots is a cheap
+    * ingestion alarm).
+    *
+    * Scale shape: the corpus reduces to a (group, token, count) table
+    * (one shuffle, map-side combined); rank-within-group filters at a
+    * LITERAL topV so Spark 4 rewrites it to WindowGroupLimit (map
+    * tasks pre-prune before the exchange); the regression then runs
+    * over ≤ topV rows per group. Float contract: the five sums fold
+    * over a rank-SORTED collected array (contracted association
+    * order, the t_entropy contract), so DuckDB's ordered list_reduce
+    * replays them term-for-term — the only cross-engine noise is
+    * ln() ulps, absorbed by the 10-significant-digit compare.
+    */
+  def zipfFit(docs: DataFrame, groupCol: String = "lang",
+              topV: Int = 1000): DataFrame = {
+    require(topV >= 3, "need at least 3 ranks to fit")
+    val tc = docs
+      .select(col(groupCol).as("g"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("c").desc, col("tok").asc)
+    val top = tc.withColumn("r", row_number().over(w)).where(col("r") <= topV)
+      .select(col("g"), col("r"),
+        log(col("r").cast("double")).as("x"), log(col("c").cast("double")).as("y"))
+    val folded = top.groupBy(col("g")).agg(
+      count(lit(1)).as("v"),
+      sort_array(collect_list(struct(col("r"), col("x"), col("y")))).as("a"))
+    def fld(e: Column => Column): Column =
+      aggregate(col("a"), lit(0.0), (acc, s) => acc + e(s))
+    val sums = folded
+      .select(col("g"), col("v"), col("v").cast("double").as("vd"),
+        fld(_.getField("x")).as("sx"), fld(_.getField("y")).as("sy"),
+        fld(s => s.getField("x") * s.getField("y")).as("sxy"),
+        fld(s => s.getField("x") * s.getField("x")).as("sxx"),
+        fld(s => s.getField("y") * s.getField("y")).as("syy"))
+      .where(col("v") >= 3)
+    // the same literal arithmetic SHAPE as the DuckDB oracle — operand
+    // order matters for bit-level agreement, don't refactor
+    val slope = (col("vd") * col("sxy") - col("sx") * col("sy")) /
+      (col("vd") * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("g").as(groupCol), col("v"),
+      slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / col("vd")).as("intercept"),
+      (((col("vd") * col("sxy") - col("sx") * col("sy")) *
+        (col("vd") * col("sxy") - col("sx") * col("sy"))) /
+        ((col("vd") * col("sxx") - col("sx") * col("sx")) *
+          (col("vd") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
   /** Gopher stopwords (Rae et al. 2021, MassiveText appendix A1.1):
     * a document must contain at least `minStopwords` of these to pass
     * the rule set.

@@ -169,6 +169,25 @@ class ProcessorsSpec extends SparkSpecBase {
     assert(got.toSeq == Seq(("ok", 1), ("too_short", 0), ("tokens_too_long", 0)))
   }
 
+  test("zipfFit: exact power-law corpus gives slope -1, r2 1; topV truncates ranks") {
+    // counts 24/12/8/6 = 24/r for ranks 1..4 → ln(c) = ln24 - ln(r)
+    val text = (Seq.fill(24)("aa") ++ Seq.fill(12)("bb") ++
+      Seq.fill(8)("cc") ++ Seq.fill(6)("dd")).mkString(" ")
+    val fit = TextAnalysis.zipfFit(Seq((1L, "en", text)).toDF("doc_id", "lang", "text"))
+      .select("v", "slope", "intercept", "r2").as[(Long, Double, Double, Double)].head()
+    assert(fit._1 == 4L)
+    assert(math.abs(fit._2 - (-1.0)) < 1e-9, s"slope ${fit._2}")
+    assert(math.abs(fit._3 - math.log(24.0)) < 1e-9, s"intercept ${fit._3}")
+    assert(math.abs(fit._4 - 1.0) < 1e-9, s"r2 ${fit._4}")
+    // topV bounds the fit to the head ranks
+    val head3 = TextAnalysis.zipfFit(Seq((1L, "en", text)).toDF("doc_id", "lang", "text"), topV = 3)
+      .select("v").as[Long].head()
+    assert(head3 == 3L)
+    // groups with fewer than 3 types are dropped, not emitted as NaN
+    assert(TextAnalysis.zipfFit(
+      Seq((1L, "xx", "one two one")).toDF("doc_id", "lang", "text")).count() == 0)
+  }
+
   test("gopherRules: every rule fires on its construction, in the paper's order") {
     val ok = ("the cat and that dog have fun with nice toys here " * 6).trim // 66 words, stopwords present
     val bullets = (1 to 10).map(_ => "- alpha beta gamma delta epsilon").mkString("\n") // 60 words, all lines bulleted
