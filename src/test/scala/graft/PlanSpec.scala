@@ -152,6 +152,19 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("Partial"), s"expected a map-side partial group limit:\n$plan")
   }
 
+  test("weightedSample and zipfFit pre-prune via WindowGroupLimit") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    // same row_number<=literal contract as balancedSample: map tasks
+    // keep local top-k per stratum before the exchange
+    val ws = executed(graft.operators.Corpus.weightedSample(
+      docs, graft.operators.TextAnalysis.tokenCount(col("text")), 30, "source")).toString
+    assert("WindowGroupLimit".r.findAllIn(ws).size >= 2 && ws.contains("Partial"),
+      s"expected partial+final WindowGroupLimit in weightedSample:\n$ws")
+    val zf = executed(graft.operators.TextAnalysis.zipfFit(docs, "lang", 1000)).toString
+    assert("WindowGroupLimit".r.findAllIn(zf).size >= 2 && zf.contains("Partial"),
+      s"expected partial+final WindowGroupLimit in zipfFit:\n$zf")
+  }
+
   test("decontaminateSemantic: corpus never shuffles; bench side broadcasts") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val df = graft.operators.Corpus.decontaminateSemantic(
