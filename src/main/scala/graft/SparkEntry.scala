@@ -474,6 +474,70 @@ object SparkEntry {
         .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
     }),
 
+    "q_funnel" -> ((s, dir) => {
+      // ordered conversion funnel view→click→signup→purchase, each
+      // step within 2h of the previous step's FIRST occurrence —
+      // computed as ONE pass: per user, a greedy fold over the
+      // time-sorted event list advances the step clock (greedy-first
+      // = min-in-window since the list is sorted, which is what the
+      // DuckDB oracle's 4-way join replay computes independently).
+      // Scale shape: one filtered scan, one user-keyed shuffle, a
+      // codegen'd HOF fold, then a 4-long final agg — vs the naive
+      // per-step-join formulation's 10 scans. Per-user arrays are
+      // bounded by that user's funnel-type events (whale users are
+      // the caveat, as in any collect-based sessionization).
+      val S = 4000000000000000000L
+      val e = events(s, dir)
+        .where(col("event_type").isin("view", "click", "signup", "purchase"))
+        .select(col("user_id"),
+          struct(col("sec"), col("event_type").as("tp"), col("event_id")).as("ev"))
+      val folded = e.groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("ev"))).as("evs"))
+        .select(aggregate(col("evs"),
+          array(lit(S), lit(S), lit(S), lit(S)),
+          (st, ev) => {
+            val Seq(t1, t2, t3, t4) = (1 to 4).map(i => element_at(st, i))
+            val sec = ev.getField("sec"); val tp = ev.getField("tp")
+            def adv(t: Column, prev: Column, et: String) =
+              when(t === S && prev =!= S && tp === et &&
+                sec > prev && sec <= prev + 7200, sec).otherwise(t)
+            array(
+              when(t1 === S && tp === "view", sec).otherwise(t1),
+              adv(t2, t1, "click"), adv(t3, t2, "signup"), adv(t4, t3, "purchase"))
+          }).as("st"))
+      val nCols = (1 to 4).map(i =>
+        sum(when(element_at(col("st"), i) =!= S, 1L).otherwise(0L)).as(s"n$i"))
+      val counts = folded.agg(nCols.head, nCols.tail: _*)
+      counts
+        .select(col("n1"), expr(
+          "stack(4, '1_view', n1, '2_click', n2, '3_signup', n3, '4_purchase', n4) AS (step, n_users)"))
+        .select(col("step"), col("n_users"),
+          (col("n_users").cast("double") / col("n1")).as("rate"))
+        .orderBy(col("step"))
+    }),
+
+    "q_retention" -> ((s, dir) => {
+      // weekly cohort retention: cohort = epoch-week of the user's
+      // first event, n_active distinct users at week offsets 0..8.
+      // The corpus reduces to distinct (user, week) BEFORE the
+      // user-keyed join, so the join is activity-bounded, not
+      // event-bounded.
+      val e = events(s, dir)
+        .select(col("user_id"), expr("sec div 604800").as("wk")).distinct()
+      val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val act = e.join(first, "user_id")
+        .select(col("user_id"), col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset"))
+        .where(col("offset") <= 8)
+      val cohortSize = first.groupBy(col("cohort_wk"))
+        .agg(countDistinct(col("user_id")).as("n_cohort"))
+      act.groupBy(col("cohort_wk"), col("offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(cohortSize, "cohort_wk")
+        .select(col("cohort_wk"), col("offset"), col("n_active"), col("n_cohort"),
+          (col("n_active").cast("double") / col("n_cohort")).as("rate"))
+        .orderBy(col("cohort_wk"), col("offset"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
@@ -1738,6 +1802,41 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment))
         |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS sec FROM events),
+        |v AS (SELECT user_id, min(sec) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(sec) AS t2 FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND sec > t1 AND sec <= t1 + 7200 GROUP BY 1),
+        |sg AS (SELECT e.user_id, min(sec) AS t3 FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'signup' AND sec > t2 AND sec <= t2 + 7200 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(sec) AS t4 FROM e JOIN sg USING (user_id)
+        |  WHERE event_type = 'purchase' AND sec > t3 AND sec <= t3 + 7200 GROUP BY 1),
+        |steps AS (
+        |  SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |  UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+        |  UNION ALL SELECT '3_signup', CAST(count(*) AS BIGINT) FROM sg
+        |  UNION ALL SELECT '4_purchase', CAST(count(*) AS BIGINT) FROM p)
+        |SELECT step, n_users,
+        |  CAST(n_users AS DOUBLE) / (SELECT count(*) FROM v) AS rate
+        |FROM steps ORDER BY step""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 604800 AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+        |a AS (SELECT e.user_id, cohort_wk, wk - cohort_wk AS "offset"
+        |  FROM e JOIN f USING (user_id) WHERE wk - cohort_wk <= 8),
+        |cs AS (SELECT cohort_wk, CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
+        |  FROM f GROUP BY 1),
+        |na AS (SELECT cohort_wk, "offset", CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM a GROUP BY 1, 2)
+        |SELECT cohort_wk, "offset", n_active, n_cohort,
+        |  CAST(n_active AS DOUBLE) / n_cohort AS rate
+        |FROM na JOIN cs USING (cohort_wk)
+        |ORDER BY cohort_wk, "offset"""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (
