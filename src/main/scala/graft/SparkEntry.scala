@@ -538,6 +538,28 @@ object SparkEntry {
         .orderBy(col("cohort_wk"), col("offset"))
     }),
 
+    "q_outliers" -> ((s, dir) => {
+      // per-event-type z-score outliers (|z| > 3): value is 2-decimal
+      // data, so summing exact integer CENTS (round(v*100)) makes the
+      // group moments exact integers and every later float op a
+      // bit-identical IEEE expression in both engines — a hash-exact
+      // oracle for a statistic that is normally float-fragile.
+      // Scale: map-side-combined moment agg (5 rows), broadcast back,
+      // map-only z filter; no window, no collect.
+      val e = events(s, dir).select(col("event_id"), col("event_type"), col("value"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val m = e.groupBy(col("event_type")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("cents")).cast("double").as("ssum"),
+        sum(col("cents") * col("cents")).cast("double").as("ssq"))
+      val z = (col("cents").cast("double") - col("ssum") / col("n")) /
+        sqrt((col("ssq") - col("ssum") * col("ssum") / col("n")) / col("n"))
+      e.join(broadcast(m), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
+        .where(abs(col("z")) > 3.0)
+        .orderBy(col("event_id"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
@@ -1802,6 +1824,25 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), (c_mktsegment))
         |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
+    // z replay: cents are exact integers, every float op afterwards is
+    // the same IEEE expression shape — keep the parenthesization
+    "q_outliers" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(cents) AS DOUBLE) AS ssum,
+        |    CAST(sum(cents * cents) AS DOUBLE) AS ssq
+        |  FROM e GROUP BY 1)
+        |SELECT event_id, event_type, value,
+        |  (CAST(cents AS DOUBLE) - ssum / n) /
+        |    sqrt((ssq - ssum * ssum / n) / n) AS z
+        |FROM e JOIN m USING (event_type)
+        |WHERE abs((CAST(cents AS DOUBLE) - ssum / n) /
+        |    sqrt((ssq - ssum * ssum / n) / n)) > 3.0
+        |ORDER BY event_id""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (
