@@ -29,14 +29,25 @@ object SparkEntry {
     col("doc_id"), col("chunk_id"), col("content"), col("context"),
     col("token_count"), col("page_number"))
 
-  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark
-    * only reads as a long (nanos since epoch) with the legacy flag.
-    * Exposes `sec` (epoch seconds, exact integer division — matches
-    * DuckDB `epoch_us(ts) // 1000000`).
+  /** events table with a uniform `sec` column (epoch seconds, exact
+    * integer division — matches DuckDB `epoch_us(ts) // 1000000`).
+    * Type-adaptive on `ts`: driver generations have stored it both as
+    * parquet TIMESTAMP(NANOS) (readable only as a nanos long under the
+    * legacy flag) and as TIMESTAMP(MICROS) (a native Spark timestamp);
+    * every downstream query consumes `sec` only, so both layouts
+    * produce identical results.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, dir, "events").withColumn("sec", expr("ts div 1000000000"))
+    val e = tbl(s, dir, "events")
+    val sec = e.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000000")
+      // TIMESTAMP or TIMESTAMP_NTZ; the session timezone is pinned to
+      // UTC (GraftSession), so the NTZ→TZ cast is the identity and
+      // `sec` matches DuckDB's naive-timestamp epoch_us exactly
+      case _ => expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    }
+    e.withColumn("sec", sec)
   }
 
   /** Documents corpus with induced duplicates, shared by the dedup
