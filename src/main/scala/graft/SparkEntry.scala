@@ -571,6 +571,68 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_transition" -> ((s, dir) => {
+      // event-type Markov transition matrix: per-user time-ordered
+      // lead, then (from, to) counts and row-normalized probabilities.
+      // Scale: ONE user-keyed shuffle for the lead window; the pair
+      // agg map-side-combines to ≤ |types|² rows and the normalizing
+      // window runs on that bounded table, never the corpus.
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      val cnt = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("sec"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val byFrom = Window.partitionBy(col("from_type"))
+      cnt
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / sum(col("n")).over(byFrom).cast("double")).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    "q_rfm" -> ((s, dir) => {
+      // RFM (recency / frequency / monetary) segmentation: per-user
+      // aggregates, exact tercile thresholds, 1-3 scores. Thresholds
+      // interpolate between INTEGER order statistics, so the <=
+      // bucket comparisons are bit-robust across engines even where
+      // the interpolated double's last bit could differ (an integer
+      // beats or ties the lower neighbor regardless of the fraction).
+      // Scale: events reduce map-side to one row per user; the
+      // percentile agg and every later step run on user-bounded
+      // tables; the threshold row broadcasts back.
+      val e = events(s, dir).select(col("user_id"), col("sec"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val per = e.groupBy(col("user_id")).agg(
+        max(col("sec")).as("last_sec"),
+        count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+      val mx = per.agg(max(col("last_sec")).as("mx"))
+      val rfm = per.crossJoin(broadcast(mx))
+        .select(col("user_id"), (col("mx") - col("last_sec")).as("recency_sec"),
+          col("frequency"), col("monetary_cents"))
+      val th = rfm.agg(
+        expr("percentile(recency_sec, array(1.0D/3.0D, 2.0D/3.0D))").as("rt"),
+        expr("percentile(frequency, array(1.0D/3.0D, 2.0D/3.0D))").as("ft"),
+        expr("percentile(monetary_cents, array(1.0D/3.0D, 2.0D/3.0D))").as("mt"))
+      def lowGood(v: Column, t: Column) = // recent = small recency = best
+        when(v.cast("double") <= element_at(t, 1), 3)
+          .when(v.cast("double") <= element_at(t, 2), 2).otherwise(1)
+      def highGood(v: Column, t: Column) =
+        when(v.cast("double") <= element_at(t, 1), 1)
+          .when(v.cast("double") <= element_at(t, 2), 2).otherwise(3)
+      rfm.crossJoin(broadcast(th))
+        .select(col("user_id"), col("recency_sec"), col("frequency"),
+          col("monetary_cents"),
+          lowGood(col("recency_sec"), col("rt")).as("r_score"),
+          highGood(col("frequency"), col("ft")).as("f_score"),
+          highGood(col("monetary_cents"), col("mt")).as("m_score"))
+        .withColumn("segment", concat(col("r_score").cast("string"),
+          col("f_score").cast("string"), col("m_score").cast("string")))
+        .orderBy(col("user_id"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
@@ -1638,6 +1700,18 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "t_readability" -> ((s, dir) => {
+      // Flesch reading ease + FK grade from vowel-group syllables —
+      // map-only counting expressions, exact-integer inputs
+      TextAnalysis.readability(tbl(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+
+    "t_vocab_coverage" -> ((s, dir) => {
+      // top-k vocabulary coverage curve (vocab-sizing diagnostic);
+      // top-k via TakeOrdered, no full-vocab single-partition sort
+      TextAnalysis.vocabCoverage(tbl(s, dir, "documents"))
+    }),
+
     "t_gopher_rules" -> ((s, dir) => {
       // the published Gopher/MassiveText rule set with the paper's
       // thresholds; line/word-structure signals + first failing rule
@@ -1854,6 +1928,55 @@ object SparkEntry {
         |WHERE abs((CAST(cents AS DOUBLE) - ssum / n) /
         |    sqrt((ssq - ssum * ssum / n) / n)) > 3.0
         |ORDER BY event_id""".stripMargin,
+
+    "q_transition" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) // 1000000 AS sec FROM events),
+        |l AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+        |      AS to_type FROM e),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM l
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "q_rfm" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |per AS (
+        |  SELECT user_id, max(sec) AS last_sec, count(*) AS frequency,
+        |    CAST(sum(cents) AS BIGINT) AS monetary_cents FROM e GROUP BY 1),
+        |mx AS (SELECT max(last_sec) AS mx FROM per),
+        |rfm AS (
+        |  SELECT user_id, mx - last_sec AS recency_sec, frequency,
+        |    monetary_cents FROM per, mx),
+        |th AS (
+        |  SELECT quantile_cont(recency_sec, [1.0/3, 2.0/3]) AS rt,
+        |    quantile_cont(frequency, [1.0/3, 2.0/3]) AS ft,
+        |    quantile_cont(monetary_cents, [1.0/3, 2.0/3]) AS mt FROM rfm),
+        |sc AS (
+        |  SELECT user_id, recency_sec, frequency, monetary_cents,
+        |    CASE WHEN CAST(recency_sec AS DOUBLE) <= rt[1] THEN 3
+        |         WHEN CAST(recency_sec AS DOUBLE) <= rt[2] THEN 2
+        |         ELSE 1 END AS r_score,
+        |    CASE WHEN CAST(frequency AS DOUBLE) <= ft[1] THEN 1
+        |         WHEN CAST(frequency AS DOUBLE) <= ft[2] THEN 2
+        |         ELSE 3 END AS f_score,
+        |    CASE WHEN CAST(monetary_cents AS DOUBLE) <= mt[1] THEN 1
+        |         WHEN CAST(monetary_cents AS DOUBLE) <= mt[2] THEN 2
+        |         ELSE 3 END AS m_score
+        |  FROM rfm, th)
+        |SELECT user_id, recency_sec, frequency, monetary_cents,
+        |  r_score, f_score, m_score,
+        |  concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
+        |    CAST(m_score AS VARCHAR)) AS segment
+        |FROM sc ORDER BY user_id""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (
@@ -3393,6 +3516,44 @@ object SparkEntry {
          |  ((vd * sxy - sx * sy) * (vd * sxy - sx * sy)) /
          |    ((vd * sxx - sx * sx) * (vd * syy - sy * sy)) AS r2
          |FROM s ORDER BY lang""".stripMargin,
+
+    "t_readability" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(${sqlToks("text")}) AS BIGINT) AS n_words,
+         |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+         |      AS n_sentences,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+         |      AS n_syllables
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CASE WHEN n_words > 0 THEN
+         |    round(206.835
+         |      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+         |  END AS flesch_ease,
+         |  CASE WHEN n_words > 0 THEN
+         |    round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |      + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         |      - 15.59, 6)
+         |  END AS fk_grade
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t_vocab_coverage" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(${sqlToks("lower(text)")}) AS tok FROM documents),
+         |tc AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM tc),
+         |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM tc),
+         |ks AS (SELECT unnest([100, 1000, 10000]) AS k),
+         |cov AS (
+         |  SELECT k,
+         |    CAST(sum(CASE WHEN r <= k THEN 1 ELSE 0 END) AS BIGINT) AS n_types,
+         |    CAST(sum(CASE WHEN r <= k THEN c ELSE 0 END) AS BIGINT) AS covered
+         |  FROM rk, ks GROUP BY k)
+         |SELECT k, n_types, covered, total,
+         |  round(CAST(covered AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage
+         |FROM cov, tot ORDER BY k""".stripMargin,
 
     // Gopher rule replay: every signal is a count of list_filter hits
     // or a replace()-delta, fractions are single divisions of exact

@@ -585,4 +585,80 @@ object TextAnalysis {
       .select(col("doc_id"), col("cls").as("pred_label"), col("score"),
         col("n_tokens"), col("n_hits"))
   }
+
+  /** Flesch readability per document (Flesch reading ease +
+    * Flesch–Kincaid grade) — the classic length/complexity quality
+    * signal, still a standard corpus-filtering feature alongside the
+    * Gopher rules. Syllables use the vowel-group approximation
+    * (maximal [aeiouy]+ runs — the textbook heuristic; exact
+    * dictionary syllabification is not regex-expressible), sentences
+    * are maximal [.!?]+ runs floored at 1 so headline-style fragments
+    * count as one sentence.
+    *
+    * Map-only at any scale: three counting expressions per row, no
+    * shuffle. All three counts are exact integers, so the fixed-shape
+    * formula is a bit-identical IEEE expression in Spark and the
+    * DuckDB oracle; scores round to 6 dp (the shared float contract).
+    * Zero-word documents emit NULL scores (no sentences to rate).
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val nWords = size(TextFunctions.tokens(col("text"))).cast("long")
+    val nSentences = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1)).cast("long")
+    val nSyllables = size(
+      regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long")
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    docs
+      .select(col("doc_id"), nWords.as("n_words"), nSentences.as("n_sentences"),
+        nSyllables.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        when(col("n_words") > 0,
+          round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6))
+          .as("flesch_ease"),
+        when(col("n_words") > 0,
+          round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6))
+          .as("fk_grade"))
+  }
+
+  /** Vocabulary coverage curve: for each k in `ks`, the fraction of
+    * all token occurrences covered by the k most frequent types — the
+    * tokenizer/vocab-sizing diagnostic (how much of the corpus a
+    * k-entry vocab explains, the first question of any vocab budget).
+    * Output one row per k: (k, n_types = |top-k actually present|,
+    * covered, total, coverage 6 dp).
+    *
+    * Scale shape: the corpus reduces to a map-side-combined (token,
+    * count) vocab table; the top-max(k) cut is orderBy+limit — a
+    * TakeOrderedAndProject, each map task pre-prunes to its local
+    * top-max(k) before a single bounded merge (NO full-vocab
+    * single-partition sort: the only global window runs over the
+    * ≤ max(k) surviving rows). The grand total comes from a separate
+    * scalar aggregate of the vocab table. Deterministic: rank ties
+    * break (count desc, token asc).
+    */
+  def vocabCoverage(docs: DataFrame,
+                    ks: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tc = docs
+      .select(explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // two consumers: total + top-k cut
+    val total = tc.agg(sum(col("c")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok").asc)
+    val top = tc.orderBy(col("c").desc, col("tok").asc).limit(ks.max)
+      .withColumn("r", row_number().over(w))
+    top.crossJoin(ks.toDF("k"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("r") <= col("k"), 1L).otherwise(0L)).as("n_types"),
+        sum(when(col("r") <= col("k"), col("c")).otherwise(0L)).as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("n_types"), col("covered"), col("total"),
+        round(col("covered").cast("double") / col("total").cast("double"), 6)
+          .as("coverage"))
+      .orderBy(col("k"))
+  }
 }
