@@ -571,6 +571,42 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_changepoint" -> ((s, dir) => {
+      // CUSUM changepoint scan per event type over its hourly series
+      // (cumulative deviation from the series mean; |cusum| > 3σ
+      // flags a level shift). Exact-integer contract: hourly sums are
+      // integer CENTS, and the scaled cusum C_i = N·P_i − i·S (P =
+      // prefix sum, S/N = series total/length) stays exact BIGINT, so
+      // the flag (C_i)² > 9·(N·Q − S²) compares doubles built from
+      // identical exact integers in both engines — hash-exact for a
+      // normally float-fragile sequential statistic. Scale: events
+      // reduce map-side to (type, hour); moments are |types| rows
+      // broadcast back; the running window partitions by type over
+      // the bounded hourly series.
+      import org.apache.spark.sql.expressions.Window
+      val hourly = events(s, dir)
+        .select(col("event_type"), expr("sec div 3600").as("hr"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(sum(col("cents")).as("x"))
+      val m = hourly.groupBy(col("event_type")).agg(
+        count(lit(1)).as("nh"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("qx"))
+      val wRun = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wIdx = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      val c = col("nh") * col("p") - col("i") * col("sx")
+      hourly.join(broadcast(m), "event_type")
+        .withColumn("p", sum(col("x")).over(wRun))
+        .withColumn("i", row_number().over(wIdx).cast("long"))
+        .select(col("event_type"), col("hr"), col("x"),
+          round(c.cast("double") / col("nh").cast("double"), 6).as("cusum"),
+          (c.cast("double") * c.cast("double") >
+            lit(9.0) * (col("nh") * col("qx") - col("sx") * col("sx")).cast("double"))
+            .as("is_change"))
+        .orderBy(col("event_type"), col("hr"))
+    }),
+
     "q_transition" -> ((s, dir) => {
       // event-type Markov transition matrix: per-user time-ordered
       // lead, then (from, to) counts and row-normalized probabilities.
@@ -1246,6 +1282,35 @@ object SparkEntry {
         .unionByName(old.where(col("doc_id") % 13 === 7)
           .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
       Corpus.snapshotDiff(old, v2).orderBy(col("doc_id"))
+    }),
+
+    "d_cdc_apply" -> ((s, dir) => {
+      // lakehouse-MERGE twin: deterministic changelog over documents —
+      // ids ≡0 (mod 7) get TWO updates (seq 10·id and 10·id+1; the
+      // later " v2" text must win), ids ≡0 (mod 11) a delete at
+      // 10·id+2 (for ids ≡0 (mod 77) it outranks both updates —
+      // last-writer-wins across op kinds), ids ≡0 (mod 13) an insert
+      // under id+5M. applyChangelog picks the highest-seq op per id
+      // via a WindowGroupLimit-pre-pruned window over the DELTA only;
+      // the base branch anti-joins the touched keys, corpus unshuffled
+      val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val changes =
+        base.where(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), (col("doc_id") * 10).as("seq"), lit("U").as("op"),
+            concat(col("text"), lit(" v1")).as("text"))
+        .unionByName(base.where(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), (col("doc_id") * 10 + 1).as("seq"), lit("U").as("op"),
+            concat(col("text"), lit(" v2")).as("text")))
+        .unionByName(base.where(col("doc_id") % 11 === 0)
+          .select(col("doc_id"), (col("doc_id") * 10 + 2).as("seq"), lit("D").as("op"),
+            lit("").as("text")))
+        .unionByName(base.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"),
+            (col("doc_id") * 10 + 3).as("seq"), lit("I").as("op"),
+            concat(lit("inserted "), col("doc_id").cast("string")).as("text")))
+      Corpus.applyChangelog(base, changes)
+        .select(col("doc_id"), col("origin"), sha2(col("text"), 256).as("digest"))
+        .orderBy(col("doc_id"))
     }),
 
     "d_corpus_overlap" -> ((s, dir) => {
@@ -1928,6 +1993,29 @@ object SparkEntry {
         |WHERE abs((CAST(cents AS DOUBLE) - ssum / n) /
         |    sqrt((ssq - ssum * ssum / n) / n)) > 3.0
         |ORDER BY event_id""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS hr,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |h AS (
+        |  SELECT event_type, hr, CAST(sum(cents) AS BIGINT) AS x
+        |  FROM e GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*) AS nh, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS qx FROM h GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, hr, x, nh, sx, qx,
+        |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr)
+        |      AS BIGINT) AS i
+        |  FROM h JOIN m USING (event_type))
+        |SELECT event_type, hr, x,
+        |  round(CAST(nh * p - i * sx AS DOUBLE) / CAST(nh AS DOUBLE), 6) AS cusum,
+        |  CAST(nh * p - i * sx AS DOUBLE) * CAST(nh * p - i * sx AS DOUBLE) >
+        |    9.0 * CAST(nh * qx - sx * sx AS DOUBLE) AS is_change
+        |FROM r ORDER BY event_type, hr""".stripMargin,
 
     "q_transition" ->
       """WITH e AS (
@@ -2669,6 +2757,30 @@ object SparkEntry {
          |SELECT a, b, inter, na, nb FROM pairs
          |WHERE inter * 10000 >= 8000 * (na + nb - inter)
          |ORDER BY a, b""".stripMargin,
+
+    "d_cdc_apply" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |ch AS (
+        |  SELECT doc_id, doc_id * 10 AS seq, 'U' AS op,
+        |    text || ' v1' AS text FROM base WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, doc_id * 10 + 1, 'U', text || ' v2'
+        |    FROM base WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, doc_id * 10 + 2, 'D', ''
+        |    FROM base WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id + 5000000, doc_id * 10 + 3, 'I',
+        |    'inserted ' || CAST(doc_id AS VARCHAR)
+        |    FROM base WHERE doc_id % 13 = 0),
+        |last AS (
+        |  SELECT doc_id, op, text FROM (
+        |    SELECT doc_id, op, text, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY seq DESC, op DESC, text DESC) AS rk
+        |    FROM ch) WHERE rk = 1),
+        |merged AS (
+        |  SELECT b.doc_id, b.text, 'base' AS origin FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM last l WHERE l.doc_id = b.doc_id)
+        |  UNION ALL SELECT doc_id, text, 'upsert' FROM last WHERE op <> 'D')
+        |SELECT doc_id, origin, sha256(text) AS digest
+        |FROM merged ORDER BY doc_id""".stripMargin,
 
     "d_snapshot_diff" ->
       s"""WITH old AS (SELECT doc_id, text FROM documents),

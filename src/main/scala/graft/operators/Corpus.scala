@@ -649,6 +649,53 @@ object Corpus {
       .where(col("status") =!= "unchanged")
   }
 
+  /** Apply a CDC changelog to a corpus snapshot — the pure-DataFrame
+    * twin of a lakehouse MERGE (the reference's incremental
+    * delete-before-insert writer semantics, expressed with no table
+    * format dependency): `changes` rows are (seq, op ∈ {I,U,D},
+    * doc_id, text); the HIGHEST-seq op per doc_id wins, D removes the
+    * document, I/U upsert it, untouched base rows pass through.
+    * Output is the new snapshot (doc_id, text, origin ∈
+    * {base, upsert}). Compose with [[snapshotDiff]] (plan the delta)
+    * and [[graft.sinks.VectorStoreWriter]]'s incremental mode (apply
+    * it to buckets).
+    *
+    * Scale shape: the last-writer-wins pick is a row_number window
+    * over the CHANGELOG only (delta-sized, never the corpus), and the
+    * `<= 1` rank filter lets Spark 4 rewrite it to WindowGroupLimit —
+    * map tasks pre-prune to their local latest op per doc before the
+    * exchange. The base branch is an anti-join against the distinct
+    * touched keys, which AQE broadcasts whenever the delta fits — the
+    * corpus itself never shuffles. Deterministic: seq ties break on
+    * (op desc, text) so a malformed changelog with duplicate seqs
+    * still applies reproducibly.
+    */
+  /** Last-writer-wins pick over a changelog: the single surviving
+    * (highest-seq) op per doc_id. The `<= 1` literal rank filter is
+    * the WindowGroupLimit contract (map tasks pre-prune to their
+    * local latest op per doc before the exchange — asserted in
+    * PlanSpec); [[applyChangelog]] materializes this once.
+    */
+  def latestOps(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("seq").desc, col("op").desc, col("text").desc)
+    changes
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= 1)
+      .drop("__rk")
+  }
+
+  def applyChangelog(base: DataFrame, changes: DataFrame): DataFrame = {
+    val last = latestOps(changes)
+      .localCheckpoint(true) // two consumers: anti-join keys + upserts
+    val upserts = last.where(col("op") =!= "D")
+      .select(col("doc_id"), col("text"), lit("upsert").as("origin"))
+    base
+      .join(last.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), lit("base").as("origin"))
+      .unionByName(upserts)
+  }
+
   /** Pairwise corpus-overlap matrix: for every pair of groups
     * (sources, shards, languages, snapshots), the number of distinct
     * token n-gram fingerprints the two share, each side's total, and

@@ -165,6 +165,20 @@ class PlanSpec extends SparkSpecBase {
       s"expected partial+final WindowGroupLimit in zipfFit:\n$zf")
   }
 
+  test("latestOps (CDC last-writer-wins) pre-prunes via WindowGroupLimit") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), (col("doc_id") * 10).as("seq"),
+        lit("U").as("op"), col("text"))
+    val plan = executed(graft.operators.Corpus.latestOps(docs)).toString
+    // rank<=1 over (doc_id, seq desc) must rewrite to WindowGroupLimit:
+    // map tasks keep only their local latest op per doc before the
+    // changelog exchange — the difference between shuffling ~1 row per
+    // touched doc and the whole multi-version changelog
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit, got:\n$plan")
+    assert(plan.contains("Partial"), s"expected a map-side partial group limit:\n$plan")
+  }
+
   test("decontaminateSemantic: corpus never shuffles; bench side broadcasts") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val df = graft.operators.Corpus.decontaminateSemantic(
