@@ -50,6 +50,27 @@ object SparkEntry {
     e.withColumn("sec", sec)
   }
 
+  /** Deterministic CDC changelog over the documents corpus, shared by
+    * d_cdc_apply and d_scd2_build: ids ≡0 (mod 7) get two updates
+    * (seq 10·id " v1", 10·id+1 " v2"), ids ≡0 (mod 11) a delete at
+    * 10·id+2 (outranking both updates where they coincide), ids ≡0
+    * (mod 13) an insert under id+5M at 10·id+3.
+    */
+  private def cdcChangelog(base: DataFrame): DataFrame =
+    base.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), (col("doc_id") * 10).as("seq"), lit("U").as("op"),
+        concat(col("text"), lit(" v1")).as("text"))
+    .unionByName(base.where(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), (col("doc_id") * 10 + 1).as("seq"), lit("U").as("op"),
+        concat(col("text"), lit(" v2")).as("text")))
+    .unionByName(base.where(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), (col("doc_id") * 10 + 2).as("seq"), lit("D").as("op"),
+        lit("").as("text")))
+    .unionByName(base.where(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        (col("doc_id") * 10 + 3).as("seq"), lit("I").as("op"),
+        concat(lit("inserted "), col("doc_id").cast("string")).as("text")))
+
   /** Documents corpus with induced duplicates, shared by the dedup
     * queries (the synthetic corpus has no natural dups): every 10th doc
     * reappears verbatim at id+1000000 (exact dup) and with one token
@@ -569,6 +590,36 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
         .where(abs(col("z")) > 3.0)
         .orderBy(col("event_id"))
+    }),
+
+    "q_decay" -> ((s, dir) => {
+      // half-life-decayed user value (recency-weighted activity
+      // score, half-life = 1 week): events reduce map-side to exact
+      // integer cents per (user, week); the decay weight 2^-age is
+      // an exact power of two (scales the double exponent only, so
+      // each term cents·2^-age is exact), and the per-user sum folds
+      // the bounded week list in ascending-age order — the contracted
+      // association order the oracle replays exactly. Scale: the only
+      // corpus shuffle is the (user, week) reduce; per-user lists are
+      // ≤ #weeks long.
+      val wk = events(s, dir)
+        .select(col("user_id"), expr("sec div 604800").as("wk"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("user_id"), col("wk"))
+        .agg(sum(col("cents")).as("wcents"))
+      val mx = wk.agg(max(col("wk")).as("mxwk"))
+      wk.crossJoin(broadcast(mx))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_weeks"),
+          sum(col("wcents")).as("total_cents"),
+          sort_array(collect_list(struct(
+            (col("mxwk") - col("wk")).as("age"), col("wcents").as("c")))).as("a"))
+        .select(col("user_id"), col("n_weeks"), col("total_cents"),
+          round(aggregate(col("a"), lit(0.0), (acc, t) =>
+            acc + t.getField("c").cast("double") *
+              pow(lit(2.0), -t.getField("age").cast("double"))), 6)
+            .as("decayed_score"))
+        .orderBy(col("user_id"))
     }),
 
     "q_changepoint" -> ((s, dir) => {
@@ -1294,23 +1345,20 @@ object SparkEntry {
       // via a WindowGroupLimit-pre-pruned window over the DELTA only;
       // the base branch anti-joins the touched keys, corpus unshuffled
       val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-      val changes =
-        base.where(col("doc_id") % 7 === 0)
-          .select(col("doc_id"), (col("doc_id") * 10).as("seq"), lit("U").as("op"),
-            concat(col("text"), lit(" v1")).as("text"))
-        .unionByName(base.where(col("doc_id") % 7 === 0)
-          .select(col("doc_id"), (col("doc_id") * 10 + 1).as("seq"), lit("U").as("op"),
-            concat(col("text"), lit(" v2")).as("text")))
-        .unionByName(base.where(col("doc_id") % 11 === 0)
-          .select(col("doc_id"), (col("doc_id") * 10 + 2).as("seq"), lit("D").as("op"),
-            lit("").as("text")))
-        .unionByName(base.where(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 5000000L).as("doc_id"),
-            (col("doc_id") * 10 + 3).as("seq"), lit("I").as("op"),
-            concat(lit("inserted "), col("doc_id").cast("string")).as("text")))
-      Corpus.applyChangelog(base, changes)
+      Corpus.applyChangelog(base, cdcChangelog(base))
         .select(col("doc_id"), col("origin"), sha2(col("text"), 256).as("digest"))
         .orderBy(col("doc_id"))
+    }),
+
+    "d_scd2_build" -> ((s, dir) => {
+      // SCD-2 history over the same induced changelog: one version
+      // row per op with [valid_from_seq, valid_to_seq) intervals,
+      // open-ended + non-delete ⇒ is_current — the temporal twin of
+      // d_cdc_apply (audit / point-in-time reads). One delta-keyed
+      // window; the corpus is never touched.
+      val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      Corpus.scd2(cdcChangelog(base))
+        .orderBy(col("doc_id"), col("version"))
     }),
 
     "d_corpus_overlap" -> ((s, dir) => {
@@ -1993,6 +2041,25 @@ object SparkEntry {
         |WHERE abs((CAST(cents AS DOUBLE) - ssum / n) /
         |    sqrt((ssq - ssum * ssum / n) / n)) > 3.0
         |ORDER BY event_id""".stripMargin,
+
+    "q_decay" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 // 604800 AS wk,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (
+        |  SELECT user_id, wk, CAST(sum(cents) AS BIGINT) AS wcents
+        |  FROM e GROUP BY 1, 2),
+        |mx AS (SELECT max(wk) AS mxwk FROM w),
+        |g AS (
+        |  SELECT user_id, count(*) AS n_weeks,
+        |    CAST(sum(wcents) AS BIGINT) AS total_cents,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(CAST(wcents AS DOUBLE) * pow(2.0, -CAST(mxwk - wk AS DOUBLE))
+        |           ORDER BY mxwk - wk)),
+        |      (a, b) -> a + b) AS ds
+        |  FROM w, mx GROUP BY user_id)
+        |SELECT user_id, n_weeks, total_cents, round(ds, 6) AS decayed_score
+        |FROM g ORDER BY user_id""".stripMargin,
 
     "q_changepoint" ->
       """WITH e AS (
@@ -2781,6 +2848,29 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, text, 'upsert' FROM last WHERE op <> 'D')
         |SELECT doc_id, origin, sha256(text) AS digest
         |FROM merged ORDER BY doc_id""".stripMargin,
+
+    "d_scd2_build" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |ch AS (
+        |  SELECT doc_id, doc_id * 10 AS seq, 'U' AS op,
+        |    text || ' v1' AS text FROM base WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, doc_id * 10 + 1, 'U', text || ' v2'
+        |    FROM base WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, doc_id * 10 + 2, 'D', ''
+        |    FROM base WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id + 5000000, doc_id * 10 + 3, 'I',
+        |    'inserted ' || CAST(doc_id AS VARCHAR)
+        |    FROM base WHERE doc_id % 13 = 0),
+        |v AS (
+        |  SELECT doc_id, op, seq,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY seq, op, text) AS INTEGER) AS version,
+        |    lead(seq) OVER (PARTITION BY doc_id
+        |      ORDER BY seq, op, text) AS valid_to_seq
+        |  FROM ch)
+        |SELECT doc_id, version, op, seq AS valid_from_seq, valid_to_seq,
+        |  (valid_to_seq IS NULL AND op <> 'D') AS is_current
+        |FROM v ORDER BY doc_id, version""".stripMargin,
 
     "d_snapshot_diff" ->
       s"""WITH old AS (SELECT doc_id, text FROM documents),

@@ -685,6 +685,30 @@ object Corpus {
       .drop("__rk")
   }
 
+  /** SCD-2 (slowly-changing-dimension, type 2) history build from a
+    * CDC changelog: every op becomes a version row with a validity
+    * interval — (doc_id, version, op, valid_from_seq, valid_to_seq,
+    * is_current), valid_to open (NULL) on the latest op, is_current
+    * true only when that latest op is not a delete. The temporal twin
+    * of [[applyChangelog]] (which keeps only the winner): feeds
+    * point-in-time reconstruction and audit queries.
+    *
+    * Scale shape: one delta-keyed window over the CHANGELOG (version
+    * numbering + lead interval in the same sort), delta-sized output,
+    * the corpus itself is never touched. Deterministic: the same
+    * (seq, op, text) total order as [[latestOps]], ascending.
+    */
+  def scd2(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("seq").asc, col("op").asc, col("text").asc)
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_seq", lead(col("seq"), 1).over(w))
+      .select(col("doc_id"), col("version"), col("op"),
+        col("seq").as("valid_from_seq"), col("valid_to_seq"),
+        (col("valid_to_seq").isNull && col("op") =!= "D").as("is_current"))
+  }
+
   def applyChangelog(base: DataFrame, changes: DataFrame): DataFrame = {
     val last = latestOps(changes)
       .localCheckpoint(true) // two consumers: anti-join keys + upserts
