@@ -1605,6 +1605,14 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    "s_label_centroids" -> ((s, dir) => {
+      // class prototypes + cohesion audit (SemDeDup screening / drift
+      // monitoring); float-rounded centroid means, exact micro-cosine
+      // moments — see Similarity.labelCentroids
+      Similarity.labelCentroids(tbl(s, dir, "embeddings"), "label")
+        .orderBy(col("label"))
+    }),
+
     // ---------------------------------------------- text analysis
     "t_token_count" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
@@ -3097,6 +3105,32 @@ object SparkEntry {
          |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${sqlCos("x.embedding", "y.embedding")} >= 0.85
          |ORDER BY a, b""".stripMargin,
+
+    // class-prototype replay: per-(label, dim) double mean cast FLOAT
+    // (the trained-IVF mean contract — float rounding absorbs
+    // double-sum association noise), member cosines via the shared
+    // ordered fold, cohesion moments over exact micro-cosine integers
+    "s_label_centroids" ->
+      s"""WITH sums AS (
+         |  SELECT label, u.d AS d,
+         |    sum(CAST(embedding[u.d] AS DOUBLE)) AS sv, count(*) AS n
+         |  FROM embeddings, unnest(range(1, 65)) AS u(d)
+         |  GROUP BY label, u.d),
+         |cents AS (
+         |  SELECT label, list(CAST(sv / CAST(n AS DOUBLE) AS FLOAT) ORDER BY d)
+         |    AS centroid
+         |  FROM sums GROUP BY label),
+         |mc AS (
+         |  SELECT e.label,
+         |    CAST(round(${sqlCos("e.embedding", "c.centroid")} * 1000000.0) AS BIGINT)
+         |      AS mc
+         |  FROM embeddings e JOIN cents c ON e.label = c.label)
+         |SELECT label, count(*) AS n_vecs,
+         |  round(CAST(sum(mc) AS DOUBLE) /
+         |    (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS avg_cos,
+         |  round(CAST(min(mc) AS DOUBLE) / 1000000.0, 6) AS min_cos,
+         |  round(CAST(max(mc) AS DOUBLE) / 1000000.0, 6) AS max_cos
+         |FROM mc GROUP BY label ORDER BY label""".stripMargin,
 
     // BM25 replay: postings with doc length riding along, df over the
     // corpus restricted to query terms, Lucene idf, identical literal

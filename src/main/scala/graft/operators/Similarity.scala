@@ -435,4 +435,47 @@ object Similarity {
       .select(col("vec_id").as(idName), col("embedding").as(embName),
         explode(VectorFunctions.nearestCentroids(col("embedding"), col("cents"), probes))
           .as("list_id"))
+
+  /** Per-label embedding prototype (class centroid) + cohesion audit:
+    * for every label, the mean vector and the member-to-centroid
+    * cosine distribution (n, avg, min, max) — the class-prototype
+    * computation behind SemDeDup-style cluster screening, few-shot
+    * classifiers, and embedding-drift monitoring (a label whose
+    * cohesion collapses is mislabeled or polluted).
+    *
+    * Scale shape: the per-(label, dim) component sums map-side
+    * combine to |labels|·dim rows; centroids reassemble label-bounded
+    * (dim structs per label) and broadcast back; the member-cosine
+    * pass is map-only; the final aggregate is |labels| rows. No
+    * corpus-sized shuffle at any point. Determinism contract:
+    * centroid components round through FLOAT (absorbing double-sum
+    * association noise, the trained-IVF mean contract), cosines fold
+    * sequentially in the native kernel exactly as the oracle's
+    * ordered list_reduce, and the cohesion moments aggregate exact
+    * integer MICRO-cosines (round(cos·10⁶)) so avg/min/max are
+    * order-free.
+    */
+  def labelCentroids(vectors: DataFrame, labelCol: String = "label"): DataFrame = {
+    val sums = vectors
+      .select(col(labelCol).as("lbl"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("lbl"), col("d"))
+      .agg(sum(col("v").cast("double")).as("sv"), count(lit(1)).as("n"))
+    val cents = sums.groupBy(col("lbl"))
+      .agg(sort_array(collect_list(struct(col("d"),
+        (col("sv") / col("n").cast("double")).cast("float").as("cv")))).as("cs"))
+      .select(col("lbl"), transform(col("cs"), s => s.getField("cv")).as("centroid"))
+    vectors.select(col(labelCol).as("lbl"), col("embedding"))
+      .join(broadcast(cents), Seq("lbl"))
+      .select(col("lbl"),
+        round(VectorFunctions.cosine(col("embedding"), col("centroid")) *
+          lit(1000000.0)).cast("long").as("mc"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("mc")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1000000.0)), 6).as("avg_cos"),
+        round(min(col("mc")).cast("double") / lit(1000000.0), 6).as("min_cos"),
+        round(max(col("mc")).cast("double") / lit(1000000.0), 6).as("max_cos"))
+      .select(col("lbl").as(labelCol), col("n_vecs"), col("avg_cos"),
+        col("min_cos"), col("max_cos"))
+  }
 }
