@@ -31,7 +31,11 @@ object PlanDump {
       ("d_corpus_overlap", "Corpus-overlap matrix: the corpus reduces to distinct (group, 60-bit hash) via a map-side-combined aggregate BEFORE any join; the hash-keyed self-join carries (group) payloads only — per-hash fan-out bounded by #groups² — and pair counts map-side-combine to ≤#groups² rows."),
       ("d_sample_temperature", "Temperature sampling: quotas come from a driver fold over the bounded stratum-count aggregate; the corpus-side row_number≤maxQuota LITERAL filter rewrites to WindowGroupLimit(Partial) below the stratum exchange, then the exact per-stratum quota applies via a broadcast join — the shuffle never carries more than maxQuota×strata×tasks rows."),
       ("d_decontaminate_semantic", "Semantic decontamination: the eval set BROADCASTS into a BroadcastNestedLoopJoin with the cosine predicate evaluated map-side — corpus embeddings never shuffle; the only row exchange is the final per-vec_id aggregate, fed by matching pairs only and map-side combined."),
-      ("d_dedup_fuzzy", "Fuzzy edit-distance dedup: heads-only payloads into the (slot, segment) candidate join, hot segments dropped via a broadcast anti-join, and Catalyst pushes the levenshtein≤k verify INTO the join condition — only verified pairs shuffle into the distinct aggregate, never raw candidates with two heads of payload.")
+      ("d_dedup_fuzzy", "Fuzzy edit-distance dedup: heads-only payloads into the (slot, segment) candidate join, hot segments dropped via a broadcast anti-join, and Catalyst pushes the levenshtein≤k verify INTO the join condition — only verified pairs shuffle into the distinct aggregate, never raw candidates with two heads of payload."),
+      ("d_cdc_apply", "CDC apply (MERGE twin): the last-writer-wins pick rewrites to WindowGroupLimit(Partial/Final) over the CHANGELOG exchange only — map tasks keep their local latest op per doc; the base corpus branch is scan → anti-join against the touched keys (AQE realizes a broadcast), no corpus shuffle."),
+      ("t_vocab_coverage", "Vocab coverage: the corpus reduces to a map-side-combined (token, count) vocab aggregate; the top-max(k) cut is a TakeOrderedAndProject (each task pre-prunes to its local top-k, ONE bounded merge — no full-vocab single-partition sort); the only window runs over the ≤max(k) survivors."),
+      ("q_changepoint", "CUSUM changepoint: events reduce map-side to (type, hour) integer sums; the |types|-row moment aggregate broadcasts back; the running-sum window partitions by type over the bounded hourly series — no global window, no corpus-sized exchange past the first reduce."),
+      ("s_label_centroids", "Class prototypes: per-(label,dim) component sums map-side combine to |labels|×dim rows; centroids reassemble label-bounded and BROADCAST into the map-only member-cosine pass; the cohesion aggregate carries (label, micro-cosine long) — embeddings never shuffle.")
     )
     out.append("# PLANS — physical-plan evidence (sf0.01, local[32])\n\n")
     out.append("Regenerate with `sbt \"runMain graft.PlanDump\"`.\n")
