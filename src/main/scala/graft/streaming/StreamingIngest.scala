@@ -91,6 +91,37 @@ object StreamingIngest {
         VectorStoreWriter.write(batch, sinkPath)
       }
 
+  /** Streaming CDC apply: each micro-batch of changelog rows (seq, op
+    * ∈ {I,U,D}, doc_id, text) MERGEs into the parquet snapshot at
+    * `snapshotPath` via [[graft.operators.Corpus.applyChangelog]] —
+    * ops within the batch resolve last-writer-wins first, then the
+    * whole snapshot rewrites copy-on-write (the no-table-format
+    * stand-in for a Delta/Iceberg MERGE; at lakehouse scale the same
+    * batch function calls MERGE INTO). foreachBatch + checkpoint
+    * gives exactly-once per batch; AvailableNow drains the backlog.
+    * Cross-batch ordering relies on the source's batch order (a
+    * replayable, seq-ordered changelog — the CDC contract).
+    */
+  def cdcStream(changes: DataFrame, snapshotPath: String,
+                checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val base = spark.read.parquet(snapshotPath)
+          .select(col("doc_id"), col("text"))
+        val next = graft.operators.Corpus.applyChangelog(base, batch)
+          .select(col("doc_id"), col("text"))
+          // materialize BEFORE the overwrite: the plan reads the
+          // files the write is about to replace
+          .localCheckpoint(true)
+        next.write.mode("overwrite").parquet(snapshotPath)
+        next.unpersist()
+        ()
+      }
+
   /** Watermarked tumbling-window event aggregation: the canonical
     * stateful-streaming operator (SIGMOD'18 Structured Streaming
     * windowed aggregation shape). 10-minute windows, 20-minute

@@ -112,6 +112,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(contents.forall(_.contains("version two")), contents.mkString("; "))
   }
 
+  test("cdcStream: micro-batched changelog merges into the snapshot") {
+    val in = Files.createTempDirectory("graft-cdc-in").toString
+    val snap = Files.createTempDirectory("graft-cdc-snap").toString
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(snap)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "seq BIGINT, op STRING, doc_id BIGINT, text STRING")
+    def drain(): Unit = StreamingIngest.cdcStream(
+      spark.readStream.schema(schema).json(in), snap, ckpt)
+      .start().awaitTermination()
+    // batch 1: update doc 1 twice (last wins), delete doc 2
+    Files.writeString(java.nio.file.Path.of(in, "b1.json"),
+      """{"seq":10,"op":"U","doc_id":1,"text":"one v1"}
+        |{"seq":11,"op":"U","doc_id":1,"text":"one v2"}
+        |{"seq":12,"op":"D","doc_id":2,"text":""}""".stripMargin)
+    drain()
+    // batch 2: insert doc 4, then a later update of doc 1 (cross-batch)
+    Files.writeString(java.nio.file.Path.of(in, "b2.json"),
+      """{"seq":20,"op":"I","doc_id":4,"text":"four"}
+        |{"seq":21,"op":"U","doc_id":1,"text":"one v3"}""".stripMargin)
+    drain()
+    val got = spark.read.parquet(snap).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "one v3"), (3L, "three"), (4L, "four")), got.toString)
+  }
+
   test("streamStaticEnrich: stream joins the static dimension map-side") {
     val in = Files.createTempDirectory("graft-enrich-in").toString
     val out = Files.createTempDirectory("graft-enrich-out").toString
