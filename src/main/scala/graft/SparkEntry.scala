@@ -184,6 +184,43 @@ object SparkEntry {
        |  SELECT a, b, inter, na, nb FROM pairs
        |  WHERE inter * 10000 >= 8000 * (na + nb - inter))""".stripMargin
 
+  /** MinHash-LSH pair replay ending in `mh_pairs` (a, b, inter, na,
+    * nb) — expects a `corpus` CTE in scope (mh_-prefixed names so it
+    * composes with [[ngramPairsCte]] in the same WITH chain). Twin of
+    * Dedup.minhashLshPairs(n=3, k=16, rowsPerBand=4, threshold=0.8).
+    */
+  private lazy val minhashPairsCte: String = {
+    val k = 16; val rpb = 4
+    val sigParts = (0 until k).map { i =>
+      val a = 2L * i + 1
+      val b = 12582917L * (i + 1) % 1000000007L
+      s"list_min(list_transform(hashes, x -> (x * $a + $b) % 1000000007))"
+    }.mkString(", ")
+    val bandKeys = (0 until k / rpb).map { band =>
+      s"list_reduce(list_concat([CAST($band AS BIGINT)], sig[${band * rpb + 1}:${band * rpb + rpb}]), (acc, x) -> (acc * 31 + x) % 1000000007)"
+    }.mkString(", ")
+    s"""mh_toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
+       |mh_sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [${sqlHash("array_to_string(t, ' ')")}]
+       |    ELSE list_transform(range(0, len(t) - 2),
+       |         i -> ${sqlHash("array_to_string(t[i+1:i+3], ' ')")}) END) AS hashes
+       |  FROM mh_toks WHERE len(t) > 0),
+       |mh_sigs AS (SELECT doc_id, hashes, [$sigParts] AS sig FROM mh_sh WHERE len(hashes) > 0),
+       |mh_banded AS (SELECT doc_id, hashes, unnest([$bandKeys]) AS key,
+       |           unnest(range(0, ${k / rpb})) AS band FROM mh_sigs),
+       |mh_cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM mh_banded x JOIN mh_banded y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |mh_verified AS (
+       |  SELECT a, b,
+       |    len(list_intersect(sa.hashes, sb.hashes)) AS inter,
+       |    len(sa.hashes) AS na, len(sb.hashes) AS nb
+       |  FROM mh_cand JOIN mh_sigs sa ON sa.doc_id = a JOIN mh_sigs sb ON sb.doc_id = b),
+       |mh_pairs AS (
+       |  SELECT a, b, inter, na, nb FROM mh_verified
+       |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8)""".stripMargin
+  }
+
   /** DuckDB twin of native.hyperplaneBucket(vec, nPlanes) on a 64-dim
     * embedding column: the ±1 plane weights are deterministic constants
     * (same integer mix as the kernel), inlined so the SQL fold adds the
@@ -1127,6 +1164,33 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    "d_dedup_recall" -> ((s, dir) => {
+      // dedup-method calibration (the dedup twin of s_knn_recall):
+      // MinHash-LSH pairs measured against the exact n-gram-Jaccard
+      // ground truth on the same corpus + threshold — recall pins the
+      // banding sensitivity (k=16, r=4 ⇒ s-curve midpoint ≈0.72 <
+      // 0.8, so near-total recall is the contract), precision pins
+      // the verify step. Both pipelines are the production operators;
+      // the comparison joins two pair-sized tables, and recall_ok is
+      // an exact integer inequality (n_hit·10 ≥ n_truth·9).
+      val corpus = corpusWithDups(tbl(s, dir, "documents"))
+      val truth = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.8)
+        .select(col("a"), col("b")).localCheckpoint(true)
+      val cand = Dedup.minhashLshPairs(corpus, n = 3, k = 16, rowsPerBand = 4,
+          threshold = 0.8)
+        .select(col("a"), col("b")).localCheckpoint(true)
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(truth.join(cand, Seq("a", "b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_truth").cast("double"), 6)
+            .as("recall"),
+          round(col("n_hit").cast("double") / col("n_candidates").cast("double"), 6)
+            .as("precision"),
+          (col("n_hit") * 10 >= col("n_truth") * 9).as("recall_ok"))
+    }),
+
     "d_dedup_sweep" -> ((s, dir) => {
       // threshold-tuning curve: pair/doc counts at 50..90% jaccard
       // from one candidate pass over the dup-injected corpus
@@ -1819,6 +1883,12 @@ object SparkEntry {
       // the corpus-health fit (natural text ≈ −1)
       TextAnalysis.zipfFit(tbl(s, dir, "documents"), "lang", topV = 1000)
         .orderBy(col("lang"))
+    }),
+
+    "t_code_detect" -> ((s, dir) => {
+      // code-vs-prose routing (mixed-crawl separation): structural
+      // heuristics over exact integer counts, map-only
+      TextAnalysis.codeDetect(tbl(s, dir, "documents")).orderBy(col("doc_id"))
     }),
 
     "t_readability" -> ((s, dir) => {
@@ -2998,38 +3068,28 @@ object SparkEntry {
          |FROM reach GROUP BY node
          |ORDER BY doc_id""".stripMargin,
 
-    "d_dedup_minhash" -> {
-      val k = 16; val rpb = 4
-      val sigParts = (0 until k).map { i =>
-        val a = 2L * i + 1
-        val b = 12582917L * (i + 1) % 1000000007L
-        s"list_min(list_transform(hashes, x -> (x * $a + $b) % 1000000007))"
-      }.mkString(", ")
-      val bandKeys = (0 until k / rpb).map { band =>
-        s"list_reduce(list_concat([CAST($band AS BIGINT)], sig[${band * rpb + 1}:${band * rpb + rpb}]), (acc, x) -> (acc * 31 + x) % 1000000007)"
-      }.mkString(", ")
+    "d_dedup_minhash" ->
       s"""WITH corpus AS ($corpusWithDupsSql),
-         |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
-         |sh AS (
-         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [${sqlHash("array_to_string(t, ' ')")}]
-         |    ELSE list_transform(range(0, len(t) - 2),
-         |         i -> ${sqlHash("array_to_string(t[i+1:i+3], ' ')")}) END) AS hashes
-         |  FROM toks WHERE len(t) > 0),
-         |sigs AS (SELECT doc_id, hashes, [$sigParts] AS sig FROM sh WHERE len(hashes) > 0),
-         |banded AS (SELECT doc_id, hashes, unnest([$bandKeys]) AS key,
-         |           unnest(range(0, ${k / rpb})) AS band FROM sigs),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM banded x JOIN banded y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-         |verified AS (
-         |  SELECT a, b,
-         |    len(list_intersect(sa.hashes, sb.hashes)) AS inter,
-         |    len(sa.hashes) AS na, len(sb.hashes) AS nb
-         |  FROM cand JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b)
-         |SELECT a, b, inter, na, nb FROM verified
-         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
-         |ORDER BY a, b""".stripMargin
-    },
+         |$minhashPairsCte
+         |SELECT a, b, inter, na, nb FROM mh_pairs
+         |ORDER BY a, b""".stripMargin,
+
+    // method-calibration replay: both production pipelines re-derived
+    // independently (ngram ground truth + minhash candidates), joined
+    // pair-for-pair; recall_ok is an exact integer inequality
+    "d_dedup_recall" ->
+      s"""WITH $ngramPairsCte,
+         |$minhashPairsCte,
+         |tp AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM dup_pairs),
+         |cd AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM mh_pairs),
+         |ht AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM dup_pairs d
+         |  JOIN mh_pairs m ON d.a = m.a AND d.b = m.b)
+         |SELECT n_truth, n_candidates, n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6) AS recall,
+         |  round(CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6)
+         |    AS precision,
+         |  n_hit * 10 >= n_truth * 9 AS recall_ok
+         |FROM tp, cd, ht""".stripMargin,
 
     "d_dedup_simhash" -> {
       // hard oracle: recompute every 60-bit signature from the raw text
@@ -3752,6 +3812,46 @@ object SparkEntry {
          |  ((vd * sxy - sx * sy) * (vd * sxy - sx * sy)) /
          |    ((vd * sxx - sx * sx) * (vd * syy - sy * sy)) AS r2
          |FROM s ORDER BY lang""".stripMargin,
+
+    "t_code_detect" ->
+      s"""WITH ls AS (
+         |  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(length(text) -
+         |      length(regexp_replace(text, '[{}\\[\\]();=<>]', '', 'g')) AS BIGINT)
+         |      AS n_sym,
+         |    CAST(len(list_filter(lines, l -> length(trim(l)) > 0)) AS BIGINT)
+         |      AS n_lines,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^(\\t|  )')))
+         |      AS BIGINT) AS n_indent,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(l, ';\\s*$$')))
+         |      AS BIGINT) AS n_semi,
+         |    CAST(${TextAnalysis.CodeKeywords.map(k =>
+                 s"CASE WHEN regexp_matches(lower(text), '\\b$k\\b') THEN 1 ELSE 0 END")
+                .mkString("(", " + ", ")")} AS BIGINT) AS kw_hits
+         |  FROM ls),
+         |r AS (
+         |  SELECT doc_id, n_sym, n_lines, n_indent, n_semi, kw_hits,
+         |    CASE WHEN n_chars > 0
+         |      THEN CAST(n_sym AS DOUBLE) / CAST(n_chars AS DOUBLE)
+         |      ELSE 0.0 END AS sym_ratio,
+         |    CASE WHEN n_lines > 0
+         |      THEN CAST(n_indent AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         |      ELSE 0.0 END AS indent_frac,
+         |    CASE WHEN n_lines > 0
+         |      THEN CAST(n_semi AS DOUBLE) / CAST(n_lines AS DOUBLE)
+         |      ELSE 0.0 END AS semi_frac
+         |  FROM c)
+         |SELECT doc_id, n_sym, n_lines, n_indent, n_semi, kw_hits,
+         |  round(sym_ratio, 6) AS sym_ratio,
+         |  round(indent_frac, 6) AS indent_frac,
+         |  round(semi_frac, 6) AS semi_frac,
+         |  (sym_ratio > 0.03 OR indent_frac > 0.4 OR
+         |    (kw_hits >= 3 AND semi_frac > 0.2)) AS is_code
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "t_readability" ->
       s"""WITH t AS (

@@ -586,6 +586,60 @@ object TextAnalysis {
         col("n_tokens"), col("n_hits"))
   }
 
+  /** Keywords for the code-detection heuristic — language-agnostic
+    * high-precision tokens (matching any 3+ alongside structural
+    * signals flags code). One Seq feeds both the Spark expression and
+    * the generated DuckDB CASE arms.
+    */
+  val CodeKeywords: Seq[String] = Seq(
+    "def", "return", "import", "class", "function",
+    "const", "var", "void", "public", "static")
+
+  /** Code-vs-prose routing signal — the corpus-separation step of a
+    * mixed crawl (code corpora get different dedup thresholds, quality
+    * rules, and tokenizers than prose; see CodeParrot/StarCoder
+    * pipeline preludes). Pure structural heuristics: symbol density,
+    * indented-line fraction, semicolon-line fraction, keyword hits —
+    * all exact integer counts, so the fractions and the rule are
+    * bit-identical IEEE expressions in both engines. Map-only at any
+    * scale.
+    */
+  def codeDetect(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kw = CodeKeywords.map(k =>
+      when(lower(col("text")).rlike("\\b" + k + "\\b"), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val counted = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[{}\\[\\]();=<>]", ""))).cast("long")
+        .as("n_sym"),
+      size(filter(lines, l => length(trim(l)) > 0)).cast("long").as("n_lines"),
+      size(filter(lines, l => l.rlike("^(\t|  )"))).cast("long").as("n_indent"),
+      size(filter(lines, l => l.rlike(";\\s*$"))).cast("long").as("n_semi"),
+      kw.as("kw_hits"))
+    val symRatio = when(col("n_chars") > 0,
+      col("n_sym").cast("double") / col("n_chars").cast("double")).otherwise(0.0)
+    val indentFrac = when(col("n_lines") > 0,
+      col("n_indent").cast("double") / col("n_lines").cast("double")).otherwise(0.0)
+    val semiFrac = when(col("n_lines") > 0,
+      col("n_semi").cast("double") / col("n_lines").cast("double")).otherwise(0.0)
+    counted
+      .withColumn("sym_ratio", symRatio)
+      .withColumn("indent_frac", indentFrac)
+      .withColumn("semi_frac", semiFrac)
+      .select(col("doc_id"), col("n_sym"), col("n_lines"), col("n_indent"),
+        col("n_semi"), col("kw_hits"),
+        round(col("sym_ratio"), 6).as("sym_ratio_r"),
+        round(col("indent_frac"), 6).as("indent_frac_r"),
+        round(col("semi_frac"), 6).as("semi_frac_r"),
+        (col("sym_ratio") > 0.03 || col("indent_frac") > 0.4 ||
+          (col("kw_hits") >= 3 && col("semi_frac") > 0.2)).as("is_code"))
+      .withColumnRenamed("sym_ratio_r", "sym_ratio")
+      .withColumnRenamed("indent_frac_r", "indent_frac")
+      .withColumnRenamed("semi_frac_r", "semi_frac")
+  }
+
   /** Flesch readability per document (Flesch reading ease +
     * Flesch–Kincaid grade) — the classic length/complexity quality
     * signal, still a standard corpus-filtering feature alongside the
