@@ -1669,6 +1669,12 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    "s_dim_stats" -> ((s, dir) => {
+      // embedding-health audit: per-dim mean/variance/extremes over
+      // exact micro-integer moments (order-free) — run before ANN
+      Similarity.dimStats(tbl(s, dir, "embeddings"))
+    }),
+
     "s_label_centroids" -> ((s, dir) => {
       // class prototypes + cohesion audit (SemDeDup screening / drift
       // monitoring); float-rounded centroid means, exact micro-cosine
@@ -3165,6 +3171,28 @@ object SparkEntry {
          |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |WHERE ${sqlCos("x.embedding", "y.embedding")} >= 0.85
          |ORDER BY a, b""".stripMargin,
+
+    // per-dim moment replay over exact micro-integers: sums are exact
+    // BIGINTs on both engines; mean/variance divide those sums through
+    // identical double shapes (divide-first — sq·n would overflow)
+    "s_dim_stats" ->
+      """WITH m AS (
+        |  SELECT CAST(u.d - 1 AS INTEGER) AS d,
+        |    CAST(round(CAST(embedding[u.d] AS DOUBLE) * 1000000) AS BIGINT) AS mv
+        |  FROM embeddings, unnest(range(1, 65)) AS u(d)),
+        |g AS (
+        |  SELECT d, count(*) AS n, CAST(sum(mv) AS BIGINT) AS sm,
+        |    CAST(sum(mv * mv) AS BIGINT) AS sq,
+        |    min(mv) AS mnv, max(mv) AS mxv
+        |  FROM m GROUP BY d)
+        |SELECT d, n,
+        |  round(CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6) AS mean,
+        |  round((CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))) / 1.0e12, 6) AS variance,
+        |  round(CAST(mnv AS DOUBLE) / 1000000.0, 6) AS min_v,
+        |  round(CAST(mxv AS DOUBLE) / 1000000.0, 6) AS max_v
+        |FROM g ORDER BY d""".stripMargin,
 
     // class-prototype replay: per-(label, dim) double mean cast FLOAT
     // (the trained-IVF mean contract — float rounding absorbs

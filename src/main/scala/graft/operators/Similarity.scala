@@ -455,6 +455,42 @@ object Similarity {
     * integer MICRO-cosines (round(cos·10⁶)) so avg/min/max are
     * order-free.
     */
+  /** Per-dimension embedding statistics (mean, variance, extremes) —
+    * the embedding-health audit run before building an ANN index or
+    * normalizing a corpus: a dimension whose variance collapses (or
+    * explodes) flags a broken encoder batch, and strongly anisotropic
+    * dimensions degrade cosine-based retrieval (the "all embeddings
+    * point the same way" failure).
+    *
+    * Exactness contract: components scale to round(v·10⁶) integer
+    * micro-units, so the per-dim sum and sum-of-squares are EXACT
+    * BIGINTs (order-free at any parallelism — no float-sum
+    * association drift), and mean/variance are single fixed-shape
+    * double expressions of those integers (the variance divides the
+    * exact sums FIRST — sq·n would overflow int64 — so both engines
+    * round the same exact BIGINTs through the same double ops).
+    * Scale shape: one posexplode + map-side-combined (dim) aggregate,
+    * dim-bounded output.
+    */
+  def dimStats(vectors: DataFrame): DataFrame =
+    vectors
+      .select(posexplode(transform(col("embedding"),
+        v => round(v.cast("double") * 1000000).cast("long"))).as(Seq("d", "mv")))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("mv")).as("sm"),
+        sum(col("mv") * col("mv")).as("sq"),
+        min(col("mv")).as("mnv"), max(col("mv")).as("mxv"))
+      .select(col("d"), col("n"),
+        round(col("sm").cast("double") /
+          (col("n").cast("double") * lit(1000000.0)), 6).as("mean"),
+        round((col("sq").cast("double") / col("n").cast("double") -
+          (col("sm").cast("double") / col("n").cast("double")) *
+          (col("sm").cast("double") / col("n").cast("double"))) / lit(1.0e12), 6)
+          .as("variance"),
+        round(col("mnv").cast("double") / lit(1000000.0), 6).as("min_v"),
+        round(col("mxv").cast("double") / lit(1000000.0), 6).as("max_v"))
+      .orderBy(col("d"))
+
   def labelCentroids(vectors: DataFrame, labelCol: String = "label"): DataFrame = {
     val sums = vectors
       .select(col(labelCol).as("lbl"), posexplode(col("embedding")).as(Seq("d", "v")))
