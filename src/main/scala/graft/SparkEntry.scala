@@ -1014,6 +1014,25 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    "i_chunk_recursive" -> ((s, dir) => {
+      // LangChain-style recursive splitter over a deterministically
+      // re-structured corpus (the synthetic docs are flat token runs:
+      // inject a sentence end every 7th token — suppressed every
+      // 35th, so some sentences exceed the budget and hard-split —
+      // and a paragraph break every 23rd); budget 8 exercises all
+      // three cascade levels (whole paragraphs, sentence bundles,
+      // token-window hard splits)
+      val toks = TextFunctions.tokens(col("text"))
+      val structured = array_join(transform(toks, (t, i) =>
+        when((i + 1) % 23 === 0, concat(t, lit(".\n\n")))
+          .when((i + 1) % 7 === 0 && (i + 1) % 35 =!= 0, concat(t, lit(".")))
+          .otherwise(t)), " ")
+      Chunkers.recursiveChunks(
+        tbl(s, dir, "documents").select(col("doc_id"), structured.as("text")),
+        maxTokens = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     "i_enrich_summary" -> ((s, dir) => {
       Processors.withSummary(tbl(s, dir, "documents"), textCol = "text", maxWords = 20)
         .select(col("doc_id"), col("summary"))
@@ -2455,6 +2474,57 @@ object SparkEntry {
     "i_chunk_header" -> structuralChunkOracle,
     "i_chunk_section" -> structuralChunkOracle,
     "i_chunk_semantic" -> structuralChunkOracle,
+
+    // recursive-splitter replay: the same three-level cascade —
+    // structured text, blank-line blocks, SEP-rewrite sentence split,
+    // budget-start bundles via running window, token-window hard
+    // splits — with 1-based range indices standing in for posexplode
+    "i_chunk_recursive" ->
+      s"""WITH st AS (
+         |  SELECT doc_id, array_to_string(list_transform(range(1, len(t) + 1), i ->
+         |    CASE WHEN i % 23 = 0 THEN t[i] || '.' || chr(10) || chr(10)
+         |         WHEN i % 7 = 0 AND i % 35 <> 0 THEN t[i] || '.'
+         |         ELSE t[i] END), ' ') AS text
+         |  FROM (SELECT doc_id, ${sqlToks("text")} AS t FROM documents)),
+         |bl AS (
+         |  SELECT doc_id, u.i AS block_idx, l[u.i] AS block
+         |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\n{2,}'),
+         |          x -> length(trim(x)) > 0) AS l FROM st) t,
+         |       unnest(range(1, len(l) + 1)) AS u(i)),
+         |pc AS (
+         |  SELECT doc_id, block_idx, u.i AS piece_idx, pl[u.i] AS piece
+         |  FROM (SELECT doc_id, block_idx,
+         |          CASE WHEN len(${sqlToks("block")}) <= 8 THEN [block]
+         |               ELSE string_split(regexp_replace(block, '([.!?])\\s+',
+         |                 '\\1' || chr(1), 'g'), chr(1)) END AS pl
+         |        FROM bl) t,
+         |       unnest(range(1, len(pl) + 1)) AS u(i)),
+         |sb AS (
+         |  SELECT doc_id, block_idx, piece_idx, u.i AS sub_idx, sl[u.i] AS sub,
+         |    CAST(len(${sqlToks("sl[u.i]")}) AS BIGINT) AS n_tok
+         |  FROM (SELECT doc_id, block_idx, piece_idx,
+         |          CASE WHEN len(${sqlToks("piece")}) <= 8 THEN [piece]
+         |               ELSE list_transform(range(0, (len(${sqlToks("piece")}) + 7) // 8),
+         |                    i -> array_to_string((${sqlToks("piece")})[i*8+1 : i*8+8], ' ')) END AS sl
+         |        FROM pc) t,
+         |       unnest(range(1, len(sl) + 1)) AS u(i)),
+         |bu AS (
+         |  SELECT doc_id, block_idx, piece_idx, sub_idx, sub, n_tok,
+         |    (CAST(sum(n_tok) OVER (PARTITION BY doc_id, block_idx
+         |       ORDER BY piece_idx, sub_idx
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      - n_tok) // 8 AS bundle
+         |  FROM sb),
+         |ck AS (
+         |  SELECT doc_id, block_idx, bundle,
+         |    array_to_string(list(sub ORDER BY piece_idx, sub_idx), ' ') AS content,
+         |    CAST(sum(n_tok) AS BIGINT) AS token_count
+         |  FROM bu GROUP BY 1, 2, 3)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY block_idx, bundle) AS BIGINT) - 1 AS chunk_id,
+         |  content, token_count
+         |FROM ck ORDER BY doc_id, chunk_id""".stripMargin,
 
     "i_chunk_markdown" ->
       // no level<=3 headers in the corpus → one chunk per document:

@@ -447,6 +447,71 @@ object Chunkers {
     d // inputs are L2-normalized
   }
 
+  /** Recursive-split chunking — the LangChain
+    * RecursiveCharacterTextSplitter shape, re-expressed as a
+    * declarative three-level cascade so it stays a narrow map-only
+    * transform at any corpus size: paragraphs (blank-line blocks)
+    * that fit the token budget chunk whole; an oversized paragraph
+    * splits at sentence boundaries ([.!?] + whitespace, via a
+    * backreference-SEP rewrite — portable to engines without
+    * lookbehind) and consecutive sentences pack into budget-start
+    * bundles — a sentence whose START token offset falls in window
+    * [k·B, (k+1)·B) joins bundle k, the window-expressible packing
+    * rule (a bundle can overflow by at most one sentence: the bounded
+    * trade that keeps packing a pure column expression instead of a
+    * sequential greedy fold); a single sentence over the budget
+    * hard-splits into exact token windows. Bundle members re-join
+    * with single spaces. Output: (doc_id, chunk_id, content,
+    * token_count), chunk_id 0-based per document in text order.
+    *
+    * Scale shape: three Generate/Project stages and ONE
+    * (doc_id, block)-keyed window + aggregate — per-document state
+    * only, no corpus-wide shuffle key, embarrassingly parallel.
+    */
+  def recursiveChunks(documents: DataFrame, maxTokens: Int = 64): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val B = maxTokens
+    val SEP = "\u0001" // control char: never occurs in text
+    def tc(c: Column): Column = graft.functions.native.tokenCount(c)
+    val blocks = documents.select(col("doc_id"),
+      posexplode(filter(split(col("text"), "\\n{2,}"), b => length(trim(b)) > 0))
+        .as(Seq("block_idx", "block")))
+    val pieces = blocks.select(col("doc_id"), col("block_idx"),
+      posexplode(
+        when(tc(col("block")) <= B, array(col("block")))
+          .otherwise(split(
+            regexp_replace(col("block"), "([.!?])\\s+", "$1" + SEP), SEP)))
+        .as(Seq("piece_idx", "piece")))
+    val pieceToks = graft.functions.TextFunctions.tokens(col("piece"))
+    val nWindows = floor((tc(col("piece")).cast("double") + (B - 1)) / B).cast("int")
+    val subs = pieces.select(col("doc_id"), col("block_idx"), col("piece_idx"),
+      posexplode(
+        when(tc(col("piece")) <= B, array(col("piece")))
+          .otherwise(transform(sequence(lit(0), nWindows - 1),
+            i => array_join(slice(pieceToks, i * B + 1, lit(B)), " "))))
+        .as(Seq("sub_idx", "sub")))
+      .withColumn("n_tok", tc(col("sub")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("block_idx"))
+      .orderBy(col("piece_idx"), col("sub_idx"))
+    val chunks = subs
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bundle", expr(s"(cum - n_tok) div $B"))
+      .groupBy(col("doc_id"), col("block_idx"), col("bundle"))
+      .agg(sort_array(collect_list(struct(
+        col("piece_idx"), col("sub_idx"), col("sub")))).as("parts"),
+        sum(col("n_tok")).as("token_count"))
+      .select(col("doc_id"), col("block_idx"), col("bundle"),
+        array_join(transform(col("parts"), p => p.getField("sub")), " ")
+          .as("content"),
+        col("token_count"))
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("block_idx"), col("bundle"))
+    chunks
+      .withColumn("chunk_id", (row_number().over(wId) - 1).cast("long"))
+      .select(col("doc_id"), col("chunk_id"), col("content"), col("token_count"))
+  }
+
   /** Linear-interpolation percentile (SemanticSimilarityChunker.cs:117). */
   private[graft] def percentile(xs: Seq[Double], p: Double): Option[Double] =
     if (xs.isEmpty) None

@@ -358,4 +358,32 @@ class ChunkersSpec extends SparkSpecBase {
     assert(Chunkers.percentile(Seq(5.0), 95.0).contains(5.0))
     assert(Chunkers.percentile(Nil, 95.0).isEmpty)
   }
+
+  test("recursiveChunks: three cascade levels and bounded bundle overflow") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"), // fits the budget → one whole-paragraph chunk
+      // sentences of 3/3/4 tokens at budget 4: s2 STARTS at offset 3
+      // (inside window 0) so bundle 0 overflows by exactly one
+      // sentence — the documented bounded trade; s3 starts at 6 → b1
+      (2L, "one two three. four five six. seven eight nine ten."),
+      // no sentence boundary, 9 tokens → hard windows of 4/4/1
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      // paragraph break: each block bundles independently
+      (4L, "p1 p2 p3\n\nq1 q2 q3")
+    ).toDF("doc_id", "text")
+    val got = Chunkers.recursiveChunks(docs, maxTokens = 4)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got.filter(_._1 == 1L).map(_._3) == Seq("a b c"))
+    assert(got.filter(_._1 == 2L).map(r => (r._3, r._4)) == Seq(
+      ("one two three. four five six.", 6L), // ≤ budget + one sentence
+      ("seven eight nine ten.", 4L)))
+    assert(got.filter(_._1 == 3L).map(r => (r._3, r._4)) == Seq(
+      ("w1 w2 w3 w4", 4L), ("w5 w6 w7 w8", 4L), ("w9", 1L)))
+    assert(got.filter(_._1 == 4L).map(_._3) == Seq("p1 p2 p3", "q1 q2 q3"))
+    // chunk ids are 0-based and dense per document
+    assert(got.groupBy(_._1).forall { case (_, cs) =>
+      cs.map(_._2).sorted == (0L until cs.length).toSeq })
+  }
 }
