@@ -620,13 +620,38 @@ object SparkEntry {
       val m = e.groupBy(col("event_type")).agg(
         count(lit(1)).cast("double").as("n"),
         sum(col("cents")).cast("double").as("ssum"),
-        sum(col("cents") * col("cents")).cast("double").as("ssq"))
+        // decimal-exact square sum: a LONG Σcents² overflows around
+        // 10× sf1 under ANSI mode; decimal(38,0) is exact to 10³⁸ and
+        // the value (cast to double) is bit-identical where both fit
+        sum((col("cents") * col("cents")).cast("decimal(38,0)")).cast("double").as("ssq"))
       val z = (col("cents").cast("double") - col("ssum") / col("n")) /
         sqrt((col("ssq") - col("ssum") * col("ssum") / col("n")) / col("n"))
       e.join(broadcast(m), "event_type")
         .select(col("event_id"), col("event_type"), col("value"), z.as("z"))
         .where(abs(col("z")) > 3.0)
         .orderBy(col("event_id"))
+    }),
+
+    "q_bin_histogram" -> ((s, dir) => {
+      // numeric equi-width histogram per event type (the distribution
+      // half of the profiling trio: q_profile exact stats, q_histogram
+      // top-k categorical, this one numeric shape): fixed 5.00-unit
+      // bins on exact integer cents — data-independent edges, so the
+      // binning is one map-only integer division and the aggregate
+      // map-side combines to |types|·|bins| rows
+      events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        // cents are non-negative (value > 0), where `div` (truncate)
+        // and the oracle's `//` (floor) agree; a signed metric would
+        // need explicit floor() on both sides
+        .withColumn("bin", expr("cents div 500"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("bin"),
+          (col("bin") * 5.0).as("lo"), ((col("bin") + 1) * 5.0).as("hi"),
+          col("n"))
+        .orderBy(col("event_type"), col("bin"))
     }),
 
     "q_decay" -> ((s, dir) => {
@@ -684,14 +709,21 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wIdx = Window.partitionBy(col("event_type")).orderBy(col("hr"))
       val c = col("nh") * col("p") - col("i") * col("sx")
+      // the flag compares the PER-HOUR cusum against 3σ in divide-first
+      // double shapes: nh·qx and sx² as BIGINTs overflow at ~30× sf0.1
+      // (caught by the sf3 probe under ANSI mode), while nh·p and i·sx
+      // stay far inside int64 at any realistic series length — so C is
+      // exact and only the σ² comparison rounds, identically in both
+      // engines
+      val cusum = c.cast("double") / col("nh").cast("double")
+      val mean = col("sx").cast("double") / col("nh").cast("double")
+      val varN = col("qx").cast("double") / col("nh").cast("double") - mean * mean
       hourly.join(broadcast(m), "event_type")
         .withColumn("p", sum(col("x")).over(wRun))
         .withColumn("i", row_number().over(wIdx).cast("long"))
         .select(col("event_type"), col("hr"), col("x"),
-          round(c.cast("double") / col("nh").cast("double"), 6).as("cusum"),
-          (c.cast("double") * c.cast("double") >
-            lit(9.0) * (col("nh") * col("qx") - col("sx") * col("sx")).cast("double"))
-            .as("is_change"))
+          round(cusum, 6).as("cusum"),
+          (cusum * cusum > lit(9.0) * varN).as("is_change"))
         .orderBy(col("event_type"), col("hr"))
     }),
 
@@ -2145,6 +2177,17 @@ object SparkEntry {
         |    sqrt((ssq - ssum * ssum / n) / n)) > 3.0
         |ORDER BY event_id""".stripMargin,
 
+    "q_bin_histogram" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (
+        |  SELECT event_type, cents // 500 AS bin, count(*) AS n
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_type, bin,
+        |  CAST(bin * 5 AS DOUBLE) AS lo, CAST((bin + 1) * 5 AS DOUBLE) AS hi, n
+        |FROM b ORDER BY event_type, bin""".stripMargin,
+
     "q_decay" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 1000000 // 604800 AS wk,
@@ -2183,8 +2226,11 @@ object SparkEntry {
         |  FROM h JOIN m USING (event_type))
         |SELECT event_type, hr, x,
         |  round(CAST(nh * p - i * sx AS DOUBLE) / CAST(nh AS DOUBLE), 6) AS cusum,
-        |  CAST(nh * p - i * sx AS DOUBLE) * CAST(nh * p - i * sx AS DOUBLE) >
-        |    9.0 * CAST(nh * qx - sx * sx AS DOUBLE) AS is_change
+        |  (CAST(nh * p - i * sx AS DOUBLE) / CAST(nh AS DOUBLE)) *
+        |    (CAST(nh * p - i * sx AS DOUBLE) / CAST(nh AS DOUBLE)) >
+        |    9.0 * (CAST(qx AS DOUBLE) / CAST(nh AS DOUBLE) -
+        |      (CAST(sx AS DOUBLE) / CAST(nh AS DOUBLE)) *
+        |      (CAST(sx AS DOUBLE) / CAST(nh AS DOUBLE))) AS is_change
         |FROM r ORDER BY event_type, hr""".stripMargin,
 
     "q_transition" ->
@@ -3252,7 +3298,7 @@ object SparkEntry {
         |  FROM embeddings, unnest(range(1, 65)) AS u(d)),
         |g AS (
         |  SELECT d, count(*) AS n, CAST(sum(mv) AS BIGINT) AS sm,
-        |    CAST(sum(mv * mv) AS BIGINT) AS sq,
+        |    sum(mv * mv) AS sq,
         |    min(mv) AS mnv, max(mv) AS mxv
         |  FROM m GROUP BY d)
         |SELECT d, n,

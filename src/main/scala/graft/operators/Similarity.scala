@@ -463,12 +463,12 @@ object Similarity {
     * point the same way" failure).
     *
     * Exactness contract: components scale to round(v·10⁶) integer
-    * micro-units, so the per-dim sum and sum-of-squares are EXACT
-    * BIGINTs (order-free at any parallelism — no float-sum
+    * micro-units, so the per-dim sum (BIGINT) and sum-of-squares
+    * (decimal(38,0) — a long Σmv² overflows past ~10⁵ rows/dim) are
+    * EXACT integers (order-free at any parallelism — no float-sum
     * association drift), and mean/variance are single fixed-shape
-    * double expressions of those integers (the variance divides the
-    * exact sums FIRST — sq·n would overflow int64 — so both engines
-    * round the same exact BIGINTs through the same double ops).
+    * double expressions of those integers (divide-first, so both
+    * engines round the same exact integers through the same ops).
     * Scale shape: one posexplode + map-side-combined (dim) aggregate,
     * dim-bounded output.
     */
@@ -478,7 +478,10 @@ object Similarity {
         v => round(v.cast("double") * 1000000).cast("long"))).as(Seq("d", "mv")))
       .groupBy(col("d"))
       .agg(count(lit(1)).as("n"), sum(col("mv")).as("sm"),
-        sum(col("mv") * col("mv")).as("sq"),
+        // decimal-exact square sum: a LONG Σmv² overflows around 10⁵
+        // rows/dim × |v|≈8; decimal(38,0) is exact to 10³⁸ and the
+        // variance only ever reads it through a double cast
+        sum((col("mv") * col("mv")).cast("decimal(38,0)")).as("sq"),
         min(col("mv")).as("mnv"), max(col("mv")).as("mxv"))
       .select(col("d"), col("n"),
         round(col("sm").cast("double") /
