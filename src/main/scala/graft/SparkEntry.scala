@@ -632,6 +632,39 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_abtest" -> ((s, dir) => {
+      // one-vs-rest two-sample z-test per event type (the A/B-test
+      // primitive: is this variant's mean value different from
+      // everything else?): group and global moments are exact
+      // integers (cents; decimal-exact square sums), every later op
+      // is a fixed-shape double expression — so z and the 1.96 cut
+      // are bit-identical across engines. Scale: one map-combined
+      // |types|-row moment aggregate + a broadcast 1-row total.
+      val e = events(s, dir)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      val perT = e.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(col("cents")).as("sm"),
+        sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("sq"))
+      val tot = perT.agg(sum(col("n")).as("tn"), sum(col("sm")).as("tsm"),
+        sum(col("sq")).as("tsq"))
+      val rn = col("tn") - col("n")
+      val rsm = col("tsm") - col("sm")
+      val rsq = (col("tsq") - col("sq")).cast("double")
+      def mean(nc: Column, smc: Column) = smc.cast("double") / nc.cast("double")
+      val mt = mean(col("n"), col("sm"))
+      val vT = col("sq").cast("double") / col("n").cast("double") - mt * mt
+      val mR = rsm.cast("double") / rn.cast("double")
+      val vR = rsq / rn.cast("double") - mR * mR
+      val z = (mt - mR) /
+        sqrt(vT / col("n").cast("double") + vR / rn.cast("double"))
+      perT.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n"),
+          round(mt, 6).as("mean"), round(mR, 6).as("mean_rest"),
+          round(z, 6).as("z"),
+          (abs(z) > 1.96).as("significant"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_bin_histogram" -> ((s, dir) => {
       // numeric equi-width histogram per event type (the distribution
       // half of the profiling trio: q_profile exact stats, q_histogram
@@ -2176,6 +2209,39 @@ object SparkEntry {
         |WHERE abs((CAST(cents AS DOUBLE) - ssum / n) /
         |    sqrt((ssq - ssum * ssum / n) / n)) > 3.0
         |ORDER BY event_id""".stripMargin,
+
+    "q_abtest" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |t AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sm,
+        |    sum(cents * cents) AS sq
+        |  FROM e GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sm) AS BIGINT) AS tsm,
+        |    sum(sq) AS tsq FROM t),
+        |r AS (
+        |  SELECT event_type, n, sm, sq, tn - n AS rn, tsm - sm AS rsm,
+        |    CAST(tsq - sq AS DOUBLE) AS rsq
+        |  FROM t, g),
+        |zc AS (
+        |  SELECT event_type, n,
+        |    CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mt,
+        |    CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS vt,
+        |    CAST(rsm AS DOUBLE) / CAST(rn AS DOUBLE) AS mr,
+        |    rsq / CAST(rn AS DOUBLE) -
+        |      (CAST(rsm AS DOUBLE) / CAST(rn AS DOUBLE)) *
+        |      (CAST(rsm AS DOUBLE) / CAST(rn AS DOUBLE)) AS vr,
+        |    CAST(n AS DOUBLE) AS nd, CAST(rn AS DOUBLE) AS rnd
+        |  FROM r)
+        |SELECT event_type, n,
+        |  round(mt, 6) AS mean, round(mr, 6) AS mean_rest,
+        |  round((mt - mr) / sqrt(vt / nd + vr / rnd), 6) AS z,
+        |  abs((mt - mr) / sqrt(vt / nd + vr / rnd)) > 1.96 AS significant
+        |FROM zc ORDER BY event_type""".stripMargin,
 
     "q_bin_histogram" ->
       """WITH e AS (
