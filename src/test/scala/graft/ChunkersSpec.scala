@@ -386,4 +386,37 @@ class ChunkersSpec extends SparkSpecBase {
     assert(got.groupBy(_._1).forall { case (_, cs) =>
       cs.map(_._2).sorted == (0L until cs.length).toSeq })
   }
+
+  test("recursiveChunks: token-sequence preservation and bounded chunks on fuzzed docs") {
+    import spark.implicits._
+    val B = 6
+    val rnd = new scala.util.Random(42)
+    def doc(): String = {
+      val n = 1 + rnd.nextInt(120)
+      (1 to n).map { _ =>
+        val w = ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(5))
+        rnd.nextInt(10) match {
+          case 0 => w + ".\n\n"
+          case 1 => w + "."
+          case 2 => w + "!"
+          case 3 => w + "?  "
+          case _ => w
+        }
+      }.mkString(" ")
+    }
+    val docs = (1 to 40).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+    val chunks = Chunkers.recursiveChunks(docs, maxTokens = B)
+      .orderBy("doc_id", "chunk_id").collect()
+    def toks(s: String): Seq[String] = s.split("\\s+").filter(_.nonEmpty).toSeq
+    // lossless: concatenating a document's chunks in order reproduces
+    // its exact token sequence — nothing dropped, duplicated, reordered
+    val got = chunks.groupBy(_.getLong(0)).map { case (id, rs) =>
+      id -> rs.sortBy(_.getLong(1)).flatMap(r => toks(r.getString(2))).toSeq }
+    for ((id, want) <- docs.collect().map(r => r.getLong(0) -> toks(r.getString(1))))
+      assert(got.getOrElse(id, Nil) == want, s"doc $id lost/reordered tokens")
+    // budget: a bundle holds sentences STARTING inside one B-window,
+    // so the worst chunk is B-1 occupied + one B-token sentence
+    assert(chunks.forall(_.getLong(3) <= 2L * B - 1),
+      chunks.filter(_.getLong(3) > 2L * B - 1).mkString("; "))
+  }
 }

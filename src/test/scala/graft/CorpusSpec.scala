@@ -452,4 +452,43 @@ class CorpusSpec extends SparkSpecBase {
     assert(got.head.getAs[Long]("n_matched") == 2L)
     assert(got.head.getAs[Double]("max_cos") == 1.0)
   }
+
+  test("applyChangelog: idempotent under re-application (exactly-once replay safety)") {
+    import spark.implicits._
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val ch = Seq(
+      (10L, "U", 1L, "one v1"), (11L, "U", 1L, "one v2"), // last-wins
+      (12L, "D", 2L, ""),                                  // delete
+      (13L, "I", 9L, "nine")                               // insert
+    ).toDF("seq", "op", "doc_id", "text")
+    def snap(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val once = Corpus.applyChangelog(base, ch)
+    val expected = Seq((1L, "one v2"), (3L, "three"), (9L, "nine"))
+    assert(snap(once) == expected)
+    // a CDC consumer that replays a batch after a retry must converge:
+    // re-applying the same changelog to the merged snapshot is a no-op
+    val twice = Corpus.applyChangelog(
+      once.select(col("doc_id"), col("text")), ch)
+    assert(snap(twice) == expected)
+  }
+
+  test("scd2: validity intervals chain and only the open non-delete is current") {
+    import spark.implicits._
+    val ch = Seq(
+      (10L, "U", 1L, "a"), (11L, "U", 1L, "b"), (12L, "D", 1L, ""),
+      (20L, "I", 2L, "x")
+    ).toDF("seq", "op", "doc_id", "text")
+    val got = Corpus.scd2(ch)
+      .orderBy("doc_id", "version")
+      .select("doc_id", "version", "op", "valid_from_seq", "valid_to_seq", "is_current")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]), r.getBoolean(5)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 1, "U", 10L, Some(11L), false),
+      (1L, 2, "U", 11L, Some(12L), false),
+      (1L, 3, "D", 12L, None, false), // deleted: open interval, NOT current
+      (2L, 1, "I", 20L, None, true)))
+  }
 }
