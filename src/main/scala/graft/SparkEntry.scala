@@ -632,6 +632,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_seasonality" -> ((s, dir) => {
+      // calendar profile: event volume + mean value per (day-of-week,
+      // hour-of-day) — the load/seasonality heat-map behind capacity
+      // planning and anomaly baselines. dow from epoch days ((d+4)%7,
+      // 1970-01-01 = Thursday), all exact integer arithmetic; mean is
+      // one fixed-shape division of exact cents. Map-only derivation,
+      // map-combined ≤168-row aggregate.
+      events(s, dir)
+        .select(
+          expr("(sec div 86400 + 4) % 7").as("dow"),
+          expr("(sec div 3600) % 24").as("hour"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sm"))
+        .select(col("dow"), col("hour"), col("n"),
+          round(col("sm").cast("double") /
+            (col("n").cast("double") * lit(100.0)), 6).as("mean_value"))
+        .orderBy(col("dow"), col("hour"))
+    }),
+
     "q_abtest" -> ((s, dir) => {
       // one-vs-rest two-sample z-test per event type (the A/B-test
       // primitive: is this variant's mean value different from
@@ -2209,6 +2229,19 @@ object SparkEntry {
         |WHERE abs((CAST(cents AS DOUBLE) - ssum / n) /
         |    sqrt((ssq - ssum * ssum / n) / n)) > 3.0
         |ORDER BY event_id""".stripMargin,
+
+    "q_seasonality" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 1000000 AS sec,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (
+        |  SELECT (sec // 86400 + 4) % 7 AS dow, (sec // 3600) % 24 AS hour,
+        |    count(*) AS n, CAST(sum(cents) AS BIGINT) AS sm
+        |  FROM e GROUP BY 1, 2)
+        |SELECT dow, hour, n,
+        |  round(CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6)
+        |    AS mean_value
+        |FROM g ORDER BY dow, hour""".stripMargin,
 
     "q_abtest" ->
       """WITH e AS (
