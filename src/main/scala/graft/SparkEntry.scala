@@ -184,6 +184,28 @@ object SparkEntry {
        |  SELECT a, b, inter, na, nb FROM pairs
        |  WHERE inter * 10000 >= 8000 * (na + nb - inter))""".stripMargin
 
+  /** Language-ID prediction replay ending in `lang_pred_t` (doc_id,
+    * lang, lang_pred) — the stopword-hit argmax twin of
+    * TextAnalysis.langId, shared by t_lang_id and t_lang_confusion.
+    */
+  private lazy val langPredCte: String = {
+    def hits(words: Seq[String]) =
+      s"len(list_filter(${sqlToks("lower(text)")}, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"
+    val de = hits(TextAnalysis.Stopwords("de"))
+    val en = hits(TextAnalysis.Stopwords("en"))
+    val es = hits(TextAnalysis.Stopwords("es"))
+    val fr = hits(TextAnalysis.Stopwords("fr"))
+    s"""lang_pred_t AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN cde = 0 AND cen = 0 AND ces = 0 AND cfr = 0 THEN 'und'
+       |         WHEN cde >= cen AND cde >= ces AND cde >= cfr THEN 'de'
+       |         WHEN cen >= ces AND cen >= cfr THEN 'en'
+       |         WHEN ces >= cfr THEN 'es'
+       |         ELSE 'fr' END AS lang_pred
+       |  FROM (SELECT doc_id, lang, $de AS cde, $en AS cen, $es AS ces,
+       |        $fr AS cfr FROM documents))""".stripMargin
+  }
+
   /** MinHash-LSH pair replay ending in `mh_pairs` (a, b, inter, na,
     * nb) — expects a `corpus` CTE in scope (mh_-prefixed names so it
     * composes with [[ngramPairsCte]] in the same WITH chain). Twin of
@@ -1841,6 +1863,22 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
+    }),
+
+    "t_lang_confusion" -> ((s, dir) => {
+      // classifier evaluation: lang-ID confusion matrix against the
+      // corpus's ground-truth label — (truth, pred, n, per-truth
+      // fraction). Scale: map-only prediction, map-combined
+      // ≤|langs|²-row aggregate, tiny normalizing window.
+      import org.apache.spark.sql.expressions.Window
+      val cnt = tbl(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+      cnt.select(col("lang"), col("lang_pred"), col("n"),
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("lang"))).cast("double"), 6)
+          .as("frac"))
+        .orderBy(col("lang"), col("lang_pred"))
     }),
 
     "t_quality_score" -> ((s, dir) => {
@@ -3922,22 +3960,21 @@ object SparkEntry {
         |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
-    "t_lang_id" -> {
-      def hits(words: Seq[String]) =
-        s"len(list_filter(${sqlToks("lower(text)")}, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"
-      val de = hits(TextAnalysis.Stopwords("de"))
-      val en = hits(TextAnalysis.Stopwords("en"))
-      val es = hits(TextAnalysis.Stopwords("es"))
-      val fr = hits(TextAnalysis.Stopwords("fr"))
-      s"""SELECT doc_id,
-         |  CASE WHEN cde = 0 AND cen = 0 AND ces = 0 AND cfr = 0 THEN 'und'
-         |       WHEN cde >= cen AND cde >= ces AND cde >= cfr THEN 'de'
-         |       WHEN cen >= ces AND cen >= cfr THEN 'en'
-         |       WHEN ces >= cfr THEN 'es'
-         |       ELSE 'fr' END AS lang_pred
-         |FROM (SELECT doc_id, $de AS cde, $en AS cen, $es AS ces, $fr AS cfr FROM documents)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "t_lang_id" ->
+      s"""WITH $langPredCte
+         |SELECT doc_id, lang_pred FROM lang_pred_t ORDER BY doc_id""".stripMargin,
+
+    // classifier-evaluation replay: the shared prediction CTE grouped
+    // against the ground-truth label; frac is one exact-int division
+    "t_lang_confusion" ->
+      s"""WITH $langPredCte,
+         |c AS (
+         |  SELECT lang, lang_pred, count(*) AS n
+         |  FROM lang_pred_t GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n,
+         |  round(CAST(n AS DOUBLE) /
+         |    CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS frac
+         |FROM c ORDER BY lang, lang_pred""".stripMargin,
 
     "t_quality_score" -> {
       val allStop = TextAnalysis.Stopwords.values.flatten.toSeq.distinct
