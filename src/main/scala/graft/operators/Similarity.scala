@@ -455,6 +455,60 @@ object Similarity {
     * integer MICRO-cosines (round(cos·10⁶)) so avg/min/max are
     * order-free.
     */
+  /** Persist an IVF-partitioned ANN index: every vector is assigned
+    * to its nearest-centroid list (the same map-only scan-stage
+    * argmax as [[knnIvf]]) and written PARTITIONED BY list_id, with
+    * the centroid table alongside — the lakehouse vector-index
+    * layout. The payoff is at read time: a probe query filters on
+    * `list_id IN (<nProbe lists>)`, which Spark resolves at the
+    * FILE-LISTING level (partition pruning, the same mechanism a
+    * Delta/Iceberg table uses), so query IO is
+    * ~corpus·nProbe/nLists instead of the whole store — the
+    * difference between touching 4 directories and scanning 100 TB.
+    */
+  def writeIvfIndex(vectors: DataFrame, path: String, nLists: Int = 16): Unit = {
+    val centroids = sampleCentroids(vectors, nLists)
+    val centroidSet = foldCentroids(centroids).localCheckpoint(true)
+    assignFolded(vectors, centroidSet, "vec_id", "embedding", probes = 1)
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    centroidSet.unpersist()
+  }
+
+  /** Probe a persisted IVF index: pick the query's `nProbe` nearest
+    * centroids from the (tiny, nLists-row) centroid table, then scan
+    * ONLY those list partitions for the exact top-k — the reader half
+    * of [[writeIvfIndex]]. The `list_id IN (...)` filter appears in
+    * the scan's PartitionFilters (asserted in spec): unprobed lists
+    * are never listed, opened, or read.
+    */
+  def probeIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    query: Array[Float], k: Int = 10, nProbe: Int = 4): DataFrame = {
+    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else d / den
+    }
+    // centroid table is nLists rows by construction — driver-bounded,
+    // like any index's metadata read
+    val probeIds = spark.read.parquet(s"$path/centroids")
+      .select(col("list_id"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .map { case (id, c) => (id, cosLocal(query, c)) }
+      .sortBy { case (id, cos) => (-cos, id) }
+      .take(nProbe).map(_._1)
+    val q = typedlit(query.toSeq)
+    spark.read.parquet(s"$path/lists")
+      .where(col("list_id").isin(probeIds: _*))
+      .select(col("vec_id"),
+        VectorFunctions.cosine(col("embedding"), q).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Per-dimension embedding statistics (mean, variance, extremes) —
     * the embedding-health audit run before building an ANN index or
     * normalizing a corpus: a dimension whose variance collapses (or

@@ -16,6 +16,33 @@ class IvfFramesSpec extends SparkSpecBase {
     assert(ivf == bf)
   }
 
+  test("writeIvfIndex/probeIvfIndex: persisted lists prune at the partition level") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    Similarity.writeIvfIndex(emb, dir, nLists = 8)
+    val query = emb.where(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head()
+    val probe = Similarity.probeIvfIndex(spark, dir, query, k = 5, nProbe = 2)
+    // partition pruning: the list_id IN (...) filter must reach the
+    // scan's PartitionFilters — unprobed lists are never even listed
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"expected list_id partition pruning in:\n$plan")
+    val got = probe.collect()
+    // the query vector itself lives in a probed list and must rank #1
+    assert(got.head.getLong(0) == 0L && got.head.getDouble(1) > 0.999999)
+    assert(got.length == 5)
+    // self-consistency: probing ALL lists reproduces exact brute force
+    val all = Similarity.probeIvfIndex(spark, dir, query, k = 5, nProbe = 8)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    val bf = emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("embedding"),
+          typedlit(query.toSeq)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(all == bf)
+  }
+
   test("trainCentroids: Lloyd iterations converge to well-separated cluster centers") {
     // three tight clusters on orthogonal axes; a bad seed (all three
     // seeds inside cluster A) must still migrate two centroids out
