@@ -2068,6 +2068,16 @@ object SparkEntry {
     }),
 
     // ---------------------------------------------- multimodal
+    "m_binary_dedup" -> ((s, dir) => {
+      // exact binary dedup over media bytes (CDN copies / mirrored
+      // assets): content-addressed sha-256 groups, keeper = min id;
+      // the dup-injected corpus's verbatim copies (+1M ids) group,
+      // the one-token near-dups (+2M) correctly do NOT
+      val media = corpusWithDups(tbl(s, dir, "documents"))
+        .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("content"))
+      Multimodal.binaryDuplicates(media).orderBy(col("media_id"))
+    }),
+
     "m_multimodal_meta" -> ((s, dir) => {
       val media = tbl(s, dir, "documents").select(
         col("doc_id").as("media_id"),
@@ -4527,6 +4537,20 @@ object SparkEntry {
          |        THEN cnts[CAST(r.range AS INT)] / nrm ELSE 0.0 END AS FLOAT) AS DOUBLE) AS val
          |FROM normed CROSS JOIN range(1, 17) r
          |ORDER BY media_id, dim""".stripMargin,
+
+    "m_binary_dedup" ->
+      s"""WITH corpus AS ($corpusWithDupsSql),
+         |m AS (
+         |  SELECT doc_id AS media_id, sha256(text) AS digest,
+         |    CAST(octet_length(encode(text)) AS INT) AS byte_length
+         |  FROM corpus),
+         |w AS (
+         |  SELECT media_id, digest, byte_length,
+         |    CAST(count(*) OVER (PARTITION BY digest) AS BIGINT) AS group_size,
+         |    min(media_id) OVER (PARTITION BY digest) AS keeper_id
+         |  FROM m)
+         |SELECT media_id, digest, byte_length, group_size, keeper_id
+         |FROM w WHERE group_size > 1 ORDER BY media_id""".stripMargin,
 
     "m_multimodal_meta" ->
       // ASCII-expressible magic prefixes must be sniffed here too (the

@@ -58,6 +58,28 @@ object Multimodal {
       xxhash64(col("content")).as("content_hash")
     )
 
+  /** Exact binary dedup over a media column — the first pass of any
+    * multimodal pipeline (a crawl's images/audio repeat verbatim far
+    * more than its text; CDN copies, mirrored assets, re-uploads):
+    * group by the sha-256 of the raw BYTES (content-addressing —
+    * collision-free at any corpus size, the [[graft.operators.Dedup]]
+    * exactGroups contract) and emit every member of each duplicate
+    * group with its group size and the keeper (min media_id). Raw
+    * bytes never shuffle — only (digest, media_id, byte_length).
+    */
+  def binaryDuplicates(media: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("digest"))
+    media
+      .select(col("media_id"), sha2(col("content"), 256).as("digest"),
+        length(col("content")).as("byte_length"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("keeper_id", min(col("media_id")).over(w))
+      .where(col("group_size") > 1)
+      .select(col("media_id"), col("digest"), col("byte_length"),
+        col("group_size"), col("keeper_id"))
+  }
+
   /** Deterministic fake "decode": byte histogram over 16 buckets,
     * L2-normalized — stands in for a real image decode + model
     * embedding. Runs per partition in fixed-size batches (the same
