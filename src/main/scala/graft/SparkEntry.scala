@@ -362,6 +362,69 @@ object SparkEntry {
   private def sqlHash60(strExpr: String): String =
     s"(${sqlHash(strExpr)} * 998244353 + ${sqlHash2(strExpr)})"
 
+  /** DuckDB twin of TextAnalysis.corpusFilterKeep(text) — the same
+    * derived signals and inclusive-threshold compare as the
+    * t_corpus_filter oracle's reason = 'ok' arm, as one boolean.
+    */
+  private def sqlKeep(t: String): String = {
+    val nTok = s"len(${sqlToks(t)})"
+    val meanTokLen =
+      s"(CASE WHEN $nTok > 0 THEN CAST(length(regexp_replace($t, '\\s+', '', 'g')) AS DOUBLE) / $nTok ELSE 0.0 END)"
+    val symbolRatio =
+      s"(CASE WHEN length($t) > 0 THEN CAST(length(regexp_replace($t, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length($t) ELSE 0.0 END)"
+    s"($nTok >= 25 AND $nTok <= 50000 AND $meanTokLen >= 2.0 AND $meanTokLen <= 12.0 AND $symbolRatio <= 0.3)"
+  }
+
+  /** DuckDB twin of TextAnalysis.langId(text) (stopword-hit argmax
+    * with the operator's de>en>es>fr tie order), parameterized on the
+    * text expression so it composes into any CTE (langPredCte is the
+    * documents-table instance).
+    */
+  private def sqlLangPred(t: String): String = {
+    def hits(words: Seq[String]) =
+      s"len(list_filter(${sqlToks(s"lower($t)")}, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"
+    val de = hits(TextAnalysis.Stopwords("de"))
+    val en = hits(TextAnalysis.Stopwords("en"))
+    val es = hits(TextAnalysis.Stopwords("es"))
+    val fr = hits(TextAnalysis.Stopwords("fr"))
+    s"""(CASE WHEN $de = 0 AND $en = 0 AND $es = 0 AND $fr = 0 THEN 'und'
+       |      WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
+       |      WHEN $en >= $es AND $en >= $fr THEN 'en'
+       |      WHEN $es >= $fr THEN 'es'
+       |      ELSE 'fr' END)""".stripMargin
+  }
+
+  /** Unrolled fixed-iteration PageRank twin of Graph.pageRank over
+    * the deterministic 3-regular doc-id edge construction: same float
+    * op sequence per node per round ((1-d)/n + d·Σ rank/deg; dangling
+    * mass is structurally zero here since every node has out-degree
+    * 3, and the operator's +d·0/n term is float-identity).
+    */
+  private lazy val pageRankSql: String = {
+    val D = "CAST(0.85 AS DOUBLE)"
+    val body = (1 to 8).map { i =>
+      s"""r$i AS (
+         |  SELECT nd.node,
+         |    (CAST(1.0 AS DOUBLE) - $D) / (SELECT n FROM nn)
+         |      + $D * coalesce(s.m, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank / dg.deg) AS m
+         |    FROM r${i - 1} r JOIN edges e ON r.node = e.src
+         |      JOIN deg dg ON dg.src = e.src
+         |    GROUP BY e.dst) s ON nd.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS ni FROM nodes),
+       |edges AS (
+       |  SELECT doc_id AS src,
+       |    (doc_id * 31 + k * 7919) % (SELECT ni FROM nn) AS dst
+       |  FROM documents, unnest([1, 2, 3]) AS t(k)),
+       |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+       |""".stripMargin + body +
+      "\nSELECT node, rank FROM r8 ORDER BY node"
+  }
+
   // ==================================================================
   // Flagship: 5-way star join (region⋈nation⋈customer⋈orders⋈lineitem
   // ⋈supplier) with broadcast dims — driver smoke-checks rows > 0.
@@ -2150,6 +2213,40 @@ object SparkEntry {
           posexplode(col("feature")).as(Seq("dim", "val")))
         .withColumn("val", col("val").cast("double"))
         .orderBy(col("media_id"), col("dim"))
+    }),
+
+    // ---------------------------------------------- graph / curation
+    "g_pagerank" -> ((s, dir) => {
+      // link-graph authority prior (the original corpus-quality
+      // signal). The synthetic corpus has no hyperlinks, so the edge
+      // list is a deterministic 3-regular construction over the doc
+      // ids (mirrored exactly by the oracle); the operator under test
+      // is Graph.pageRank — two exchanges per iteration, dangling
+      // redistribution, checkpoint-truncated lineage.
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val nDocs = docs.count()
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          ((col("src") * 31 + col("k") * 7919) % nDocs).as("dst"))
+      Graph.pageRank(edges, iters = 8, damping = 0.85).orderBy(col("node"))
+    }),
+
+    "t_source_audit" -> ((s, dir) => {
+      TextAnalysis.sourceAudit(tbl(s, dir, "documents")).orderBy(col("source"))
+    }),
+
+    "d_curate_e2e" -> ((s, dir) => {
+      // the flagship composition: lang → quality → exact dedup →
+      // decontamination, reported as the per-stage survival funnel.
+      // Corpus = dup-injected documents; benchmark = every 25th doc
+      // (same contamination setup as d_decontaminate).
+      val corpus = corpusWithDups(tbl(s, dir, "documents"))
+      val bench = tbl(s, dir, "documents").where(col("doc_id") % 25 === 0)
+        .select(col("text"))
+      Corpus.curate(corpus, bench, targetLang = "en", n = 8)
+        .orderBy(col("stage"))
     })
   )
 
@@ -4562,6 +4659,68 @@ object SparkEntry {
         |       WHEN text LIKE 'RIFF%' THEN 'audio/wav'
         |       WHEN starts_with(text, '%PDF') THEN 'application/pdf'
         |       ELSE 'application/octet-stream' END AS sniffed_type
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "g_pagerank" -> pageRankSql,
+
+    "t_source_audit" ->
+      s"""WITH k AS (
+         |  SELECT source, len(${sqlToks("text")}) AS n_tok, ${sqlHash("text")} AS h,
+         |    CASE WHEN ${sqlKeep("text")} THEN 1 ELSE 0 END AS keep
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+         |  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups,
+         |  round(avg(CAST(keep AS DOUBLE)), 6) AS keep_rate
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // curation funnel: flags in one pass; keeper/dirty sets computed on
+    // quality survivors only (as the operator does); the funnel is 5
+    // conditional aggregates over the same flag table
+    "d_curate_e2e" ->
+      s"""WITH corpus AS ($corpusWithDupsSql),
+         |flags AS (
+         |  SELECT doc_id, text, len(${sqlToks("text")}) AS n_tok,
+         |    ${sqlLangPred("text")} = 'en' AS pass_lang,
+         |    (${sqlLangPred("text")} = 'en' AND ${sqlKeep("text")}) AS pass_q
+         |  FROM corpus),
+         |keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM flags WHERE pass_q GROUP BY text),
+         |qtoks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM flags WHERE pass_q),
+         |qsh AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 8 THEN [${sqlHash60("array_to_string(t, ' ')")}]
+         |    ELSE list_transform(range(0, len(t) - 7),
+         |         i -> ${sqlHash60("array_to_string(t[i+1:i+8], ' ')")}) END) AS hashes
+         |  FROM qtoks),
+         |bt AS (SELECT ${sqlToks("text")} AS t FROM documents WHERE doc_id % 25 = 0),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(CASE WHEN len(t) < 8 THEN [${sqlHash60("array_to_string(t, ' ')")}]
+         |    ELSE list_transform(range(0, len(t) - 7),
+         |         i -> ${sqlHash60("array_to_string(t[i+1:i+8], ' ')")}) END) AS shingle
+         |  FROM bt),
+         |dirty AS (
+         |  SELECT DISTINCT doc_id
+         |  FROM (SELECT doc_id, unnest(hashes) AS shingle FROM qsh) ex
+         |  JOIN bsh USING (shingle)),
+         |st AS (
+         |  SELECT f.doc_id, f.n_tok, f.pass_lang, f.pass_q,
+         |    (f.pass_q AND kp.doc_id IS NOT NULL) AS pass_dedup,
+         |    (f.pass_q AND kp.doc_id IS NOT NULL AND dt.doc_id IS NULL) AS pass_clean
+         |  FROM flags f
+         |  LEFT JOIN keepers kp ON f.doc_id = kp.doc_id
+         |  LEFT JOIN dirty dt ON f.doc_id = dt.doc_id)
+         |SELECT stage, docs, tokens FROM (
+         |  SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS tokens FROM st
+         |  UNION ALL SELECT '1_lang', CAST(sum(CASE WHEN pass_lang THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN pass_lang THEN n_tok ELSE 0 END) AS BIGINT) FROM st
+         |  UNION ALL SELECT '2_quality', CAST(sum(CASE WHEN pass_q THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN pass_q THEN n_tok ELSE 0 END) AS BIGINT) FROM st
+         |  UNION ALL SELECT '3_exact_dedup', CAST(sum(CASE WHEN pass_dedup THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN pass_dedup THEN n_tok ELSE 0 END) AS BIGINT) FROM st
+         |  UNION ALL SELECT '4_decontaminate', CAST(sum(CASE WHEN pass_clean THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(sum(CASE WHEN pass_clean THEN n_tok ELSE 0 END) AS BIGINT) FROM st)
+         |ORDER BY stage""".stripMargin
   )
 }

@@ -797,4 +797,69 @@ object Corpus {
         round(max(graft.functions.VectorFunctions.cosine(col("embedding"), col("be"))), 6)
           .as("max_cos"))
   }
+
+  /** End-to-end curation funnel — the flagship composition every
+    * pre-training corpus goes through, with the audit table that
+    * every data report leads with: how many documents and tokens
+    * survive each stage.
+    *
+    * Stages (standard order — cheap map-only filters first, joins on
+    * the shrunken survivor set after):
+    *   0_input         raw corpus
+    *   1_lang          language-ID == targetLang (map-only)
+    *   2_quality       heuristic quality gate (map-only,
+    *                   TextAnalysis.corpusFilter rules)
+    *   3_exact_dedup   keep min doc_id per distinct text among stage-2
+    *                   survivors (one hash aggregate)
+    *   4_decontaminate drop docs sharing any n-gram with the
+    *                   benchmark (decontaminate join, bench side tiny
+    *                   ⇒ AQE broadcast)
+    *
+    * Scale shape: ONE corpus pass computes every per-doc flag (lang
+    * and quality are column expressions riding the same projection);
+    * the dedup keeper aggregate and the decontamination join run on
+    * progressively smaller survivor sets; the funnel itself is a
+    * single conditional-sum aggregate over the flag table unpivoted
+    * to 5 rows. No stage rescans raw text more than the one time its
+    * operator needs it.
+    */
+  def curate(corpus: DataFrame, benchmark: DataFrame,
+             targetLang: String = "en", n: Int = 8): DataFrame = {
+    import graft.operators.TextAnalysis
+    val flagged = corpus
+      .withColumn("n_tok", graft.functions.native.tokenCount(col("text")))
+      .withColumn("pass_lang", TextAnalysis.langId(col("text")) === targetLang)
+      .withColumn("pass_q",
+        col("pass_lang") && TextAnalysis.corpusFilterKeep(col("text")))
+      .localCheckpoint(true) // 3 consumers: keeper agg, decontam join, funnel agg
+
+    // exact-dedup keepers among quality survivors
+    val keepers = flagged.where(col("pass_q"))
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("is_keeper"))
+
+    // contaminated doc ids among quality survivors (bench ⇒ broadcast)
+    val contaminated = decontaminate(flagged.where(col("pass_q")), benchmark, n)
+      .select(col("doc_id"), lit(true).as("is_dirty"))
+
+    val full = flagged
+      .join(keepers, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("pass_dedup", col("pass_q") && coalesce(col("is_keeper"), lit(false)))
+      .withColumn("pass_clean", col("pass_dedup") && col("is_dirty").isNull)
+
+    def stage(name: String, cond: org.apache.spark.sql.Column) =
+      struct(lit(name).as("stage"),
+        sum(cond.cast("long")).as("docs"),
+        sum(when(cond, col("n_tok").cast("long")).otherwise(0L)).as("tokens"))
+
+    full.agg(array(
+        stage("0_input", lit(true)),
+        stage("1_lang", col("pass_lang")),
+        stage("2_quality", col("pass_q")),
+        stage("3_exact_dedup", col("pass_dedup")),
+        stage("4_decontaminate", col("pass_clean"))).as("stages"))
+      .select(explode(col("stages")).as("s"))
+      .select(col("s.stage"), col("s.docs"), col("s.tokens"))
+  }
 }

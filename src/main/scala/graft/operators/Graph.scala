@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators for corpus curation.
+  *
+  * A web-scale training corpus carries an implicit hyperlink graph,
+  * and graph centrality is a standard document-quality prior (the
+  * original use of PageRank; crawl frontiers and corpus weighting
+  * still rank hosts/pages this way). The dedup family already has
+  * connected components (Dedup.connectedComponents); this file holds
+  * the rank-propagation side.
+  *
+  * Scale posture: per iteration exactly TWO exchanges — the
+  * rank-to-edge join on `src` (both sides hash-partitioned on src, so
+  * consecutive iterations reuse the edge partitioning) and the
+  * contribution aggregate on `dst` (map-side partial sums). Ranks are
+  * one row per node (≪ edges); edges are materialized once and reused
+  * every round. Lineage is truncated with `localCheckpoint` every few
+  * rounds so round N never replays rounds 1..N-1 (same discipline as
+  * Dedup.connectedComponents).
+  */
+object Graph {
+
+  /** PageRank over an edge list `(src, dst)` (long ids; parallel
+    * edges count once per occurrence, as repeated links do).
+    *
+    * Node set = all ids appearing as src or dst. Dangling nodes (no
+    * out-edges) redistribute their mass uniformly each round — the
+    * standard stochastic-matrix completion, computed as ONE scalar
+    * aggregate over the (node-sized) rank table, not an edge pass.
+    *
+    * Returns (node, rank) with sum(rank) ≈ 1.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 8, damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    // materialize edges once, partitioned on src: every iteration's
+    // rank⋈edges join then co-partitions on the rank side only
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+
+    // (node, deg) — deg null for dangling nodes
+    val nodeDeg = nodes.join(outDeg, nodes("node") === outDeg("src"), "left")
+      .select(col("node"), col("deg"))
+      .localCheckpoint(true)
+
+    // graphs with no dangling nodes (common after frontier cleaning)
+    // skip the per-iteration mass aggregate entirely — one upfront
+    // node-sized count instead of `iters` extra jobs
+    val hasDangling = nodeDeg.where(col("deg").isNull).limit(1).count() > 0
+
+    var ranks = nodeDeg.select(col("node"), col("deg"), lit(1.0 / n).as("rank"))
+    for (i <- 1 to iters) {
+      val danglingMass = if (!hasDangling) 0.0
+      else ranks.where(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head.getDouble(0)
+      val contribs = ranks.where(col("deg").isNotNull)
+        .join(e, ranks("node") === e("src"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
+      ranks = nodeDeg.join(contribs, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0.0))
+            + lit(damping * danglingMass / n)).as("rank"))
+      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+}

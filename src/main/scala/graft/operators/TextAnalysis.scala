@@ -271,6 +271,56 @@ object TextAnalysis {
     * All signals are single-pass column expressions; the filter is
     * map-only at any scale.
     */
+  /** Per-source corpus audit — the "domain mix" table every web-scale
+    * data report opens with: how much of the corpus each source
+    * contributes (docs, tokens), how internally duplicated it is, and
+    * what fraction passes the quality gate. Read next to
+    * [[vocabStats]] (type/hapax health) and Corpus.corpusOverlap
+    * (cross-source n-gram sharing) when deciding per-source sampling
+    * weights (Corpus.temperatureSample).
+    *
+    * Scale shape: ONE aggregate. Every signal is a map-only column
+    * expression (native tokenCount, corpusFilterKeep, polyHash);
+    * distinct texts are counted on the 8-byte content hash, so the
+    * shuffle carries (source, longs) — raw text never moves. Output
+    * is |sources| rows.
+    */
+  def sourceAudit(docs: DataFrame, sourceCol: String = "source"): DataFrame =
+    docs
+      .select(col(sourceCol).as("source"),
+        tokenCount(col("text")).as("n_tok"),
+        graft.functions.native.polyHash(col("text")).as("h"),
+        corpusFilterKeep(col("text")).cast("int").as("keep"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("n_tokens"),
+        countDistinct(col("h")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"),
+        round(avg(col("keep").cast("double")), 6).as("keep_rate"))
+
+  /** Column-level twin of [[corpusFilter]]'s keep decision — the same
+    * rules as one boolean expression, for pipelines (Corpus.curate)
+    * that want the gate riding an existing projection instead of a
+    * separate audit DataFrame. Rule thresholds are compared the exact
+    * same way (strict inequalities on the same derived signals), so
+    * `corpusFilterKeep(text)` ⇔ `corpusFilter(df).keep = 1` row-wise.
+    */
+  def corpusFilterKeep(text: Column,
+                       minTokens: Int = 25, maxTokens: Int = 50000,
+                       minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
+                       maxSymbolRatio: Double = 0.3): Column = {
+    val nTok = tokenCount(text)
+    val nChars = length(text)
+    val tokChars = length(regexp_replace(text, "\\s+", ""))
+    val symbols = length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    val meanTokLen = when(nTok > 0, tokChars.cast("double") / nTok).otherwise(0.0)
+    val symbolRatio = when(nChars > 0, symbols.cast("double") / nChars.cast("double")).otherwise(0.0)
+    nTok >= minTokens && nTok <= maxTokens &&
+      meanTokLen >= minMeanTokLen && meanTokLen <= maxMeanTokLen &&
+      symbolRatio <= maxSymbolRatio
+  }
+
   def corpusFilter(docs: DataFrame,
                    minTokens: Int = 25, maxTokens: Int = 50000,
                    minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,

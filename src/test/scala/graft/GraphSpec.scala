@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.{Corpus, Dedup, Graph, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Driver-side reference PageRank (adjacency maps, exact same
+    * formula), for cross-checking the distributed operator.
+    */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          d: Double): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(rank).sum
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / out(s) }.sum).toMap
+      rank = nodes.map(v =>
+        v -> ((1.0 - d) / n + d * in.getOrElse(v, 0.0) + d * dangling / n)).toMap
+    }
+    rank
+  }
+
+  test("pageRank: cycle converges to uniform, mass conserved") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 3)
+    got.values.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-12))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: hub/authority shape + dangling node matches reference impl") {
+    // 0 and 1 both link to 2; 2 links to 3; 3 is dangling
+    val e = Seq((0L, 2L), (1L, 2L), (2L, 3L))
+    val got = Graph.pageRank(e.toDF("src", "dst"), iters = 8, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(e, 8, 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"node $k") }
+    // sinks outrank the no-in-link sources 0 and 1
+    assert(got(2L) > got(0L) && got(3L) > got(0L) && got(0L) == got(1L))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9) // dangling mass recycled
+  }
+
+  test("pageRank: parallel edges weight contributions per occurrence") {
+    // 0 double-links to 1, single to 2: 1 gets 2/3 of 0's rank, 2 gets 1/3
+    val e = Seq((0L, 1L), (0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L))
+    val got = Graph.pageRank(e.toDF("src", "dst"), iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(e, 8, 0.85)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-12, s"node $k") }
+    assert(got(1L) > got(2L))
+  }
+
+  test("sourceAudit: dup count, token sum, and keep rate per source") {
+    val long = ("tok " * 30).trim // 30 tokens, passes every filter rule
+    val docs = Seq(
+      (1L, long, "a"), (2L, long, "a"), (3L, s"$long extra", "a"), // a: 1 dup pair
+      (4L, "short", "b"), (5L, long, "b")                          // b: 1 of 2 keeps
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceAudit(docs).orderBy("source").collect()
+    val a = got(0); val b = got(1)
+    assert(a.getAs[Long]("n_docs") == 3 && a.getAs[Long]("n_distinct") == 2
+      && a.getAs[Long]("n_exact_dups") == 1)
+    assert(a.getAs[Long]("n_tokens") == 30 + 30 + 31)
+    assert(a.getAs[Double]("keep_rate") == 1.0)
+    assert(b.getAs[Long]("n_docs") == 2 && b.getAs[Long]("n_exact_dups") == 0)
+    assert(b.getAs[Double]("keep_rate") == 0.5)
+  }
+
+  test("curate: funnel is monotone and stages agree with the standalone operators") {
+    val good = (1 to 30).map(i => s"the and you that w$i").mkString(" ") // en, 180 toks
+    val corpus = Seq(
+      (1L, good),                       // survives everything
+      (2L, good),                       // exact dup of 1 → cut at stage 3
+      (3L, s"der die und das " * 40),   // German → cut at stage 1
+      (4L, "the and you"),              // en but too short → cut at stage 2
+      (5L, good + " unique tail here")  // survives (near-dup only)
+    ).toDF("doc_id", "text")
+    val bench = Seq((9L, good)).toDF("doc_id", "text") // contaminates 1, 2, 5
+    val rows = Corpus.curate(corpus, bench.select(col("text")))
+      .orderBy("stage").collect()
+    val docs = rows.map(_.getAs[Long]("docs")).toSeq
+    val toks = rows.map(_.getAs[Long]("tokens")).toSeq
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("0_input", "1_lang", "2_quality", "3_exact_dedup", "4_decontaminate"))
+    assert(docs == Seq(5, 4, 3, 2, 0)) // 5 in; de out; short out; dup out; rest contaminated
+    assert(docs.zip(docs.tail).forall { case (x, y) => y <= x }) // monotone
+    assert(toks.zip(toks.tail).forall { case (x, y) => y <= x })
+    // cross-check stage 3 against the standalone exact-dedup keeper set
+    val qualityPass = corpus.where(
+      TextAnalysis.langId(col("text")) === "en" &&
+        TextAnalysis.corpusFilterKeep(col("text")))
+    assert(docs(3) == Dedup.exactDedup(qualityPass).count())
+  }
+
+  test("corpusFilterKeep column twin matches corpusFilter's keep flag row-wise") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val viaDf = TextAnalysis.corpusFilter(docs).select(col("doc_id"), col("keep"))
+    val viaCol = docs.select(col("doc_id"),
+      TextAnalysis.corpusFilterKeep(col("text")).cast("int").as("keep2"))
+    assert(viaDf.join(viaCol, "doc_id").where(col("keep") =!= col("keep2")).count() == 0)
+  }
+}
