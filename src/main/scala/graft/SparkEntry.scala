@@ -395,7 +395,7 @@ object SparkEntry {
   }
 
   /** Unrolled fixed-iteration PageRank twin of Graph.pageRank over
-    * the deterministic 3-regular doc-id edge construction: same float
+    * the deterministic 3-regular dense-index edge construction: same float
     * op sequence per node per round ((1-d)/n + d·Σ rank/deg; dangling
     * mass is structurally zero here since every node has out-degree
     * 3, and the operator's +d·0/n term is float-identity).
@@ -413,12 +413,14 @@ object SparkEntry {
          |      JOIN deg dg ON dg.src = e.src
          |    GROUP BY e.dst) s ON nd.node = s.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+    s"""WITH nodes AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+       |  FROM documents),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS ni FROM nodes),
        |edges AS (
-       |  SELECT doc_id AS src,
-       |    (doc_id * 31 + k * 7919) % (SELECT ni FROM nn) AS dst
-       |  FROM documents, unnest([1, 2, 3]) AS t(k)),
+       |  SELECT node AS src,
+       |    (node * 31 + k * 7919) % (SELECT ni FROM nn) AS dst
+       |  FROM nodes, unnest([1, 2, 3]) AS t(k)),
        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
        |""".stripMargin + body +
@@ -2219,14 +2221,14 @@ object SparkEntry {
     "g_pagerank" -> ((s, dir) => {
       // link-graph authority prior (the original corpus-quality
       // signal). The synthetic corpus has no hyperlinks, so the edge
-      // list is a deterministic 3-regular construction over the doc
-      // ids (mirrored exactly by the oracle); the operator under test
-      // is Graph.pageRank — two exchanges per iteration, dangling
-      // redistribution, checkpoint-truncated lineage.
-      val docs = tbl(s, dir, "documents").select(col("doc_id"))
-      val nDocs = docs.count()
-      val edges = docs
-        .select(col("doc_id").as("src"),
+      // list is a deterministic 3-regular construction over DENSE
+      // node indices 0..n-1 (n = |documents|; index space, not raw
+      // doc_ids — those need not be contiguous). The operator under
+      // test is Graph.pageRank — two exchanges per iteration,
+      // dangling redistribution, checkpoint-truncated lineage.
+      val nDocs = tbl(s, dir, "documents").count()
+      val edges = s.range(nDocs)
+        .select(col("id").as("src"),
           explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
         .select(col("src"),
           ((col("src") * 31 + col("k") * 7919) % nDocs).as("dst"))
