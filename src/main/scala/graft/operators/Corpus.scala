@@ -833,16 +833,22 @@ object Corpus {
         col("pass_lang") && TextAnalysis.corpusFilterKeep(col("text")))
       .localCheckpoint(true) // 3 consumers: keeper agg, decontam join, funnel agg
 
-    // exact-dedup keepers among quality survivors
+    // exact-dedup keepers among quality survivors — grouped on the
+    // 256-bit digest (Dedup.exactGroups discipline): the aggregate
+    // shuffles 32-byte keys, never the documents themselves
     val keepers = flagged.where(col("pass_q"))
-      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(coalesce(sha2(col("text"), 256), lit("<null-text>")).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("is_keeper"))
 
     // contaminated doc ids among quality survivors (bench ⇒ broadcast)
     val contaminated = decontaminate(flagged.where(col("pass_q")), benchmark, n)
       .select(col("doc_id"), lit(true).as("is_dirty"))
 
+    // funnel needs only ids + flags + token counts: drop text before
+    // the survivor joins so their exchanges carry fixed-width rows
     val full = flagged
+      .select(col("doc_id"), col("n_tok"), col("pass_lang"), col("pass_q"))
       .join(keepers, Seq("doc_id"), "left")
       .join(contaminated, Seq("doc_id"), "left")
       .withColumn("pass_dedup", col("pass_q") && coalesce(col("is_keeper"), lit(false)))

@@ -239,6 +239,27 @@ class PlanSpec extends SparkSpecBase {
     case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
   }
 
+  test("curate funnel exchanges never carry raw text; pageRank shuffles scalars only") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val funnel = graft.operators.Corpus.curate(
+      docs.select(col("doc_id"), col("text")),
+      docs.where(col("doc_id") % 50 === 0).select(col("text")))
+    // post-flag stages shuffle digests / shingle longs / flag rows —
+    // the document text itself must never ride an exchange
+    val textCarrying = shuffles(funnel).filter(_.output.exists(_.name == "text"))
+    assert(textCarrying.isEmpty,
+      s"curate shuffles raw text:\n${textCarrying.map(_.output.mkString(", ")).mkString("\n")}")
+
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val pr = graft.operators.Graph.pageRank(
+      Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 2L)).toDF("src", "dst"), iters = 2)
+    val wide = shuffles(pr).filter(_.output.exists(a =>
+      a.dataType.isInstanceOf[ArrayType] || a.dataType == StringType))
+    assert(wide.isEmpty,
+      s"pageRank shuffles non-scalar columns:\n${wide.map(_.output.mkString(", ")).mkString("\n")}")
+  }
+
   test("IVF corpus-to-list assignment is map-only (no exchange before scoring)") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
     val centroids = emb.where(col("vec_id") % 25 === 0).limit(4)
