@@ -2239,6 +2239,14 @@ object SparkEntry {
       TextAnalysis.sourceAudit(tbl(s, dir, "documents")).orderBy(col("source"))
     }),
 
+    "d_token_budget" -> ((s, dir) => {
+      // mixture planning: 1M-token budget at temperature alpha=0.5
+      // over the per-source token masses (the table between
+      // t_source_audit and d_sample_temperature)
+      Corpus.tokenBudget(tbl(s, dir, "documents"), targetTokens = 1000000L,
+        alpha = 0.5).orderBy(col("source"))
+    }),
+
     "d_curate_e2e" -> ((s, dir) => {
       // the flagship composition: lang → quality → exact dedup →
       // decontamination, reported as the per-stage survival funnel.
@@ -4676,6 +4684,19 @@ object SparkEntry {
          |  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups,
          |  round(avg(CAST(keep AS DOUBLE)), 6) AS keep_rate
          |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "d_token_budget" ->
+      s"""WITH ps AS (
+         |  SELECT source, CAST(sum(len(${sqlToks("text")})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT source, n_tokens,
+         |  pow(CAST(n_tokens AS DOUBLE), 0.5) AS raw_w FROM ps),
+         |t AS (SELECT sum(raw_w) AS w_total FROM w)
+         |SELECT source, n_tokens, round(raw_w / w_total, 6) AS weight,
+         |  round(CAST(1000000 AS DOUBLE) * (raw_w / w_total), 3) AS alloc_tokens,
+         |  round(CAST(1000000 AS DOUBLE) * (raw_w / w_total)
+         |    / CAST(n_tokens AS DOUBLE), 6) AS epochs
+         |FROM w, t ORDER BY source""".stripMargin,
 
     // curation funnel: flags in one pass; keeper/dirty sets computed on
     // quality survivors only (as the operator does); the funnel is 5

@@ -577,6 +577,40 @@ object Corpus {
       .select(col("doc_id"), col(stratumCol), col("quota"))
   }
 
+  /** Token-budget mixture allocation — the planning table between the
+    * per-source audit (TextAnalysis.sourceAudit) and the samplers
+    * ([[temperatureSample]]/[[stratifiedSample]]): given a target
+    * training-token budget and a temperature alpha, how many tokens
+    * each source contributes under w_s ∝ (tokens_s)^alpha, and how
+    * many EPOCHS of that source that allocation implies (epochs > 1 =
+    * the mixture up-samples the source past one pass — the standard
+    * repetition-budget readout, cf. the data-constrained scaling
+    * literature).
+    *
+    * Scale shape: one map-combined aggregate reduces the corpus to
+    * |sources| rows; the normalizing sum rides a broadcast cross join
+    * of that bounded table with its own 1-row total. Map-only over
+    * the corpus; everything after is dashboard-sized.
+    */
+  def tokenBudget(docs: DataFrame, targetTokens: Long, alpha: Double = 0.5,
+                  sourceCol: String = "source"): DataFrame = {
+    require(targetTokens > 0 && alpha > 0, "target and alpha must be positive")
+    val perSrc = docs
+      .select(col(sourceCol).as("source"),
+        graft.functions.native.tokenCount(col("text")).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok").cast("long")).as("n_tokens"))
+      .withColumn("raw_w", pow(col("n_tokens").cast("double"), lit(alpha)))
+    val total = perSrc.agg(sum(col("raw_w")).as("w_total"))
+    perSrc.crossJoin(broadcast(total))
+      .select(col("source"), col("n_tokens"),
+        round(col("raw_w") / col("w_total"), 6).as("weight"),
+        round(lit(targetTokens.toDouble) * (col("raw_w") / col("w_total")), 3)
+          .as("alloc_tokens"),
+        round(lit(targetTokens.toDouble) * (col("raw_w") / col("w_total"))
+          / col("n_tokens").cast("double"), 6).as("epochs"))
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
     * A-Res): keep the `k` documents per stratum whose reservoir key
     * ln(u)/w is largest, where w is the caller's weight column (token

@@ -327,6 +327,27 @@ class CorpusSpec extends SparkSpecBase {
     assert(flatCounts.values.forall(c => c == 2L || c == 3L), flatCounts.toString)
   }
 
+  test("tokenBudget: weights sum to 1, epochs = alloc/mass, alpha flattens the head") {
+    // sources with 4/16/64-token masses (exact sqrt weights 2:4:8)
+    def mk(n: Int) = ("tok " * n).trim
+    val docs = Seq((1L, mk(4), "a"), (2L, mk(16), "b"), (3L, mk(64), "c"))
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.tokenBudget(docs, targetTokens = 1400L, alpha = 0.5)
+      .orderBy("source").collect()
+    val w = got.map(_.getAs[Double]("weight"))
+    assert(math.abs(w.sum - 1.0) < 1e-5)
+    assert(w.toSeq == Seq(2.0 / 14, 4.0 / 14, 8.0 / 14).map(x =>
+      math.rint(x * 1e6) / 1e6)) // sqrt(4):sqrt(16):sqrt(64) normalized
+    got.foreach { r =>
+      val epochs = r.getAs[Double]("epochs")
+      val expect = r.getAs[Double]("alloc_tokens") / r.getAs[Long]("n_tokens")
+      assert(math.abs(epochs - expect) < 1e-3, r.toString)
+    }
+    // temperature lifts the tail past proportional: source a has 4/84
+    // of the mass but 2/14 of the budget
+    assert(w(0) > 4.0 / 84.0 && w(2) < 64.0 / 84.0)
+  }
+
   test("snapshotDiff: classifies added/removed/changed and drops unchanged ids") {
     val old = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
     val v2 = Seq((1L, "alpha"), (2L, "beta revised"), (4L, "delta")).toDF("doc_id", "text")
