@@ -35,7 +35,10 @@ object PlanDump {
       ("d_cdc_apply", "CDC apply (MERGE twin): the last-writer-wins pick rewrites to WindowGroupLimit(Partial/Final) over the CHANGELOG exchange only — map tasks keep their local latest op per doc; the base corpus branch is scan → anti-join against the touched keys (AQE realizes a broadcast), no corpus shuffle."),
       ("t_vocab_coverage", "Vocab coverage: the corpus reduces to a map-side-combined (token, count) vocab aggregate; the top-max(k) cut is a TakeOrderedAndProject (each task pre-prunes to its local top-k, ONE bounded merge — no full-vocab single-partition sort); the only window runs over the ≤max(k) survivors."),
       ("q_changepoint", "CUSUM changepoint: events reduce map-side to (type, hour) integer sums; the |types|-row moment aggregate broadcasts back; the running-sum window partitions by type over the bounded hourly series — no global window, no corpus-sized exchange past the first reduce."),
-      ("s_label_centroids", "Class prototypes: per-(label,dim) component sums map-side combine to |labels|×dim rows; centroids reassemble label-bounded and BROADCAST into the map-only member-cosine pass; the cohesion aggregate carries (label, micro-cosine long) — embeddings never shuffle.")
+      ("s_label_centroids", "Class prototypes: per-(label,dim) component sums map-side combine to |labels|×dim rows; centroids reassemble label-bounded and BROADCAST into the map-only member-cosine pass; the cohesion aggregate carries (label, micro-cosine long) — embeddings never shuffle."),
+      ("g_pagerank", "PageRank: the edge table materializes ONCE (Scan ExistingRDD; at this SF AQE broadcasts it into every round's rank join — at scale it SMJs on its stored src partitioning); per iteration the only edge-proportional exchange is the contribution aggregate on dst, map-side combined to node-sized before it moves; the remaining per-round exchanges are node-sized (rank/deg reattach). Every exchange carries (long, double) rows, lineage checkpoint-truncated every 3 rounds."),
+      ("d_curate_e2e", "Curation funnel: lang/quality/token flags evaluate inside ONE corpus scan (map-only kernels) materialized once; the keeper aggregate shuffles 32-byte digests, decontamination shuffles (doc_id, shingle) longs with the benchmark side broadcast, and the funnel itself is a single conditional-sum aggregate over fixed-width flag rows — raw text never rides an exchange past the flag scan."),
+      ("t_source_audit", "Source audit: every signal (token count, content polyHash, quality keep) computes inside the scan-stage Project; ONE map-side-combined aggregate to |sources| rows — the distinct-text count shuffles 8-byte hashes, never text.")
     )
     out.append("# PLANS — physical-plan evidence (sf0.01, local[32])\n\n")
     out.append("Regenerate with `sbt \"runMain graft.PlanDump\"`.\n")

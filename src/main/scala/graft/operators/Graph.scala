@@ -12,14 +12,16 @@ import org.apache.spark.sql.functions._
   * connected components (Dedup.connectedComponents); this file holds
   * the rank-propagation side.
   *
-  * Scale posture: per iteration exactly TWO exchanges — the
-  * rank-to-edge join on `src` (both sides hash-partitioned on src, so
-  * consecutive iterations reuse the edge partitioning) and the
-  * contribution aggregate on `dst` (map-side partial sums). Ranks are
-  * one row per node (≪ edges); edges are materialized once and reused
-  * every round. Lineage is truncated with `localCheckpoint` every few
-  * rounds so round N never replays rounds 1..N-1 (same discipline as
-  * Dedup.connectedComponents).
+  * Scale posture: edges are materialized ONCE (partitioned on src)
+  * and reused every round. Per iteration the only edge-proportional
+  * exchange is the contribution aggregate on `dst`, and it map-side
+  * combines to node-sized partial sums before moving; the rank⋈edges
+  * join reads the stored edge partitioning (AQE broadcasts the
+  * smaller side outright on small graphs), and the remaining
+  * exchanges are node-sized (rank/deg reattach — ranks are one row
+  * per node ≪ edges). Lineage is truncated with `localCheckpoint`
+  * every few rounds so round N never replays rounds 1..N-1 (same
+  * discipline as Dedup.connectedComponents).
   */
 object Graph {
 
