@@ -57,6 +57,55 @@ class GraphSpec extends SparkSpecBase {
     assert(got(1L) > got(2L))
   }
 
+  test("pageRank matches the reference impl on seeded random graphs (dangling + multi-edge)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 5 + rnd.nextInt(12)
+      // ~2n edges; nodes can repeat (parallel edges) and some never
+      // appear as src (dangling)
+      val e = Seq.fill(2 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val got = Graph.pageRank(e.toDF("src", "dst"), iters = 6, damping = 0.85)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = refPageRank(e, 6, 0.85)
+      assert(got.keySet == want.keySet, s"trial $trial node set")
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - want(k)) < 1e-12, s"trial $trial node $k: $v vs ${want(k)}")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"trial $trial mass")
+    }
+  }
+
+  test("curate funnel equals composing the standalone operators on seeded random corpora") {
+    val rnd = new scala.util.Random(7)
+    val en = Seq("the", "and", "you", "that", "with")
+    val de = Seq("der", "die", "und", "das", "ist")
+    def doc(): String = {
+      val pool = if (rnd.nextBoolean()) en else de
+      val n = 5 + rnd.nextInt(60) // some below the 25-token quality floor
+      Seq.fill(n)(pool(rnd.nextInt(pool.size)) + (
+        if (rnd.nextInt(4) == 0) rnd.nextInt(9).toString else "")).mkString(" ")
+    }
+    for (trial <- 1 to 2) {
+      val base = (1L to 40L).map(i => (i, doc()))
+      // inject exact dups so stage 3 actually cuts
+      val corpus = (base ++ base.take(8).map { case (i, t) => (i + 100L, t) })
+        .toDF("doc_id", "text")
+      val bench = base.filter(_._1 % 7 == 0).map(_._2).toDF("text")
+      val rows = Corpus.curate(corpus, bench).orderBy("stage").collect()
+      val docs = rows.map(_.getAs[Long]("docs"))
+      val lang = corpus.where(TextAnalysis.langId(col("text")) === "en")
+      val qual = lang.where(TextAnalysis.corpusFilterKeep(col("text")))
+      val deduped = Dedup.exactDedup(qual)
+      val dirty = Corpus.decontaminate(deduped, bench).select("doc_id")
+      assert(docs(0) == corpus.count(), s"trial $trial input")
+      assert(docs(1) == lang.count(), s"trial $trial lang")
+      assert(docs(2) == qual.count(), s"trial $trial quality")
+      assert(docs(3) == deduped.count(), s"trial $trial dedup")
+      assert(docs(4) == deduped.join(dirty, Seq("doc_id"), "left_anti").count(),
+        s"trial $trial decontaminate")
+    }
+  }
+
   test("sourceAudit: dup count, token sum, and keep rate per source") {
     val long = ("tok " * 30).trim // 30 tokens, passes every filter rule
     val docs = Seq(
