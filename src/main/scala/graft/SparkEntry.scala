@@ -2239,6 +2239,14 @@ object SparkEntry {
       TextAnalysis.sourceAudit(tbl(s, dir, "documents")).orderBy(col("source"))
     }),
 
+    "d_shard_manifest" -> ((s, dir) => {
+      // shard integrity manifest over the same 8-shard layout as
+      // d_pack_sequences: counts + id range + order-independent
+      // XOR-of-content-hash digest per shard
+      Corpus.shardManifest(tbl(s, dir, "documents"), nShards = 8)
+        .orderBy(col("shard"))
+    }),
+
     "d_token_budget" -> ((s, dir) => {
       // mixture planning: 1M-token budget at temperature alpha=0.5
       // over the per-source token masses (the table between
@@ -4684,6 +4692,19 @@ object SparkEntry {
          |  CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dups,
          |  round(avg(CAST(keep AS DOUBLE)), 6) AS keep_rate
          |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "d_shard_manifest" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(${sqlToks("text")}) AS BIGINT) AS n_tok,
+         |    CAST(${sqlHash("CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard,
+         |    ${sqlHash60("text")} AS h
+         |  FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+         |  bit_xor(h) AS digest
+         |FROM t GROUP BY shard ORDER BY shard""".stripMargin,
 
     "d_token_budget" ->
       s"""WITH ps AS (

@@ -10,6 +10,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Kernels {
   def polyHash(s: String): Long = native.polyHash(s)
+  def contentHash60(s: String): Long = native.contentHash60(s)
   def tokenCount(s: String): Int = native.tokenOffsets(s).length / 2
   def pieceCount(s: String): Int = native.pieceCount(s)
   def charEntropy(s: String): Double = native.charEntropy(s)

@@ -252,6 +252,15 @@ object native {
     acc
   }
 
+  /** Whole-document ~60-bit content hash: the wide dual-polynomial
+    * family (h31·P2 + h131) the span/decontamination kernels use,
+    * applied to the full string — the portable fingerprint for
+    * manifests/digests where a 30-bit family would birthday-collide
+    * (DuckDB twin: sqlHash60 over the whole text).
+    */
+  def contentHash60(s: String): Long =
+    polyHash(s) * 998244353L + polyHash2(s, 0, s.length)
+
   val P3: Long = 1000000009L
 
   /** Third independent polynomial family (base 257 mod P3). */
@@ -621,6 +630,16 @@ object native {
       copy(child = newChild)
   }
 
+  case class ContentHash60Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      contentHash60(input.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$N.contentHash60($c.toString())")
+    override protected def withNewChildInternal(newChild: Expression): ContentHash60Expr =
+      copy(child = newChild)
+  }
+
   case class ShingleHashesExpr(child: Expression, n: Int, wide: Boolean = false)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -888,6 +907,7 @@ object native {
   private def col(e: Expression): Column = ColumnBridge.column(e)
 
   def polyHash(s: Column): Column = col(PolyHashExpr(ex(s)))
+  def contentHash60(s: Column): Column = col(ContentHash60Expr(ex(s)))
   def shingleHashes(text: Column, n: Int, wide: Boolean = false): Column =
     col(ShingleHashesExpr(ex(text), n, wide))
   def positionalWindowHashes(text: Column, n: Int, wide: Boolean = false): Column =

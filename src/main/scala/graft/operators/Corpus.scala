@@ -577,6 +577,36 @@ object Corpus {
       .select(col("doc_id"), col(stratumCol), col("quota"))
   }
 
+  /** Shard manifest — the integrity/reproducibility record written
+    * next to training shards: per shard, the document count, token
+    * count, id range, and an ORDER-INDEPENDENT content digest
+    * (bit-XOR of per-document 60-bit content hashes — commutative, so
+    * any task/partition order produces the same digest, and overflow-
+    * free under ANSI arithmetic, unlike a sum). Re-running the
+    * manifest after a copy/migration and diffing digests is the
+    * standard "did every byte arrive" check; a digest mismatch
+    * pinpoints the shard to re-ship.
+    *
+    * Scale shape: shard assignment is the same content-id hash as
+    * [[packSequences]] (map-only); ONE map-side-combined aggregate to
+    * |shards| rows — per-doc hashes fold inside the scan, raw text
+    * never shuffles.
+    */
+  def shardManifest(docs: DataFrame, nShards: Int = 256): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.native.tokenCount(col("text")).cast("long").as("n_tok"),
+        pmod(TextFunctions.portableHash(col("doc_id").cast("string")), lit(nShards))
+          .cast("int").as("shard"),
+        graft.functions.native.contentHash60(col("text")).as("h"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(h)").as("digest"))
+
   /** Token-budget mixture allocation — the planning table between the
     * per-source audit (TextAnalysis.sourceAudit) and the samplers
     * ([[temperatureSample]]/[[stratifiedSample]]): given a target

@@ -327,6 +327,25 @@ class CorpusSpec extends SparkSpecBase {
     assert(flatCounts.values.forall(c => c == 2L || c == 3L), flatCounts.toString)
   }
 
+  test("shardManifest: digest is order/partitioning-invariant and detects a 1-doc change") {
+    val docs = (1L to 200L).map(i => (i, s"document number $i with body tok$i"))
+      .toDF("doc_id", "text")
+    val base = Corpus.shardManifest(docs, nShards = 4).orderBy("shard").collect()
+    assert(base.map(_.getAs[Long]("n_docs")).sum == 200)
+    // shuffled row order + different partitioning → identical manifest
+    // (XOR digest is commutative; counts/ranges are aggregates)
+    val reshuffled = Corpus.shardManifest(
+      docs.orderBy(rand(7)).repartition(13), nShards = 4).orderBy("shard").collect()
+    assert(base.map(_.toString).toSeq == reshuffled.map(_.toString).toSeq)
+    // flipping one document changes exactly that shard's digest
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === 57L, lit("corrupted")).otherwise(col("text")))
+    val after = Corpus.shardManifest(mutated, nShards = 4).orderBy("shard").collect()
+    val diffs = base.zip(after).filter { case (a, b) =>
+      a.getAs[Long]("digest") != b.getAs[Long]("digest") }
+    assert(diffs.size == 1, s"expected exactly one shard digest to move, got ${diffs.size}")
+  }
+
   test("tokenBudget: weights sum to 1, epochs = alloc/mass, alpha flattens the head") {
     // sources with 4/16/64-token masses (exact sqrt weights 2:4:8)
     def mk(n: Int) = ("tok " * n).trim

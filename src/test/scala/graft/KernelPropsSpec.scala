@@ -55,6 +55,10 @@ object KernelPropsSpec extends Properties("native-kernels") {
     native.polyHash(s) == modelHash(s)
   }
 
+  property("contentHash60 == h31*P2 + h131 whole-string fold") = forAll(text) { s =>
+    native.contentHash60(s) == modelHash(s) * P2.toLong + modelHash2(s)
+  }
+
   // independent histogram via Java code-point stream + groupBy; the
   // fold order (ascending code point) is part of the kernel's contract
   // with the DuckDB oracle, so the model replays it exactly
