@@ -46,6 +46,9 @@ object GraftExtensions {
     ("graft_poly_hash",
       new ExpressionInfo(classOf[native.PolyHashExpr].getName, "graft_poly_hash"),
       (args: Seq[Expression]) => native.PolyHashExpr(args.head)),
+    ("graft_content_hash60",
+      new ExpressionInfo(classOf[native.ContentHash60Expr].getName, "graft_content_hash60"),
+      (args: Seq[Expression]) => native.ContentHash60Expr(args.head)),
     ("graft_simhash64",
       new ExpressionInfo(classOf[native.SimHash64Expr].getName, "graft_simhash64"),
       (args: Seq[Expression]) => native.SimHash64Expr(args.head)),

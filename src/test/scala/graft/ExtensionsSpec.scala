@@ -8,6 +8,7 @@ class ExtensionsSpec extends SparkSpecBase {
     val row = spark.sql(
       """SELECT
         |  graft_poly_hash('hello world') AS h,
+        |  graft_content_hash60('hello world') AS h60,
         |  graft_token_count('  a b  c ') AS n,
         |  graft_simhash64('x y z') AS sh,
         |  graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
@@ -21,6 +22,7 @@ class ExtensionsSpec extends SparkSpecBase {
         |          struct(CAST(9 AS BIGINT) AS list_id, array(0.0D, 1.0D) AS centroid)), 1) AS nc
         |""".stripMargin).head()
     assert(row.getAs[Long]("h") == graft.functions.native.polyHash("hello world"))
+    assert(row.getAs[Long]("h60") == graft.functions.native.contentHash60("hello world"))
     assert(row.getAs[Int]("n") == 3)
     assert(row.getAs[Double]("cos") == 1.0)
     assert(row.getAs[Int]("nsh") == 2)
