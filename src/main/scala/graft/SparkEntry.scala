@@ -990,6 +990,25 @@ object SparkEntry {
         .orderBy(col("nationkey"))
     }),
 
+    "q_unpivot" -> ((s, dir) => {
+      // unpivot/melt (pivot's inverse): wide measure columns → long
+      // (metric, value) rows, then per-metric profile — decimal-exact
+      // sums on the compared surface (quantity/discount/tax are
+      // ≤2-decimal by construction)
+      tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        .orderBy(col("metric"))
+    }),
+
     "q_pivot" -> ((s, dir) => {
       // pivot: one column per market segment, decimal-exact balances
       // internally, double on the compared surface (see q05 note)
@@ -2633,6 +2652,16 @@ object SparkEntry {
          |  $cols
          |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "q_unpivot" ->
+      """SELECT metric, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(value) AS vmin, max(value) AS vmax
+        |FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |           FROM lineitem)
+        |  ON l_quantity, l_discount, l_tax INTO NAME metric VALUE value)
+        |GROUP BY metric ORDER BY metric""".stripMargin,
 
     "q_intersect" ->
       """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
