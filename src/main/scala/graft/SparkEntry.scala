@@ -630,6 +630,33 @@ object SparkEntry {
         .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
     }),
 
+    "q_attribution" -> ((s, dir) => {
+      // first/last-touch conversion attribution: each purchase
+      // credits the user's FIRST and MOST-RECENT preceding
+      // non-purchase event type — the marketing readout next to
+      // q_funnel. ONE user-keyed window pass in deterministic
+      // (sec, event_id) order, then a ≤|types|-row aggregate;
+      // revenue is cents-exact.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      events(s, dir)
+        .select(col("user_id"), col("sec"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+        .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .groupBy(coalesce(col("last_touch"), lit("none")).as("last_touch"))
+        .agg(count(lit(1)).as("n_conversions"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(round(col("value") * 100).cast("long")).as("revenue_cents"),
+          sum(when(col("first_touch") === col("last_touch"), 1L)
+            .otherwise(0L)).as("n_first_equals_last"))
+        .orderBy(col("last_touch"))
+    }),
+
     "q_funnel" -> ((s, dir) => {
       // ordered conversion funnel view→click→signup→purchase, each
       // step within 2h of the previous step's FIRST occurrence —
@@ -2562,6 +2589,28 @@ object SparkEntry {
         |  concat(CAST(r_score AS VARCHAR), CAST(f_score AS VARCHAR),
         |    CAST(m_score AS VARCHAR)) AS segment
         |FROM sc ORDER BY user_id""".stripMargin,
+
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    epoch_us(ts) // 1000000 AS sec FROM events),
+        |t AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |  FROM e)
+        |SELECT coalesce(last_touch, 'none') AS last_touch,
+        |  CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(sum(CASE WHEN first_touch = last_touch THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_first_equals_last
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (
