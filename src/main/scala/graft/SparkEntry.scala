@@ -1992,6 +1992,24 @@ object SparkEntry {
         .orderBy(col("lang"), col("lang_pred"))
     }),
 
+    "t_score_auc" -> ((s, dir) => {
+      // score-quality evaluation: exact ROC AUC (Mann-Whitney with
+      // average-rank ties) of the English-stopword-hit score against
+      // the ground-truth lang=='en' label, per source — "does this
+      // score actually rank English above non-English?" is the claim
+      // every heuristic filter score makes; this measures it. Scale:
+      // ONE map-combined (source, score) histogram bounds everything
+      // downstream by score cardinality, not corpus size (Eval.auc).
+      Eval.auc(tbl(s, dir, "documents"),
+          col("source"),
+          graft.functions.native.vocabHits(col("text"),
+            TextAnalysis.Stopwords("en")),
+          (col("lang") === "en").cast("int"))
+        .select(col("grp").as("source"), col("n_pos"), col("n_neg"),
+          col("u2").cast("double").as("u2"), col("auc"))
+        .orderBy(col("source"))
+    }),
+
     "t_quality_score" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -4178,6 +4196,36 @@ object SparkEntry {
          |  round(CAST(n AS DOUBLE) /
          |    CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6) AS frac
          |FROM c ORDER BY lang, lang_pred""".stripMargin,
+
+    // exact Mann-Whitney AUC replay over the same (source, score)
+    // histogram: 2U = Σ np·(2·cum_neg + nn) stays integral (average-
+    // rank ties doubled out), one fixed-shape double division at the
+    // end — bit-identical across engines
+    "t_score_auc" -> {
+      val en = TextAnalysis.Stopwords("en").map(w => s"'$w'").mkString(",")
+      s"""WITH scored AS (
+         |  SELECT source,
+         |    CAST(len(list_filter(${sqlToks("lower(text)")},
+         |      x -> list_contains([$en], x))) AS BIGINT) AS score,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents),
+         |hist AS (
+         |  SELECT source, score, count(*) AS n, sum(pos) AS np,
+         |    count(*) - sum(pos) AS nn
+         |  FROM scored GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT *, coalesce(sum(nn) OVER (PARTITION BY source ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+         |  FROM hist)
+         |SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  CAST(sum(np * (2 * cum_neg + nn)) AS DOUBLE) AS u2,
+         |  CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+         |    CAST(sum(np * (2 * cum_neg + nn)) AS DOUBLE) /
+         |      (CAST(2.0 AS DOUBLE) * sum(np) * sum(nn))
+         |  END AS auc
+         |FROM cum GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "t_quality_score" -> {
       val allStop = TextAnalysis.Stopwords.values.flatten.toSeq.distinct

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Eval
+
+/** Eval.auc against hand-computed Mann-Whitney values, including the
+  * tie and degenerate-class cases the histogram formulation must get
+  * right.
+  */
+class EvalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def aucOf(rows: Seq[(String, Long, Int)]): Map[String, (Long, Long, Option[Double])] = {
+    val df = rows.toDF("g", "score", "label")
+    Eval.auc(df, col("g"), col("score"), col("label"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+  }
+
+  test("perfect separation gives AUC 1, inverted gives 0") {
+    val m = aucOf(Seq(
+      ("a", 10L, 1), ("a", 9L, 1), ("a", 2L, 0), ("a", 1L, 0),
+      ("b", 1L, 1), ("b", 2L, 1), ("b", 9L, 0), ("b", 10L, 0)))
+    assert(m("a") == ((2L, 2L, Some(1.0))))
+    assert(m("b") == ((2L, 2L, Some(0.0))))
+  }
+
+  test("ties take average rank") {
+    // scores: pos {5, 3}, neg {3, 1}. Pairs: (5>3)=1, (5>1)=1,
+    // (3=3)=0.5, (3>1)=1  =>  U = 3.5, AUC = 3.5/4 = 0.875
+    val m = aucOf(Seq(("g", 5L, 1), ("g", 3L, 1), ("g", 3L, 0), ("g", 1L, 0)))
+    assert(m("g") == ((2L, 2L, Some(0.875))))
+  }
+
+  test("all-tied scores give AUC 0.5") {
+    val m = aucOf(Seq(("g", 7L, 1), ("g", 7L, 0), ("g", 7L, 1), ("g", 7L, 0)))
+    assert(m("g") == ((2L, 2L, Some(0.5))))
+  }
+
+  test("single-class group yields NULL auc, counts intact") {
+    val m = aucOf(Seq(("g", 5L, 1), ("g", 3L, 1)))
+    assert(m("g") == ((2L, 0L, None)))
+  }
+
+  test("matches the brute-force pair count on a random mix") {
+    val rows = (0 until 200).map { i =>
+      val score = (i * 37 % 13).toLong
+      val label = if ((i * 101 % 7) < 3) 1 else 0
+      ("g", score, label)
+    }
+    val pos = rows.filter(_._3 == 1).map(_._2)
+    val neg = rows.filter(_._3 == 0).map(_._2)
+    val u = (for (p <- pos; q <- neg)
+      yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+    val expected = u / (pos.size.toDouble * neg.size)
+    val m = aucOf(rows)
+    assert(math.abs(m("g")._3.get - expected) < 1e-12)
+  }
+}
