@@ -1888,6 +1888,31 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "s_rank_metrics" -> ((s, dir) => {
+      // retrieval-quality metrics: reciprocal rank + average
+      // precision of the LSH ranking against the brute-force cosine
+      // ground truth — s_knn_recall counts WHAT was found, this
+      // scores WHERE it landed (the MRR/MAP row a retrieval change
+      // is judged by). Same bucketing as s_knn_recall; metric math
+      // is queries×k-bounded with contracted-order term folds
+      // (Eval.rankMetrics), so the doubles are bit-exact.
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val k = 10
+      val ground = Similarity.knnBruteForceBatch(emb, queries, k)
+        .select(col("query_id"), col("nbr_id"))
+      val lsh = Similarity.knnLsh(emb, queries, dim = 64, k = k,
+          nPlanes = 4, nTables = 8)
+        .select(col("query_id"), col("nbr_id"), col("rank"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(Eval.rankMetrics(lsh, ground, k), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+          coalesce(col("rr"), lit(0.0)).as("rr"),
+          coalesce(col("ap"), lit(0.0)).as("ap"))
+        .orderBy(col("query_id"))
+    }),
+
     "s_semantic_search" -> ((s, dir) => {
       // end-to-end RAG search (reference SemanticSearch.cs): ingest →
       // vector records → embed the query text → top-10 by cosine
@@ -4094,6 +4119,63 @@ object SparkEntry {
          |FROM embeddings q
          |LEFT JOIN lsh_o l ON l.query_id = q.vec_id
          |LEFT JOIN ivf_o i ON i.query_id = q.vec_id
+         |WHERE q.vec_id < 10
+         |ORDER BY query_id""".stripMargin,
+
+    // rank-metrics replay: same LSH candidate derivation as
+    // s_knn_recall but retaining the rank; AP terms hits@r/r are
+    // single exact-integer divisions summed in list_reduce's
+    // ascending-rank order — the same fold sequence as Spark's
+    // aggregate(sort_array(...)), so the doubles are bit-identical
+    "s_rank_metrics" ->
+      s"""WITH banded AS (
+         |${(0 until 8).map(t =>
+        s"  SELECT $t AS tbl, vec_id, embedding, ${sqlBucket("embedding", 4, seed = t)} AS bucket FROM embeddings")
+        .mkString("", "\n  UNION ALL\n", "),")}
+         |lsh_cand AS (
+         |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS nbr_id
+         |  FROM banded x JOIN banded y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |  WHERE x.vec_id < 10 AND x.vec_id <> y.vec_id),
+         |lsh_top AS (
+         |  SELECT query_id, nbr_id, r AS rank FROM (
+         |    SELECT query_id, nbr_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, nbr_id) AS r
+         |    FROM lsh_cand JOIN embeddings q ON q.vec_id = query_id
+         |    JOIN embeddings e ON e.vec_id = nbr_id)
+         |  WHERE r <= 10),
+         |ground AS (
+         |  SELECT query_id, nbr_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id) AS r
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE r <= 10),
+         |rel AS (
+         |  SELECT l.query_id, l.rank,
+         |    CASE WHEN g.nbr_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM lsh_top l LEFT JOIN ground g
+         |    ON g.query_id = l.query_id AND g.nbr_id = l.nbr_id),
+         |terms AS (
+         |  SELECT query_id, rank, rel,
+         |    sum(rel) OVER (PARTITION BY query_id ORDER BY rank) AS hits
+         |  FROM rel),
+         |perq AS (
+         |  SELECT query_id,
+         |    CAST(sum(rel) AS BIGINT) AS n_rel,
+         |    min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         |    list(CASE WHEN rel = 1 THEN CAST(hits AS DOUBLE) / rank
+         |              ELSE CAST(0.0 AS DOUBLE) END ORDER BY rank) AS ts
+         |  FROM terms GROUP BY query_id)
+         |SELECT q.vec_id AS query_id,
+         |  coalesce(p.n_rel, 0) AS n_rel,
+         |  coalesce(CAST(1.0 AS DOUBLE) / p.first_rel, CAST(0.0 AS DOUBLE)) AS rr,
+         |  coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), p.ts),
+         |      (a, b) -> a + b), CAST(0.0 AS DOUBLE))
+         |    / CAST(10.0 AS DOUBLE) AS ap
+         |FROM embeddings q
+         |LEFT JOIN perq p ON p.query_id = q.vec_id
          |WHERE q.vec_id < 10
          |ORDER BY query_id""".stripMargin,
 

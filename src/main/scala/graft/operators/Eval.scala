@@ -61,4 +61,48 @@ object Eval {
           col("u2").cast("double") /
             (lit(2.0) * col("n_pos") * col("n_neg"))))
   }
+
+  /** Rank-quality metrics of a retrieval run against a per-query
+    * relevant set: overlap count, reciprocal rank (RR) and average
+    * precision (AP@k) — the MRR/MAP row every retrieval change is
+    * judged by.
+    *
+    * `ranked` = (query_id, nbr_id, rank) from any retriever (BM25,
+    * LSH, IVF, fused); `relevant` = (query_id, nbr_id) ground truth.
+    *
+    * Determinism contract (the t_entropy float contract): every AP
+    * term hits@r/r is a single exact-integer division (correctly
+    * rounded, bit-identical in any engine), and the terms are summed
+    * in CONTRACTED ascending-rank order via a fold over the sorted
+    * per-query list — so the metric doubles are bit-exact, no
+    * rounding needed. RR is one division off the min relevant rank.
+    *
+    * Scale shape: everything is bounded by queries × k rows — the
+    * expensive work is the retrieval producing `ranked`, not this.
+    * Queries with zero retrieved-relevant rows still get a row
+    * (rr = ap = 0) via the left join from the ranked list itself.
+    */
+  def rankMetrics(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    val rel = ranked
+      .join(relevant.select(col("query_id"), col("nbr_id"))
+          .withColumn("is_rel", lit(1)),
+        Seq("query_id", "nbr_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("is_rel"), lit(0)).as("rel"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    rel
+      .withColumn("hits", sum(col("rel")).over(w))
+      .withColumn("term",
+        when(col("rel") === 1, col("hits").cast("double") / col("rank"))
+          .otherwise(lit(0.0)))
+      .groupBy(col("query_id"))
+      .agg(
+        sum(col("rel")).cast("long").as("n_rel"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+        sort_array(collect_list(struct(col("rank"), col("term")))).as("ts"))
+      .select(col("query_id"), col("n_rel"),
+        coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("rr"),
+        (aggregate(col("ts"), lit(0.0),
+          (acc, x) => acc + x.getField("term")) / lit(k.toDouble)).as("ap"))
+  }
 }

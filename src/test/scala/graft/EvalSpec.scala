@@ -59,4 +59,20 @@ class EvalSpec extends SparkSpecBase {
     val m = aucOf(rows)
     assert(math.abs(m("g")._3.get - expected) < 1e-12)
   }
+
+  test("rankMetrics computes RR and AP@k by hand-checkable values") {
+    // query 1: ranked [a b c d], relevant {b, d}
+    //   RR = 1/2; AP@4 = (1/2 + 2/4) / 4 = 0.25
+    // query 2: ranked [a b], relevant {x} -> RR = AP = 0, n_rel = 0
+    val ranked = Seq(
+      (1L, "a", 1), (1L, "b", 2), (1L, "c", 3), (1L, "d", 4),
+      (2L, "a", 1), (2L, "b", 2)
+    ).toDF("query_id", "nbr_id", "rank")
+    val rel = Seq((1L, "b"), (1L, "d"), (2L, "x")).toDF("query_id", "nbr_id")
+    val m = Eval.rankMetrics(ranked, rel, k = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(m(1L) == ((2L, 0.5, 0.25)))
+    assert(m(2L) == ((0L, 0.0, 0.0)))
+  }
 }
