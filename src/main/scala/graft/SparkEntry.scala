@@ -1122,6 +1122,30 @@ object SparkEntry {
         .orderBy(col("band"))
     }),
 
+    "q_interval_join" -> ((s, dir) => {
+      // interval-overlap join with NO equi-key: 10-minute error
+      // windows × ±5-minute purchase windows, per-error overlap count
+      // + total overlap seconds. The naive plan is a nested-loop
+      // (O(n·m)); Joins.intervalOverlapJoin tiles time so it becomes
+      // one hash equi-join on tile with ≤2× fan-out per side and NO
+      // dedup shuffle (each pair is emitted only by the tile owning
+      // max(start_l, start_r)). Overlap lengths are exact integer
+      // seconds.
+      val ev = events(s, dir)
+      val errs = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("l_id"), col("sec").as("l_start"),
+          (col("sec") + 600).as("l_end"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("r_id"), (col("sec") - 300).as("r_start"),
+          (col("sec") + 300).as("r_end"))
+      Joins.intervalOverlapJoin(errs, purch, tile = 600)
+        .groupBy(col("l_id").as("error_id"))
+        .agg(count(lit(1)).as("n_overlap"),
+          sum(least(col("l_end"), col("r_end"))
+            - greatest(col("l_start"), col("r_start"))).as("overlap_secs"))
+        .orderBy(col("error_id"))
+    }),
+
     "q_scalar_subquery" -> ((s, dir) => {
       // global-avg scalar via a broadcast 1-row cross join (l_quantity
       // is integral, so the double avg is order-independent and exact)
@@ -2812,6 +2836,24 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN bands ON value >= lo AND value < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    // the oracle is the straight inequality join (DuckDB's IEJoin
+    // handles it); the tiled rewrite must produce the identical bag
+    "q_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |    epoch_us(ts) // 1000000 AS sec FROM events),
+        |errs AS (
+        |  SELECT event_id AS l_id, sec AS l_start, sec + 600 AS l_end
+        |  FROM e WHERE event_type = 'error'),
+        |purch AS (
+        |  SELECT event_id AS r_id, sec - 300 AS r_start, sec + 300 AS r_end
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT l_id AS error_id, count(*) AS n_overlap,
+        |  CAST(sum(least(l_end, r_end) - greatest(l_start, r_start)) AS BIGINT)
+        |    AS overlap_secs
+        |FROM errs JOIN purch ON l_start < r_end AND r_start < l_end
+        |GROUP BY l_id ORDER BY l_id""".stripMargin,
 
     "q_scalar_subquery" ->
       """SELECT l_returnflag, count(*) AS n_items,

@@ -136,4 +136,40 @@ object Joins {
     val salted = saltedJoin(probeHot, buildHot, key, saltExpr, nSalts)
     cold.unionByName(salted.select(cold.columns.map(col): _*))
   }
+
+  /** Interval-overlap join WITHOUT an equi-key: all (left, right)
+    * pairs whose half-open intervals [start, end) intersect — the
+    * genomics/observability "which incidents overlap which deploys"
+    * join. Spark's only native plan for a pure inequality predicate
+    * is a nested-loop join (O(n·m) comparisons); this is the standard
+    * tiling rewrite that turns it into an equi-join.
+    *
+    * Each interval is exploded to the fixed-width time tiles it
+    * intersects (fan-out ≤ ⌈len/tile⌉+1, a small constant when `tile`
+    * is sized near the typical interval length), the join is a plain
+    * hash equi-join on tile, and each qualifying pair is emitted
+    * EXACTLY ONCE — by the tile containing max(l_start, r_start),
+    * which both sides are guaranteed to have listed — so there is no
+    * post-join dedup shuffle at all. One exchange per side, keyed on
+    * tile; a pathologically hot tile (everything overlapping one
+    * moment) is the usual AQE-skew/salting territory.
+    *
+    * Inputs must carry (l_id, l_start, l_end) / (r_id, r_start,
+    * r_end) as longs; payload columns ride along untouched. Tile
+    * arithmetic is floor(x / tile) in DOUBLE (exact for |x| < 2^53,
+    * floor-consistent for negative starts across engines).
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          tile: Long): DataFrame = {
+    require(tile > 0)
+    def tileOf(c: Column) = floor(c.cast("double") / tile).cast("long")
+    def tiled(df: DataFrame, s: String, e: String) =
+      df.withColumn("__tile",
+        explode(sequence(tileOf(col(s)), tileOf(col(e) - 1))))
+    tiled(left, "l_start", "l_end")
+      .join(tiled(right, "r_start", "r_end"), Seq("__tile"))
+      .where(col("l_start") < col("r_end") && col("r_start") < col("l_end")
+        && col("__tile") === tileOf(greatest(col("l_start"), col("r_start"))))
+      .drop("__tile")
+  }
 }

@@ -87,4 +87,29 @@ class JoinsSpec extends SparkSpecBase {
       .select("id", "band").as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "a", 2L -> "b", 3L -> "a", 4L -> "b"))
   }
+
+  test("intervalOverlapJoin equals the brute-force nested loop, each pair once") {
+    // deterministic pseudo-random intervals: negative starts, lengths
+    // from 1 to 3x the tile, touching endpoints (half-open: NOT a
+    // match), exact duplicates
+    def mk(seed: Int, n: Int) = (0 until n).map { i =>
+      val s = ((i * 7919 + seed * 104729) % 2000) - 500L
+      val len = 1L + (i * 31 + seed) % 150
+      (i.toLong + seed * 1000, s, s + len)
+    }
+    val ls = mk(1, 80)
+    val rs = mk(2, 90) :+ (9999L, ls.head._2 + (ls.head._3 - ls.head._2), 3000L) // touching
+    val left = ls.toDF("l_id", "l_start", "l_end")
+    val right = rs.toDF("r_id", "r_start", "r_end")
+    val got = Joins.intervalOverlapJoin(left, right, tile = 50)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq
+    val want = for {
+      (li, lsT, le) <- ls
+      (ri, rsT, re) <- rs
+      if lsT < re && rsT < le
+    } yield (li, ri)
+    assert(got.size == got.distinct.size) // emitted exactly once
+    assert(got.toSet == want.toSet)
+    assert(got.size == want.size)
+  }
 }
