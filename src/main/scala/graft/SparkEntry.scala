@@ -427,6 +427,41 @@ object SparkEntry {
       "\nSELECT node, rank FROM r8 ORDER BY node"
   }
 
+  /** Unrolled HITS twin of Graph.hits over the same edge
+    * construction: per iteration, auth = Σ in-hub then ÷ max, hub =
+    * Σ out-auth then ÷ max — max normalizers are exact scalars, the
+    * 3-term float sums follow the pageRank association contract.
+    */
+  private lazy val hitsSql: String = {
+    val body = (1 to 5).map { i =>
+      s"""a$i AS (
+         |  SELECT nd.node, coalesce(s.v, CAST(0.0 AS DOUBLE)) AS auth
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, sum(h.hub) AS v
+         |    FROM hn${i - 1} h JOIN edges e ON h.node = e.src
+         |    GROUP BY e.dst) s ON nd.node = s.node),
+         |an$i AS (SELECT node, auth / max(auth) OVER () AS auth FROM a$i),
+         |h$i AS (
+         |  SELECT nd.node, coalesce(s.v, CAST(0.0 AS DOUBLE)) AS hub
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.src AS node, sum(a.auth) AS v
+         |    FROM an$i a JOIN edges e ON a.node = e.dst
+         |    GROUP BY e.src) s ON nd.node = s.node),
+         |hn$i AS (SELECT node, hub / max(hub) OVER () AS hub FROM h$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS ni FROM nodes),
+       |edges AS (
+       |  SELECT node AS src,
+       |    (node * 31 + k * 7919) % (SELECT ni FROM nn) AS dst
+       |  FROM nodes, unnest([1, 2, 3]) AS t(k)),
+       |hn0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+       |""".stripMargin + body +
+      "\nSELECT an5.node, an5.auth, hn5.hub FROM an5 JOIN hn5 ON an5.node = hn5.node ORDER BY an5.node"
+  }
+
   // ==================================================================
   // Flagship: 5-way star join (region⋈nation⋈customer⋈orders⋈lineitem
   // ⋈supplier) with broadcast dims — driver smoke-checks rows > 0.
@@ -2346,6 +2381,21 @@ object SparkEntry {
         .select(col("src"),
           ((col("src") * 31 + col("k") * 7919) % nDocs).as("dst"))
       Graph.pageRank(edges, iters = 8, damping = 0.85).orderBy(col("node"))
+    }),
+
+    "g_hits" -> ((s, dir) => {
+      // HITS hub/authority over the same deterministic 3-regular
+      // link graph as g_pagerank — the second classic link-quality
+      // prior (hubs find link farms PageRank smears). Max-normalized
+      // per half-step so every normalizer is an exact scalar
+      // (Graph.hits); oracle unrolls all 5 iterations.
+      val nDocs = tbl(s, dir, "documents").count()
+      val edges = s.range(nDocs)
+        .select(col("id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          ((col("src") * 31 + col("k") * 7919) % nDocs).as("dst"))
+      Graph.hits(edges, iters = 5).orderBy(col("node"))
     }),
 
     "t_source_audit" -> ((s, dir) => {
@@ -4930,6 +4980,7 @@ object SparkEntry {
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "g_pagerank" -> pageRankSql,
+    "g_hits" -> hitsSql,
 
     "t_source_audit" ->
       s"""WITH k AS (

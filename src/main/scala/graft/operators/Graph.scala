@@ -77,4 +77,58 @@ object Graph {
     }
     ranks.select(col("node"), col("rank"))
   }
+
+  /** HITS (Kleinberg): mutually-reinforcing hub and authority scores
+    * over an edge list `(src, dst)` — the classic complement to
+    * PageRank for link corpora (a page LINKING many authorities is a
+    * hub; a page linked FROM many hubs is an authority; crawl seeds
+    * and link-spam screens read both).
+    *
+    * Per iteration: auth ← Σ_{j→i} hub(j), normalize, then
+    * hub ← Σ_{i→j} auth(j), normalize. Normalization is by the MAX
+    * (L∞) rather than the usual L2 norm deliberately: max of doubles
+    * is exact and order-independent at any parallelism, while an L2
+    * sum-of-squares is a corpus-sized float reduction whose
+    * association order differs across engines — same eigenvector
+    * direction, deterministic arithmetic (the pageRank float
+    * contract).
+    *
+    * Scale shape mirrors pageRank: edges materialized once on src;
+    * the two edge-proportional exchanges per round are the in/out
+    * contribution aggregates (map-side combined to node-sized
+    * partials); each normalizer is one node-sized scalar max;
+    * lineage checkpoint-truncated every 2 rounds.
+    */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    var auth = nodes.select(col("node"), lit(1.0).as("auth"))
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+    for (i <- 1 to iters) {
+      val aRaw = nodes
+        .join(hub.join(e, hub("node") === e("src"))
+            .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("v")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("v"), lit(0.0)).as("auth"))
+      val amax = aRaw.agg(max(col("auth"))).head.getDouble(0)
+      auth = aRaw.select(col("node"), (col("auth") / amax).as("auth"))
+      val hRaw = nodes
+        .join(auth.join(e, auth("node") === e("dst"))
+            .groupBy(col("src").as("node")).agg(sum(col("auth")).as("v")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("v"), lit(0.0)).as("hub"))
+      val hmax = hRaw.agg(max(col("hub"))).head.getDouble(0)
+      hub = hRaw.select(col("node"), (col("hub") / hmax).as("hub"))
+      if (i % 2 == 0 && i < iters) {
+        auth = auth.localCheckpoint(true)
+        hub = hub.localCheckpoint(true)
+      }
+    }
+    auth.join(hub, Seq("node"))
+  }
 }

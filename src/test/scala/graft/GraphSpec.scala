@@ -148,6 +148,28 @@ class GraphSpec extends SparkSpecBase {
     assert(docs(3) == Dedup.exactDedup(qualityPass).count())
   }
 
+  test("hits: star graph ranks the center as sole authority, leaves as hubs") {
+    // 1..4 all link to 0; 0 links nowhere
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("src", "dst")
+    val m = Graph.hits(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(m(0L) == ((1.0, 0.0))) // max authority, zero hub
+    (1L to 4L).foreach { n => assert(m(n) == ((0.0, 1.0))) } // pure equal hubs
+  }
+
+  test("hits: authority follows in-link mass from strong hubs") {
+    // 1 and 2 are hubs; node 3 is linked by both, node 4 by one
+    val edges = Seq((1L, 3L), (2L, 3L), (1L, 4L), (3L, 5L))
+      .toDF("src", "dst")
+    val m = Graph.hits(edges, iters = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(m(3L)._1 == 1.0)           // doubly-linked: top authority
+    assert(m(4L)._1 < m(3L)._1 && m(4L)._1 > 0.0)
+    assert(m(1L)._2 == 1.0)           // links both top authorities: top hub
+    assert(m(2L)._2 < m(1L)._2 && m(2L)._2 > 0.0)
+    assert(m(5L)._2 == 0.0)           // links nothing
+  }
+
   test("corpusFilterKeep column twin matches corpusFilter's keep flag row-wise") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val viaDf = TextAnalysis.corpusFilter(docs).select(col("doc_id"), col("keep"))
