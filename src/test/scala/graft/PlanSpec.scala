@@ -140,6 +140,23 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("intervalOverlapJoin plans as an equi-join on tile, never a nested loop") {
+    import spark.implicits._
+    val l = (0L until 200L).map(i => (i, i * 13 % 5000, i * 13 % 5000 + 40))
+      .toDF("l_id", "l_start", "l_end")
+    val r = (0L until 200L).map(i => (i, i * 17 % 5000 - 20, i * 17 % 5000 + 20))
+      .toDF("r_id", "r_start", "r_end")
+    val plan = executed(
+      graft.operators.Joins.intervalOverlapJoin(l, r, tile = 64)).toString
+    // the whole point of the tiling rewrite: a pure inequality join
+    // would plan as BroadcastNestedLoopJoin/CartesianProduct (O(n·m));
+    // tiles turn it into a hash-partitionable equi-join
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"tiled rewrite must not fall back to a nested loop:\n$plan")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).nonEmpty, s"expected an equi-join on tile:\n$plan")
+  }
+
   test("balancedSample pre-prunes each map task via WindowGroupLimit") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val plan = executed(graft.operators.Corpus.balancedSample(docs, "lang", 40)).toString
