@@ -1157,6 +1157,22 @@ object SparkEntry {
         .orderBy(col("band"))
     }),
 
+    "q_correlation" -> ((s, dir) => {
+      // pairwise Pearson correlation matrix per group in ONE
+      // map-combined aggregate pass (Profiler.correlationMatrix) —
+      // the cross-column relationship row of the profiling family.
+      // Integer bases (qty, cents) make every sufficient statistic an
+      // exact decimal(38,0); the final r is a fixed-shape double over
+      // casts of exact integers — bit-identical across engines.
+      val li = tbl(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+        round(col("l_discount") * 100).cast("long").as("disc_c"))
+      Profiler.correlationMatrix(li, col("l_returnflag"),
+          Seq("qty", "price_c", "disc_c"))
+        .orderBy(col("grp"), col("col_x"), col("col_y"))
+    }),
+
     "q_interval_join" -> ((s, dir) => {
       // interval-overlap join with NO equi-key: 10-minute error
       // windows × ±5-minute purchase windows, per-error overlap count
@@ -2886,6 +2902,41 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events JOIN bands ON value >= lo AND value < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    // exact-integer Pearson replay: sums run in HUGEINT (Spark:
+    // decimal(38,0)) so every sufficient statistic is exact; the r
+    // expression has the same double shape in both engines
+    "q_correlation" -> {
+      def arm(x: String, y: String, sx: String, sy: String,
+              ssx: String, ssy: String, sp: String) =
+        s"""  SELECT grp, '$x' AS col_x, '$y' AS col_y, CAST(n AS BIGINT) AS n,
+           |    CASE WHEN n*$ssx - $sx*$sx > 0 AND n*$ssy - $sy*$sy > 0 THEN
+           |      CAST(n*$sp - $sx*$sy AS DOUBLE) /
+           |        (sqrt(CAST(n*$ssx - $sx*$sx AS DOUBLE)) *
+           |         sqrt(CAST(n*$ssy - $sy*$sy AS DOUBLE)))
+           |    END AS corr FROM a""".stripMargin
+      s"""WITH b AS (
+         |  SELECT l_returnflag AS grp,
+         |    CAST(l_quantity AS BIGINT) AS qty,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+         |  FROM lineitem),
+         |a AS (
+         |  SELECT grp, count(*) AS n,
+         |    sum(qty) AS s_qty, sum(price_c) AS s_price, sum(disc_c) AS s_disc,
+         |    sum(qty*qty) AS ss_qty, sum(price_c*price_c) AS ss_price,
+         |    sum(disc_c*disc_c) AS ss_disc,
+         |    sum(qty*price_c) AS sp_qp, sum(qty*disc_c) AS sp_qd,
+         |    sum(price_c*disc_c) AS sp_pd
+         |  FROM b GROUP BY grp)
+         |SELECT * FROM (
+         |${arm("qty", "price_c", "s_qty", "s_price", "ss_qty", "ss_price", "sp_qp")}
+         |  UNION ALL
+         |${arm("qty", "disc_c", "s_qty", "s_disc", "ss_qty", "ss_disc", "sp_qd")}
+         |  UNION ALL
+         |${arm("price_c", "disc_c", "s_price", "s_disc", "ss_price", "ss_disc", "sp_pd")})
+         |ORDER BY grp, col_x, col_y""".stripMargin
+    },
 
     // the oracle is the straight inequality join (DuckDB's IEJoin
     // handles it); the tiled rewrite must produce the identical bag

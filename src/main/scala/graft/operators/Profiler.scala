@@ -116,4 +116,52 @@ object Profiler {
         first(col("t_old")).as("t_old"), first(col("t_new")).as("t_new"),
         round(sum(col("term")), 6).as("psi"))
   }
+
+  /** Pairwise Pearson correlation matrix over INTEGER-VALUED columns,
+    * per group, in ONE aggregate pass — the relationship half of the
+    * profiling pass (profile/histogram describe columns alone; this
+    * is the "is price driven by quantity" cross-column row).
+    *
+    * Exactness contract: inputs must be integral (callers encode
+    * money as cents etc. — the corpus-wide convention); every
+    * sufficient statistic (Σx, Σx², Σxy, n) is then an EXACT
+    * decimal(38,0) integer at any parallelism, and the final
+    * r = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+    * is a fixed-shape double expression over casts of exact integers
+    * — bit-identical across engines (sqrt and ÷ are correctly-rounded
+    * IEEE ops). Zero-variance columns yield NULL (undefined, visible).
+    * Headroom: nΣx² stays inside decimal(38,0)/int128 up to ~10¹¹
+    * rows of 7-digit values — the q_outliers decimal-sum lesson.
+    *
+    * Shape: one map-side-combined aggregate to |groups| rows carrying
+    * |cols| + |cols| + C(|cols|,2) sums, unpivoted in-row to
+    * (grp, col_x, col_y, n, corr). Nothing else touches the corpus.
+    */
+  def correlationMatrix(df: DataFrame, group: Column,
+                        cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val d38 = "decimal(38,0)"
+    def d(c: String) = col(c).cast(d38)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs: Seq[Column] =
+      count(lit(1)).cast(d38).as("n") +:
+        (cols.map(c => sum(d(c)).as(s"s_$c")) ++
+          cols.map(c => sum(d(c) * d(c)).as(s"ss_$c")) ++
+          pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"sp_${a}_${b}") })
+    val agg = df.groupBy(group.as("grp")).agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val varA = col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")
+      val varB = col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")
+      val num = col("n") * col(s"sp_${a}_${b}") - col(s"s_$a") * col(s"s_$b")
+      agg.select(col("grp"), lit(a).as("col_x"), lit(b).as("col_y"),
+        col("n").cast("long").as("n"),
+        when(varA > 0 && varB > 0,
+          num.cast("double") /
+            (sqrt(varA.cast("double")) * sqrt(varB.cast("double"))))
+          .as("corr"))
+    }
+    rows.reduce(_ unionByName _)
+  }
 }

@@ -78,4 +78,26 @@ class ProfilerSpec extends SparkSpecBase {
     assert(got("lang").getAs[Long]("t_old") == 300L)
     assert(got("lang").getAs[Long]("t_new") == 200L)
   }
+
+  test("correlationMatrix: exact r, NULL on zero variance, one row per pair") {
+    val df = Seq(
+      ("g", 1L, 2L, 7L), ("g", 2L, 4L, 7L), ("g", 3L, 6L, 7L),   // y = 2x exact
+      ("h", 1L, 3L, 1L), ("h", 2L, 1L, 2L), ("h", 3L, 5L, 3L)
+    ).toDF("grp0", "x", "y", "z")
+    val out = Profiler.correlationMatrix(df, col("grp0"), Seq("x", "y", "z"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out.size == 6) // 2 groups x 3 pairs
+    // perfectly linear → r ≈ 1 (√a·√b is not exactly √(ab), so the
+    // deterministic fixed-shape result may sit 1 ulp off 1.0)
+    val rG = out(("g", "x", "y"))
+    assert(rG._1 == 3L && math.abs(rG._2.get - 1.0) < 1e-15)
+    assert(out(("g", "x", "z")) == ((3L, None)))        // z constant: undefined
+    assert(out(("g", "y", "z")) == ((3L, None)))
+    // h: x=[1,2,3], y=[3,1,5] → r = 0.5 exactly (cov=1, sx²=2/3·3=2, sy²=8)
+    val rH = out(("h", "x", "y"))._2.get
+    assert(math.abs(rH - 0.5) < 1e-15, s"got $rH")
+  }
 }
