@@ -1541,6 +1541,30 @@ object SparkEntry {
       Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
     }),
 
+    "d_dedup_audit" -> ((s, dir) => {
+      // the dedup REPORT: cluster-size histogram + removable-doc
+      // counts (every production dedup run publishes this table
+      // before anyone signs off on deleting data). Composes pairs →
+      // transitive clusters → |cluster| histogram; singletons (docs
+      // in no pair) are one anti-join count, so the histogram always
+      // accounts for the whole corpus. All stages past pair-gen are
+      // cluster-bounded.
+      val corpus = corpusWithDups(tbl(s, dir, "documents"))
+      val pairs = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.8)
+      val cc = Dedup.connectedComponents(pairs)
+      val sizes = cc.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      val hist = sizes.groupBy(col("sz").as("csize"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("docs"),
+          sum(col("sz") - 1).as("removable"))
+      val singles = corpus.select(col("doc_id"))
+        .join(cc.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      hist.unionByName(singles.where(col("n") > 0)
+          .select(lit(1L).as("csize"), col("n").as("n_clusters"),
+            col("n").as("docs"), lit(0L).as("removable")))
+        .orderBy(col("csize"))
+    }),
+
     "d_split_hash" -> ((s, dir) => {
       // deterministic train/val/test split (80/10/10) by portable
       // content-id hash — reproducible across runs and cluster sizes,
@@ -3715,6 +3739,33 @@ object SparkEntry {
          |SELECT node AS doc_id, CAST(least(node, min(peer)) AS BIGINT) AS cluster
          |FROM reach GROUP BY node
          |ORDER BY doc_id""".stripMargin,
+
+    // dedup-report replay: same closure as d_dedup_clusters, grouped
+    // to the size histogram; singletons = corpus minus clustered
+    "d_dedup_audit" ->
+      s"""WITH RECURSIVE $ngramPairsCte,
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM dup_pairs
+         |  UNION ALL SELECT b, a FROM dup_pairs),
+         |reach(node, peer) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.peer),
+         |cc AS (
+         |  SELECT node AS doc_id, least(node, min(peer)) AS cluster
+         |  FROM reach GROUP BY node),
+         |sizes AS (SELECT cluster, count(*) AS sz FROM cc GROUP BY cluster),
+         |hist AS (
+         |  SELECT sz AS csize, CAST(count(*) AS BIGINT) AS n_clusters,
+         |    CAST(sum(sz) AS BIGINT) AS docs,
+         |    CAST(sum(sz - 1) AS BIGINT) AS removable
+         |  FROM sizes GROUP BY sz),
+         |singles AS (
+         |  SELECT (SELECT count(*) FROM corpus) - (SELECT count(*) FROM cc) AS n)
+         |SELECT * FROM hist
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), n, n, CAST(0 AS BIGINT) FROM singles WHERE n > 0
+         |ORDER BY csize""".stripMargin,
 
     "d_dedup_minhash" ->
       s"""WITH corpus AS ($corpusWithDupsSql),
