@@ -801,6 +801,45 @@ object SparkEntry {
         .orderBy(col("dow"), col("hour"))
     }),
 
+    "q_trend" -> ((s, dir) => {
+      // per-type linear trend of daily revenue: OLS slope/intercept/R²
+      // of exact daily cents against the epoch-day index — the "is
+      // this metric growing" row behind every dashboard sparkline and
+      // the input to capacity forecasts. Two bounded aggregates:
+      // events map-combine to (type, day, cents); the |types|·|days|
+      // table reduces to exact decimal(38,0) sufficient statistics;
+      // slope/intercept/R² are fixed-shape doubles over casts of
+      // exact integers — bit-identical across engines (the
+      // q_correlation contract).
+      val d38 = "decimal(38,0)"
+      val daily = events(s, dir)
+        .select(col("event_type"), expr("sec div 86400").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("y"))
+      val st = daily.select(col("event_type"),
+          col("day").cast(d38).as("x"), col("y").cast(d38).as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      val varx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vary = col("n") * col("syy") - col("sy") * col("sy")
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val slope = num.cast("double") / varx.cast("double")
+      st.select(col("event_type"), col("n").cast("long").as("n_days"),
+          when(varx > 0, slope).as("slope_cents_per_day"),
+          when(varx > 0,
+            (col("sy").cast("double") - slope * col("sx").cast("double"))
+              / col("n").cast("double")).as("intercept_cents"),
+          when(varx > 0 && vary > 0,
+            (num.cast("double") * num.cast("double"))
+              / (varx.cast("double") * vary.cast("double"))).as("r2"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_abtest" -> ((s, dir) => {
       // one-vs-rest two-sample z-test per event type (the A/B-test
       // primitive: is this variant's mean value different from
@@ -2310,6 +2349,26 @@ object SparkEntry {
       TextAnalysis.gopherRules(tbl(s, dir, "documents")).orderBy(col("doc_id"))
     }),
 
+    "q_correlated_subquery" -> ((s, dir) => {
+      // correlated scalar subquery, submitted AS SQL so Catalyst's
+      // decorrelation rewrites it (RewriteCorrelatedScalarSubquery →
+      // one per-customer aggregate joined back — the plan a user
+      // would otherwise hand-write; nothing is evaluated per-row).
+      // The comparison basis is avg over exact integer cents: the
+      // sum is exact, the single division correctly rounded — the
+      // same double in both engines, so the > cut is deterministic.
+      tbl(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_custkey, count(*) AS n_above,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+          |    AS above_cents
+          |FROM orders_v o1
+          |WHERE CAST(round(o_totalprice * 100) AS BIGINT) > (
+          |  SELECT avg(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+          |  FROM orders_v o2 WHERE o2.o_custkey = o1.o_custkey)
+          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    }),
+
     "x_sql_surface" -> ((s, dir) => {
       // the SparkSessionExtensions surface: pure SQL over registered
       // graft_* native kernels (what a BI tool / SQL notebook would run)
@@ -2608,6 +2667,35 @@ object SparkEntry {
         |  round(CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 6)
         |    AS mean_value
         |FROM g ORDER BY dow, hour""".stripMargin,
+
+    // OLS replay in HUGEINT sufficient statistics; slope/intercept/R²
+    // keep the identical double shapes (q_correlation contract)
+    "q_trend" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |daily AS (
+        |  SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS y
+        |  FROM e GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(day) AS sx, sum(y) AS sy,
+        |    sum(day * day) AS sxx, sum(y * y) AS syy, sum(day * y) AS sxy
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  CASE WHEN n*sxx - sx*sx > 0 THEN
+        |    CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+        |  END AS slope_cents_per_day,
+        |  CASE WHEN n*sxx - sx*sx > 0 THEN
+        |    (CAST(sy AS DOUBLE)
+        |      - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |  END AS intercept_cents,
+        |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+        |    (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+        |      / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+        |  END AS r2
+        |FROM st ORDER BY event_type""".stripMargin,
 
     "q_abtest" ->
       """WITH e AS (
@@ -4988,6 +5076,19 @@ object SparkEntry {
       s"""SELECT doc_id, ${sqlHash("text")} AS fp,
          |  CAST(len(${sqlToks("text")}) AS INT) AS n_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the same correlated text DuckDB runs natively (its own
+    // decorrelation); avg over exact cents makes the > cut the same
+    // double in both engines
+    "q_correlated_subquery" ->
+      """SELECT o_custkey, count(*) AS n_above,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |    AS above_cents
+        |FROM orders o1
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) > (
+        |  SELECT avg(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |  FROM orders o2 WHERE o2.o_custkey = o1.o_custkey)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "m_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(u.i AS INT) AS frame_idx,
