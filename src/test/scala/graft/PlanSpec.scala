@@ -140,6 +140,28 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // at 100 TB this fires on the DEFAULT thresholds (fact scan >10 GB,
+    // filtered dim <10 MB): Spark's InjectRuntimeFilter builds a bloom
+    // filter from the filtered dim keys and applies might_contain on
+    // the fact scan BEFORE the join shuffle — engine-level row pruning
+    // the design relies on. Local data is below the application-side
+    // threshold, so the test lowers it to prove the rule fires and
+    // lock the shape against config/plan regressions.
+    val plan = nonAdaptive(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
+      val o = spark.read.parquet(s"${sf("sf0.01")}/orders.parquet")
+        .where(col("o_orderpriority") === "1-URGENT")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+    }
+    assert(plan.contains("might_contain") || plan.contains("bloom"),
+      s"expected an injected bloom filter on the fact side:\n${plan.take(4000)}")
+  }
+
   test("intervalOverlapJoin plans as an equi-join on tile, never a nested loop") {
     import spark.implicits._
     val l = (0L until 200L).map(i => (i, i * 13 % 5000, i * 13 % 5000 + 40))
