@@ -93,7 +93,10 @@ object GraftExtensions {
     ("graft_mmr_select",
       new ExpressionInfo(classOf[native.MmrSelectExpr].getName, "graft_mmr_select"),
       (args: Seq[Expression]) => native.MmrSelectExpr(args.head,
-        litInt(args(1), "k"), litDouble(args(2), "lambda")))
+        litInt(args(1), "k"), litDouble(args(2), "lambda"))),
+    ("graft_avg_hash64",
+      new ExpressionInfo(classOf[native.AvgHash64Expr].getName, "graft_avg_hash64"),
+      (args: Seq[Expression]) => native.AvgHash64Expr(args.head))
   )
 
   /** Register on an already-running session. */

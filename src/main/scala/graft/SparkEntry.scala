@@ -2390,6 +2390,19 @@ object SparkEntry {
       Multimodal.binaryDuplicates(media).orderBy(col("media_id"))
     }),
 
+    "m_phash_dedup" -> ((s, dir) => {
+      // perceptual near-dup groups on the 64-bit average hash over
+      // media bytes (aHash shape; a real image pipeline hashes the
+      // decoded grayscale grid through the same column). Verbatim
+      // copies group; the one-token near-dups usually shift a block
+      // mean and correctly stay out — the signal between sha-256
+      // equality and embedding cosine.
+      val media = corpusWithDups(tbl(s, dir, "documents"))
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("content"))
+      Multimodal.perceptualDuplicates(media).orderBy(col("media_id"))
+    }),
+
     "m_multimodal_meta" -> ((s, dir) => {
       val media = tbl(s, dir, "documents").select(
         col("doc_id").as("media_id"),
@@ -5169,6 +5182,50 @@ object SparkEntry {
          |  FROM m)
          |SELECT media_id, digest, byte_length, group_size, keeper_id
          |FROM w WHERE group_size > 1 ORDER BY media_id""".stripMargin,
+
+    // avgHash64 replay: per-byte values (ASCII corpus: unicode(char)
+    // == byte), block index (p·64)//n, bit = exact cross-multiply
+    // blockSum·n > total·blockLen; bits assemble in HUGEINT (1<<63
+    // is UB territory in int64) and convert to the signed long via
+    // an explicit two's-complement fold
+    "m_phash_dedup" ->
+      s"""WITH corpus AS ($corpusWithDupsSql),
+         |b AS (
+         |  SELECT doc_id AS media_id, text,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n
+         |  FROM corpus),
+         |ch AS (
+         |  SELECT media_id, n, u.p AS p,
+         |    CAST(unicode(substr(text, CAST(u.p + 1 AS INT), 1)) AS BIGINT) AS v
+         |  FROM b, unnest(range(0, n)) AS u(p)
+         |  WHERE n > 0),
+         |blk AS (
+         |  SELECT media_id, n, (p * 64) // n AS blk,
+         |    CAST(sum(v) AS BIGINT) AS bs, count(*) AS cnt
+         |  FROM ch GROUP BY 1, 2, 3),
+         |tot AS (
+         |  SELECT media_id, CAST(sum(bs) AS BIGINT) AS total
+         |  FROM blk GROUP BY 1),
+         |ph0 AS (
+         |  SELECT k.media_id,
+         |    sum(CASE WHEN k.bs * k.n > t.total * k.cnt
+         |      THEN CAST(1 AS HUGEINT) << CAST(k.blk AS INT)
+         |      ELSE CAST(0 AS HUGEINT) END) AS s
+         |  FROM blk k JOIN tot t USING (media_id) GROUP BY 1),
+         |ph AS (
+         |  SELECT media_id,
+         |    CAST(CASE WHEN s >= 9223372036854775808 THEN
+         |      s - 18446744073709551616 ELSE s END AS BIGINT) AS phash
+         |  FROM ph0
+         |  UNION ALL
+         |  SELECT media_id, CAST(0 AS BIGINT) FROM b WHERE n = 0),
+         |g AS (
+         |  SELECT p.media_id, p.phash, CAST(b2.n AS INT) AS byte_length,
+         |    CAST(count(*) OVER (PARTITION BY p.phash) AS BIGINT) AS group_size,
+         |    min(p.media_id) OVER (PARTITION BY p.phash) AS keeper_id
+         |  FROM ph p JOIN b b2 ON b2.media_id = p.media_id)
+         |SELECT media_id, phash, byte_length, group_size, keeper_id
+         |FROM g WHERE group_size > 1 ORDER BY media_id""".stripMargin,
 
     "m_multimodal_meta" ->
       // ASCII-expressible magic prefixes must be sniffed here too (the

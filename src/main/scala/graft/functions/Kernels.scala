@@ -14,6 +14,7 @@ object Kernels {
   def tokenCount(s: String): Int = native.tokenOffsets(s).length / 2
   def pieceCount(s: String): Int = native.pieceCount(s)
   def charEntropy(s: String): Double = native.charEntropy(s)
+  def avgHash64(b: Array[Byte]): Long = native.avgHash64(b)
   def shingleHashes(s: String, n: Int): Array[Long] = native.shingleHashes(s, n)
   def shingleHashes(s: String, n: Int, wide: Boolean): Array[Long] =
     native.shingleHashes(s, n, wide)

@@ -123,6 +123,41 @@ object native {
     h
   }
 
+  /** 64-bit average hash over raw bytes — the perceptual-hash SHAPE
+    * (aHash) on the byte stream: 64 equal blocks, bit i set iff block
+    * i's mean exceeds the global mean. For real images a decoder maps
+    * pixels → grayscale grid first (decodeStub's seam); over raw
+    * bytes it is still a deterministic locality signal: re-encoded or
+    * length-padded copies that byte-equality (sha-256) misses can
+    * keep their block profile. Integer-exact: the comparison is the
+    * cross-multiplication blockSum·n > total·blockLen, so the bits
+    * are reproducible in ANSI SQL (no division). Overflow-safe to
+    * n < ~4·10⁸ bytes per object (255·n·(n/64+1) < 2⁶³).
+    */
+  def avgHash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var p = 0
+    while (p < n) {
+      val i = ((p.toLong * 64L) / n).toInt
+      sums(i) += (bytes(p) & 0xFF)
+      cnts(i) += 1
+      p += 1
+    }
+    var total = 0L
+    var i = 0
+    while (i < 64) { total += sums(i); i += 1 }
+    var out = 0L
+    i = 0
+    while (i < 64) {
+      if (sums(i) * n > total * cnts(i)) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
   /** Distinct hashed word n-gram shingles (twin of
     * TextFunctions.shingleHashes): windows of n tokens joined by a
     * single space, polynomial-hashed; texts with fewer than n tokens
@@ -871,6 +906,16 @@ object native {
       copy(child = newChild)
   }
 
+  case class AvgHash64Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      avgHash64(input.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$N.avgHash64($c)")
+    override protected def withNewChildInternal(newChild: Expression): AvgHash64Expr =
+      copy(child = newChild)
+  }
+
   case class PieceCountExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override protected def nullSafeEval(input: Any): Any =
@@ -931,6 +976,7 @@ object native {
   def tokenCount(text: Column): Column = col(TokenCountExpr(ex(text)))
   def charEntropy(text: Column): Column = col(CharEntropyExpr(ex(text)))
   def pieceCount(text: Column): Column = col(PieceCountExpr(ex(text)))
+  def avgHash64(content: Column): Column = col(AvgHash64Expr(ex(content)))
   def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
     col(BpeEncodeExpr(ex(word), merges))
   def mmrSelect(cands: Column, k: Int, lambda: Double): Column =

@@ -80,6 +80,33 @@ object Multimodal {
         col("group_size"), col("keeper_id"))
   }
 
+  /** Perceptual-duplicate groups over media bytes: identical 64-bit
+    * average hash (graft.functions.native.avgHash64 — the aHash
+    * SHAPE; a real pipeline decodes to a grayscale grid first and
+    * hashes that, which slots in at the same column). The near-dup
+    * complement of [[binaryDuplicates]]: catches copies whose bytes
+    * differ but whose coarse block profile survives (padding,
+    * trailing-metadata edits), misses nothing sha-256 catches only
+    * when re-encoding scrambles every block.
+    *
+    * Scale: hash is one map-only scan-stage kernel; only (media_id,
+    * phash, length) reach the group window — raw bytes never shuffle
+    * (the m_binary_dedup contract).
+    */
+  def perceptualDuplicates(media: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("phash"))
+    media
+      .select(col("media_id"),
+        graft.functions.native.avgHash64(col("content")).as("phash"),
+        length(col("content")).as("byte_length"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("keeper_id", min(col("media_id")).over(w))
+      .where(col("group_size") > 1)
+      .select(col("media_id"), col("phash"), col("byte_length"),
+        col("group_size"), col("keeper_id"))
+  }
+
   /** Deterministic fake "decode": byte histogram over 16 buckets,
     * L2-normalized — stands in for a real image decode + model
     * embedding. Runs per partition in fixed-size batches (the same

@@ -51,6 +51,15 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(row.getSeq[Long](row.fieldIndex("mmr")).toSeq == Seq(10L, 12L))
   }
 
+  test("graft_avg_hash64 on the SQL surface matches the kernel") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_avg_hash64(encode('aaaaZZZZ', 'UTF-8')) AS ph").head()
+    assert(row.getAs[Long]("ph") ==
+      graft.functions.native.avgHash64("aaaaZZZZ".getBytes("UTF-8")))
+    assert(row.getAs[Long]("ph") != 0L)
+  }
+
   test("graft_nearest_centroids rejects malformed input at analysis time") {
     GraftExtensions.register(spark)
     // INT list_id (not BIGINT) used to surface as a runtime

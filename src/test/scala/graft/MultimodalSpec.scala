@@ -57,4 +57,30 @@ class MultimodalSpec extends SparkSpecBase {
     // decode is deterministic
     assert(Multimodal.decodeStub(junk).toSeq == Multimodal.decodeStub(junk).toSeq)
   }
+
+  test("avgHash64: known bit pattern, profile invariance, perceptual groups") {
+    import graft.functions.native
+    // half zeros, half 255s: blocks 32..63 above the mean
+    val half = Array.fill[Byte](64)(0)
+    (32 until 64).foreach(i => half(i) = 0xFF.toByte)
+    val expect = (32 until 64).foldLeft(0L)((a, i) => a | (1L << i))
+    assert(native.avgHash64(half) == expect)
+    assert(native.avgHash64(Array.emptyByteArray) == 0L)
+    assert(native.avgHash64(Array.fill[Byte](100)(7)) == 0L) // flat: no bit above mean
+    // byte-doubling preserves the block profile → same hash
+    val doubled = half.flatMap(b => Array(b, b))
+    assert(native.avgHash64(doubled) == expect)
+
+    import spark.implicits._
+    val media = Seq(
+      (1L, "aaaaaaaaaaaaaaaaZZZZZZZZZZZZZZZZ"),
+      (2L, "aaaaaaaaaaaaaaaaZZZZZZZZZZZZZZZZ"), // verbatim copy
+      (3L, "ZZZZZZZZZZZZZZZZaaaaaaaaaaaaaaaa"), // reversed profile
+      (4L, "something else entirely goes here")
+    ).toDF("media_id", "txt").select(col("media_id"),
+      encode(col("txt"), "UTF-8").as("content"))
+    val groups = Multimodal.perceptualDuplicates(media)
+      .select("media_id", "keeper_id").as[(Long, Long)].collect().toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L)) // only the true copies group
+  }
 }
