@@ -428,9 +428,11 @@ object SparkEntry {
   }
 
   /** Unrolled HITS twin of Graph.hits over the same edge
-    * construction: per iteration, auth = Σ in-hub then ÷ max, hub =
-    * Σ out-auth then ÷ max — max normalizers are exact scalars, the
-    * 3-term float sums follow the pageRank association contract.
+    * construction: raw linear updates (auth = Σ in-hub, hub = Σ
+    * out-auth — normalization commutes, applied once at the end via
+    * window max); the 3-term float sums follow the pageRank
+    * association contract. Every CTE is referenced once except the
+    * final a5 (twice) — DuckDB's CTE inlining stays linear.
     */
   private lazy val hitsSql: String = {
     val body = (1 to 5).map { i =>
@@ -438,16 +440,14 @@ object SparkEntry {
          |  SELECT nd.node, coalesce(s.v, CAST(0.0 AS DOUBLE)) AS auth
          |  FROM nodes nd LEFT JOIN (
          |    SELECT e.dst AS node, sum(h.hub) AS v
-         |    FROM hn${i - 1} h JOIN edges e ON h.node = e.src
+         |    FROM h${i - 1} h JOIN edges e ON h.node = e.src
          |    GROUP BY e.dst) s ON nd.node = s.node),
-         |an$i AS (SELECT node, auth / max(auth) OVER () AS auth FROM a$i),
          |h$i AS (
          |  SELECT nd.node, coalesce(s.v, CAST(0.0 AS DOUBLE)) AS hub
          |  FROM nodes nd LEFT JOIN (
          |    SELECT e.src AS node, sum(a.auth) AS v
-         |    FROM an$i a JOIN edges e ON a.node = e.dst
-         |    GROUP BY e.src) s ON nd.node = s.node),
-         |hn$i AS (SELECT node, hub / max(hub) OVER () AS hub FROM h$i)""".stripMargin
+         |    FROM a$i a JOIN edges e ON a.node = e.dst
+         |    GROUP BY e.src) s ON nd.node = s.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH nodes AS (
        |  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
@@ -457,9 +457,13 @@ object SparkEntry {
        |  SELECT node AS src,
        |    (node * 31 + k * 7919) % (SELECT ni FROM nn) AS dst
        |  FROM nodes, unnest([1, 2, 3]) AS t(k)),
-       |hn0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
-       |""".stripMargin + body +
-      "\nSELECT an5.node, an5.auth, hn5.hub FROM an5 JOIN hn5 ON an5.node = hn5.node ORDER BY an5.node"
+       |h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+       |""".stripMargin + body + """
+       |SELECT node, auth / max(auth) OVER () AS auth,
+       |  hub / max(hub) OVER () AS hub
+       |FROM (SELECT a5.node, a5.auth, h5.hub
+       |      FROM a5 JOIN h5 ON a5.node = h5.node)
+       |ORDER BY node""".stripMargin
   }
 
   // ==================================================================
@@ -1590,7 +1594,11 @@ object SparkEntry {
       // cluster-bounded.
       val corpus = corpusWithDups(tbl(s, dir, "documents"))
       val pairs = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.8)
-      val cc = Dedup.connectedComponents(pairs)
+      // cc feeds BOTH the histogram and the singleton anti-join —
+      // without materializing it the whole pair-gen + CC loop would
+      // execute twice (the §5 materialize-once rule; measured 13.5s →
+      // ~3s at sf0.1). The table is docs-in-pairs-sized.
+      val cc = Dedup.connectedComponents(pairs).localCheckpoint(true)
       val sizes = cc.groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
       val hist = sizes.groupBy(col("sz").as("csize"))
         .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("docs"),

@@ -84,20 +84,26 @@ object Graph {
     * hub; a page linked FROM many hubs is an authority; crawl seeds
     * and link-spam screens read both).
     *
-    * Per iteration: auth ← Σ_{j→i} hub(j), normalize, then
-    * hub ← Σ_{i→j} auth(j), normalize. Normalization is by the MAX
-    * (L∞) rather than the usual L2 norm deliberately: max of doubles
-    * is exact and order-independent at any parallelism, while an L2
-    * sum-of-squares is a corpus-sized float reduction whose
-    * association order differs across engines — same eigenvector
-    * direction, deterministic arithmetic (the pageRank float
-    * contract).
+    * Per iteration: auth ← Σ_{j→i} hub(j), then hub ← Σ_{i→j}
+    * auth(j). Both updates are LINEAR, so normalization commutes
+    * with them — the scores are normalized ONCE at the end instead
+    * of every round, which removes every per-iteration driver
+    * action (the reason pageRank's loop costs one lazy plan, not
+    * 4 jobs a round; raw values grow only ×(max degree) per
+    * half-step — ~3^10 here — nowhere near double overflow for any
+    * sane iteration count). The normalizer is the MAX (L∞), not the
+    * usual L2: max of doubles is exact and order-independent at any
+    * parallelism, while a sum-of-squares is a node-sized float
+    * reduction whose association order differs across engines —
+    * same eigenvector direction, deterministic arithmetic (the
+    * pageRank float contract).
     *
     * Scale shape mirrors pageRank: edges materialized once on src;
     * the two edge-proportional exchanges per round are the in/out
     * contribution aggregates (map-side combined to node-sized
-    * partials); each normalizer is one node-sized scalar max;
-    * lineage checkpoint-truncated every 2 rounds.
+    * partials); lineage checkpoint-truncated every 2 rounds; the
+    * final normalize is one node-sized materialization + a broadcast
+    * 1-row max join.
     */
   def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -110,25 +116,27 @@ object Graph {
     var auth = nodes.select(col("node"), lit(1.0).as("auth"))
     var hub = nodes.select(col("node"), lit(1.0).as("hub"))
     for (i <- 1 to iters) {
-      val aRaw = nodes
+      auth = nodes
         .join(hub.join(e, hub("node") === e("src"))
             .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("v")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("v"), lit(0.0)).as("auth"))
-      val amax = aRaw.agg(max(col("auth"))).head.getDouble(0)
-      auth = aRaw.select(col("node"), (col("auth") / amax).as("auth"))
-      val hRaw = nodes
+      hub = nodes
         .join(auth.join(e, auth("node") === e("dst"))
             .groupBy(col("src").as("node")).agg(sum(col("auth")).as("v")),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("v"), lit(0.0)).as("hub"))
-      val hmax = hRaw.agg(max(col("hub"))).head.getDouble(0)
-      hub = hRaw.select(col("node"), (col("hub") / hmax).as("hub"))
       if (i % 2 == 0 && i < iters) {
         auth = auth.localCheckpoint(true)
         hub = hub.localCheckpoint(true)
       }
     }
-    auth.join(hub, Seq("node"))
+    // materialize once: the raw table feeds both the 1-row max agg
+    // and the normalized output (§5 materialize-once rule)
+    val raw = auth.join(hub, Seq("node")).localCheckpoint(true)
+    val mx = raw.agg(max(col("auth")).as("am"), max(col("hub")).as("hm"))
+    raw.crossJoin(broadcast(mx))
+      .select(col("node"), (col("auth") / col("am")).as("auth"),
+        (col("hub") / col("hm")).as("hub"))
   }
 }
