@@ -972,6 +972,84 @@ object SparkEntry {
         .orderBy(col("event_type"), col("hr"))
     }),
 
+    "q_anomaly" -> ((s, dir) => {
+      // seasonal anomaly flags: each event scored against its
+      // (day-of-week × hour-of-day) baseline (the q_seasonality
+      // profile turned into a gate — "is THIS value abnormal for a
+      // Tuesday 3pm?"). Exact-integer contract: per-bin moments are
+      // exact (cents sums; decimal-exact square sums, the sf3
+      // overflow class), z = (v − mean)/σ is a fixed-shape double
+      // expression over casts of those exact integers — bit-identical
+      // across engines. Scale: one map-combined ≤168-row moment
+      // aggregate broadcast back over the corpus; the corpus pass is
+      // map-only (no event-level shuffle at all).
+      val e = events(s, dir)
+        .select(col("event_id"),
+          expr("(sec div 86400 + 4) % 7").as("dow"),
+          expr("(sec div 3600) % 24").as("hour"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val m = e.groupBy(col("dow"), col("hour")).agg(
+        count(lit(1)).as("n"), sum(col("cents")).as("sm"),
+        sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("sq"))
+      val mean = col("sm").cast("double") / col("n").cast("double")
+      val varN = greatest(
+        col("sq").cast("double") / col("n").cast("double") - mean * mean,
+        lit(0.0))
+      val z = (col("cents").cast("double") - mean) / sqrt(varN)
+      e.join(broadcast(m), Seq("dow", "hour"))
+        .where(col("n") >= 2 && varN > 0 &&
+          (col("cents").cast("double") - mean) * (col("cents").cast("double") - mean)
+            > lit(9.0) * varN)
+        .select(col("event_id"), col("dow"), col("hour"), col("cents"),
+          round(mean, 6).as("bin_mean"), round(z, 6).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_ks_test" -> ((s, dir) => {
+      // two-sample Kolmogorov–Smirnov drift test on order value:
+      // finished orders ('F') vs the rest — the CONTINUOUS-column
+      // drift gate beside q_drift's categorical PSI. D = max_v
+      // |F₁(v) − F₂(v)| is computed as an exact integer numerator
+      // max|c₁·n₂ − c₂·n₁| (decimal-exact products), so the argmax
+      // value and the rejection cut are deterministic; only the final
+      // D and the 1.358·√((n₁+n₂)/(n₁n₂)) comparison are fixed-shape
+      // doubles over the same exact integers. Scale: the corpus
+      // reduces map-side to one row per distinct price; the
+      // cumulative window runs on that bounded table (documented:
+      // distinct-value-bounded, like the vocab tables), never the
+      // corpus.
+      import org.apache.spark.sql.expressions.Window
+      val o = tbl(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+          (col("o_orderstatus") === "F").as("s1"))
+      val perV = o.groupBy(col("cents")).agg(
+        sum(when(col("s1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("s1"), 0L).otherwise(1L)).as("c2"))
+      val wCum = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = perV
+        .select(col("cents"),
+          sum(col("c1")).over(wCum).as("f1"),
+          sum(col("c2")).over(wCum).as("f2"))
+      val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val num = abs(col("f1").cast("decimal(38,0)") * col("n2") -
+        col("f2").cast("decimal(38,0)") * col("n1"))
+      val scored = cum.crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"), col("cents"), num.as("num"))
+      val mx = scored.groupBy(col("n1"), col("n2"))
+        .agg(max(col("num")).as("d_num"))
+      val d = col("d_num").cast("double") /
+        (col("n1").cast("double") * col("n2").cast("double"))
+      scored.join(broadcast(mx), Seq("n1", "n2"))
+        .where(col("num") === col("d_num"))
+        .groupBy(col("n1"), col("n2"), col("d_num"))
+        .agg(min(col("cents")).as("at_value"))
+        .select(col("n1"), col("n2"), col("d_num").cast("double").as("d_num"),
+          col("at_value"), round(d, 8).as("d"),
+          (d > lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double")))).as("reject_05"))
+    }),
+
     "q_transition" -> ((s, dir) => {
       // event-type Markov transition matrix: per-user time-ordered
       // lead, then (from, to) counts and row-normalized probabilities.
@@ -2806,6 +2884,70 @@ object SparkEntry {
         |      (CAST(sx AS DOUBLE) / CAST(nh AS DOUBLE)) *
         |      (CAST(sx AS DOUBLE) / CAST(nh AS DOUBLE))) AS is_change
         |FROM r ORDER BY event_type, hr""".stripMargin,
+
+    // seasonal z replay: decimal square sums (HUGEINT here), divide-first
+    // double moments, identical flag shape (q_changepoint contract)
+    "q_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    (epoch_us(ts) // 1000000 // 86400 + 4) % 7 AS dow,
+        |    (epoch_us(ts) // 1000000 // 3600) % 24 AS hour,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (
+        |  SELECT dow, hour, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sm,
+        |    sum(cents * cents) AS sq
+        |  FROM e GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_id, dow, hour, cents, n,
+        |    CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    greatest(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)), 0.0) AS varn
+        |  FROM e JOIN m USING (dow, hour))
+        |SELECT event_id, dow, hour, cents,
+        |  round(mean, 6) AS bin_mean,
+        |  round((CAST(cents AS DOUBLE) - mean) / sqrt(varn), 6) AS z
+        |FROM r
+        |WHERE n >= 2 AND varn > 0 AND
+        |  (CAST(cents AS DOUBLE) - mean) * (CAST(cents AS DOUBLE) - mean)
+        |    > 9.0 * varn
+        |ORDER BY event_id""".stripMargin,
+
+    // KS replay: exact HUGEINT numerator, min-value argmax, fixed-shape
+    // double D and rejection cut
+    "q_ks_test" ->
+      """WITH o AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    (o_orderstatus = 'F') AS s1 FROM orders),
+        |v AS (
+        |  SELECT cents,
+        |    CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |  FROM o GROUP BY 1),
+        |cum AS (
+        |  SELECT cents,
+        |    CAST(sum(c1) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+        |    CAST(sum(c2) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+        |  FROM v),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum(c2) AS BIGINT) AS n2 FROM v),
+        |sc AS (
+        |  SELECT n1, n2, cents,
+        |    abs(CAST(f1 AS HUGEINT) * n2 - CAST(f2 AS HUGEINT) * n1) AS num
+        |  FROM cum, t),
+        |mx AS (SELECT n1, n2, max(num) AS d_num FROM sc GROUP BY 1, 2)
+        |SELECT n1, n2, CAST(d_num AS DOUBLE) AS d_num,
+        |  min(cents) AS at_value,
+        |  round(CAST(d_num AS DOUBLE) /
+        |    (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 8) AS d,
+        |  CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) >
+        |    1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) /
+        |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS reject_05
+        |FROM sc JOIN mx USING (n1, n2)
+        |WHERE num = d_num
+        |GROUP BY n1, n2, d_num""".stripMargin,
 
     "q_transition" ->
       """WITH e AS (
