@@ -2596,6 +2596,61 @@ object SparkEntry {
       Graph.hits(edges, iters = 5).orderBy(col("node"))
     }),
 
+    "g_shortest_path" -> ((s, dir) => {
+      // multi-source BFS hop labels over the same deterministic
+      // 3-regular link graph (TrustRank-style seed distance: "how
+      // many links from a trusted seed is this page"). Seeds = nodes
+      // ≡ 0 (mod 97). Frontier-based expansion — O(|E|) total join
+      // work across all rounds (Graph.bfsHops); oracle is a
+      // WITH RECURSIVE replay with the same hop bound.
+      val nDocs = tbl(s, dir, "documents").count()
+      val edges = s.range(nDocs)
+        .select(col("id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          ((col("src") * 31 + col("k") * 7919) % nDocs).as("dst"))
+      val seeds = s.range(nDocs).where(col("id") % 97 === 0)
+        .select(col("id").as("node"))
+      Graph.bfsHops(edges, seeds, maxHops = 6).orderBy(col("node"))
+    }),
+
+    "q_skyline" -> ((s, dir) => {
+      // supplier efficiency frontier: 2-D skyline maximizing revenue,
+      // minimizing lineitem count (the Pareto / BNL-skyline operator
+      // of classic OLAP). Two-phase distributed shape: (1) corpus
+      // reduces map-side to the supplier-sized (rev, n) table;
+      // (2) coarse rev-bucket min-n table (bucket-count-sized,
+      // broadcast) prunes every point dominated by a strictly higher
+      // bucket's best — the surviving candidate set is frontier-dense;
+      // (3) the exact pass sorts candidates once (per-rev min-n, then
+      // a strict-prefix running min over descending rev). All exact
+      // integers (cents, counts); equal (rev, n) points all survive,
+      // by the standard strict-dominance definition.
+      import org.apache.spark.sql.expressions.Window
+      val per = tbl(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("cents")).as("rev"), count(lit(1)).as("n_items"))
+        .withColumn("b", expr("rev div 100000000"))
+      val wb = Window.orderBy(col("b").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bmin = per.groupBy(col("b")).agg(min(col("n_items")).as("bn"))
+        .select(col("b"), min(col("bn")).over(wb).as("dom_n"))
+      val cand = per.join(broadcast(bmin), Seq("b"))
+        .where(col("dom_n").isNull || col("n_items") < col("dom_n"))
+      val wRev = Window.orderBy(col("rev").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = cand.groupBy(col("rev")).agg(min(col("n_items")).as("n_items"))
+        .select(col("rev"), col("n_items"),
+          min(col("n_items")).over(wRev).as("pmin"))
+        .where(col("pmin").isNull || col("pmin") > col("n_items"))
+        .select(col("rev"), col("n_items"))
+      cand.join(broadcast(frontier), Seq("rev", "n_items"))
+        .select(col("l_suppkey"), col("rev"), col("n_items"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     "t_source_audit" -> ((s, dir) => {
       TextAnalysis.sourceAudit(tbl(s, dir, "documents")).orderBy(col("source"))
     }),
@@ -5391,6 +5446,45 @@ object SparkEntry {
 
     "g_pagerank" -> pageRankSql,
     "g_hits" -> hitsSql,
+
+    // recursive-CTE BFS replay over the same 3-regular construction;
+    // UNION dedups (node, hop) states, min(hop) collapses to the true
+    // BFS distance, hop bound matches maxHops = 6
+    "g_shortest_path" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS ni FROM nodes),
+        |edges AS (
+        |  SELECT node AS src,
+        |    (node * 31 + k * 7919) % (SELECT ni FROM nn) AS dst
+        |  FROM nodes, unnest([1, 2, 3]) AS t(k)),
+        |bfs(node, hop) AS (
+        |  SELECT node, 0 FROM nodes WHERE node % 97 = 0
+        |  UNION
+        |  SELECT e.dst, b.hop + 1
+        |  FROM bfs b JOIN edges e ON e.src = b.node WHERE b.hop < 6)
+        |SELECT node, CAST(min(hop) AS INT) AS hop
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+
+    // dominance replay: per-(rev, n) NOT EXISTS strict dominance over
+    // the supplier aggregate, joined back to supplier rows
+    "q_skyline" ->
+      """WITH per AS (
+        |  SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice * 100)
+        |      AS BIGINT)) AS BIGINT) AS rev,
+        |    count(*) AS n_items
+        |  FROM lineitem GROUP BY 1),
+        |pts AS (SELECT DISTINCT rev, n_items FROM per),
+        |sky AS (
+        |  SELECT rev, n_items FROM pts p
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM pts q
+        |    WHERE q.rev >= p.rev AND q.n_items <= p.n_items
+        |      AND (q.rev > p.rev OR q.n_items < p.n_items)))
+        |SELECT l_suppkey, rev, n_items
+        |FROM per JOIN sky USING (rev, n_items)
+        |ORDER BY l_suppkey""".stripMargin,
 
     "t_source_audit" ->
       s"""WITH k AS (

@@ -139,4 +139,49 @@ object Graph {
       .select(col("node"), (col("auth") / col("am")).as("auth"),
         (col("hub") / col("hm")).as("hub"))
   }
+
+  /** Multi-source BFS: minimum hop count from any seed node, bounded
+    * at `maxHops` (crawl-depth / link-distance labeling — "how far is
+    * this page from a trusted seed set", the TrustRank-style distance
+    * prior; also the reachability half of graph curation).
+    *
+    * Frontier-based: each round expands ONLY the nodes first reached
+    * last round (not the whole dist table), so total join work is
+    * O(sum of frontier out-degrees) = O(|E|) across ALL rounds
+    * combined — the textbook parallel BFS work bound. The expand join
+    * reads the stored src partitioning of the materialized edge
+    * table; the anti-join that drops already-visited nodes is
+    * node-sized. Both frontier and dist are checkpoint-truncated
+    * every round (rounds are few and each materialization is
+    * node-bounded). Nodes unreachable within maxHops are absent.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("node").cast("long"), lit(0).as("hop"))
+      .distinct()
+      .localCheckpoint(true)
+    var frontier = dist
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("hop"))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        // no checkpoint on the union: every leaf is already
+        // materialized, and the union tree is ≤ maxHops deep — one
+        // fewer job per round
+        dist = dist.union(next)
+        frontier = next
+        h += 1
+      }
+    }
+    dist
+  }
 }

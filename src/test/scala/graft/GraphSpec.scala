@@ -177,4 +177,25 @@ class GraphSpec extends SparkSpecBase {
       TextAnalysis.corpusFilterKeep(col("text")).cast("int").as("keep2"))
     assert(viaDf.join(viaCol, "doc_id").where(col("keep") =!= col("keep2")).count() == 0)
   }
+
+  test("bfsHops: path graph labels exact hop distances, bounded by maxHops") {
+    // 0→1→2→3→4→5, seed {0}: hop(i) = i, cut at maxHops
+    val e = (0L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = Graph.bfsHops(e, seeds, maxHops = 3).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+  }
+
+  test("bfsHops: multi-source takes the minimum over seeds; unreachable absent") {
+    // two chains meeting at 2; 9→10 disconnected from the seeds
+    val e = Seq((0L, 1L), (1L, 2L), (5L, 2L), (2L, 3L), (9L, 10L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 5L).toDF("node")
+    val got = Graph.bfsHops(e, seeds, maxHops = 6).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 2 is 1 hop from seed 5 (not 2 hops via 0→1→2)
+    assert(got == Map(0L -> 0, 5L -> 0, 1L -> 1, 2L -> 1, 3L -> 2))
+    assert(!got.contains(9L) && !got.contains(10L))
+  }
 }
