@@ -2614,6 +2614,72 @@ object SparkEntry {
       Graph.bfsHops(edges, seeds, maxHops = 6).orderBy(col("node"))
     }),
 
+    "g_triangles" -> ((s, dir) => {
+      // per-node triangle counts over the undirected 3-regular link
+      // graph (local clustering — triangle-dense neighborhoods are
+      // mutually-linking cliques, the link-farm signal HITS hubs
+      // smear). Degree-oriented wedge join: O(|E|^{3/2}) worst-case
+      // work regardless of skew (Graph.triangleCounts); the oracle
+      // re-derives triangles independently as ordered a<b<c triples.
+      val nDocs = tbl(s, dir, "documents").count()
+      val edges = s.range(nDocs)
+        .select(col("id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("src"),
+          ((col("src") * 31 + col("k") * 7919) % nDocs).as("dst"))
+      Graph.triangleCounts(edges).orderBy(col("node"))
+    }),
+
+    "d_zorder" -> ((s, dir) => {
+      // Z-order (Morton) data layout vs the natural insert order,
+      // judged by FILE SKIPPING — the data-layout operator behind
+      // Delta/Iceberg OPTIMIZE ZORDER BY. Each lineitem row gets a
+      // 32-bit Morton code interleaving the low 16 bits of
+      // (l_partkey, l_suppkey); files are fixed Z-ranges (top 8 bits
+      // = quadtree cells, deterministic — no sampled range
+      // boundaries), the natural layout files on l_orderkey ranges.
+      // For the 2-D predicate p∈[100,200] ∧ s∈[10,20] the report
+      // compares files whose min/max bbox intersects the box — the
+      // exact pruning decision a parquet reader makes from footer
+      // stats. Everything is map-only row math + two file-count-
+      // bounded aggregates; the interleave is a 16-term integer
+      // expression inside whole-stage codegen.
+      // dimensions normalize to 8 bits against their (broadcast 1-row)
+      // max, so the 16×16 Z-cell grid is scale-free — the same report
+      // shape at sf0.01 and at 100 TB (a real writer picks cell depth
+      // from target file size instead of a fixed 256)
+      def morton(p: Column, q: Column): Column =
+        (0 until 8).map { i =>
+          shiftleft(shiftright(p, i).bitwiseAND(lit(1L)), 2 * i) +
+            shiftleft(shiftright(q, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        }.reduce(_ + _)
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+      val mx = li.agg(max(col("p")).as("mp"), max(col("sk")).as("ms"),
+        max(col("l_orderkey")).as("mo"))
+      val tagged = li.crossJoin(broadcast(mx)).select(col("p"), col("sk"),
+        expr("l_orderkey * 256 div (mo + 1)").as("f_nat"),
+        shiftright(morton(expr("p * 256 div (mp + 1)"),
+          expr("sk * 256 div (ms + 1)")), 8).as("f_z"))
+      def layout(name: String, fcol: Column) = tagged
+        .groupBy(fcol.as("f"))
+        .agg(count(lit(1)).as("rows"),
+          min(col("p")).as("p0"), max(col("p")).as("p1"),
+          min(col("sk")).as("s0"), max(col("sk")).as("s1"))
+        .withColumn("hit",
+          (col("p0") <= 200 && col("p1") >= 100 &&
+            col("s0") <= 20 && col("s1") >= 10).cast("long"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("hit")).as("files_hit"),
+          sum(col("hit") * col("rows")).as("rows_scanned"),
+          round(avg((col("p1") - col("p0")).cast("double")), 6).as("avg_part_span"),
+          round(avg((col("s1") - col("s0")).cast("double")), 6).as("avg_supp_span"))
+        .select(lit(name).as("layout"), col("n_files"), col("files_hit"),
+          col("rows_scanned"), col("avg_part_span"), col("avg_supp_span"))
+      layout("natural", col("f_nat")).unionByName(layout("zorder", col("f_z")))
+        .orderBy(col("layout"))
+    }),
+
     "q_skyline" -> ((s, dir) => {
       // supplier efficiency frontier: 2-D skyline maximizing revenue,
       // minimizing lineitem count (the Pareto / BNL-skyline operator
@@ -5466,6 +5532,72 @@ object SparkEntry {
         |  FROM bfs b JOIN edges e ON e.src = b.node WHERE b.hop < 6)
         |SELECT node, CAST(min(hop) AS INT) AS hop
         |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+
+    // independent triangle replay: undirected simple edges with a<b,
+    // triangles as ordered a<b<c triples (each found once), per-node
+    // credit via UNION ALL of the three corners
+    "g_triangles" ->
+      """WITH nodes AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS ni FROM nodes),
+        |raw AS (
+        |  SELECT node AS src,
+        |    (node * 31 + k * 7919) % (SELECT ni FROM nn) AS dst
+        |  FROM nodes, unnest([1, 2, 3]) AS t(k)),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri),
+        |cnt AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY node),
+        |gn AS (SELECT a AS node FROM und UNION SELECT b FROM und)
+        |SELECT gn.node, CAST(coalesce(cnt.n_tri, 0) AS BIGINT) AS n_tri
+        |FROM gn LEFT JOIN cnt USING (node)
+        |ORDER BY node""".stripMargin,
+
+    // layout replay: identical unrolled Morton interleave + fixed
+    // Z-range / orderkey-range file ids, same bbox-intersection rule
+    "d_zorder" -> {
+      val morton = (0 until 8).map(i =>
+        s"((((p8 >> $i) & 1) << ${2 * i}) + (((s8 >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" + ")
+      s"""WITH li AS (
+         |  SELECT l_orderkey, l_partkey AS p, l_suppkey AS sk FROM lineitem),
+         |mx AS (SELECT max(p) AS mp, max(sk) AS ms, max(l_orderkey) AS mo FROM li),
+         |n8 AS (
+         |  SELECT p, sk, l_orderkey * 256 // (mo + 1) AS f_nat,
+         |    p * 256 // (mp + 1) AS p8, sk * 256 // (ms + 1) AS s8
+         |  FROM li, mx),
+         |tagged AS (
+         |  SELECT p, sk, f_nat, ($morton) >> 8 AS f_z
+         |  FROM n8),
+         |pf AS (
+         |  SELECT 'natural' AS layout, f_nat AS f, count(*) AS rows,
+         |    min(p) AS p0, max(p) AS p1, min(sk) AS s0, max(sk) AS s1
+         |  FROM tagged GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'zorder', f_z, count(*), min(p), max(p), min(sk), max(sk)
+         |  FROM tagged GROUP BY 1, 2),
+         |h AS (
+         |  SELECT layout, f, rows, p1 - p0 AS psp, s1 - s0 AS ssp,
+         |    CASE WHEN p0 <= 200 AND p1 >= 100 AND s0 <= 20 AND s1 >= 10
+         |      THEN 1 ELSE 0 END AS hit
+         |  FROM pf)
+         |SELECT layout, count(*) AS n_files,
+         |  CAST(sum(hit) AS BIGINT) AS files_hit,
+         |  CAST(sum(hit * rows) AS BIGINT) AS rows_scanned,
+         |  round(avg(CAST(psp AS DOUBLE)), 6) AS avg_part_span,
+         |  round(avg(CAST(ssp AS DOUBLE)), 6) AS avg_supp_span
+         |FROM h GROUP BY layout ORDER BY layout""".stripMargin
+    },
 
     // dominance replay: per-(rev, n) NOT EXISTS strict dominance over
     // the supplier aggregate, joined back to supplier rows

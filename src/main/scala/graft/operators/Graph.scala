@@ -184,4 +184,62 @@ object Graph {
     }
     dist
   }
+
+  /** Per-node triangle counts over the undirected simple graph of
+    * `edges` (local clustering signal — triangle-dense neighborhoods
+    * indicate mutually-linking cliques, i.e. link farms; triangle
+    * sparsity around a high-degree node indicates a genuine hub).
+    *
+    * Degree-oriented enumeration (the MapReduce-classic of Suri &
+    * Vassilvitskii's "Counting Triangles and the Curse of the Last
+    * Reducer"): each undirected edge is oriented from its
+    * (degree, id)-smaller endpoint to the larger, making the edge set
+    * a DAG whose max out-degree is O(√|E|) on ANY graph — so the
+    * wedge self-join (the only superlinear stage) does
+    * O(|E|^{3/2}) work even under power-law skew, instead of the
+    * O(Σ deg²) a naive neighbor join does (quadratic in the hottest
+    * hub). Wedges carry 3 longs; raw degrees ride along as join
+    * payloads of 1 long. Each triangle is found exactly once
+    * (u < v < w in the orientation order) and credited to all three
+    * corners.
+    *
+    * Returns (node, n_tri) for every node of the graph (0 if none).
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    // orient by (deg, id): ku/kv are the total-order keys of the two
+    // endpoints; the oriented edge runs smaller-key → larger-key
+    val withDeg = und
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), Seq("b"))
+    val ka = struct(col("da").as("d"), col("a").as("i"))
+    val kb = struct(col("db").as("d"), col("b").as("i"))
+    val oriented = withDeg.select(
+      when(ka < kb, col("a")).otherwise(col("b")).as("u"),
+      when(ka < kb, col("b")).otherwise(col("a")).as("v"),
+      when(ka < kb, kb).otherwise(ka).as("kv"))
+      .localCheckpoint(true)
+    // wedges: ordered pairs of out-neighbors of u; closed iff v→w oriented
+    val x = oriented.select(col("u"), col("v").as("v1"), col("kv").as("k1"))
+    val y = oriented.select(col("u"), col("v").as("v2"), col("kv").as("k2"))
+    val wedges = x.join(y, Seq("u")).where(col("k1") < col("k2"))
+      .select(col("u"), col("v1"), col("v2"))
+    val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
+    val tris = wedges.join(closing, Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.select(col("n").as("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }

@@ -198,4 +198,20 @@ class GraphSpec extends SparkSpecBase {
     assert(got == Map(0L -> 0, 5L -> 0, 1L -> 1, 2L -> 1, 3L -> 2))
     assert(!got.contains(9L) && !got.contains(10L))
   }
+
+  test("triangleCounts: K4 gives 3 per node; square+diagonal gives 1/2 split") {
+    // K4: every node sits on C(3,2) = 3 triangles
+    val k4 = (for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong))
+      .toDF("src", "dst")
+    val g1 = Graph.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g1 == Map(0L -> 3, 1L -> 3, 2L -> 3, 3L -> 3))
+    // square 0-1-2-3 with diagonal 0-2: triangles {0,1,2} and {0,2,3};
+    // duplicate/reversed/self edges must not change counts
+    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L),
+      (2L, 0L), (1L, 0L), (1L, 1L)).toDF("src", "dst")
+    val g2 = Graph.triangleCounts(sq).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2 == Map(0L -> 2, 1L -> 1, 2L -> 2, 3L -> 1))
+  }
 }
