@@ -2630,6 +2630,18 @@ object SparkEntry {
       Graph.triangleCounts(edges).orderBy(col("node"))
     }),
 
+    "d_dedup_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunk dedup over the induced-dup corpus:
+      // boundaries where the 4-token window hash ≡ 0 (mod 64) — cuts
+      // move with CONTENT, so the ' graftdup'-suffixed near-copies
+      // share every chunk except the last (the insertion-robustness
+      // that fixed-offset chunking provably lacks). Raw text never
+      // shuffles (Dedup.cdcChunkDedup); oracle replays cuts, chunk
+      // assembly, and first-occurrence ownership in SQL.
+      Dedup.cdcChunkDedup(corpusWithDups(tbl(s, dir, "documents")))
+        .orderBy(col("doc_id"))
+    }),
+
     "d_zorder" -> ((s, dir) => {
       // Z-order (Morton) data layout vs the natural insert order,
       // judged by FILE SKIPPING — the data-layout operator behind
@@ -5562,6 +5574,40 @@ object SparkEntry {
         |SELECT gn.node, CAST(coalesce(cnt.n_tri, 0) AS BIGINT) AS n_tri
         |FROM gn LEFT JOIN cnt USING (node)
         |ORDER BY node""".stripMargin,
+
+    // CDC replay: window hashes → cut set → running-sum chunk ids →
+    // string_agg chunk text → hash60 ownership by (doc_id, chunk_idx)
+    "d_dedup_cdc_chunks" ->
+      s"""WITH corpus AS ($corpusWithDupsSql),
+         |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
+         |w AS (
+         |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         |    ${sqlHash60("array_to_string(t[u.i+1 : u.i+4], ' ')")} AS h
+         |  FROM toks, unnest(range(0, len(t) - 3)) AS u(i)
+         |  WHERE len(t) >= 4),
+         |cuts AS (SELECT doc_id, pos FROM w WHERE pos >= 1 AND h % 64 = 0),
+         |p AS (
+         |  SELECT doc_id, CAST(u.i AS INT) AS i, t[u.i + 1] AS tok
+         |  FROM toks, unnest(range(0, len(t))) AS u(i)),
+         |pc AS (
+         |  SELECT p.doc_id, p.i, p.tok,
+         |    sum(CASE WHEN c.pos IS NULL THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY p.doc_id ORDER BY p.i) AS chunk_idx
+         |  FROM p LEFT JOIN cuts c ON c.doc_id = p.doc_id AND c.pos = p.i),
+         |ch AS (
+         |  SELECT doc_id, chunk_idx, count(*) AS len,
+         |    ${sqlHash60("string_agg(tok, ' ' ORDER BY i)")} AS h60
+         |  FROM pc GROUP BY doc_id, chunk_idx),
+         |own AS (
+         |  SELECT doc_id, chunk_idx, len,
+         |    (first_value(doc_id) OVER wo <> doc_id OR
+         |     first_value(chunk_idx) OVER wo <> chunk_idx) AS dup
+         |  FROM ch WINDOW wo AS (PARTITION BY h60 ORDER BY doc_id, chunk_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN dup THEN len ELSE 0 END) AS BIGINT) AS dup_tokens
+         |FROM own GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // layout replay: identical unrolled Morton interleave + fixed
     // Z-range / orderkey-range file ids, same bbox-intersection rule

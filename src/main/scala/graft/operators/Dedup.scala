@@ -680,4 +680,56 @@ object Dedup {
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }
+
+  /** Content-defined chunk dedup (the FastCDC/Rabin SHAPE): cut each
+    * document where the n-token window hash ≡ 0 (mod `modulus`) —
+    * boundaries are functions of LOCAL CONTENT, not byte offsets, so
+    * an insertion upstream shifts positions but every later cut (and
+    * hence every later chunk hash) survives, which is exactly why
+    * storage dedup and incremental-crawl pipelines chunk this way
+    * instead of at fixed offsets. Duplicate chunks are detected by
+    * chunk content hash across the corpus; the first occurrence in
+    * (doc_id, chunk_idx) order owns the content.
+    *
+    * Returns per-doc (doc_id, n_chunks, n_dup, dup_tokens).
+    *
+    * Scale: chunking is one pass of the native window-hash kernel +
+    * per-row HOFs (no shuffle); chunk TEXT is dropped before any
+    * exchange — the only corpus-sized shuffles carry (hash60, doc_id,
+    * chunk_idx, len) longs: the ownership aggregate (map-side
+    * combined) and the hash-keyed rejoin. Expected chunk length =
+    * `modulus` tokens, so chunk rows ≈ corpus tokens / modulus.
+    */
+  def cdcChunkDedup(docs: DataFrame, n: Int = 4, modulus: Int = 64): DataFrame = {
+    val h = graft.functions.native.positionalWindowHashes(col("text"), n, wide = true)
+    val t = TextFunctions.tokens(col("text"))
+    // cut BEFORE token i for window start i ∈ [1, nWindows-1] with
+    // h[i] ≡ 0: the cut is determined by the n tokens that FOLLOW it
+    val cuts = when(size(col("h")) >= lit(2),
+      filter(sequence(lit(1), size(col("h")) - 1),
+        i => element_at(col("h"), i + 1) % modulus === 0))
+      .otherwise(array().cast("array<int>"))
+    val chunkRows = docs
+      .select(col("doc_id"), t.as("t"), h.as("h"))
+      .where(size(col("t")) > 0) // token-less docs have no chunks
+      .withColumn("bs",
+        concat(array(lit(0)), cuts, array(size(col("t")))))
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("bs")) - 2), j => struct(
+          j.as("chunk_idx"),
+          (element_at(col("bs"), j + 2) - element_at(col("bs"), j + 1)).as("len"),
+          graft.functions.native.contentHash60(
+            array_join(slice(col("t"), element_at(col("bs"), j + 1) + 1,
+              element_at(col("bs"), j + 2) - element_at(col("bs"), j + 1)), " "))
+            .as("h60")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.len"), col("c.h60"))
+    val owner = chunkRows.groupBy(col("h60"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("own"))
+    chunkRows.join(owner, Seq("h60"))
+      .withColumn("dup",
+        (struct(col("doc_id"), col("chunk_idx")) =!= col("own")).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("dup")).as("n_dup"),
+        sum(col("dup") * col("len")).as("dup_tokens"))
+  }
 }

@@ -409,4 +409,27 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(byRank.head.getAs[Long]("nbr_id") == 1L)
     assert(math.abs(byRank.head.getAs[Double]("cos") - 0.99 / math.sqrt(0.99 * 0.99 + 0.01)) < 1e-6)
   }
+
+  test("cdcChunkDedup: content-defined cuts survive prefix insertion and suffix append") {
+    import graft.operators.Dedup
+    // deterministic 500-token doc with varied tokens → several cuts
+    val base = (0 until 500).map(i => s"w${(i * 7919 + 13) % 977}").mkString(" ")
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " trailing suffix appended"),
+      (2L, "inserted prefix " + base)
+    ).toDF("doc_id", "text")
+    val got = Dedup.cdcChunkDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (na, da) = got(0L)
+    assert(na >= 3, s"expected several chunks, got $na") // cuts actually fire
+    assert(da == 0) // doc 0 owns all its content
+    // suffix: every chunk except the LAST is content-identical to doc 0's
+    val (nb, db) = got(1L)
+    assert(db == nb - 1, s"suffix copy: $db dup of $nb")
+    // prefix insertion: cuts re-synchronize after the first cut — every
+    // chunk except the FIRST matches doc 0 (the fixed-offset failure mode)
+    val (nc, dc) = got(2L)
+    assert(dc == nc - 1, s"prefix copy: $dc dup of $nc")
+  }
 }
