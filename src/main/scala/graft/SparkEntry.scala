@@ -1999,6 +1999,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "s_silhouette" -> ((s, dir) => {
+      // cluster-quality audit of the IVF partitioning itself:
+      // simplified silhouette (nearest vs runner-up centroid) per
+      // list over the same modulo-sampled centroids s_knn_ivf
+      // searches — low mean_sil lists are boundary-heavy and explain
+      // ANN recall loss. Micro-integer aggregates (order-free);
+      // corpus work is map-only + one bounded aggregate.
+      Similarity.silhouette(tbl(s, dir, "embeddings"), nLists = 8)
+        .orderBy(col("list_id"))
+    }),
+
     "s_knn_pq" -> ((s, dir) => {
       // product quantization: corpus collapses to m=8 sub-codes over a
       // 16-entry deterministic codebook; ADC distance ranks. The
@@ -4353,6 +4364,41 @@ object SparkEntry {
          |SELECT query_id, rank, nbr_id, round(cos, 6) AS cos
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // silhouette replay: same modulo centroid sample + double-cosine
+    // ranking as s_knn_ivf; micro-integer silhouette/cohesion means
+    "s_silhouette" ->
+      s"""WITH params AS (
+         |  SELECT greatest(1, count(*) // 8) AS step FROM embeddings),
+         |centroids AS (
+         |  SELECT e.vec_id AS list_id, e.embedding AS centroid
+         |  FROM embeddings e, params
+         |  WHERE e.vec_id % params.step = 0
+         |  ORDER BY e.vec_id LIMIT 8),
+         |ranked AS (
+         |  SELECT e.vec_id, c.list_id,
+         |    CAST(round(${sqlCos("e.embedding", "c.centroid")} * 1000000) AS BIGINT) AS m,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${sqlCos("e.embedding", "c.centroid")} DESC, c.list_id) AS rn
+         |  FROM embeddings e, centroids c),
+         |per AS (
+         |  SELECT vec_id,
+         |    max(CASE WHEN rn = 1 THEN list_id END) AS list_id,
+         |    max(CASE WHEN rn = 1 THEN m END) AS m1,
+         |    max(CASE WHEN rn = 2 THEN m END) AS m2
+         |  FROM ranked WHERE rn <= 2 GROUP BY vec_id),
+         |sm AS (
+         |  SELECT list_id, m1,
+         |    CASE WHEN m2 >= 1000000 THEN 0
+         |      ELSE CAST(round(CAST(m1 - m2 AS DOUBLE) * 1000000.0 /
+         |        (1000000.0 - CAST(m2 AS DOUBLE))) AS BIGINT) END AS s
+         |  FROM per)
+         |SELECT list_id, count(*) AS n,
+         |  round(CAST(sum(s) AS DOUBLE) /
+         |    (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_sil,
+         |  round(CAST(sum(1000000 - m1) AS DOUBLE) /
+         |    (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_dist
+         |FROM sm GROUP BY list_id ORDER BY list_id""".stripMargin,
 
     "s_knn_ivf" ->
       // centroid sample: vec_id % step == 0 (step = N/8), exactly the

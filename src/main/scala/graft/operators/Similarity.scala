@@ -571,4 +571,51 @@ object Similarity {
       .select(col("lbl").as(labelCol), col("n_vecs"), col("avg_cos"),
         col("min_cos"), col("max_cos"))
   }
+
+  /** Per-cluster simplified silhouette over the IVF partitioning —
+    * the cluster-quality gate for every centroid-based stage
+    * (SemDeDup screening, IVF list balance, k-means drift): for each
+    * vector, a = cosine distance to its own (nearest) centroid, b =
+    * distance to the runner-up; s = (b − a)/max(a, b) ∈ [0, 1] here
+    * (b ≥ a by construction of "nearest"). s ≈ 0 ⇒ the point sits on
+    * a cluster boundary; mean s per list is the list's separation.
+    *
+    * Same deterministic modulo centroid sample as [[knnIvf]], so the
+    * clustering under audit is the one the ANN index actually uses.
+    *
+    * Determinism/scale contract: ranking uses the raw double cosine
+    * (the IVF assignment order, oracle-replayed bit-wise); everything
+    * aggregated is an exact integer MICRO quantity (round(·10⁶), the
+    * labelCentroids contract), so per-list means are association-
+    * order-free at any parallelism. Work: corpus × nLists map-only
+    * rows, an nLists-row-per-vector window, one micro-int aggregate.
+    */
+  def silhouette(vectors: DataFrame, nLists: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = sampleCentroids(vectors, nLists)
+    val rows = vectors.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("list_id"),
+        VectorFunctions.cosine(col("embedding"), col("centroid")).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("list_id"))
+    val per = rows.withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+      .groupBy(col("vec_id")).agg(
+        max(when(col("rn") === 1, col("list_id"))).as("list_id"),
+        max(when(col("rn") === 1,
+          round(col("cos") * 1000000.0).cast("long"))).as("m1"),
+        max(when(col("rn") === 2,
+          round(col("cos") * 1000000.0).cast("long"))).as("m2"))
+    // a = 1e6−m1, b = 1e6−m2 (micro distances, b ≥ a);
+    // s = (m1−m2)/(1e6−m2), 0 when the runner-up is a perfect match
+    val sMicro = when(col("m2") >= 1000000L, lit(0L)).otherwise(
+      round((col("m1") - col("m2")).cast("double") * 1000000.0 /
+        (lit(1000000.0) - col("m2").cast("double"))).cast("long"))
+    per.withColumn("sm", sMicro)
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sm")).cast("double") /
+          (count(lit(1)).cast("double") * 1000000.0), 6).as("mean_sil"),
+        round(sum(lit(1000000L) - col("m1")).cast("double") /
+          (count(lit(1)).cast("double") * 1000000.0), 6).as("mean_dist"))
+  }
 }
