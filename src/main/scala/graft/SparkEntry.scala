@@ -1359,6 +1359,64 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "q_mad" -> ((s, dir) => {
+      // robust outlier stats per event type: median + MAD (median
+      // absolute deviation) and the |x − med| > 3·1.4826·MAD count —
+      // the heavy-tail-safe twin of q_outliers' z-scores (one wild
+      // value moves a mean/σ gate, not a median/MAD gate). Exactness:
+      // doubled units keep both medians' interpolation halves
+      // integral (med2 = 2·median, mad4 = 2·median of doubled
+      // deviations are exact BIGINTs), so the outlier rule is the
+      // pure integer compare dev2·10⁴ > 22239·mad4. Two grouped
+      // exact-percentile passes + broadcast |types|-row joins.
+      val e = events(s, dir)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      val m1 = e.groupBy(col("event_type"))
+        .agg(expr("percentile(cents, 0.5D)").as("med"), count(lit(1)).as("n"))
+        .withColumn("med2", round(col("med") * 2).cast("long"))
+      val dev = e.join(broadcast(m1), "event_type")
+        .withColumn("dev2", abs(col("cents") * 2 - col("med2")))
+      val m2 = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(dev2, 0.5D)").as("mad2"))
+        .withColumn("mad4", round(col("mad2") * 2).cast("long"))
+      dev.join(broadcast(m2), "event_type")
+        .groupBy(col("event_type"), col("n"), col("med2"), col("mad4"))
+        .agg(sum(when(col("dev2") * 10000 > col("mad4") * 22239, 1L)
+          .otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"), col("n"),
+          (col("med2").cast("double") / 200.0).as("median_value"),
+          (col("mad4").cast("double") / 400.0).as("mad_value"),
+          col("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
+    "d_split_grouped" -> ((s, dir) => {
+      // GROUP-aware train/val/test split: the hash is taken over the
+      // doc's SOURCE, not its id, so every document of a source lands
+      // in the same split — the leakage rule real corpora need
+      // (near-dups cluster within a source; an id-hash split leaks
+      // them across the boundary, which d_split_leakage measures).
+      // Output is the per-split audit + the structural guarantee
+      // (leaked_sources ≡ 0). One doc-keyed aggregate + two bounded
+      // aggregates; the leak check is a |sources|-row pass.
+      val d = tbl(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("ntok"))
+        .withColumn("h",
+          pmod(graft.functions.TextFunctions.portableHash(col("source")), lit(100)))
+        .withColumn("split",
+          when(col("h") < 80, "train").when(col("h") < 90, "val")
+            .otherwise("test"))
+      val leak = d.groupBy(col("source"))
+        .agg(countDistinct(col("split")).as("k"))
+        .agg(sum(when(col("k") > 1, 1L).otherwise(0L)).as("leaked_sources"))
+      d.groupBy(col("split"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+        .crossJoin(broadcast(leak))
+        .orderBy(col("split"))
+    }),
+
     // ---------------------------------------------- ingestion surface
     "i_markdown_elements" -> ((s, dir) => {
       graft.sources.MarkdownElementReader.elements(s, tbl(s, dir, "documents"))
@@ -3702,6 +3760,54 @@ object SparkEntry {
         |SELECT canon_url, min(doc_id) AS keeper, count(*) AS dup_count
         |FROM c GROUP BY canon_url HAVING count(*) > 1
         |ORDER BY canon_url""".stripMargin,
+
+    // MAD replay: identical doubled-unit integer medians + the pure
+    // integer outlier compare
+    "q_mad" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m1 AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(round(quantile_cont(cents, 0.5) * 2) AS BIGINT) AS med2
+        |  FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type, n, med2, abs(cents * 2 - med2) AS dev2
+        |  FROM e JOIN m1 USING (event_type)),
+        |m2 AS (
+        |  SELECT event_type,
+        |    CAST(round(quantile_cont(dev2, 0.5) * 2) AS BIGINT) AS mad4
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(med2 AS DOUBLE) / 200.0 AS median_value,
+        |  CAST(mad4 AS DOUBLE) / 400.0 AS mad_value,
+        |  CAST(sum(CASE WHEN dev2 * 10000 > mad4 * 22239 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN m2 USING (event_type)
+        |GROUP BY event_type, n, med2, mad4
+        |ORDER BY event_type""".stripMargin,
+
+    // grouped-split replay: source-hash split, per-split audit, and
+    // the structural zero leak count
+    "d_split_grouped" -> {
+      val split = s"""CASE WHEN ${sqlHash("source")} % 100 < 80 THEN 'train'
+                     |  WHEN ${sqlHash("source")} % 100 < 90 THEN 'val'
+                     |  ELSE 'test' END""".stripMargin
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(${sqlToks("text")}) AS BIGINT) AS ntok,
+         |    $split AS split
+         |  FROM documents),
+         |leak AS (
+         |  SELECT CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS leaked_sources
+         |  FROM (SELECT source, count(DISTINCT split) AS k FROM d GROUP BY 1))
+         |SELECT split, count(DISTINCT source) AS n_sources,
+         |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  leaked_sources
+         |FROM d, leak
+         |GROUP BY split, leaked_sources ORDER BY split""".stripMargin
+    },
 
     "d_split_hash" ->
       s"""SELECT doc_id,
