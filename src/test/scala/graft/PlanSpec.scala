@@ -461,4 +461,42 @@ class PlanSpec extends SparkSpecBase {
     assert(offending.isEmpty,
       s"dsirWeights shuffles strings:\n${offending.map(_.output.mkString(", ")).mkString("\n")}")
   }
+
+  test("cdc chunk dedup: chunk text is dropped before every exchange") {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val df = graft.operators.Dedup.cdcChunkDedup(docs)
+    // chunking is per-row; the ownership aggregate and rejoin move
+    // (hash60, doc_id, chunk_idx, len) longs only — never the chunk
+    // text or the token array
+    val offending = shuffles(df).filter(_.output.exists(a =>
+      a.dataType == StringType || a.dataType.isInstanceOf[ArrayType]))
+    assert(offending.isEmpty,
+      s"cdcChunkDedup shuffles text/arrays:\n${offending.map(_.output.mkString(", ")).mkString("\n")}")
+  }
+
+  test("triangle counting and silhouette exchanges carry scalars only") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val tri = graft.operators.Graph.triangleCounts(
+      Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L)).toDF("src", "dst"))
+    val triBad = shuffles(tri).filter(_.output.exists(a =>
+      a.dataType == StringType || a.dataType.isInstanceOf[ArrayType]))
+    assert(triBad.isEmpty,
+      s"triangleCounts shuffles non-scalars:\n${triBad.map(_.output.mkString(", ")).mkString("\n")}")
+
+    // silhouette: embeddings are consumed map-side (broadcast centroid
+    // join + cosine projection); the per-vector window and per-list
+    // aggregate shuffle (vec_id, list_id, cos/micro) scalars only.
+    // SinglePartition folds (the ≤nLists centroid collect) are exempt.
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val sil = graft.operators.Similarity.silhouette(emb, nLists = 4)
+    val silBad = shuffles(sil).filter { s =>
+      s.outputPartitioning != org.apache.spark.sql.catalyst.plans.physical.SinglePartition &&
+        s.output.exists(_.dataType.isInstanceOf[ArrayType])
+    }
+    assert(silBad.isEmpty,
+      s"silhouette shuffles embedding arrays:\n${silBad.map(_.output.mkString(", ")).mkString("\n")}")
+  }
 }
