@@ -1359,6 +1359,80 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "q_integrity" -> ((s, dir) => {
+      // referential-integrity audit across the star schema (the DQ
+      // gate an ingestion run publishes before exposing tables):
+      // per relationship, child rows / distinct child keys / orphan
+      // rows (child keys with no parent). Orphans via LEFT ANTI join
+      // — at scale each check is one hash join on the key, parent
+      // side broadcast when small (dims), AQE otherwise; counts
+      // map-side combine.
+      def check(name: String, child: DataFrame, key: String,
+                parent: DataFrame, pkey: String) = {
+        val c = child.select(col(key).as("k"))
+        val orphans = c.join(parent.select(col(pkey).as("k")).distinct(),
+          Seq("k"), "left_anti")
+        c.agg(count(lit(1)).as("n_child"),
+          countDistinct(col("k")).as("n_keys"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("relationship"), col("n_child"),
+            col("n_keys"), col("n_orphans"))
+      }
+      val li = tbl(s, dir, "lineitem"); val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer"); val su = tbl(s, dir, "supplier")
+      val p = tbl(s, dir, "part"); val n = tbl(s, dir, "nation")
+      check("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(check("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(check("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"))
+        .unionByName(check("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(check("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"))
+        .orderBy(col("relationship"))
+    }),
+
+    "q_cumulative_distinct" -> ((s, dir) => {
+      // cumulative unique users per event type by day (the "total
+      // users reached" growth curve): distinct-over-running-window
+      // without a window distinct — each (type, user) contributes on
+      // its FIRST day only (one map-combined min aggregate), daily
+      // first-appearance counts then cumsum over the bounded
+      // (type × days) table. The corpus shuffle is the (type, user)
+      // reduce; everything after is days-bounded.
+      import org.apache.spark.sql.expressions.Window
+      val firstDay = events(s, dir)
+        .select(col("event_type"), col("user_id"), expr("sec div 86400").as("day"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(min(col("day")).as("day"))
+      val daily = firstDay.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .select(col("event_type"), col("day"), col("new_users"),
+          sum(col("new_users")).over(w).as("cum_users"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "q_rolling_dau" -> ((s, dir) => {
+      // 7-day rolling distinct active users per day (WAU — THE
+      // engagement series): rolling DISTINCT has no window form, so
+      // each (user, day) activity row covers days d..d+6 via a 7-way
+      // explode, distinct coverage, then a per-day count. Work is
+      // 7×|user-days| rows of two longs — linear, no window over the
+      // corpus; the final count map-combines per day.
+      val ud = events(s, dir)
+        .select(col("user_id"), expr("sec div 86400").as("day"))
+        .distinct()
+      val mx = ud.agg(max(col("day")).as("mxd"))
+      ud.withColumn("d",
+          explode(sequence(col("day"), col("day") + 6)))
+        .select(col("user_id"), col("d")).distinct()
+        .crossJoin(broadcast(mx))
+        .where(col("d") <= col("mxd")) // don't report past the data edge
+        .groupBy(col("d").as("day"))
+        .agg(count(lit(1)).as("wau")) // (user, d) already distinct
+        .orderBy(col("day"))
+    }),
+
     "q_mad" -> ((s, dir) => {
       // robust outlier stats per event type: median + MAD (median
       // absolute deviation) and the |x − med| > 3·1.4826·MAD count —
@@ -3760,6 +3834,55 @@ object SparkEntry {
         |SELECT canon_url, min(doc_id) AS keeper, count(*) AS dup_count
         |FROM c GROUP BY canon_url HAVING count(*) > 1
         |ORDER BY canon_url""".stripMargin,
+
+    "q_integrity" -> {
+      def rel(name: String, child: String, key: String,
+              parent: String, pkey: String) =
+        s"""SELECT '$name' AS relationship,
+           |  count(*) AS n_child, count(DISTINCT $key) AS n_keys,
+           |  (SELECT count(*) FROM $child c2 WHERE NOT EXISTS
+           |    (SELECT 1 FROM $parent p2 WHERE p2.$pkey = c2.$key))
+           |    AS n_orphans
+           |FROM $child""".stripMargin
+      Seq(
+        rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        rel("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        rel("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        rel("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        rel("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"))
+        .mkString("(", ")\nUNION ALL\n(", ")\nORDER BY relationship")
+    },
+
+    "q_cumulative_distinct" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id,
+        |    epoch_us(ts) // 1000000 // 86400 AS day FROM events),
+        |f AS (
+        |  SELECT event_type, user_id, min(day) AS day FROM e GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, day, count(*) AS new_users FROM f GROUP BY 1, 2)
+        |SELECT event_type, day, new_users,
+        |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM d ORDER BY event_type, day""".stripMargin,
+
+    "q_rolling_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 1000000 // 86400 AS day FROM events),
+        |mx AS (SELECT max(day) AS mxd FROM ud),
+        |cov AS (
+        |  SELECT DISTINCT user_id, day + t.o AS d
+        |  FROM ud, unnest(range(0, 7)) AS t(o))
+        |SELECT d AS day, count(*) AS wau
+        |FROM cov, mx WHERE d <= mxd
+        |GROUP BY d ORDER BY day""".stripMargin,
 
     // MAD replay: identical doubled-unit integer medians + the pure
     // integer outlier compare
