@@ -1359,6 +1359,60 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "q_json_profile" -> ((s, dir) => {
+      // JSON schema discovery over the semi-structured props column
+      // (the "what keys are actually in this payload" pass every
+      // ingestion run does before declaring a schema): per key, the
+      // occurrence count and a value-type histogram inferred from the
+      // string form. The synthetic props carry one key, so every 3rd
+      // event gets two induced extra fields (tag/flag — the
+      // corpusWithDups pattern: deterministic variety where the
+      // generator has none). Map-only parse + explode, one
+      // |keys|-bounded aggregate.
+      val e = events(s, dir).select(col("event_id"), col("user_id"), col("props"))
+        .withColumn("j", when(col("event_id") % 3 === 0,
+          concat(expr("substring(props, 1, length(props) - 1)"),
+            lit(", \"tag\": \"t"), (col("user_id") % 5).cast("string"),
+            lit("\", \"flag\": "),
+            when(col("event_id") % 2 === 0, "true").otherwise("false"),
+            lit("}"))).otherwise(col("props")))
+      e.select(explode(expr("from_json(j, 'map<string,string>')")).as(Seq("key", "v")))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v").rlike("^-?[0-9]+$"), 1L).otherwise(0L)).as("n_int"),
+          sum(when(col("v").rlike("^-?[0-9]*\\.[0-9]+$"), 1L).otherwise(0L)).as("n_float"),
+          sum(when(col("v").isin("true", "false"), 1L).otherwise(0L)).as("n_bool"),
+          sum(when(col("v").rlike("^-?[0-9]+$") ||
+            col("v").rlike("^-?[0-9]*\\.[0-9]+$") ||
+            col("v").isin("true", "false"), 0L).otherwise(1L)).as("n_str"))
+        .orderBy(col("key"))
+    }),
+
+    "q_gap_stats" -> ((s, dir) => {
+      // inter-arrival-time distribution per event type (capacity /
+      // bot-cadence analysis): consecutive same-user gaps via one
+      // user-keyed lag window, then exact interpolated percentiles
+      // in scaled integer units (median doubles, p90 tenths — the
+      // q_mad exactness contract). One corpus window shuffle + a
+      // |types|-row aggregate.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("sec"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("sec"))
+        .withColumn("prev", lag(col("sec"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("event_type"), (col("sec") - col("prev")).as("gap"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          round(expr("percentile(gap, 0.5D)") * 2).cast("long").as("med2"),
+          round(expr("percentile(gap, 0.9D)") * 10).cast("long").as("p9010"))
+        .select(col("event_type"), col("n_gaps"),
+          (col("med2").cast("double") / 2.0).as("median_gap_sec"),
+          (col("p9010").cast("double") / 10.0).as("p90_gap_sec"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_integrity" -> ((s, dir) => {
       // referential-integrity audit across the star schema (the DQ
       // gate an ingestion run publishes before exposing tables):
@@ -3834,6 +3888,50 @@ object SparkEntry {
         |SELECT canon_url, min(doc_id) AS keeper, count(*) AS dup_count
         |FROM c GROUP BY canon_url HAVING count(*) > 1
         |ORDER BY canon_url""".stripMargin,
+
+    // JSON profile replay: identical induced-variety string surgery,
+    // keys via json_keys, values via json_extract_string, same regexes
+    "q_json_profile" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN event_id % 3 = 0 THEN
+        |      substr(props, 1, length(props) - 1) || ', "tag": "t' ||
+        |      CAST(user_id % 5 AS VARCHAR) || '", "flag": ' ||
+        |      CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'false' END || '}'
+        |    ELSE props END AS j
+        |  FROM events),
+        |kv AS (
+        |  SELECT u.k AS key, json_extract_string(j, '$.' || u.k) AS v
+        |  FROM e, unnest(json_keys(j)) AS u(k))
+        |SELECT key, count(*) AS n,
+        |  CAST(sum(CASE WHEN regexp_matches(v, '^-?[0-9]+$')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+        |  CAST(sum(CASE WHEN regexp_matches(v, '^-?[0-9]*\.[0-9]+$')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_float,
+        |  CAST(sum(CASE WHEN v IN ('true', 'false')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+        |  CAST(sum(CASE WHEN regexp_matches(v, '^-?[0-9]+$')
+        |      OR regexp_matches(v, '^-?[0-9]*\.[0-9]+$')
+        |      OR v IN ('true', 'false')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_str
+        |FROM kv GROUP BY key ORDER BY key""".stripMargin,
+
+    "q_gap_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) // 1000000 AS sec FROM events),
+        |g AS (
+        |  SELECT event_type, sec - prev AS gap FROM (
+        |    SELECT event_type, sec,
+        |      lag(sec) OVER (PARTITION BY user_id, event_type
+        |        ORDER BY sec, event_id) AS prev
+        |    FROM e)
+        |  WHERE prev IS NOT NULL)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  CAST(round(quantile_cont(gap, 0.5) * 2) AS BIGINT) / 2.0
+        |    AS median_gap_sec,
+        |  CAST(round(quantile_cont(gap, 0.9) * 10) AS BIGINT) / 10.0
+        |    AS p90_gap_sec
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_integrity" -> {
       def rel(name: String, child: String, key: String,
