@@ -1359,6 +1359,53 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "q_forecast_eval" -> ((s, dir) => {
+      // seasonal-naive forecast backtest per event type (the baseline
+      // every real forecaster must beat, and the standard data-drift
+      // canary): prediction for day d = actual at d−7; MAE / bias
+      // over all evaluable days in exact integer cents, divided once
+      // at the end. Events map-combine to the (type, day) table; the
+      // lag join and error aggregate run on that bounded series.
+      val daily = events(s, dir)
+        .select(col("event_type"), expr("sec div 86400").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("a"))
+      val pred = daily.select(col("event_type"),
+        (col("day") + 7).as("day"), col("a").as("p"))
+      daily.join(pred, Seq("event_type", "day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("a") - col("p"))).as("sae"),
+          sum(col("a") - col("p")).as("sbias"))
+        .select(col("event_type"), col("n_days"),
+          round(col("sae").cast("double") /
+            (col("n_days").cast("double") * 100.0), 6).as("mae"),
+          round(col("sbias").cast("double") /
+            (col("n_days").cast("double") * 100.0), 6).as("bias"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q_paths" -> ((s, dir) => {
+      // top user journeys: each user's first three event types as a
+      // path (the Sankey / onboarding-flow table). Window rank ≤ 3
+      // per user (WindowGroupLimit pre-prunes map-side), path
+      // assembly per user, then a ≤|types|³-bounded path count.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("sec"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("rn"), col("event_type").as("t")))),
+          x => x.getField("t")), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+    }),
+
     "q_json_profile" -> ((s, dir) => {
       // JSON schema discovery over the semi-structured props column
       // (the "what keys are actually in this payload" pass every
@@ -3888,6 +3935,36 @@ object SparkEntry {
         |SELECT canon_url, min(doc_id) AS keeper, count(*) AS dup_count
         |FROM c GROUP BY canon_url HAVING count(*) > 1
         |ORDER BY canon_url""".stripMargin,
+
+    "q_forecast_eval" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |daily AS (
+        |  SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS a
+        |  FROM e GROUP BY 1, 2),
+        |j AS (
+        |  SELECT d.event_type, d.a, p.a AS p
+        |  FROM daily d JOIN daily p
+        |    ON p.event_type = d.event_type AND p.day = d.day - 7)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(CAST(sum(abs(a - p)) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * 100.0), 6) AS mae,
+        |  round(CAST(sum(a - p) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * 100.0), 6) AS bias
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) // 1000000, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM e WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users
+        |FROM p GROUP BY path ORDER BY n_users DESC, path""".stripMargin,
 
     // JSON profile replay: identical induced-variety string surgery,
     // keys via json_keys, values via json_extract_string, same regexes
