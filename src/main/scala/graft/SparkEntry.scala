@@ -1565,6 +1565,31 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "d_epoch_shuffle" -> ((s, dir) => {
+      // deterministic per-epoch training-order shuffle: every doc gets
+      // a pseudo-random rank from the portable hash of (doc_id,
+      // epoch), giving a DIFFERENT but fully reproducible global
+      // order each epoch — the data-ordering op between shard
+      // manifests and the trainer (RNG-free, so any worker can
+      // recompute any position). Output is the complete (epoch, doc,
+      // shard, pos) mapping for 2 epochs. Scale: the hash is map-only;
+      // within-shard positions come from the per-(epoch, shard) sort
+      // the shard WRITER performs anyway — at 100 TB this is
+      // repartitionByRange + sortWithinPartitions at write time, the
+      // window here is its position-index twin.
+      import org.apache.spark.sql.expressions.Window
+      val d = tbl(s, dir, "documents").select(col("doc_id"))
+        .crossJoin(s.range(2).select(col("id").cast("int").as("epoch")))
+        .withColumn("rk", graft.functions.TextFunctions.portableHash(
+          concat(col("doc_id").cast("string"), lit(":"), col("epoch").cast("string"))))
+        .withColumn("shard", pmod(col("rk"), lit(8)).cast("int"))
+      val w = Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("rk"), col("doc_id"))
+      d.withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("epoch"), col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("epoch"), col("doc_id"))
+    }),
+
     "d_split_grouped" -> ((s, dir) => {
       // GROUP-aware train/val/test split: the hash is taken over the
       // doc's SOURCE, not its id, so every document of a source lands
@@ -4084,6 +4109,21 @@ object SparkEntry {
         |FROM d JOIN m2 USING (event_type)
         |GROUP BY event_type, n, med2, mad4
         |ORDER BY event_type""".stripMargin,
+
+    // epoch-shuffle replay: identical (doc_id:epoch) hash rank, shard,
+    // and within-shard row_number
+    "d_epoch_shuffle" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, e.epoch,
+         |    ${sqlHash("CAST(doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR)")} AS rk
+         |  FROM documents, (VALUES (0), (1)) AS e(epoch)),
+         |p AS (
+         |  SELECT epoch, doc_id, CAST(rk % 8 AS INT) AS shard,
+         |    row_number() OVER (PARTITION BY epoch, rk % 8
+         |      ORDER BY rk, doc_id) AS pos
+         |  FROM d)
+         |SELECT epoch, doc_id, shard, CAST(pos AS BIGINT) AS pos
+         |FROM p ORDER BY epoch, doc_id""".stripMargin,
 
     // grouped-split replay: source-hash split, per-split audit, and
     // the structural zero leak count
