@@ -2257,6 +2257,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "s_sq8" -> ((s, dir) => {
+      // int8 scalar-quantization audit on the known near-dup pairs:
+      // full-precision vs dequantized cosine and the gap — the "is 4×
+      // embedding compression safe" table (Similarity.sq8Audit; FAISS
+      // SQ8 shape). Dim stats broadcast; the cosine pass is
+      // pairs-bounded.
+      val vecs = vecsWithDups(tbl(s, dir, "embeddings"))
+      val pairs = vecs.where(col("vec_id") >= 100000)
+        .select((col("vec_id") - 100000).as("a"), col("vec_id").as("b"))
+      Similarity.sq8Audit(vecs, pairs).orderBy(col("a"))
+    }),
+
     "s_silhouette" -> ((s, dir) => {
       // cluster-quality audit of the IVF partitioning itself:
       // simplified silhouette (nearest vs runner-up centroid) per
@@ -4808,6 +4820,50 @@ object SparkEntry {
          |SELECT query_id, rank, nbr_id, round(cos, 6) AS cos
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // SQ8 replay: identical per-dim min/max quantizer, dequantized
+    // doubles, same cosine folds
+    "s_sq8" -> {
+      def fold(expr: String) =
+        s"list_reduce(list_concat([CAST(0.0 AS DOUBLE)], list_transform(range(1, 65), i -> $expr)), (x, y) -> x + y)"
+      def cos(a: String, b: String) = {
+        val dot = fold(s"$a[i] * $b[i]")
+        val na = s"sqrt(${fold(s"$a[i] * $a[i]")})"
+        val nb = s"sqrt(${fold(s"$b[i] * $b[i]")})"
+        s"(CASE WHEN $na * $nb = 0 THEN 0.0 ELSE $dot / ($na * $nb) END)"
+      }
+      val dqa = """list_transform(range(1, 65), i -> CASE
+                  |    WHEN mxs[i] = mns[i] THEN CAST(ea[i] AS DOUBLE)
+                  |    ELSE mns[i] + round((CAST(ea[i] AS DOUBLE) - mns[i]) * 255 /
+                  |      (mxs[i] - mns[i])) * (mxs[i] - mns[i]) / 255 END)""".stripMargin
+      val dqb = dqa.replace("ea[i]", "eb[i]")
+      s"""WITH vecs AS ($vecsWithDupsSql),
+         |st AS (
+         |  SELECT u.i AS d, min(embedding[u.i]) AS mn, max(embedding[u.i]) AS mx
+         |  FROM vecs, unnest(range(1, 65)) AS u(i) GROUP BY 1),
+         |sr AS (
+         |  SELECT list(CAST(mn AS DOUBLE) ORDER BY d) AS mns,
+         |         list(CAST(mx AS DOUBLE) ORDER BY d) AS mxs FROM st),
+         |pr AS (
+         |  SELECT v2.vec_id - 100000 AS a, v2.vec_id AS b,
+         |    va.embedding AS ea, v2.embedding AS eb
+         |  FROM vecs v2 JOIN vecs va ON va.vec_id = v2.vec_id - 100000
+         |  WHERE v2.vec_id >= 100000),
+         |q AS (
+         |  SELECT a, b,
+         |    list_transform(range(1, 65), i -> CAST(ea[i] AS DOUBLE)) AS fa,
+         |    list_transform(range(1, 65), i -> CAST(eb[i] AS DOUBLE)) AS fb,
+         |    $dqa AS da,
+         |    $dqb AS db
+         |  FROM pr, sr),
+         |c AS (
+         |  SELECT a, b, round(${cos("fa", "fb")}, 6) AS cos_full,
+         |    round(${cos("da", "db")}, 6) AS cos_sq8
+         |  FROM q)
+         |SELECT a, b, cos_full, cos_sq8,
+         |  round(abs(cos_full - cos_sq8), 6) AS err
+         |FROM c ORDER BY a""".stripMargin
+    },
 
     // silhouette replay: same modulo centroid sample + double-cosine
     // ranking as s_knn_ivf; micro-integer silhouette/cohesion means
