@@ -2144,6 +2144,79 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("version"))
     }),
 
+    "q_time_travel" -> ((s, dir) => {
+      // point-in-time reads off the SCD-2 history (the payoff of
+      // d_scd2_build: "what did the table look like at seq T"): state
+      // at T = versions with valid_from ≤ T < valid_to, reported at
+      // half-history and full-history marks — live/deleted/inserted/
+      // untouched accounting that must tie out to the base count.
+      // The history table is changes-sized (≪ corpus); the base is
+      // touched only for one count and one anti-set cardinality.
+      val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val hist = Corpus.scd2(cdcChangelog(base)).localCheckpoint(true)
+      val tdf = hist.agg(max(col("valid_from_seq")).as("sm"))
+        .select(explode(array(expr("sm div 2"), col("sm"))).as("as_of"))
+      val baseN = base.agg(count(lit(1)).as("n_base"))
+      val cur = hist.crossJoin(broadcast(tdf))
+        .where(col("valid_from_seq") <= col("as_of") &&
+          (col("valid_to_seq").isNull || col("valid_to_seq") > col("as_of")))
+        .groupBy(col("as_of"))
+        .agg(sum(when(col("op") =!= "D" && col("doc_id") < 5000000L, 1L)
+          .otherwise(0L)).as("n_live_changed"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(col("op") =!= "D" && col("doc_id") >= 5000000L, 1L)
+            .otherwise(0L)).as("n_inserted"))
+      val touched = hist.where(col("doc_id") < 5000000L)
+        .crossJoin(broadcast(tdf))
+        .where(col("valid_from_seq") <= col("as_of"))
+        .groupBy(col("as_of"))
+        .agg(countDistinct(col("doc_id")).as("n_touched"))
+      cur.join(touched, Seq("as_of"))
+        .crossJoin(broadcast(baseN))
+        .select(col("as_of"), col("n_live_changed"), col("n_deleted"),
+          col("n_inserted"),
+          (col("n_base") - col("n_touched")).as("n_untouched"),
+          (col("n_base") - col("n_touched") + col("n_live_changed") +
+            col("n_inserted")).as("total_live"))
+        .orderBy(col("as_of"))
+    }),
+
+    "q_benford" -> ((s, dir) => {
+      // first-significant-digit distribution vs Benford's law + χ²
+      // (the classic fabricated-numbers audit): digit via exact
+      // string head (no float log), observed shares and the literal
+      // Benford expectations, χ² folded over the 9-digit table in
+      // CONTRACTED digit order (t_entropy float contract). One
+      // map-combined 9-row aggregate.
+      val e = tbl(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .where(col("cents") > 0)
+        .select(expr("cast(substring(cast(cents as string), 1, 1) as int)").as("digit"))
+      val obs = e.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = obs.agg(sum(col("n")).as("nt"))
+      val pExpr = (1 to 9).map(d => (d, math.log10(1.0 + 1.0 / d)))
+        .map { case (d, p) => s"WHEN digit = $d THEN ${p}D" }
+        .mkString("CASE ", " ", " END")
+      val withP = obs.crossJoin(broadcast(tot))
+        .withColumn("p", expr(pExpr))
+        .withColumn("term",
+          (col("n").cast("double") - col("nt").cast("double") * col("p")) *
+            (col("n").cast("double") - col("nt").cast("double") * col("p")) /
+            (col("nt").cast("double") * col("p")))
+      val chi2 = withP
+        .agg(sort_array(collect_list(struct(col("digit"), col("term").as("t"))))
+          .as("a"))
+        .select(aggregate(col("a"), lit(0.0),
+          (acc, x) => acc + x.getField("t")).as("chi2"))
+      withP.crossJoin(broadcast(chi2))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("nt").cast("double"), 6).as("pct"),
+          round(col("p"), 6).as("benford_pct"),
+          round(col("chi2"), 6).as("chi2"),
+          (col("chi2") > 15.507).as("reject_benford"))
+        .orderBy(col("digit"))
+    }),
+
     "d_corpus_overlap" -> ((s, dir) => {
       // provenance audit: pairwise 8-gram fingerprint overlap between
       // sources — shared distinct windows, per-source totals, Jaccard
@@ -4472,6 +4545,78 @@ object SparkEntry {
         |SELECT doc_id, version, op, seq AS valid_from_seq, valid_to_seq,
         |  (valid_to_seq IS NULL AND op <> 'D') AS is_current
         |FROM v ORDER BY doc_id, version""".stripMargin,
+
+    // as-of replay over the same changelog + interval build
+    "q_time_travel" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |ch AS (
+        |  SELECT doc_id, doc_id * 10 AS seq, 'U' AS op,
+        |    text || ' v1' AS text FROM base WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, doc_id * 10 + 1, 'U', text || ' v2'
+        |    FROM base WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, doc_id * 10 + 2, 'D', ''
+        |    FROM base WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id + 5000000, doc_id * 10 + 3, 'I',
+        |    'inserted ' || CAST(doc_id AS VARCHAR)
+        |    FROM base WHERE doc_id % 13 = 0),
+        |v AS (
+        |  SELECT doc_id, op, seq,
+        |    lead(seq) OVER (PARTITION BY doc_id ORDER BY seq, op, text)
+        |      AS valid_to_seq
+        |  FROM ch),
+        |sm AS (SELECT max(seq) AS sm FROM ch),
+        |t AS (SELECT sm // 2 AS as_of FROM sm UNION ALL SELECT sm FROM sm),
+        |cur AS (
+        |  SELECT t.as_of,
+        |    CAST(sum(CASE WHEN op <> 'D' AND doc_id < 5000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_live_changed,
+        |    CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_deleted,
+        |    CAST(sum(CASE WHEN op <> 'D' AND doc_id >= 5000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+        |  FROM v, t
+        |  WHERE v.seq <= t.as_of AND
+        |    (valid_to_seq IS NULL OR valid_to_seq > t.as_of)
+        |  GROUP BY 1),
+        |tou AS (
+        |  SELECT t.as_of, count(DISTINCT doc_id) AS n_touched
+        |  FROM ch, t WHERE doc_id < 5000000 AND seq <= t.as_of GROUP BY 1),
+        |bn AS (SELECT count(*) AS n_base FROM base)
+        |SELECT as_of, n_live_changed, n_deleted, n_inserted,
+        |  CAST(n_base - n_touched AS BIGINT) AS n_untouched,
+        |  CAST(n_base - n_touched + n_live_changed + n_inserted AS BIGINT)
+        |    AS total_live
+        |FROM cur JOIN tou USING (as_of), bn ORDER BY as_of""".stripMargin,
+
+    // Benford replay: identical string-head digit, the SAME double
+    // literals for expectations (string-cast to dodge DECIMAL literal
+    // parsing), chi2 folded in digit order
+    "q_benford" -> {
+      val cases = (1 to 9).map(d =>
+        s"WHEN digit = $d THEN CAST('${math.log10(1.0 + 1.0 / d)}' AS DOUBLE)")
+        .mkString("CASE ", " ", " END")
+      s"""WITH e AS (
+         |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |        FROM orders) WHERE cents > 0),
+         |obs AS (SELECT digit, count(*) AS n FROM e GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM obs),
+         |wp AS (
+         |  SELECT digit, n, nt, $cases AS p,
+         |    (CAST(n AS DOUBLE) - CAST(nt AS DOUBLE) * ($cases)) *
+         |    (CAST(n AS DOUBLE) - CAST(nt AS DOUBLE) * ($cases)) /
+         |    (CAST(nt AS DOUBLE) * ($cases)) AS term
+         |  FROM obs, tot),
+         |c2 AS (
+         |  SELECT list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+         |    list(term ORDER BY digit)), (x, y) -> x + y) AS chi2 FROM wp)
+         |SELECT digit, CAST(n AS BIGINT) AS n,
+         |  round(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS pct,
+         |  round(p, 6) AS benford_pct,
+         |  round(chi2, 6) AS chi2,
+         |  chi2 > 15.507 AS reject_benford
+         |FROM wp, c2 ORDER BY digit""".stripMargin
+    },
 
     "d_snapshot_diff" ->
       s"""WITH old AS (SELECT doc_id, text FROM documents),
