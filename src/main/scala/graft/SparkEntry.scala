@@ -2968,6 +2968,30 @@ object SparkEntry {
       Graph.bfsHops(edges, seeds, maxHops = 6).orderBy(col("node"))
     }),
 
+    "g_kcore" -> ((s, dir) => {
+      // 6-core extraction on a planted-nucleus graph (iterative
+      // peeling, Graph.kCore): nodes 0..49 form a dense circulant
+      // core (links to (i+j) mod 50, j=1..4 → undirected degree 8);
+      // every other node hangs off the core by ONE link. The 6-core
+      // must peel the entire degree-1 fringe (and the core degrees it
+      // inflated) and return exactly the 50 nucleus nodes at their
+      // internal degree — the link-farm/dense-nest extraction
+      // centrality pipelines run first. (The pagerank 3-regular graph
+      // is exactly 6-regular — nothing to peel — so this query uses
+      // its own construction.) Peeling is edge-proportional on a
+      // shrinking subgraph, checkpointed, early-exit at fixpoint;
+      // oracle unrolls all 8 rounds.
+      val nDocs = tbl(s, dir, "documents").count()
+      val core = s.range(50)
+        .select(col("id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L), lit(4L))).as("j"))
+        .select(col("src"), ((col("src") + col("j")) % 50).as("dst"))
+      val fringe = s.range(50, nDocs)
+        .select(col("id").as("src"), (col("id") % 50).as("dst"))
+      Graph.kCore(core.unionByName(fringe), k = 6, maxRounds = 8)
+        .orderBy(col("node"))
+    }),
+
     "g_triangles" -> ((s, dir) => {
       // per-node triangle counts over the undirected 3-regular link
       // graph (local clustering — triangle-dense neighborhoods are
@@ -6235,6 +6259,38 @@ object SparkEntry {
         |  FROM bfs b JOIN edges e ON e.src = b.node WHERE b.hop < 6)
         |SELECT node, CAST(min(hop) AS INT) AS hop
         |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+
+    // k-core replay: 8 unrolled peel rounds (degree → alive ≥ k →
+    // edge restriction), identical final degree filter
+    "g_kcore" -> {
+      val rounds = (1 to 8).map { i =>
+        // MATERIALIZED: each e_i is referenced three times (twice in
+        // d_{i+1}, once in e_{i+1}) — without it DuckDB inlines the
+        // chain 3^8-fold (the hits-oracle CTE lesson)
+        s"""d$i AS (SELECT node, count(*) AS d FROM (
+           |  SELECT a AS node FROM e${i - 1}
+           |  UNION ALL SELECT b FROM e${i - 1}) GROUP BY node),
+           |a$i AS (SELECT node FROM d$i WHERE d >= 6),
+           |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+           |  JOIN a$i x ON x.node = e.a JOIN a$i y ON y.node = e.b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nodes AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+         |  FROM documents),
+         |nn AS (SELECT count(*) AS ni FROM nodes),
+         |raw AS (
+         |  SELECT node AS src, (node + j) % 50 AS dst
+         |  FROM nodes, unnest([1, 2, 3, 4]) AS t(j) WHERE node < 50
+         |  UNION ALL
+         |  SELECT node, node % 50 FROM nodes WHERE node >= 50),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM raw WHERE src <> dst),
+         |$rounds
+         |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT a AS node FROM e8 UNION ALL SELECT b FROM e8)
+         |GROUP BY node HAVING count(*) >= 6 ORDER BY node""".stripMargin
+    },
 
     // independent triangle replay: undirected simple edges with a<b,
     // triangles as ordered a<b<c triples (each found once), per-node

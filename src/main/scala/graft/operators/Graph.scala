@@ -185,6 +185,50 @@ object Graph {
     dist
   }
 
+  /** k-core decomposition by iterative peeling (bounded rounds):
+    * repeatedly drop nodes whose degree in the surviving subgraph is
+    * < k; what remains is the k-core — the standard "dense nucleus"
+    * extraction (link-spam nests and genuine topic hubs both live in
+    * high cores; crawl prioritization and graph-cleaning pipelines
+    * peel low cores off first).
+    *
+    * Returns (node, deg) for nodes of the k-core, deg measured in the
+    * final surviving subgraph. `maxRounds` bounds the cascade; the
+    * loop exits early when a round removes nothing (the fixpoint).
+    *
+    * Scale: the edge table materializes once; each round is one
+    * semi-join of edges against surviving nodes + a map-combined
+    * degree aggregate (edge-proportional, shrinking every round) —
+    * the peeling cascade's total work is O(rounds · |E_surviving|),
+    * and lineage is checkpoint-truncated per round.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 8): DataFrame = {
+    var e = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = e.count()
+    var round = 0
+    var stable = false
+    while (round < maxRounds && !stable && nEdges > 0) {
+      val deg = e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val alive = deg.where(col("d") >= k).select(col("node"))
+      val e2 = e.join(alive.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(alive.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      if (n2 == nEdges) stable = true
+      e = e2; nEdges = n2; round += 1
+    }
+    e.select(col("a").as("node")).union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k)
+  }
+
   /** Per-node triangle counts over the undirected simple graph of
     * `edges` (local clustering signal — triangle-dense neighborhoods
     * indicate mutually-linking cliques, i.e. link farms; triangle

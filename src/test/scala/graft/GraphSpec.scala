@@ -199,6 +199,15 @@ class GraphSpec extends SparkSpecBase {
     assert(!got.contains(9L) && !got.contains(10L))
   }
 
+  test("kCore: K4 survives the 3-core, attached tail peels off in cascade") {
+    // K4 on {0,1,2,3}; tail 3-4-5: 5 (deg 1) peels, then 4 (deg 1)
+    val e = (for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong))
+      .toSeq ++ Seq((3L, 4L), (4L, 5L))
+    val got = Graph.kCore(e.toDF("src", "dst"), k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3, 1L -> 3, 2L -> 3, 3L -> 3))
+  }
+
   test("triangleCounts: K4 gives 3 per node; square+diagonal gives 1/2 split") {
     // K4: every node sits on C(3,2) = 3 triangles
     val k4 = (for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong))
