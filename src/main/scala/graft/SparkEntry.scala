@@ -1359,6 +1359,65 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "q_streaks" -> ((s, dir) => {
+      // longest consecutive-day activity streak per user (the
+      // gaps-and-islands classic; the engagement metric next to
+      // q_rolling_dau): day − row_number is constant within a
+      // consecutive run, so islands fall out of one user-keyed window
+      // + two bounded aggregates — no iteration, no self-join.
+      import org.apache.spark.sql.expressions.Window
+      val ud = events(s, dir)
+        .select(col("user_id"), expr("sec div 86400").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val isl = ud.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+      isl.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_basket" -> ((s, dir) => {
+      // market-basket association rules over the top-20 parts
+      // (support / confidence / lift — the co-purchase table): the
+      // top-k cut is a TakeOrderedAndProject broadcast back as a
+      // semi-join, so the within-order pair fan-out is ≤ C(20,2) per
+      // order by construction; all metrics are exact integer ratios
+      // divided once. Deterministic top-k tie-break on (count desc,
+      // partkey).
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val top = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pk")).limit(20)
+        .select(col("pk"))
+      val li2 = li.join(broadcast(top), Seq("pk"), "left_semi")
+        .localCheckpoint(true)
+      val nOrders = tbl(s, dir, "orders").agg(
+        countDistinct(col("o_orderkey")).as("n"))
+      val nA = li2.groupBy(col("pk")).agg(count(lit(1)).as("na"))
+      val pairs = li2.select(col("ok"), col("pk").as("pa"))
+        .join(li2.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+        .where(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(nA.select(col("pk").as("pa"), col("na").as("n_a")), Seq("pa"))
+        .join(nA.select(col("pk").as("pb"), col("na").as("n_b")), Seq("pb"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("n_ab"),
+          round(col("n_ab").cast("double") / col("n").cast("double"), 6)
+            .as("support"),
+          round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+            .as("confidence"),
+          round(col("n_ab").cast("double") * col("n").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+            .as("lift"))
+        .orderBy(col("pa"), col("pb"))
+    }),
+
     "q_forecast_eval" -> ((s, dir) => {
       // seasonal-naive forecast backtest per event type (the baseline
       // every real forecaster must beat, and the standard data-drift
@@ -4069,6 +4128,42 @@ object SparkEntry {
         |SELECT canon_url, min(doc_id) AS keeper, count(*) AS dup_count
         |FROM c GROUP BY canon_url HAVING count(*) > 1
         |ORDER BY canon_url""".stripMargin,
+
+    "q_streaks" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 1000000 // 86400 AS day FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM ud),
+        |st AS (
+        |  SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(max(len) AS BIGINT) AS longest_streak,
+        |  count(*) AS n_streaks
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_basket" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |top AS (
+        |  SELECT pk FROM (SELECT pk, count(*) AS c FROM li GROUP BY pk)
+        |  ORDER BY c DESC, pk LIMIT 20),
+        |li2 AS (SELECT ok, pk FROM li WHERE pk IN (SELECT pk FROM top)),
+        |no AS (SELECT count(DISTINCT o_orderkey) AS n FROM orders),
+        |na AS (SELECT pk, count(*) AS na FROM li2 GROUP BY pk),
+        |pr AS (
+        |  SELECT x.pk AS pa, y.pk AS pb, count(*) AS n_ab
+        |  FROM li2 x JOIN li2 y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(a.na AS DOUBLE), 6) AS confidence,
+        |  round(CAST(n_ab AS DOUBLE) * CAST(n AS DOUBLE) /
+        |    (CAST(a.na AS DOUBLE) * CAST(b.na AS DOUBLE)), 6) AS lift
+        |FROM pr JOIN na a ON a.pk = pr.pa JOIN na b ON b.pk = pr.pb, no
+        |ORDER BY pa, pb""".stripMargin,
 
     "q_forecast_eval" ->
       """WITH e AS (
