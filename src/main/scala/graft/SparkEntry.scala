@@ -1381,26 +1381,21 @@ object SparkEntry {
     }),
 
     "q_basket" -> ((s, dir) => {
-      // market-basket association rules over the top-20 parts
-      // (support / confidence / lift — the co-purchase table): the
-      // top-k cut is a TakeOrderedAndProject broadcast back as a
-      // semi-join, so the within-order pair fan-out is ≤ C(20,2) per
-      // order by construction; all metrics are exact integer ratios
-      // divided once. Deterministic top-k tie-break on (count desc,
-      // partkey).
-      val li = tbl(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // market-basket association rules (support / confidence /
+      // lift): basket = a user's set of event types — item-pair
+      // co-occurrence with real signal at every scale (the lineitem
+      // parts are assigned uniformly, so part pairs carry none). The
+      // within-basket pair fan-out is ≤ C(|types|, 2) per user by
+      // construction; all metrics are exact integer ratios divided
+      // once at the end.
+      val li = events(s, dir)
+        .select(col("user_id").as("ok"), col("event_type").as("pk"))
         .distinct()
-      val top = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("pk")).limit(20)
-        .select(col("pk"))
-      val li2 = li.join(broadcast(top), Seq("pk"), "left_semi")
         .localCheckpoint(true)
-      val nOrders = tbl(s, dir, "orders").agg(
-        countDistinct(col("o_orderkey")).as("n"))
-      val nA = li2.groupBy(col("pk")).agg(count(lit(1)).as("na"))
-      val pairs = li2.select(col("ok"), col("pk").as("pa"))
-        .join(li2.select(col("ok"), col("pk").as("pb")), Seq("ok"))
+      val nOrders = li.agg(countDistinct(col("ok")).as("n"))
+      val nA = li.groupBy(col("pk")).agg(count(lit(1)).as("na"))
+      val pairs = li.select(col("ok"), col("pk").as("pa"))
+        .join(li.select(col("ok"), col("pk").as("pb")), Seq("ok"))
         .where(col("pa") < col("pb"))
         .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
       pairs
@@ -4146,16 +4141,12 @@ object SparkEntry {
 
     "q_basket" ->
       """WITH li AS (
-        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |top AS (
-        |  SELECT pk FROM (SELECT pk, count(*) AS c FROM li GROUP BY pk)
-        |  ORDER BY c DESC, pk LIMIT 20),
-        |li2 AS (SELECT ok, pk FROM li WHERE pk IN (SELECT pk FROM top)),
-        |no AS (SELECT count(DISTINCT o_orderkey) AS n FROM orders),
-        |na AS (SELECT pk, count(*) AS na FROM li2 GROUP BY pk),
+        |  SELECT DISTINCT user_id AS ok, event_type AS pk FROM events),
+        |no AS (SELECT count(DISTINCT ok) AS n FROM li),
+        |na AS (SELECT pk, count(*) AS na FROM li GROUP BY pk),
         |pr AS (
         |  SELECT x.pk AS pa, y.pk AS pb, count(*) AS n_ab
-        |  FROM li2 x JOIN li2 y ON x.ok = y.ok AND x.pk < y.pk
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
         |  GROUP BY 1, 2)
         |SELECT pa, pb, CAST(n_ab AS BIGINT) AS n_ab,
         |  round(CAST(n_ab AS DOUBLE) / CAST(n AS DOUBLE), 6) AS support,
