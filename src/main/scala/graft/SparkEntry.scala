@@ -1514,6 +1514,17 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "t_heavy_hitters" -> ((s, dir) => {
+      // exact heavy-hitter tokens through a bounded-memory plan: a
+      // native Misra–Gries TypedImperativeAggregate (≤ k counters per
+      // task, mergeable — never the full vocab in a shuffle) proposes
+      // candidates, one broadcast-filtered exact pass verifies — the
+      // guarantee makes the verified output exact and deterministic,
+      // so the oracle is simply the exact frequency threshold.
+      TextAnalysis.heavyHitters(tbl(s, dir, "documents"), k = 64)
+        .orderBy(col("token"))
+    }),
+
     "q_integrity" -> ((s, dir) => {
       // referential-integrity audit across the star schema (the DQ
       // gate an ingestion run publishes before exposing tables):
@@ -4229,6 +4240,17 @@ object SparkEntry {
         |  CAST(round(quantile_cont(gap, 0.9) * 10) AS BIGINT) / 10.0
         |    AS p90_gap_sec
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // heavy-hitter oracle: the MG sweep is exact-after-verify, so the
+    // replay is just the exact frequency threshold n·65 > N
+    "t_heavy_hitters" ->
+      s"""WITH t AS (
+         |  SELECT unnest(${sqlToks("text")}) AS tok FROM documents),
+         |tot AS (SELECT count(*) AS nt FROM t),
+         |c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok)
+         |SELECT tok AS token, CAST(n AS BIGINT) AS n,
+         |  CAST(nt AS BIGINT) AS n_total
+         |FROM c, tot WHERE n * 65 > nt ORDER BY token""".stripMargin,
 
     "q_integrity" -> {
       def rel(name: String, child: String, key: String,

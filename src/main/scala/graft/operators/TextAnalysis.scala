@@ -765,4 +765,29 @@ object TextAnalysis {
           .as("coverage"))
       .orderBy(col("k"))
   }
+
+  /** Exact heavy-hitter tokens via a bounded-memory two-pass plan:
+    * (1) a Misra–Gries candidate sweep ([[graft.functions
+    * .MisraGriesAgg]] — a native TypedImperativeAggregate whose
+    * per-task state is ≤ k counters, vs. the full vocabulary an exact
+    * groupBy shuffles); (2) one exact counting pass FILTERED to the ≤
+    * k broadcast candidates. MG guarantees every token with frequency
+    * > N/(k+1) is among the candidates under any partitioning, so
+    * after the exact threshold filter the output is deterministic and
+    * exact — the sketch only bounds memory, never the answer.
+    *
+    * Returns (token, n, n_total) for tokens with n·(k+1) > N.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 64): DataFrame = {
+    val toks = docs.select(
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val sweep = toks.agg(
+      graft.functions.MisraGriesAgg.misraGries(col("tok"), k).as("cands"),
+      count(lit(1)).as("nt"))
+    toks.crossJoin(broadcast(sweep))
+      .where(array_contains(col("cands"), col("tok")))
+      .groupBy(col("tok"), col("nt")).agg(count(lit(1)).as("n"))
+      .where(col("n") * (k + 1) > col("nt"))
+      .select(col("tok").as("token"), col("n"), col("nt").as("n_total"))
+  }
 }

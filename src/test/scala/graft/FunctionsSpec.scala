@@ -112,4 +112,23 @@ class FunctionsSpec extends SparkSpecBase {
     // negated vector flips every plane with nonzero projection → different bucket
     assert(got(0) != got(2))
   }
+
+  test("misraGries: heavy items survive any partitioning when vocab >> k") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // 3 heavy tokens (1200 each) buried in 5000 distinct singletons:
+    // N = 8600, k = 16 → guarantee threshold N/17 ≈ 506 << 1200.
+    // 64 partitions force real partial buffers + merges.
+    val heavy = Seq("alpha", "beta", "gamma").flatMap(t => Seq.fill(1200)(t))
+    val noise = (0 until 5000).map(i => s"n$i")
+    val df = spark.sparkContext.parallelize(
+      scala.util.Random.shuffle(heavy ++ noise), 64).toDF("tok")
+    val sweep = df.agg(
+      graft.functions.MisraGriesAgg.misraGries(col("tok"), 16).as("cands"),
+      count(lit(1)).as("nt")).head()
+    val cands = sweep.getSeq[String](0).toSet
+    assert(sweep.getLong(1) == 8600L)
+    assert(cands.size <= 16, s"summary exceeded k: ${cands.size}")
+    assert(Set("alpha", "beta", "gamma").subsetOf(cands),
+      s"heavy items lost from $cands")
+  }
 }
