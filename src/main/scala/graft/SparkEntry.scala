@@ -2395,6 +2395,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "s_mutual_knn" -> ((s, dir) => {
+      // reciprocal nearest neighbors: pairs where EACH side ranks the
+      // other in its LSH top-5 — the high-precision near-dup gate
+      // (one-directional kNN flags hub vectors as neighbors of
+      // everything; mutuality kills that asymmetry — the mutual-NN
+      // filter of image-dedup and SemDeDup pipelines). Ranking is on
+      // the exact integer micro-cosine (Similarity.mutualKnn) — a
+      // near-dup corpus puts a vector and its scaled copy within
+      // 1e-9 cosine of third parties, where raw double ordering is
+      // last-ulp noise across engines.
+      Similarity.mutualKnn(vecsWithDups(tbl(s, dir, "embeddings")), k = 5)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "s_sq8" -> ((s, dir) => {
       // int8 scalar-quantization audit on the known near-dup pairs:
       // full-precision vs dequantized cosine and the gap — the "is 4×
@@ -5097,6 +5111,38 @@ object SparkEntry {
          |SELECT query_id, rank, nbr_id, round(cos, 6) AS cos
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // mutual-kNN replay: LSH candidate pairs, MICRO-cosine ranking
+    // (ties → lower id), self-joined on swapped (query, nbr) with
+    // both ranks ≤ 5
+    "s_mutual_knn" ->
+      s"""WITH vecs AS ($vecsWithDupsSql),
+         |banded AS (
+         |  SELECT 0 AS tbl, vec_id, embedding, ${sqlBucket("embedding", 8, seed = 0)} AS bucket FROM vecs
+         |  UNION ALL
+         |  SELECT 1 AS tbl, vec_id, embedding, ${sqlBucket("embedding", 8, seed = 1)} AS bucket FROM vecs),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS nbr_id
+         |  FROM banded x JOIN banded y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |  WHERE x.vec_id <> y.vec_id),
+         |scored AS (
+         |  SELECT query_id, nbr_id,
+         |    CAST(round(${sqlCos("q.embedding", "e.embedding")} * 1000000)
+         |      AS BIGINT) AS micro
+         |  FROM cand JOIN vecs q ON q.vec_id = query_id
+         |  JOIN vecs e ON e.vec_id = nbr_id),
+         |ranked AS MATERIALIZED (
+         |  SELECT query_id, nbr_id, micro,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY micro DESC, nbr_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT r1.query_id AS a, r1.nbr_id AS b,
+         |  r1.rank AS rank_ab, r2.rank AS rank_ba,
+         |  CAST(r1.micro AS DOUBLE) / 1000000.0 AS cos
+         |FROM ranked r1 JOIN ranked r2
+         |  ON r2.query_id = r1.nbr_id AND r2.nbr_id = r1.query_id
+         |WHERE r1.rank <= 5 AND r2.rank <= 5 AND r1.query_id < r1.nbr_id
+         |ORDER BY a, b""".stripMargin,
 
     // SQ8 replay: identical per-dim min/max quantizer, dequantized
     // doubles, same cosine folds

@@ -572,6 +572,59 @@ object Similarity {
         col("min_cos"), col("max_cos"))
   }
 
+  /** Reciprocal (mutual) nearest neighbors over LSH candidates: pairs
+    * where EACH side ranks the other in its top-k — the
+    * high-precision near-dup gate (one-directional kNN lets hub
+    * vectors neighbor everything; mutuality kills the asymmetry — the
+    * mutual-NN filter of image-dedup / SemDeDup pipelines).
+    *
+    * Ranking is on the exact integer MICRO-cosine (round(cos·10⁶),
+    * ties → lower id): near-duplicate corpora put a vector and its
+    * scaled copy within 10⁻⁹ cosine of third parties, where raw
+    * double ordering is last-ulp noise across engines — micro-ranking
+    * is the deterministic contract (labelCentroids / silhouette
+    * family).
+    *
+    * Scale: candidates come from the LSH bucket join (never
+    * all-pairs); scores are computed before any exchange, so the
+    * dedup / rank / mutual-join shuffles carry (ids, micro long).
+    */
+  def mutualKnn(vectors: DataFrame, k: Int = 5,
+                nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = vectors.select(col("vec_id"), col("embedding"),
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("t"),
+          VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes, seed = t)
+            .as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .localCheckpoint(true)
+    val x = banded.select(col("t"), col("bucket"),
+      col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val y = banded.select(col("t"), col("bucket"),
+      col("vec_id").as("nbr_id"), col("embedding").as("ne"))
+    val scored = x.join(y, Seq("t", "bucket"))
+      .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        round(VectorFunctions.cosine(col("qe"), col("ne")) * 1000000.0)
+          .cast("long").as("micro"))
+      .dropDuplicates("query_id", "nbr_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("micro").desc, col("nbr_id").asc)
+    val ranked = scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .localCheckpoint(true)
+    val r2 = ranked.select(col("query_id").as("nbr_id"),
+      col("nbr_id").as("query_id"), col("rank").as("rank_ba"))
+    ranked.join(r2, Seq("query_id", "nbr_id"))
+      .where(col("query_id") < col("nbr_id"))
+      .select(col("query_id").as("a"), col("nbr_id").as("b"),
+        col("rank").as("rank_ab"), col("rank_ba"),
+        (col("micro").cast("double") / 1000000.0).as("cos"))
+  }
+
   /** Scalar (int8) quantization audit — the FAISS-SQ8 shape: each
     * dimension is linearly quantized to 0..255 against its corpus
     * min/max, and the audit reports, for given vector pairs, the
