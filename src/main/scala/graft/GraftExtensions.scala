@@ -96,7 +96,14 @@ object GraftExtensions {
         litInt(args(1), "k"), litDouble(args(2), "lambda"))),
     ("graft_avg_hash64",
       new ExpressionInfo(classOf[native.AvgHash64Expr].getName, "graft_avg_hash64"),
-      (args: Seq[Expression]) => native.AvgHash64Expr(args.head))
+      (args: Seq[Expression]) => native.AvgHash64Expr(args.head)),
+    // aggregate: Misra–Gries heavy-hitter candidate sweep (k counters
+    // per task; see MisraGriesAgg — candidates need an exact verify)
+    ("graft_misra_gries",
+      new ExpressionInfo(classOf[graft.functions.MisraGriesAgg].getName, "graft_misra_gries"),
+      (args: Seq[Expression]) =>
+        graft.functions.MisraGriesAgg(args.head, litInt(args(1), "k"))
+          .toAggregateExpression())
   )
 
   /** Register on an already-running session. */

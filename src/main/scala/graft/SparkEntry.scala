@@ -1413,6 +1413,33 @@ object SparkEntry {
         .orderBy(col("pa"), col("pb"))
     }),
 
+    "q_wow" -> ((s, dir) => {
+      // week-over-week report per event type: weekly revenue, the WoW
+      // delta/percent change, and the type's weekly revenue rank with
+      // its movement — the standing dashboard table. Exact cents
+      // throughout; pct is one fixed-shape division rounded 6dp.
+      // Events map-combine to (type, week); windows run on that
+      // bounded series.
+      import org.apache.spark.sql.expressions.Window
+      val wk = events(s, dir)
+        .select(col("event_type"), expr("sec div 604800").as("wk"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("wk"))
+        .agg(sum(col("cents")).as("rev"))
+      val byType = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+      val byWeek = Window.partitionBy(col("wk"))
+        .orderBy(col("rev").desc, col("event_type"))
+      wk.withColumn("prev", lag(col("rev"), 1).over(byType))
+        .withColumn("rnk", rank().over(byWeek))
+        .withColumn("prev_rnk", lag(col("rnk"), 1).over(byType))
+        .select(col("event_type"), col("wk"), col("rev"),
+          (col("rev") - col("prev")).as("delta"),
+          round((col("rev") - col("prev")).cast("double") /
+            abs(col("prev").cast("double")), 6).as("pct_change"),
+          col("rnk"), (col("prev_rnk") - col("rnk")).as("rank_gain"))
+        .orderBy(col("event_type"), col("wk"))
+    }),
+
     "q_forecast_eval" -> ((s, dir) => {
       // seasonal-naive forecast backtest per event type (the baseline
       // every real forecaster must beat, and the standard data-drift
@@ -4180,6 +4207,30 @@ object SparkEntry {
         |    (CAST(a.na AS DOUBLE) * CAST(b.na AS DOUBLE)), 6) AS lift
         |FROM pr JOIN na a ON a.pk = pr.pa JOIN na b ON b.pk = pr.pb, no
         |ORDER BY pa, pb""".stripMargin,
+
+    "q_wow" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 604800 AS wk,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |w AS (
+        |  SELECT event_type, wk, CAST(sum(cents) AS BIGINT) AS rev
+        |  FROM e GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, wk, rev,
+        |    lag(rev) OVER (PARTITION BY event_type ORDER BY wk) AS prev,
+        |    CAST(rank() OVER (PARTITION BY wk
+        |      ORDER BY rev DESC, event_type) AS INT) AS rnk
+        |  FROM w),
+        |r2 AS (
+        |  SELECT event_type, wk, rev, prev, rnk,
+        |    lag(rnk) OVER (PARTITION BY event_type ORDER BY wk) AS prev_rnk
+        |  FROM r)
+        |SELECT event_type, wk, rev,
+        |  rev - prev AS delta,
+        |  round(CAST(rev - prev AS DOUBLE) / abs(CAST(prev AS DOUBLE)), 6)
+        |    AS pct_change,
+        |  rnk, prev_rnk - rnk AS rank_gain
+        |FROM r2 ORDER BY event_type, wk""".stripMargin,
 
     "q_forecast_eval" ->
       """WITH e AS (

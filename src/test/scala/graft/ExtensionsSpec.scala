@@ -60,6 +60,18 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(row.getAs[Long]("ph") != 0L)
   }
 
+  test("graft_misra_gries on the SQL surface finds the heavy token") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    (Seq.fill(50)("hot") ++ (0 until 100).map(i => s"cold$i"))
+      .toDF("tok").createOrReplaceTempView("mg_toks")
+    val cands = spark.sql(
+      "SELECT graft_misra_gries(tok, 8) AS c FROM mg_toks")
+      .head().getSeq[String](0)
+    assert(cands.size <= 8)
+    assert(cands.contains("hot")) // freq 50 > N/9 ≈ 17 → must survive
+  }
+
   test("graft_nearest_centroids rejects malformed input at analysis time") {
     GraftExtensions.register(spark)
     // INT list_id (not BIGINT) used to surface as a runtime
