@@ -1657,6 +1657,39 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "d_data_card" -> ((s, dir) => {
+      // the DATA CARD: the one-table corpus summary a dataset release
+      // ships (docs/tokens/sources/langs, exact-dup rate, quality
+      // keep rate, length median) — every metric an exact integer so
+      // the card is bit-reproducible. ONE corpus pass computes all
+      // per-doc signals map-side (token count, content hash, lang,
+      // quality keep); one aggregate + an in-row unpivot.
+      val d = tbl(s, dir, "documents").select(
+        col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("ntok"),
+        graft.functions.native.contentHash60(col("text")).as("h"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.corpusFilterKeep(col("text")).cast("long").as("keep"))
+      d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("h"))).as("exact_dup_docs"),
+        sum(col("keep")).as("quality_keep_docs"),
+        round(expr("percentile(ntok, 0.5D)") * 2).cast("long").as("median_tokens_x2"))
+        .select(expr(
+          """stack(7,
+            |'n_docs', n_docs,
+            |'n_tokens', n_tokens,
+            |'n_sources', n_sources,
+            |'n_langs', n_langs,
+            |'exact_dup_docs', exact_dup_docs,
+            |'quality_keep_docs', quality_keep_docs,
+            |'median_tokens_x2', median_tokens_x2) AS (metric, value)""".stripMargin))
+        .orderBy(col("metric"))
+    }),
+
     "d_epoch_shuffle" -> ((s, dir) => {
       // deterministic per-epoch training-order shuffle: every doc gets
       // a pseudo-random rank from the portable hash of (doc_id,
@@ -4391,6 +4424,35 @@ object SparkEntry {
         |FROM d JOIN m2 USING (event_type)
         |GROUP BY event_type, n, med2, mad4
         |ORDER BY event_type""".stripMargin,
+
+    // data-card replay: same per-doc signals, same exact-integer
+    // metrics, UNION-ALL unpivot
+    "d_data_card" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CAST(len(${sqlToks("text")}) AS BIGINT) AS ntok,
+         |    ${sqlHash60("text")} AS h,
+         |    ${sqlLangPred("text")} AS lang,
+         |    CASE WHEN ${sqlKeep("text")} THEN 1 ELSE 0 END AS keep
+         |  FROM documents),
+         |a AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |    count(DISTINCT source) AS n_sources,
+         |    count(DISTINCT lang) AS n_langs,
+         |    count(*) - count(DISTINCT h) AS exact_dup_docs,
+         |    CAST(sum(keep) AS BIGINT) AS quality_keep_docs,
+         |    CAST(round(quantile_cont(ntok, 0.5) * 2) AS BIGINT)
+         |      AS median_tokens_x2
+         |  FROM d)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, n_docs AS value FROM a
+         |  UNION ALL SELECT 'n_tokens', n_tokens FROM a
+         |  UNION ALL SELECT 'n_sources', n_sources FROM a
+         |  UNION ALL SELECT 'n_langs', n_langs FROM a
+         |  UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM a
+         |  UNION ALL SELECT 'quality_keep_docs', quality_keep_docs FROM a
+         |  UNION ALL SELECT 'median_tokens_x2', median_tokens_x2 FROM a)
+         |ORDER BY metric""".stripMargin,
 
     // epoch-shuffle replay: identical (doc_id:epoch) hash rank, shard,
     // and within-shard row_number
