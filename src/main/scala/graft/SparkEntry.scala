@@ -1413,6 +1413,75 @@ object SparkEntry {
         .orderBy(col("pa"), col("pb"))
     }),
 
+    "q_churn" -> ((s, dir) => {
+      // weekly cohort accounting: actives, new (first-ever week),
+      // returning, and churned-into-next-week counts — the retention
+      // dashboard's top row (q_retention slices cohorts, this tracks
+      // the population). One (user, week) distinct reduce; new via a
+      // broadcast-joined first-week table; churn via a self
+      // left-anti-shaped join on (user, week+1). All exact counts.
+      val uw = events(s, dir)
+        .select(col("user_id"), expr("sec div 604800").as("wk"))
+        .distinct()
+        .localCheckpoint(true)
+      val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("fw"))
+      val nxt = uw.select(col("user_id"), (col("wk") - 1).as("wk"),
+        lit(1L).as("ret"))
+      val mx = uw.agg(max(col("wk")).as("mxwk"))
+      uw.join(first, Seq("user_id"))
+        .join(nxt, Seq("user_id", "wk"), "left")
+        .crossJoin(broadcast(mx))
+        .groupBy(col("wk"))
+        .agg(count(lit(1)).as("actives"),
+          sum(when(col("fw") === col("wk"), 1L).otherwise(0L)).as("new_users"),
+          sum(when(col("fw") < col("wk"), 1L).otherwise(0L)).as("returning"),
+          // churned = active this week, absent next (last week: n/a → 0
+          // by the mxwk guard so the trailing edge isn't misread)
+          sum(when(col("ret").isNull && col("wk") < col("mxwk"), 1L)
+            .otherwise(0L)).as("churned_next"))
+        .orderBy(col("wk"))
+    }),
+
+    "d_sample_neyman" -> ((s, dir) => {
+      // Neyman-allocated stratified sample plan: per-source quotas
+      // ∝ N_h·σ_h (variance-proportional — the statistically optimal
+      // allocation for a fixed budget, vs d_sample_balanced's equal
+      // quotas), with largest-remainder rounding so quotas sum
+      // EXACTLY to the budget. Moments are decimal-exact; σ_h and the
+      // weights are fixed-shape doubles; the remainder ranking breaks
+      // ties deterministically. Everything after the one corpus
+      // reduce is |strata|-bounded.
+      import org.apache.spark.sql.expressions.Window
+      val budget = 200L
+      val st = tbl(s, dir, "documents")
+        .select(col("source"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("x"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("nh"), sum(col("x")).as("sx"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("qx"))
+      val mean = col("sx").cast("double") / col("nh").cast("double")
+      val varN = greatest(
+        col("qx").cast("double") / col("nh").cast("double") - mean * mean,
+        lit(0.0))
+      val wgt = col("nh").cast("double") * sqrt(varN)
+      val weighted = st.withColumn("w", wgt)
+      val tot = weighted.agg(sum(col("w")).as("tw"),
+        count(lit(1)).as("nstrata"))
+      val exact = col("w") * lit(budget.toDouble) / col("tw")
+      val flo = floor(exact).cast("long")
+      val wRem = Window.orderBy((exact - flo.cast("double")).desc, col("source"))
+      val alloc = weighted.crossJoin(broadcast(tot))
+        .withColumn("flo", flo)
+        .withColumn("rk", row_number().over(wRem))
+      val short = alloc.agg((lit(budget) - sum(col("flo"))).as("rem"))
+      alloc.crossJoin(broadcast(short))
+        .select(col("source"), col("nh"),
+          round(sqrt(varN), 6).as("sigma"),
+          (col("flo") + when(col("rk") <= col("rem"), 1L).otherwise(0L))
+            .as("quota"))
+        .orderBy(col("source"))
+    }),
+
     "q_wow" -> ((s, dir) => {
       // week-over-week report per event type: weekly revenue, the WoW
       // delta/percent change, and the type's weekly revenue rank with
@@ -4240,6 +4309,61 @@ object SparkEntry {
         |    (CAST(a.na AS DOUBLE) * CAST(b.na AS DOUBLE)), 6) AS lift
         |FROM pr JOIN na a ON a.pk = pr.pa JOIN na b ON b.pk = pr.pb, no
         |ORDER BY pa, pb""".stripMargin,
+
+    "q_churn" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 1000000 // 604800 AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS fw FROM uw GROUP BY 1),
+        |mx AS (SELECT max(wk) AS mxwk FROM uw),
+        |j AS (
+        |  SELECT u.wk, u.user_id, f.fw,
+        |    CASE WHEN n.user_id IS NULL THEN NULL ELSE 1 END AS ret
+        |  FROM uw u JOIN f USING (user_id)
+        |  LEFT JOIN uw n ON n.user_id = u.user_id AND n.wk = u.wk + 1)
+        |SELECT wk, count(*) AS actives,
+        |  CAST(sum(CASE WHEN fw = wk THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS new_users,
+        |  CAST(sum(CASE WHEN fw < wk THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS returning,
+        |  CAST(sum(CASE WHEN ret IS NULL AND wk < (SELECT mxwk FROM mx)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS churned_next
+        |FROM j GROUP BY wk ORDER BY wk""".stripMargin,
+
+    // Neyman replay: decimal-exact moments, identical double σ/weight
+    // shapes, largest-remainder ranking with the same tie-break
+    "d_sample_neyman" ->
+      s"""WITH st AS (
+         |  SELECT source, count(*) AS nh,
+         |    CAST(sum(x) AS BIGINT) AS sx, sum(x * x) AS qx
+         |  FROM (SELECT source,
+         |          CAST(len(${sqlToks("text")}) AS BIGINT) AS x
+         |        FROM documents)
+         |  GROUP BY source),
+         |w AS (
+         |  SELECT source, nh,
+         |    greatest(CAST(qx AS DOUBLE) / CAST(nh AS DOUBLE) -
+         |      (CAST(sx AS DOUBLE) / CAST(nh AS DOUBLE)) *
+         |      (CAST(sx AS DOUBLE) / CAST(nh AS DOUBLE)), 0.0) AS varn
+         |  FROM st),
+         |w2 AS (
+         |  SELECT source, nh, varn,
+         |    CAST(nh AS DOUBLE) * sqrt(varn) AS wgt FROM w),
+         |t AS (SELECT sum(wgt) AS tw FROM w2),
+         |a AS (
+         |  SELECT source, nh, varn,
+         |    wgt * 200.0 / tw AS exact,
+         |    CAST(floor(wgt * 200.0 / tw) AS BIGINT) AS flo
+         |  FROM w2, t),
+         |r AS (
+         |  SELECT source, nh, varn, flo,
+         |    row_number() OVER (ORDER BY exact - floor(exact) DESC, source)
+         |      AS rk
+         |  FROM a),
+         |sh AS (SELECT 200 - CAST(sum(flo) AS BIGINT) AS rem FROM a)
+         |SELECT source, nh, round(sqrt(varn), 6) AS sigma,
+         |  flo + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS quota
+         |FROM r, sh ORDER BY source""".stripMargin,
 
     "q_wow" ->
       """WITH e AS (
