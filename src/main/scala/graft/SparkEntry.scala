@@ -1695,6 +1695,75 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    "q11_stock_value" -> ((s, dir) => {
+      // TPC-H Q11 shape: per-part stock value within one nation (NATION_7), kept
+      // if it exceeds a fraction of the GLOBAL total (group-vs-global
+      // scalar HAVING): exact cents value, the global total broadcast
+      // as one row, threshold compare in pure integers
+      // (value·10000 > total). Dims broadcast into the fact scan.
+      val ps = tbl(s, dir, "supplier")
+        .join(tbl(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .where(col("n_name") === "NATION_7")
+        .select(col("s_suppkey"))
+      val li = tbl(s, dir, "lineitem")
+        .join(broadcast(ps), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            col("l_quantity").cast("long")).as("v"))
+      val per = li.groupBy(col("l_partkey")).agg(sum(col("v")).as("value"))
+      val tot = per.agg(sum(col("value")).as("total"))
+      per.crossJoin(broadcast(tot))
+        .where(col("value") * 10000 > col("total"))
+        .select(col("l_partkey"), col("value"), col("total"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    "q18_large_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape (large-volume orders): orders whose total
+      // lineitem quantity exceeds a threshold — the HAVING-subquery
+      // pattern, expressed as an aggregate + broadcast-joined keeper
+      // set so the fact table is scanned once. Exact integer
+      // quantities.
+      val big = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .where(col("total_qty") > 150)
+      tbl(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+    }),
+
+    "q_window_suite" -> ((s, dir) => {
+      // the full ranking-window surface in one table (percent_rank /
+      // cume_dist / ntile / nth_value / first-last) over per-type
+      // daily revenue — the remaining window functions the inventory
+      // hadn't pinned; every value is an exact integer or a ratio of
+      // exact integers. Windows run on the bounded (type × day)
+      // series.
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .select(col("event_type"), expr("sec div 86400").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("rev"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("rev"), col("day"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      daily
+        .select(col("event_type"), col("day"), col("rev"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          ntile(4).over(w).as("quartile"),
+          nth_value(col("rev"), 3).over(wf).as("third_lowest"),
+          first(col("rev")).over(wf).as("min_rev"),
+          last(col("rev")).over(wf).as("max_rev"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     "q_mad" -> ((s, dir) => {
       // robust outlier stats per event type: median + MAD (median
       // absolute deviation) and the |x − med| > 3·1.4826·MAD count —
@@ -4522,6 +4591,54 @@ object SparkEntry {
         |SELECT d AS day, count(*) AS wau
         |FROM cov, mx WHERE d <= mxd
         |GROUP BY d ORDER BY day""".stripMargin,
+
+    "q11_stock_value" ->
+      """WITH ps AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'),
+        |li AS (
+        |  SELECT l_partkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |      CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem JOIN ps ON l_suppkey = s_suppkey),
+        |per AS (
+        |  SELECT l_partkey, CAST(sum(v) AS BIGINT) AS value
+        |  FROM li GROUP BY 1),
+        |t AS (SELECT CAST(sum(value) AS BIGINT) AS total FROM per)
+        |SELECT l_partkey, value, total
+        |FROM per, t WHERE value * 10000 > total
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+        |SELECT c_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+
+    "q_window_suite" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, rev,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  nth_value(rev, 3) OVER wf AS third_lowest,
+        |  first_value(rev) OVER wf AS min_rev,
+        |  last_value(rev) OVER wf AS max_rev
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY rev, day),
+        |  wf AS (PARTITION BY event_type ORDER BY rev, day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_type, day""".stripMargin,
 
     // MAD replay: identical doubled-unit integer medians + the pure
     // integer outlier compare
