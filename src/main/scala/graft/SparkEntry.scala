@@ -1711,9 +1711,14 @@ object SparkEntry {
           (round(col("l_extendedprice") * 100).cast("long") *
             col("l_quantity").cast("long")).as("v"))
       val per = li.groupBy(col("l_partkey")).agg(sum(col("v")).as("value"))
-      val tot = per.agg(sum(col("value")).as("total"))
+      // scale-free HAVING: TPC-H's 0.0001/SF fraction is scale-DEPENDENT
+      // (0 rows at 10x); value > 2x the mean part value keeps the
+      // group-vs-global-scalar shape non-degenerate at any SF. Pure
+      // integer compare: value*n_parts > 2*total.
+      val tot = per.agg(sum(col("value")).as("total"),
+        count(lit(1)).as("n_parts"))
       per.crossJoin(broadcast(tot))
-        .where(col("value") * 10000 > col("total"))
+        .where(col("value") * col("n_parts") > col("total") * 2)
         .select(col("l_partkey"), col("value"), col("total"))
         .orderBy(col("value").desc, col("l_partkey"))
     }),
@@ -4605,9 +4610,10 @@ object SparkEntry {
         |per AS (
         |  SELECT l_partkey, CAST(sum(v) AS BIGINT) AS value
         |  FROM li GROUP BY 1),
-        |t AS (SELECT CAST(sum(value) AS BIGINT) AS total FROM per)
+        |t AS (SELECT CAST(sum(value) AS BIGINT) AS total,
+        |         count(*) AS n_parts FROM per)
         |SELECT l_partkey, value, total
-        |FROM per, t WHERE value * 10000 > total
+        |FROM per, t WHERE value * n_parts > total * 2
         |ORDER BY value DESC, l_partkey""".stripMargin,
 
     "q18_large_orders" ->
