@@ -1610,6 +1610,67 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "t_boilerplate" -> ((s, dir) => {
+      // per-source boilerplate detection: the most repeated LINE in
+      // each source and the share of that source's docs carrying it —
+      // crawl headers/footers/cookie banners show up exactly here
+      // (CCNet dedups lines globally; this is the per-source REPORT
+      // that says which template to strip). Lines shuffle as 8-byte
+      // hashes with one representative string via min() — a top-1
+      // WindowGroupLimit pre-pruned pick per source.
+      import org.apache.spark.sql.expressions.Window
+      val lines = tbl(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), "\n")).as("line"))
+        .where(length(trim(col("line"))) > 0)
+        .select(col("source"), col("doc_id"), trim(col("line")).as("line"))
+        .distinct() // count each line once per doc
+      val counts = lines
+        .groupBy(col("source"),
+          graft.functions.TextFunctions.portableHash(col("line")).as("h"))
+        .agg(count(lit(1)).as("n_docs_with"), min(col("line")).as("line"))
+      val nd = tbl(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_docs_with").desc, col("h"))
+      counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .join(broadcast(nd), Seq("source"))
+        .select(col("source"), col("line"), col("n_docs_with"), col("n_docs"),
+          (col("n_docs_with") * 5 >= col("n_docs")).as("is_boilerplate"))
+        .orderBy(col("source"))
+    }),
+
+    "t_collocations" -> ((s, dir) => {
+      // PMI-ranked collocations: adjacent token pairs that co-occur
+      // far above chance (log(n_ab·N / n_a·n_b)) — the corpus-
+      // analysis table behind tokenizer merge sanity checks and
+      // phrase mining. Counts are exact integers; bigrams and
+      // unigrams shuffle as hashed longs with min() representative
+      // strings; PMI is one fixed-shape double over casts, min-count
+      // 10 kills noise pairs. Output is frequency-bounded
+      // (≤ distinct bigrams over the cut).
+      val toks = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(lower(col("text"))).as("t"))
+      val bi = toks.select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] as a, t[i+1] as b))"))
+        .as("p"))
+        .select(col("p.a"), col("p.b"))
+      val uni = toks.select(explode(col("t")).as("a"))
+        .groupBy(col("a")).agg(count(lit(1)).as("na"))
+      val nTot = toks.agg(sum(size(col("t"))).as("nt"))
+      val pairs = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
+        .where(col("nab") >= 10)
+      pairs
+        .join(uni, Seq("a"))
+        .join(uni.select(col("a").as("b"), col("na").as("nb")), Seq("b"))
+        .crossJoin(broadcast(nTot))
+        .select(col("a"), col("b"), col("nab"),
+          round(log(col("nab").cast("double") * col("nt").cast("double") /
+            (col("na").cast("double") * col("nb").cast("double"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("a"), col("b"))
+    }),
+
     "t_heavy_hitters" -> ((s, dir) => {
       // exact heavy-hitter tokens through a bounded-memory plan: a
       // native Misra–Gries TypedImperativeAggregate (≤ k counters per
@@ -4536,6 +4597,50 @@ object SparkEntry {
         |  CAST(round(quantile_cont(gap, 0.9) * 10) AS BIGINT) / 10.0
         |    AS p90_gap_sec
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "t_boilerplate" ->
+      s"""WITH lines AS (
+         |  SELECT DISTINCT source, doc_id, trim(l) AS line
+         |  FROM (SELECT source, doc_id, unnest(string_split(text, chr(10))) AS l
+         |        FROM documents)
+         |  WHERE length(trim(l)) > 0),
+         |c AS (
+         |  SELECT source, ${sqlHash("line")} AS h,
+         |    count(*) AS n_docs_with, min(line) AS line
+         |  FROM lines GROUP BY 1, 2),
+         |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         |r AS (
+         |  SELECT source, h, n_docs_with, line,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_docs_with DESC, h) AS rn
+         |  FROM c)
+         |SELECT source, line, CAST(n_docs_with AS BIGINT) AS n_docs_with,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  n_docs_with * 5 >= n_docs AS is_boilerplate
+         |FROM r JOIN nd USING (source) WHERE rn = 1
+         |ORDER BY source""".stripMargin,
+
+    // collocations replay: same adjacency pairs, exact counts, ln PMI
+    // (DuckDB log() is log10 — ln() here matches Spark's log)
+    "t_collocations" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${sqlToks("lower(text)")} AS t FROM documents),
+         |bi AS (
+         |  SELECT t[u.i + 1] AS a, t[u.i + 2] AS b
+         |  FROM toks, unnest(range(0, len(t) - 1)) AS u(i)
+         |  WHERE len(t) >= 2),
+         |uni AS (
+         |  SELECT unnest(t) AS a FROM toks),
+         |un AS (SELECT a, count(*) AS na FROM uni GROUP BY a),
+         |nt AS (SELECT CAST(sum(len(t)) AS BIGINT) AS nt FROM toks),
+         |pr AS (
+         |  SELECT a, b, count(*) AS nab FROM bi GROUP BY 1, 2
+         |  HAVING count(*) >= 10)
+         |SELECT pr.a, pr.b, CAST(nab AS BIGINT) AS nab,
+         |  round(ln(CAST(nab AS DOUBLE) * CAST(nt AS DOUBLE) /
+         |    (CAST(x.na AS DOUBLE) * CAST(y.na AS DOUBLE))), 6) AS pmi
+         |FROM pr JOIN un x ON x.a = pr.a JOIN un y ON y.a = pr.b, nt
+         |ORDER BY pmi DESC, pr.a, pr.b""".stripMargin,
 
     // heavy-hitter oracle: the MG sweep is exact-after-verify, so the
     // replay is just the exact frequency threshold n·65 > N
