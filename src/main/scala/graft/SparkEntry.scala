@@ -1610,6 +1610,45 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "t_rouge" -> ((s, dir) => {
+      // ROUGE-1/2 between each doc and its near-copy (the evaluation
+      // metric behind every summarization/paraphrase pipeline, gated
+      // on the corpusWithDups pairs where the expected score is
+      // known-high): multiset n-gram overlap in exact integers — for
+      // counts, F1 = 2·overlap/(na+nb) is an exact rational — P/R/F
+      // divided once and rounded 6dp. Grams shuffle as 8-byte window
+      // hashes (the span-family kernel), never strings.
+      val corpus = corpusWithDups(tbl(s, dir, "documents"))
+      val a = corpus.where(col("doc_id") < 1000000L && col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("pid"), col("text"))
+      val b = corpus.where(col("doc_id") >= 2000000L)
+        .select((col("doc_id") - 2000000L).as("pid"), col("text"))
+      def grams(side: DataFrame, n: Int, cnt: String) = side
+        .select(col("pid"), explode(
+          graft.functions.native.positionalWindowHashes(col("text"), n, wide = true))
+          .as("h"))
+        .groupBy(col("pid"), col("h")).agg(count(lit(1)).as(cnt))
+      def stats(n: Int, suf: String) = {
+        val ga = grams(a, n, "ca"); val gb = grams(b, n, "cb")
+        val ov = ga.join(gb, Seq("pid", "h"))
+          .groupBy(col("pid"))
+          .agg(sum(least(col("ca"), col("cb"))).as(s"ov$suf"))
+        ga.groupBy(col("pid")).agg(sum(col("ca")).as(s"na$suf"))
+          .join(gb.groupBy(col("pid")).agg(sum(col("cb")).as(s"nb$suf")), Seq("pid"))
+          .join(ov, Seq("pid"), "left")
+          .na.fill(0L, Seq(s"ov$suf"))
+      }
+      stats(1, "1").join(stats(2, "2"), Seq("pid"))
+        .select(col("pid").as("doc_id"),
+          round(col("ov1").cast("double") / col("nb1").cast("double"), 6).as("rouge1_p"),
+          round(col("ov1").cast("double") / col("na1").cast("double"), 6).as("rouge1_r"),
+          round(col("ov1").cast("double") * 2 /
+            (col("na1") + col("nb1")).cast("double"), 6).as("rouge1_f"),
+          round(col("ov2").cast("double") * 2 /
+            (col("na2") + col("nb2")).cast("double"), 6).as("rouge2_f"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t_boilerplate" -> ((s, dir) => {
       // per-source boilerplate detection: the most repeated LINE in
       // each source and the share of that source's docs carrying it —
@@ -2831,6 +2870,28 @@ object SparkEntry {
           coalesce(col("n_rel"), lit(0L)).as("n_rel"),
           coalesce(col("rr"), lit(0.0)).as("rr"),
           coalesce(col("ap"), lit(0.0)).as("ap"))
+        .orderBy(col("query_id"))
+    }),
+
+    "s_ndcg" -> ((s, dir) => {
+      // nDCG@10 of the LSH ranking vs brute-force ground truth — the
+      // position-discounted metric beside s_rank_metrics' MRR/AP
+      // (Eval.ndcg; ln-shaped discounts so both engines compute the
+      // same doubles, contracted folds, 6dp). Same bucketing as
+      // s_knn_recall; metric work queries×k-bounded.
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val k = 10
+      val ground = Similarity.knnBruteForceBatch(emb, queries, k)
+        .select(col("query_id"), col("nbr_id"))
+      val lsh = Similarity.knnLsh(emb, queries, dim = 64, k = k,
+          nPlanes = 4, nTables = 8)
+        .select(col("query_id"), col("nbr_id"), col("rank"))
+      queries.select(col("vec_id").as("query_id"))
+        .join(Eval.ndcg(lsh, ground, k), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+          coalesce(col("ndcg"), lit(0.0)).as("ndcg"))
         .orderBy(col("query_id"))
     }),
 
@@ -4598,6 +4659,55 @@ object SparkEntry {
         |    AS p90_gap_sec
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // ROUGE replay: same window-hash grams, least() multiset overlap,
+    // identical rational shapes
+    "t_rouge" -> {
+      def gramCte(src: String, n: Int, name: String) =
+        s"""$name AS (
+           |  SELECT pid, ${sqlHash60(s"array_to_string(t[u.i+1 : u.i+$n], ' ')")} AS h,
+           |    count(*) AS c
+           |  FROM (SELECT pid, ${sqlToks("text")} AS t FROM $src) s,
+           |    unnest(range(0, len(t) - ${n - 1})) AS u(i)
+           |  WHERE len(t) >= $n
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH corpus AS ($corpusWithDupsSql),
+         |a AS (SELECT doc_id AS pid, text FROM corpus
+         |      WHERE doc_id < 1000000 AND doc_id % 10 = 0),
+         |b AS (SELECT doc_id - 2000000 AS pid, text FROM corpus
+         |      WHERE doc_id >= 2000000),
+         |${gramCte("a", 1, "ga1")},
+         |${gramCte("b", 1, "gb1")},
+         |${gramCte("a", 2, "ga2")},
+         |${gramCte("b", 2, "gb2")},
+         |s1 AS (
+         |  SELECT x.pid,
+         |    CAST(sum(x.c) AS BIGINT) AS na1 FROM ga1 x GROUP BY 1),
+         |s1b AS (
+         |  SELECT x.pid, CAST(sum(x.c) AS BIGINT) AS nb1 FROM gb1 x GROUP BY 1),
+         |o1 AS (
+         |  SELECT x.pid, CAST(sum(least(x.c, y.c)) AS BIGINT) AS ov1
+         |  FROM ga1 x JOIN gb1 y ON y.pid = x.pid AND y.h = x.h GROUP BY 1),
+         |s2 AS (
+         |  SELECT x.pid, CAST(sum(x.c) AS BIGINT) AS na2 FROM ga2 x GROUP BY 1),
+         |s2b AS (
+         |  SELECT x.pid, CAST(sum(x.c) AS BIGINT) AS nb2 FROM gb2 x GROUP BY 1),
+         |o2 AS (
+         |  SELECT x.pid, CAST(sum(least(x.c, y.c)) AS BIGINT) AS ov2
+         |  FROM ga2 x JOIN gb2 y ON y.pid = x.pid AND y.h = x.h GROUP BY 1)
+         |SELECT s1.pid AS doc_id,
+         |  round(CAST(coalesce(ov1, 0) AS DOUBLE) / CAST(nb1 AS DOUBLE), 6)
+         |    AS rouge1_p,
+         |  round(CAST(coalesce(ov1, 0) AS DOUBLE) / CAST(na1 AS DOUBLE), 6)
+         |    AS rouge1_r,
+         |  round(CAST(coalesce(ov1, 0) AS DOUBLE) * 2 /
+         |    CAST(na1 + nb1 AS DOUBLE), 6) AS rouge1_f,
+         |  round(CAST(coalesce(ov2, 0) AS DOUBLE) * 2 /
+         |    CAST(na2 + nb2 AS DOUBLE), 6) AS rouge2_f
+         |FROM s1 JOIN s1b USING (pid) LEFT JOIN o1 USING (pid)
+         |JOIN s2 USING (pid) JOIN s2b USING (pid) LEFT JOIN o2 USING (pid)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "t_boilerplate" ->
       s"""WITH lines AS (
          |  SELECT DISTINCT source, doc_id, trim(l) AS line
@@ -6090,6 +6200,61 @@ object SparkEntry {
          |LEFT JOIN perq p ON p.query_id = q.vec_id
          |WHERE q.vec_id < 10
          |ORDER BY query_id""".stripMargin,
+
+    // nDCG replay: same banded/ground CTEs as s_rank_metrics, ln-shaped
+    // discounts, ordered-list folds
+    "s_ndcg" ->
+      s"""WITH banded AS (
+         |${(0 until 8).map(t =>
+        s"  SELECT $t AS tbl, vec_id, embedding, ${sqlBucket("embedding", 4, seed = t)} AS bucket FROM embeddings")
+        .mkString("", "\n  UNION ALL\n", "),")}
+         |lsh_cand AS (
+         |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS nbr_id
+         |  FROM banded x JOIN banded y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |  WHERE x.vec_id < 10 AND x.vec_id <> y.vec_id),
+         |lsh_top AS (
+         |  SELECT query_id, nbr_id, r AS rank FROM (
+         |    SELECT query_id, nbr_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, nbr_id) AS r
+         |    FROM lsh_cand JOIN embeddings q ON q.vec_id = query_id
+         |    JOIN embeddings e ON e.vec_id = nbr_id)
+         |  WHERE r <= 10),
+         |ground AS (
+         |  SELECT query_id, nbr_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id) AS r
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE r <= 10),
+         |rel AS (
+         |  SELECT l.query_id, l.rank,
+         |    CASE WHEN g.nbr_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM lsh_top l LEFT JOIN ground g
+         |    ON g.query_id = l.query_id AND g.nbr_id = l.nbr_id),
+         |perq AS (
+         |  SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+         |    list(CASE WHEN rel = 1 THEN ln(2.0) / ln(CAST(rank + 1 AS DOUBLE))
+         |              ELSE CAST(0.0 AS DOUBLE) END ORDER BY rank) AS ts
+         |  FROM rel GROUP BY query_id),
+         |sc AS (
+         |  SELECT query_id, n_rel,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts),
+         |      (a, b) -> a + b) AS dcg,
+         |    CASE WHEN n_rel > 0 THEN
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(1, CAST(least(n_rel, 10) AS INT) + 1),
+         |          i -> ln(2.0) / ln(CAST(i + 1 AS DOUBLE)))),
+         |        (a, b) -> a + b)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS idcg
+         |  FROM perq)
+         |SELECT q.vec_id AS query_id,
+         |  coalesce(sc.n_rel, 0) AS n_rel,
+         |  coalesce(round(CASE WHEN sc.idcg > 0 THEN sc.dcg / sc.idcg
+         |    ELSE 0.0 END, 6), CAST(0.0 AS DOUBLE)) AS ndcg
+         |FROM embeddings q LEFT JOIN sc ON sc.query_id = q.vec_id
+         |WHERE q.vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "t_token_count" ->
       s"""SELECT doc_id,

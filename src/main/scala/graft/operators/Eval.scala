@@ -105,4 +105,41 @@ object Eval {
         (aggregate(col("ts"), lit(0.0),
           (acc, x) => acc + x.getField("term")) / lit(k.toDouble)).as("ap"))
   }
+
+  /** nDCG@k with binary relevance — the position-discounted ranking
+    * metric next to [[rankMetrics]]'s MRR/AP: DCG = Σ rel_i/log₂(i+1)
+    * over the candidate ranking, normalized by the ideal DCG of
+    * n_rel relevant items packed at the top.
+    *
+    * Determinism contract: discounts are written ln(2)/ln(rank+1) —
+    * NOT log2() — because Spark's Log2 is ln(x)/ln(2) while C
+    * libraries compute log2 natively (different last-bit shapes);
+    * both folds run in contracted ascending-rank order and the final
+    * metric rounds at 6 dp. Work is queries×k-bounded.
+    */
+  def ndcg(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    val ln2 = log(lit(2.0))
+    val rel = ranked
+      .join(relevant.select(col("query_id"), col("nbr_id"))
+          .withColumn("is_rel", lit(1)),
+        Seq("query_id", "nbr_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("is_rel"), lit(0)).as("rel"))
+    val dcgTerm = when(col("rel") === 1,
+      ln2 / log((col("rank") + 1).cast("double"))).otherwise(lit(0.0))
+    rel
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel")).cast("long").as("n_rel"),
+        sort_array(collect_list(struct(col("rank"), dcgTerm.as("t")))).as("ts"))
+      .select(col("query_id"), col("n_rel"),
+        aggregate(col("ts"), lit(0.0), (acc, x) => acc + x.getField("t"))
+          .as("dcg"),
+        when(col("n_rel") > 0,
+          aggregate(sequence(lit(1), least(col("n_rel"), lit(k.toLong)).cast("int")),
+            lit(0.0), (acc, i) => acc + ln2 / log((i + 1).cast("double"))))
+          .otherwise(lit(0.0)).as("idcg"))
+      .select(col("query_id"), col("n_rel"),
+        round(when(col("idcg") > 0, col("dcg") / col("idcg"))
+          .otherwise(lit(0.0)), 6).as("ndcg"))
+  }
 }
