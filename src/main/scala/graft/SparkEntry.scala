@@ -1610,6 +1610,43 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "d_strip_boilerplate" -> ((s, dir) => {
+      // the ACTION for t_boilerplate's report: remove each source's
+      // dominant line (when it appears in ≥ 20% of the source's docs)
+      // from every document, with per-doc token accounting. The
+      // boilerplate table is |sources|-sized and broadcasts; the
+      // strip is a per-row HOF (split → filter → rejoin) — map-only
+      // over the corpus.
+      import org.apache.spark.sql.expressions.Window
+      val docs = tbl(s, dir, "documents")
+      val lines = docs
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), "\n")).as("l"))
+        .where(length(trim(col("l"))) > 0)
+        .select(col("source"), col("doc_id"), trim(col("l")).as("line"))
+        .distinct()
+      val counts = lines.groupBy(col("source"),
+          graft.functions.TextFunctions.portableHash(col("line")).as("h"))
+        .agg(count(lit(1)).as("nw"), min(col("line")).as("line"))
+      val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("ndocs"))
+      val w = Window.partitionBy(col("source")).orderBy(col("nw").desc, col("h"))
+      val bp = counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .join(nd, Seq("source"))
+        .where(col("nw") * 5 >= col("ndocs"))
+        .select(col("source"), col("line").as("bp"))
+      def ntok(c: Column) =
+        size(graft.functions.TextFunctions.tokens(c)).cast("long")
+      docs.join(broadcast(bp), Seq("source"), "left")
+        .withColumn("cleaned", when(col("bp").isNull, col("text")).otherwise(
+          array_join(filter(split(col("text"), "\n"),
+            l => trim(l) =!= col("bp")), "\n")))
+        .select(col("doc_id"), ntok(col("text")).as("tokens_before"),
+          ntok(col("cleaned")).as("tokens_after"))
+        .withColumn("tokens_removed", col("tokens_before") - col("tokens_after"))
+        .orderBy(col("doc_id"))
+    }),
+
     "t_rouge" -> ((s, dir) => {
       // ROUGE-1/2 between each doc and its near-copy (the evaluation
       // metric behind every summarization/paraphrase pipeline, gated
@@ -4658,6 +4695,39 @@ object SparkEntry {
         |  CAST(round(quantile_cont(gap, 0.9) * 10) AS BIGINT) / 10.0
         |    AS p90_gap_sec
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // strip replay: same top-line pick + ≥20% gate, list-filter strip,
+    // identical token accounting
+    "d_strip_boilerplate" ->
+      s"""WITH lines AS (
+         |  SELECT DISTINCT source, doc_id, trim(l) AS line
+         |  FROM (SELECT source, doc_id, unnest(string_split(text, chr(10))) AS l
+         |        FROM documents)
+         |  WHERE length(trim(l)) > 0),
+         |c AS (
+         |  SELECT source, ${sqlHash("line")} AS h,
+         |    count(*) AS nw, min(line) AS line
+         |  FROM lines GROUP BY 1, 2),
+         |nd AS (SELECT source, count(*) AS ndocs FROM documents GROUP BY 1),
+         |bp AS (
+         |  SELECT source, line AS bp FROM (
+         |    SELECT source, h, nw, line,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY nw DESC, h) AS rn
+         |    FROM c) JOIN nd USING (source)
+         |  WHERE rn = 1 AND nw * 5 >= ndocs),
+         |cl AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN bp IS NULL THEN text ELSE
+         |      array_to_string(list_filter(string_split(text, chr(10)),
+         |        l -> trim(l) <> bp), chr(10)) END AS cleaned
+         |  FROM documents LEFT JOIN bp USING (source))
+         |SELECT doc_id,
+         |  CAST(len(${sqlToks("text")}) AS BIGINT) AS tokens_before,
+         |  CAST(len(${sqlToks("cleaned")}) AS BIGINT) AS tokens_after,
+         |  CAST(len(${sqlToks("text")}) - len(${sqlToks("cleaned")}) AS BIGINT)
+         |    AS tokens_removed
+         |FROM cl ORDER BY doc_id""".stripMargin,
 
     // ROUGE replay: same window-hash grams, least() multiset overlap,
     // identical rational shapes
