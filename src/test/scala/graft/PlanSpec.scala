@@ -462,6 +462,19 @@ class PlanSpec extends SparkSpecBase {
       s"dsirWeights shuffles strings:\n${offending.map(_.output.mkString(", ")).mkString("\n")}")
   }
 
+  test("mutual-kNN exchanges carry ids + micro long, never embeddings") {
+    import org.apache.spark.sql.types.ArrayType
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val df = graft.operators.Similarity.mutualKnn(emb, k = 3)
+    // embeddings are consumed at the bucket-join scoring projection;
+    // the candidate dedup, rank window, and mutual self-join move
+    // (query_id, nbr_id, micro, rank) scalars only
+    val offending = shuffles(df).filter(_.output.exists(
+      _.dataType.isInstanceOf[ArrayType]))
+    assert(offending.isEmpty,
+      s"mutualKnn shuffles arrays:\n${offending.map(_.output.mkString(", ")).mkString("\n")}")
+  }
+
   test("cdc chunk dedup: chunk text is dropped before every exchange") {
     import org.apache.spark.sql.types.{ArrayType, StringType}
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
