@@ -2910,6 +2910,32 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "s_ivf_probe_curve" -> ((s, dir) => {
+      // the IVF TUNING CURVE: recall@10 vs nProbe ∈ {1,2,4,8} against
+      // brute-force ground truth — the "how many probes buy 95%
+      // recall" table every ANN deployment reads before picking its
+      // latency/recall point. Four probe settings share one ground-
+      // truth pass; recall is an exact integer ratio divided once.
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 10)
+      val k = 10
+      val ground = Similarity.knnBruteForceBatch(emb, queries, k)
+        .select(col("query_id"), col("nbr_id"))
+        .localCheckpoint(true)
+      val nq = ground.select(col("query_id")).distinct().count()
+      Seq(1, 2, 4, 8).map { probe =>
+        Similarity.knnIvf(emb, queries, k = k, nLists = 8, nProbe = probe)
+          .select(col("query_id"), col("nbr_id"))
+          .join(ground, Seq("query_id", "nbr_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(probe).as("n_probe"), lit(nq).as("n_queries"),
+            col("n_hit"),
+            round(col("n_hit").cast("double") /
+              lit((nq * k).toDouble), 6).as("recall"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("n_probe"))
+    }),
+
     "s_ndcg" -> ((s, dir) => {
       // nDCG@10 of the LSH ranking vs brute-force ground truth — the
       // position-discounted metric beside s_rank_metrics' MRR/AP
@@ -6270,6 +6296,65 @@ object SparkEntry {
          |LEFT JOIN perq p ON p.query_id = q.vec_id
          |WHERE q.vec_id < 10
          |ORDER BY query_id""".stripMargin,
+
+    // probe-curve replay: shared centroid/corpus-assign/ground CTEs
+    // (MATERIALIZED — referenced once per probe setting), one
+    // query-assign → score → rank → hit-count block per nProbe
+    "s_ivf_probe_curve" -> {
+      def block(p: Int) =
+        s"""qa$p AS (
+           |  SELECT vec_id AS query_id, embedding AS q_emb, list_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.list_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqlCos("e.embedding", "c.centroid")} DESC, c.list_id) AS r
+           |    FROM embeddings e, centroids c WHERE e.vec_id < 10)
+           |  WHERE r <= $p),
+           |rk$p AS (
+           |  SELECT query_id, nbr_id FROM (
+           |    SELECT query_id, nbr_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cos DESC, nbr_id) AS rank
+           |    FROM (SELECT DISTINCT query_id, nbr_id,
+           |            ${sqlCos("q.q_emb", "n.nbr_emb")} AS cos
+           |          FROM qa$p q JOIN corpus_assign n USING (list_id)
+           |          WHERE query_id <> nbr_id) s)
+           |  WHERE rank <= 10),
+           |hit$p AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_hit
+           |  FROM rk$p JOIN ground USING (query_id, nbr_id))""".stripMargin
+      def row(p: Int) =
+        s"""SELECT $p AS n_probe,
+           |  (SELECT count(DISTINCT query_id) FROM ground) AS n_queries,
+           |  n_hit,
+           |  round(CAST(n_hit AS DOUBLE) /
+           |    CAST((SELECT count(*) FROM ground) AS DOUBLE), 6) AS recall
+           |FROM hit$p""".stripMargin
+      s"""WITH params AS (
+         |  SELECT greatest(1, count(*) // 8) AS step FROM embeddings),
+         |centroids AS MATERIALIZED (
+         |  SELECT e.vec_id AS list_id, e.embedding AS centroid
+         |  FROM embeddings e, params
+         |  WHERE e.vec_id % params.step = 0
+         |  ORDER BY e.vec_id LIMIT 8),
+         |corpus_assign AS MATERIALIZED (
+         |  SELECT vec_id AS nbr_id, embedding AS nbr_emb, list_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqlCos("e.embedding", "c.centroid")} DESC, c.list_id) AS r
+         |    FROM embeddings e, centroids c)
+         |  WHERE r = 1),
+         |ground AS MATERIALIZED (
+         |  SELECT query_id, nbr_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlCos("q.embedding", "e.embedding")} DESC, e.vec_id) AS r
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE r <= 10),
+         |${Seq(1, 2, 4, 8).map(block).mkString(",\n")}
+         |${Seq(1, 2, 4, 8).map(row).mkString("(", ")\nUNION ALL\n(", ")")}
+         |ORDER BY n_probe""".stripMargin
+    },
 
     // nDCG replay: same banded/ground CTEs as s_rank_metrics, ln-shaped
     // discounts, ordered-list folds
