@@ -1758,6 +1758,83 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    "q_interval_merge" -> ((s, dir) => {
+      // merge overlapping intervals per user (each event opens a
+      // 5-minute validity window; touching windows coalesce) — the
+      // interval-UNION op behind on-call schedules, IP-range
+      // compaction, and session stitching (q_sessionize gaps on
+      // inactivity; this unions explicit spans). Islands via the
+      // running-max-end trick: one user-keyed window, no self-join.
+      import org.apache.spark.sql.expressions.Window
+      val iv = events(s, dir)
+        .select(col("user_id"), col("sec").as("st"), (col("sec") + 300).as("en"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("st"), col("en"))
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+      iv.withColumn("pmax", max(col("en")).over(wPrev))
+        .withColumn("isl", sum(
+          when(col("pmax").isNull || col("st") > col("pmax"), 1L).otherwise(0L))
+          .over(w))
+        .groupBy(col("user_id"), col("isl"))
+        .agg(min(col("st")).as("span_start"), max(col("en")).as("span_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("span_start"), col("span_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("span_start"))
+    }),
+
+    "q_set_ops_all" -> ((s, dir) => {
+      // multiset set ops (INTERSECT ALL / EXCEPT ALL — bag semantics
+      // the DISTINCT variants q_intersect/q_except don't pin): order
+      // priorities of two customer segments compared as bags; output
+      // is the per-op row count plus the bag-min/bag-diff per key.
+      val a = tbl(s, dir, "orders").where(col("o_custkey") % 3 === 0)
+        .select(col("o_orderpriority").as("p"))
+      val b = tbl(s, dir, "orders").where(col("o_custkey") % 2 === 0)
+        .select(col("o_orderpriority").as("p"))
+      val ia = a.intersectAll(b).groupBy(col("p"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val ea = a.exceptAll(b).groupBy(col("p"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      ia.unionByName(ea)
+        .select(col("op"), col("p"), col("n"))
+        .orderBy(col("op"), col("p"))
+    }),
+
+    "q_pareto" -> ((s, dir) => {
+      // revenue concentration: the 80/20 table (how many parts cover
+      // 80% of revenue) + the exact Gini coefficient — the
+      // concentration row of the profiling family. Gini is the exact
+      // rational Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) over revenue-ascending
+      // order (numerator folds in decimal-exact integers); the
+      // cumulative-share window runs on the parts-bounded aggregate.
+      import org.apache.spark.sql.expressions.Window
+      val per = tbl(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev"))
+      val wAsc = Window.orderBy(col("rev"), col("l_partkey"))
+      val wDesc = Window.orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = per.agg(count(lit(1)).as("n"), sum(col("rev")).as("t"))
+      val ranked = per.crossJoin(broadcast(tot))
+        .withColumn("i", row_number().over(wAsc).cast("long"))
+        .withColumn("cum_desc", sum(col("rev")).over(wDesc))
+        .localCheckpoint(true)
+      val gnum = ranked.agg(sum(
+        ((col("i") * 2 - col("n") - 1) * col("rev")).cast("decimal(38,0)"))
+        .as("gn"))
+      val n80 = ranked.where(col("cum_desc") * 5 >= col("t") * 4)
+        .agg(min(col("n") - col("i") + 1).as("n80"))
+      tot.crossJoin(broadcast(gnum)).crossJoin(broadcast(n80))
+        .select(col("n").as("n_parts"), col("t").as("total_cents"),
+          col("n80").as("parts_for_80pct"),
+          round(col("n80").cast("double") / col("n").cast("double"), 6)
+            .as("share_of_parts"),
+          round(col("gn").cast("double") /
+            (col("n").cast("double") * col("t").cast("double")), 6).as("gini"))
+    }),
+
     "q_integrity" -> ((s, dir) => {
       // referential-integrity audit across the star schema (the DQ
       // gate an ingestion run publishes before exposing tables):
@@ -4858,6 +4935,62 @@ object SparkEntry {
          |SELECT tok AS token, CAST(n AS BIGINT) AS n,
          |  CAST(nt AS BIGINT) AS n_total
          |FROM c, tot WHERE n * 65 > nt ORDER BY token""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH iv AS (
+        |  SELECT DISTINCT user_id, sec AS st, sec + 300 AS en
+        |  FROM (SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events)),
+        |m AS (
+        |  SELECT user_id, st, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |i2 AS (
+        |  SELECT user_id, st, en,
+        |    sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY st, en) AS isl
+        |  FROM m)
+        |SELECT user_id, CAST(min(st) AS BIGINT) AS span_start,
+        |  CAST(max(en) AS BIGINT) AS span_end, count(*) AS n_events
+        |FROM i2 GROUP BY user_id, isl
+        |ORDER BY user_id, span_start""".stripMargin,
+
+    "q_set_ops_all" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority AS p FROM orders WHERE o_custkey % 3 = 0),
+        |b AS (
+        |  SELECT o_orderpriority AS p FROM orders WHERE o_custkey % 2 = 0),
+        |ia AS (SELECT p FROM a INTERSECT ALL SELECT p FROM b),
+        |ea AS (SELECT p FROM a EXCEPT ALL SELECT p FROM b)
+        |SELECT op, p, n FROM (
+        |  SELECT 'intersect_all' AS op, p, count(*) AS n FROM ia GROUP BY p
+        |  UNION ALL
+        |  SELECT 'except_all', p, count(*) FROM ea GROUP BY p)
+        |ORDER BY op, p""".stripMargin,
+
+    "q_pareto" ->
+      """WITH per AS (
+        |  SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100)
+        |    AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, CAST(sum(rev) AS BIGINT) AS t FROM per),
+        |r AS (
+        |  SELECT l_partkey, rev,
+        |    CAST(row_number() OVER (ORDER BY rev, l_partkey) AS BIGINT) AS i,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_desc
+        |  FROM per),
+        |g AS (SELECT sum((2 * i - n - 1) * rev) AS gn FROM r, tot),
+        |n8 AS (
+        |  SELECT CAST(min(n - i + 1) AS BIGINT) AS n80
+        |  FROM r, tot WHERE cum_desc * 5 >= t * 4)
+        |SELECT CAST(n AS BIGINT) AS n_parts, t AS total_cents,
+        |  n80 AS parts_for_80pct,
+        |  round(CAST(n80 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share_of_parts,
+        |  round(CAST(gn AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)), 6)
+        |    AS gini
+        |FROM tot, g, n8""".stripMargin,
 
     "q_integrity" -> {
       def rel(name: String, child: String, key: String,
