@@ -1758,6 +1758,35 @@ object SparkEntry {
         .orderBy(col("token"))
     }),
 
+    "q_calendar_gaps" -> ((s, dir) => {
+      // series completeness: per event type, the expected vs observed
+      // day count over its own [min, max] span and the missing-day
+      // list (capped at 5) — the "did ingestion skip a day" DQ gate
+      // behind every time-series consumer. One map-combined (type,
+      // day) reduce; the gap scan explodes the |span| day range of
+      // the BOUNDED per-type summary, never the corpus.
+      val td = events(s, dir)
+        .select(col("event_type"), expr("sec div 86400").as("day"))
+        .distinct()
+      val span = td.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+          count(lit(1)).as("observed"))
+      val missing = span
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(td, Seq("event_type", "day"), "left_anti")
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("day"))).as("md"))
+        .select(col("event_type"), slice(col("md"), 1, 5).as("missing_days"))
+      span.join(missing, Seq("event_type"), "left")
+        .select(col("event_type"),
+          (col("d1") - col("d0") + 1).as("expected_days"),
+          col("observed").as("observed_days"),
+          (col("d1") - col("d0") + 1 - col("observed")).as("n_missing"),
+          coalesce(col("missing_days"), array().cast("array<bigint>"))
+            .as("missing_days"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_interval_merge" -> ((s, dir) => {
       // merge overlapping intervals per user (each event opens a
       // 5-minute validity window; touching windows coalesce) — the
@@ -4935,6 +4964,28 @@ object SparkEntry {
          |SELECT tok AS token, CAST(n AS BIGINT) AS n,
          |  CAST(nt AS BIGINT) AS n_total
          |FROM c, tot WHERE n * 65 > nt ORDER BY token""".stripMargin,
+
+    "q_calendar_gaps" ->
+      """WITH td AS (
+        |  SELECT DISTINCT event_type,
+        |    epoch_us(ts) // 1000000 // 86400 AS day FROM events),
+        |sp AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1,
+        |    count(*) AS observed
+        |  FROM td GROUP BY 1),
+        |mi AS (
+        |  SELECT g.event_type, list(g.day ORDER BY g.day)[1:5] AS missing_days
+        |  FROM (SELECT sp.event_type, CAST(u.d AS BIGINT) AS day
+        |        FROM sp, unnest(range(d0, d1 + 1)) AS u(d)) g
+        |  LEFT JOIN td ON td.event_type = g.event_type AND td.day = g.day
+        |  WHERE td.day IS NULL GROUP BY 1)
+        |SELECT sp.event_type,
+        |  CAST(d1 - d0 + 1 AS BIGINT) AS expected_days,
+        |  CAST(observed AS BIGINT) AS observed_days,
+        |  CAST(d1 - d0 + 1 - observed AS BIGINT) AS n_missing,
+        |  coalesce(missing_days, []) AS missing_days
+        |FROM sp LEFT JOIN mi USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     "q_interval_merge" ->
       """WITH iv AS (
