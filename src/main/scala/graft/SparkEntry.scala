@@ -3416,6 +3416,32 @@ object SparkEntry {
       Multimodal.perceptualDuplicates(media).orderBy(col("media_id"))
     }),
 
+    "m_alignment" -> ((s, dir) => {
+      // image–caption ALIGNMENT filter (the CLIP-score shape behind
+      // LAION-style pair filtering: embed both sides, keep pairs
+      // above a cosine floor): alt text = the item's own leading
+      // tokens normally, but every 7th item carries an induced junk
+      // caption ("stock photo watermark…" — the classic boilerplate
+      // alt) that must score below the floor. Embedders are the
+      // hermetic hash embedder on BOTH sides (a production CLIP swaps
+      // in behind the same two-column contract); the whole op is
+      // map-only over the pair table.
+      val docs = tbl(s, dir, "documents")
+      val alt = when(col("doc_id") % 7 === 0,
+        concat(lit("stock photo watermark banner "), col("doc_id").cast("string")))
+        .otherwise(array_join(slice(
+          graft.functions.TextFunctions.tokens(col("text")), 1, 8), " "))
+      docs.select(col("doc_id").as("media_id"), alt.as("alt_text"), col("text"))
+        .select(col("media_id"),
+          round(graft.functions.VectorFunctions.cosine(
+            graft.functions.VectorFunctions.hashEmbed(col("alt_text"), 16),
+            graft.functions.VectorFunctions.hashEmbed(col("text"), 16)), 6)
+            .as("score"))
+        .select(col("media_id"), col("score"),
+          (col("score") >= 0.5).as("keep"))
+        .orderBy(col("media_id"))
+    }),
+
     "m_multimodal_meta" -> ((s, dir) => {
       val media = tbl(s, dir, "documents").select(
         col("doc_id").as("media_id"),
@@ -7347,6 +7373,43 @@ object SparkEntry {
          |  FROM ph p JOIN b b2 ON b2.media_id = p.media_id)
          |SELECT media_id, phash, byte_length, group_size, keeper_id
          |FROM g WHERE group_size > 1 ORDER BY media_id""".stripMargin,
+
+    // alignment replay: same induced junk captions, same feature-hash
+    // histograms (vectorRecordsCte embedding shape) on both sides,
+    // dot of L2-normalized 16-dim vectors
+    "m_alignment" -> {
+      def cnts(src: String) =
+        s"""list_transform(range(0, 16), i -> len(list_filter(
+           |      list_transform(${sqlToks(src)}, tk -> ${sqlHash("tk")} % 16),
+           |      b -> b = i)))""".stripMargin
+      def nrm(c: String) =
+        s"""sqrt(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+           |      list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+           |      (x, y) -> x + y))""".stripMargin
+      def unit(c: String, n: String) =
+        s"""list_transform($c, x -> CAST(CASE WHEN $n > 0
+           |      THEN CAST(x AS DOUBLE) / $n ELSE 0.0 END AS FLOAT))""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT doc_id AS media_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN
+         |      'stock photo watermark banner ' || CAST(doc_id AS VARCHAR)
+         |    ELSE array_to_string((${sqlToks("text")})[1:8], ' ') END AS alt_text,
+         |    text
+         |  FROM documents),
+         |b1 AS (
+         |  SELECT media_id, ${cnts("alt_text")} AS ca, ${cnts("text")} AS cb
+         |  FROM pairs),
+         |n1 AS (
+         |  SELECT media_id, ca, cb, ${nrm("ca")} AS na, ${nrm("cb")} AS nb
+         |  FROM b1),
+         |e1 AS (
+         |  SELECT media_id, ${unit("ca", "na")} AS ea, ${unit("cb", "nb")} AS eb
+         |  FROM n1)
+         |SELECT media_id,
+         |  round(${sqlCos("ea", "eb", 16)}, 6) AS score,
+         |  round(${sqlCos("ea", "eb", 16)}, 6) >= 0.5 AS keep
+         |FROM e1 ORDER BY media_id""".stripMargin
+    },
 
     "m_multimodal_meta" ->
       // ASCII-expressible magic prefixes must be sniffed here too (the
