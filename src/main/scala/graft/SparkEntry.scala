@@ -1938,6 +1938,39 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    "q07_volume_shipping" -> ((s, dir) => {
+      // TPC-H Q7 shape (volume shipping): revenue flowing between two
+      // nations in both directions by ship year — the multi-dimension
+      // star join with a symmetric pair filter. Exactness: cents ×
+      // (10000 − discount basis points) keeps revenue an exact
+      // decimal integer; the division to cents happens once at the
+      // end. Dims broadcast; the fact side shuffles once for the
+      // orders join.
+      val sn = tbl(s, dir, "supplier")
+        .join(tbl(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cn = tbl(s, dir, "customer")
+        .join(tbl(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      tbl(s, dir, "lineitem")
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+        .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .select(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("ship_year"),
+          (round(col("l_extendedprice") * 100).cast("decimal(38,0)") *
+            (lit(10000) - round(col("l_discount") * 10000).cast("int")))
+            .as("rev"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+        .agg(count(lit(1)).as("n_items"), sum(col("rev")).as("revx"))
+        .select(col("supp_nation"), col("cust_nation"), col("ship_year"),
+          col("n_items"),
+          round(col("revx").cast("double") / 10000.0, 2).as("revenue_cents"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+    }),
+
     "q11_stock_value" -> ((s, dir) => {
       // TPC-H Q11 shape: per-part stock value within one nation (NATION_7), kept
       // if it exceeds a fraction of the GLOBAL total (group-vs-global
@@ -5117,6 +5150,30 @@ object SparkEntry {
         |SELECT d AS day, count(*) AS wau
         |FROM cov, mx WHERE d <= mxd
         |GROUP BY d ORDER BY day""".stripMargin,
+
+    "q07_volume_shipping" ->
+      """WITH sn AS (
+        |  SELECT s_suppkey, n_name AS supp_nation FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |cn AS (
+        |  SELECT c_custkey, n_name AS cust_nation FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |j AS (
+        |  SELECT supp_nation, cust_nation,
+        |    year(l_shipdate) AS ship_year,
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT) *
+        |      (10000 - CAST(round(l_discount * 10000) AS INT)) AS rev
+        |  FROM lineitem
+        |  JOIN sn ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN cn ON o_custkey = c_custkey
+        |  WHERE (supp_nation = 'NATION_3' AND cust_nation = 'NATION_7')
+        |     OR (supp_nation = 'NATION_7' AND cust_nation = 'NATION_3'))
+        |SELECT supp_nation, cust_nation, CAST(ship_year AS INT) AS ship_year,
+        |  count(*) AS n_items,
+        |  round(CAST(sum(rev) AS DOUBLE) / 10000.0, 2) AS revenue_cents
+        |FROM j GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
 
     "q11_stock_value" ->
       """WITH ps AS (
