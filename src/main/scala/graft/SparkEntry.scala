@@ -2884,7 +2884,7 @@ object SparkEntry {
       // near-dup corpus puts a vector and its scaled copy within
       // 1e-9 cosine of third parties, where raw double ordering is
       // last-ulp noise across engines.
-      Similarity.mutualKnn(vecsWithDups(tbl(s, dir, "embeddings")), k = 5)
+      Similarity.mutualKnn(vecsWithDups(tbl(s, dir, "embeddings")), k = 5, nPlanes = 12)
         .orderBy(col("a"), col("b"))
     }),
 
@@ -6056,9 +6056,9 @@ object SparkEntry {
     "s_mutual_knn" ->
       s"""WITH vecs AS ($vecsWithDupsSql),
          |banded AS (
-         |  SELECT 0 AS tbl, vec_id, embedding, ${sqlBucket("embedding", 8, seed = 0)} AS bucket FROM vecs
+         |  SELECT 0 AS tbl, vec_id, embedding, ${sqlBucket("embedding", 12, seed = 0)} AS bucket FROM vecs
          |  UNION ALL
-         |  SELECT 1 AS tbl, vec_id, embedding, ${sqlBucket("embedding", 8, seed = 1)} AS bucket FROM vecs),
+         |  SELECT 1 AS tbl, vec_id, embedding, ${sqlBucket("embedding", 12, seed = 1)} AS bucket FROM vecs),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS nbr_id
          |  FROM banded x JOIN banded y ON x.tbl = y.tbl AND x.bucket = y.bucket

@@ -592,25 +592,38 @@ object Similarity {
   def mutualKnn(vectors: DataFrame, k: Int = 5,
                 nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val banded = vectors.select(col("vec_id"), col("embedding"),
+    // nPlanes must scale with the corpus (≈ log₂(N / target bucket
+    // size)): with fixed planes, bucket occupancy — and the candidate
+    // pair count — grows linearly with N, so the pair stage is
+    // quadratic per bucket (measured: 4s at 1k vectors, 145s at 66k
+    // with the demo's 8 planes before this restructure). The same
+    // guidance as embeddingCosinePairs (≥20-24 planes at 10⁹ vectors).
+    val banded = vectors.select(col("vec_id"),
       explode(array((0 until nTables).map { t =>
         struct(lit(t).as("t"),
           VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes, seed = t)
             .as("bucket"))
       }: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"),
-        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-      .localCheckpoint(true)
-    val x = banded.select(col("t"), col("bucket"),
-      col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val y = banded.select(col("t"), col("bucket"),
-      col("vec_id").as("nbr_id"), col("embedding").as("ne"))
-    val scored = x.join(y, Seq("t", "bucket"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // bare-id bucket join → DISTINCT pairs FIRST (2-long rows, the
+    // cheapest possible exchange), then embeddings re-attach via two
+    // joins against the vector table (broadcast/AQE — the minhash
+    // verify-rejoin discipline) so each surviving pair is scored ONCE
+    // and no embedding array ever rides the candidate exchange
+    val x = banded.select(col("t"), col("bucket"), col("vec_id").as("query_id"))
+    val y = banded.select(col("t"), col("bucket"), col("vec_id").as("nbr_id"))
+    val cand = x.join(y, Seq("t", "bucket"))
       .where(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"))
+      .distinct()
+    val scored = cand
+      .join(vectors.select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+        Seq("query_id"))
+      .join(vectors.select(col("vec_id").as("nbr_id"), col("embedding").as("ne")),
+        Seq("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         round(VectorFunctions.cosine(col("qe"), col("ne")) * 1000000.0)
           .cast("long").as("micro"))
-      .dropDuplicates("query_id", "nbr_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("micro").desc, col("nbr_id").asc)
     val ranked = scored.withColumn("rank", row_number().over(w))
