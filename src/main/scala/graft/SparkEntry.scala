@@ -2888,6 +2888,46 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    "s_embedding_outliers" -> ((s, dir) => {
+      // embedding OOD audit: per-vector sum of squared per-dimension
+      // z-scores (the diagonal-Mahalanobis screen for corrupted /
+      // out-of-family vectors — a zeroed, clipped, or wrong-model
+      // embedding lights up immediately), top 20. Exactness: coords
+      // quantize to exact integer micros; per-dim moments are
+      // decimal-exact; each dim's term is the exact-integer ratio
+      // (n·m − S)²/(n·Q − S²) folded in ascending-dim order
+      // (contracted). Map-only + a broadcast 64-row stat fold +
+      // TakeOrdered.
+      val emb = tbl(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000000.0).cast("long")).as("m"))
+      val st = emb.select(posexplode(col("m")).as(Seq("d", "x")))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sm"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("q"))
+      val stRow = st
+        .agg(sort_array(collect_list(struct(col("d"), col("n"), col("sm"),
+          col("q")))).as("s"))
+        .select(col("s")(0).getField("n").as("n"),
+          transform(col("s"), t => t.getField("sm")).as("sms"),
+          transform(col("s"), t => t.getField("q").cast("double")).as("qs"))
+      val score = aggregate(
+        sequence(lit(0), size(col("m")) - 1), lit(0.0), (acc, i) => {
+          val mi = element_at(col("m"), i + 1).cast("double")
+          val si = element_at(col("sms"), i + 1).cast("double")
+          val qi = element_at(col("qs"), i + 1)
+          val nD = col("n").cast("double")
+          val den = nD * qi - si * si
+          acc + when(den > 0, (nD * mi - si) * (nD * mi - si) / den)
+            .otherwise(lit(0.0))
+        })
+      emb.crossJoin(broadcast(stRow))
+        .select(col("vec_id"), round(score, 6).as("ood_score"))
+        .orderBy(col("ood_score").desc, col("vec_id"))
+        .limit(20)
+    }),
+
     "s_sq8" -> ((s, dir) => {
       // int8 scalar-quantization audit on the known near-dup pairs:
       // full-precision vs dequantized cosine and the gap — the "is 4×
@@ -6081,6 +6121,37 @@ object SparkEntry {
          |  ON r2.query_id = r1.nbr_id AND r2.nbr_id = r1.query_id
          |WHERE r1.rank <= 5 AND r2.rank <= 5 AND r1.query_id < r1.nbr_id
          |ORDER BY a, b""".stripMargin,
+
+    // OOD replay: same micro quantization, decimal-exact moments,
+    // identical per-dim term shapes folded in dim order
+    "s_embedding_outliers" ->
+      """WITH m AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS m
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT u.i AS d, count(*) AS n,
+        |    CAST(sum(m[u.i]) AS BIGINT) AS sm, sum(m[u.i] * m[u.i]) AS q
+        |  FROM m, unnest(range(1, 65)) AS u(i) GROUP BY 1),
+        |sr AS (
+        |  SELECT max(n) AS n, list(sm ORDER BY d) AS sms,
+        |    list(CAST(q AS DOUBLE) ORDER BY d) AS qs FROM st),
+        |sc AS (
+        |  SELECT vec_id,
+        |    round(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+        |      list_transform(range(1, 65), i ->
+        |        CASE WHEN CAST(n AS DOUBLE) * qs[i] -
+        |            CAST(sms[i] AS DOUBLE) * CAST(sms[i] AS DOUBLE) > 0
+        |        THEN (CAST(n AS DOUBLE) * CAST(m[i] AS DOUBLE) -
+        |              CAST(sms[i] AS DOUBLE)) *
+        |             (CAST(n AS DOUBLE) * CAST(m[i] AS DOUBLE) -
+        |              CAST(sms[i] AS DOUBLE)) /
+        |             (CAST(n AS DOUBLE) * qs[i] -
+        |              CAST(sms[i] AS DOUBLE) * CAST(sms[i] AS DOUBLE))
+        |        ELSE 0.0 END)), (a, b) -> a + b), 6) AS ood_score
+        |  FROM m, sr)
+        |SELECT vec_id, ood_score FROM sc
+        |ORDER BY ood_score DESC, vec_id LIMIT 20""".stripMargin,
 
     // SQ8 replay: identical per-dim min/max quantizer, dequantized
     // doubles, same cosine folds
