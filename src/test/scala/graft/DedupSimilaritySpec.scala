@@ -410,6 +410,49 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(math.abs(byRank.head.getAs[Double]("cos") - 0.99 / math.sqrt(0.99 * 0.99 + 0.01)) < 1e-6)
   }
 
+  test("cdcChunkDedup matches a driver-side reference model on a synthetic corpus") {
+    import graft.operators.Dedup
+    // independent reference: char-level dual-polynomial window hash +
+    // the same cut rule, computed with plain Scala collections
+    val P1 = 1000000007L; val P2 = 998244353L
+    def h1(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c) % P1)
+    def h2(s: String) = s.foldLeft(0L)((a, c) => (a * 131 + c) % P2)
+    def h60(s: String) = h1(s) * P2 + h2(s)
+    def model(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+      val chunks = docs.flatMap { case (id, text) =>
+        val t = text.split("\\s+").filter(_.nonEmpty)
+        if (t.isEmpty) Seq.empty
+        else {
+          val wh = (0 to t.length - 4).map(i => h60(t.slice(i, i + 4).mkString(" ")))
+          val cuts = (1 until wh.length).filter(i => wh(i) % 64 == 0)
+          val bs = 0 +: cuts :+ t.length
+          bs.init.zip(bs.tail).zipWithIndex.map { case ((a, b), ci) =>
+            (id, ci, b - a, h60(t.slice(a, b).mkString(" ")))
+          }
+        }
+      }
+      val owner = chunks.groupBy(_._4).view
+        .mapValues(_.map(c => (c._1, c._2)).min).toMap
+      chunks.groupBy(_._1).map { case (id, cs) =>
+        val dups = cs.filter(c => owner(c._4) != ((c._1, c._2)))
+        id -> (cs.size.toLong, dups.size.toLong, dups.map(_._3.toLong).sum)
+      }
+    }
+    // deterministic varied corpus: LCG tokens, exact + mutated copies
+    def words(seed: Long, n: Int) = {
+      var x = seed
+      (0 until n).map { _ => x = (x * 6364136223846793005L + 1442695040888963407L)
+        s"w${(x >>> 33) % 1499}" }.mkString(" ")
+    }
+    val docs = (0L until 20L).map(i => (i, words(i + 1, 150 + (i * 17 % 100).toInt))) ++
+      Seq((100L, words(3, 201)), (101L, "tail added " + words(5, 219)))
+    val got = Dedup.cdcChunkDedup(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == model(docs), s"mismatch:\n got=$got\n exp=${model(docs)}")
+    assert(got.values.map(_._1).sum > docs.size, "multiple chunks expected")
+    assert(got(100L)._2 > 0, "exact copy must carry duplicate chunks")
+  }
+
   test("cdcChunkDedup: content-defined cuts survive prefix insertion and suffix append") {
     import graft.operators.Dedup
     // deterministic 500-token doc with varied tokens → several cuts
