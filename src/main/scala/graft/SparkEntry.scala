@@ -1503,8 +1503,12 @@ object SparkEntry {
         .withColumn("prev_rnk", lag(col("rnk"), 1).over(byType))
         .select(col("event_type"), col("wk"), col("rev"),
           (col("rev") - col("prev")).as("delta"),
-          round((col("rev") - col("prev")).cast("double") /
-            abs(col("prev").cast("double")), 6).as("pct_change"),
+          // zero guard: Spark's non-ANSI x/0 is NULL while DuckDB's
+          // IEEE float division is inf — make both engines emit NULL
+          // by construction on a zero-revenue week (r6 ADVICE item).
+          when(col("prev") =!= 0,
+            round((col("rev") - col("prev")).cast("double") /
+              abs(col("prev").cast("double")), 6)).as("pct_change"),
           col("rnk"), (col("prev_rnk") - col("rnk")).as("rank_gain"))
         .orderBy(col("event_type"), col("wk"))
     }),
@@ -1782,8 +1786,11 @@ object SparkEntry {
           (col("d1") - col("d0") + 1).as("expected_days"),
           col("observed").as("observed_days"),
           (col("d1") - col("d0") + 1 - col("observed")).as("n_missing"),
-          coalesce(col("missing_days"), array().cast("array<bigint>"))
-            .as("missing_days"))
+          // driver-compare contract (SURVEY §6): arrays never reach the
+          // pandas hash-compare raw — join to a scalar string.
+          array_join(
+            coalesce(col("missing_days"), array().cast("array<bigint>"))
+              .cast("array<string>"), ",").as("missing_days"))
         .orderBy(col("event_type"))
     }),
 
@@ -4848,8 +4855,9 @@ object SparkEntry {
         |  FROM r)
         |SELECT event_type, wk, rev,
         |  rev - prev AS delta,
-        |  round(CAST(rev - prev AS DOUBLE) / abs(CAST(prev AS DOUBLE)), 6)
-        |    AS pct_change,
+        |  CASE WHEN prev <> 0 THEN
+        |    round(CAST(rev - prev AS DOUBLE) / abs(CAST(prev AS DOUBLE)), 6)
+        |  END AS pct_change,
         |  rnk, prev_rnk - rnk AS rank_gain
         |FROM r2 ORDER BY event_type, wk""".stripMargin,
 
@@ -5082,7 +5090,7 @@ object SparkEntry {
         |  CAST(d1 - d0 + 1 AS BIGINT) AS expected_days,
         |  CAST(observed AS BIGINT) AS observed_days,
         |  CAST(d1 - d0 + 1 - observed AS BIGINT) AS n_missing,
-        |  coalesce(missing_days, []) AS missing_days
+        |  coalesce(array_to_string(missing_days, ','), '') AS missing_days
         |FROM sp LEFT JOIN mi USING (event_type)
         |ORDER BY event_type""".stripMargin,
 
@@ -6726,22 +6734,25 @@ object SparkEntry {
          |    CASE WHEN g.nbr_id IS NOT NULL THEN 1 ELSE 0 END AS rel
          |  FROM lsh_top l LEFT JOIN ground g
          |    ON g.query_id = l.query_id AND g.nbr_id = l.nbr_id),
+         |gsz AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel_total
+         |  FROM ground GROUP BY 1),
          |perq AS (
          |  SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
          |    list(CASE WHEN rel = 1 THEN ln(2.0) / ln(CAST(rank + 1 AS DOUBLE))
          |              ELSE CAST(0.0 AS DOUBLE) END ORDER BY rank) AS ts
          |  FROM rel GROUP BY query_id),
          |sc AS (
-         |  SELECT query_id, n_rel,
+         |  SELECT perq.query_id, n_rel,
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ts),
          |      (a, b) -> a + b) AS dcg,
-         |    CASE WHEN n_rel > 0 THEN
+         |    CASE WHEN coalesce(n_rel_total, 0) > 0 THEN
          |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |        list_transform(range(1, CAST(least(n_rel, 10) AS INT) + 1),
+         |        list_transform(range(1, CAST(least(n_rel_total, 10) AS INT) + 1),
          |          i -> ln(2.0) / ln(CAST(i + 1 AS DOUBLE)))),
          |        (a, b) -> a + b)
          |      ELSE CAST(0.0 AS DOUBLE) END AS idcg
-         |  FROM perq)
+         |  FROM perq LEFT JOIN gsz ON gsz.query_id = perq.query_id)
          |SELECT q.vec_id AS query_id,
          |  coalesce(sc.n_rel, 0) AS n_rel,
          |  coalesce(round(CASE WHEN sc.idcg > 0 THEN sc.dcg / sc.idcg

@@ -4,6 +4,15 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Columns the driver's pandas hash-compare cannot sort/hash
+    * (array/map cells) — any query emitting one must array_join or
+    * explode it first (SURVEY §6). Spec-tested in VerifySpec. */
+  def nonScalarColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.toSeq.collect {
+      case f if f.dataType.typeName == "array" || f.dataType.typeName == "map" =>
+        s"${f.name}:${f.dataType.simpleString}"
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
     val only = args.drop(2).toSet // optional subset (driver passes none)
@@ -14,11 +23,26 @@ object Verify {
     }
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
+    var schemaViolations = List.empty[String]
     SparkEntry.queries
       .filter(q => only.isEmpty || only(q._1))
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Driver-compare portability guard (SURVEY §6): the driver's
+        // pandas hash-compare cannot sort array/map cells — any such
+        // column must be array_join'ed or exploded BEFORE it gets here.
+        // Fail fast (and loudly, below) instead of passing locally and
+        // crashing only in the driver's compare (the q_calendar_gaps
+        // class, round 6).
+        val bad = nonScalarColumns(df.schema)
+        if (bad.nonEmpty) {
+          schemaViolations ::= s"$name(${bad.mkString(", ")})"
+          System.err.println(
+            s"[verify] $name emits non-scalar columns the driver compare " +
+            s"cannot hash: ${bad.mkString(", ")} — array_join/explode them")
+        } else df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -38,6 +62,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (schemaViolations.nonEmpty)
+      System.err.println(s"[verify] ${schemaViolations.size} quer" +
+        s"${if (schemaViolations.size == 1) "y" else "ies"} with non-scalar " +
+        s"output (no parquet written): ${schemaViolations.mkString("; ")}")
     spark.stop()
   }
 }

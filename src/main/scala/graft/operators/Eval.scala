@@ -108,8 +108,12 @@ object Eval {
 
   /** nDCG@k with binary relevance — the position-discounted ranking
     * metric next to [[rankMetrics]]'s MRR/AP: DCG = Σ rel_i/log₂(i+1)
-    * over the candidate ranking, normalized by the ideal DCG of
-    * n_rel relevant items packed at the top.
+    * over the candidate ranking, normalized by the ideal DCG of the
+    * QUERY'S FULL relevant set (min(|relevant|, k) terms packed at
+    * the top) — standard nDCG. The IDCG basis is deliberately NOT
+    * the retrieved-relevant count: a retriever returning 1 of 10
+    * relevant items ranked first must score ≈0.22, not 1.0, or the
+    * metric masks recall loss (r6 ADVICE item).
     *
     * Determinism contract: discounts are written ln(2)/ln(rank+1) —
     * NOT log2() — because Spark's Log2 is ln(x)/ln(2) while C
@@ -119,6 +123,10 @@ object Eval {
     */
   def ndcg(ranked: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
     val ln2 = log(lit(2.0))
+    // per-query relevant-set SIZE (the IDCG basis) — a |queries|-row
+    // aggregate, joined in alongside the retrieved-relevant count.
+    val relSize = relevant.groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("long").as("n_rel_total"))
     val rel = ranked
       .join(relevant.select(col("query_id"), col("nbr_id"))
           .withColumn("is_rel", lit(1)),
@@ -131,11 +139,14 @@ object Eval {
       .groupBy(col("query_id"))
       .agg(sum(col("rel")).cast("long").as("n_rel"),
         sort_array(collect_list(struct(col("rank"), dcgTerm.as("t")))).as("ts"))
+      .join(relSize, Seq("query_id"), "left")
       .select(col("query_id"), col("n_rel"),
         aggregate(col("ts"), lit(0.0), (acc, x) => acc + x.getField("t"))
           .as("dcg"),
-        when(col("n_rel") > 0,
-          aggregate(sequence(lit(1), least(col("n_rel"), lit(k.toLong)).cast("int")),
+        when(coalesce(col("n_rel_total"), lit(0L)) > 0,
+          aggregate(
+            sequence(lit(1),
+              least(col("n_rel_total"), lit(k.toLong)).cast("int")),
             lit(0.0), (acc, i) => acc + ln2 / log((i + 1).cast("double"))))
           .otherwise(lit(0.0)).as("idcg"))
       .select(col("query_id"), col("n_rel"),

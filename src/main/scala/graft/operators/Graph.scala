@@ -224,6 +224,14 @@ object Graph {
       if (n2 == nEdges) stable = true
       e = e2; nEdges = n2; round += 1
     }
+    // non-fixpoint exit: the final deg>=k filter below would drop nodes
+    // while their edges still inflate survivors' reported degrees —
+    // warn like connectedComponents does rather than silently return a
+    // supergraph-with-wrong-degrees (r6 ADVICE item).
+    if (!stable && nEdges > 0)
+      System.err.println(s"[graft] kCore: no fixpoint after $maxRounds " +
+        s"rounds ($nEdges edges alive) — result may be a supergraph of " +
+        "the true k-core; raise maxRounds")
     e.select(col("a").as("node")).union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .where(col("deg") >= k)

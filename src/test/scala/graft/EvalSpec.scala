@@ -75,4 +75,32 @@ class EvalSpec extends SparkSpecBase {
     assert(m(1L) == ((2L, 0.5, 0.25)))
     assert(m(2L) == ((0L, 0.0, 0.0)))
   }
+
+  test("ndcg IDCG uses the full relevant-set size, not retrieved count") {
+    // query 1: 10 relevant items exist; the retriever finds exactly ONE
+    // and ranks it first. Standard nDCG must be 1/IDCG(10) ≈ 0.22 —
+    // NOT 1.0 (which would mask the recall loss; r6 ADVICE item).
+    val ranked = ((1 to 10).map(r =>
+      (1L, if (r == 1) 100L else 200L + r, r)) ++
+      (1 to 10).map(r => (2L, 100L + r - 1, r)))
+      .toDF("query_id", "nbr_id", "rank")
+    val rel = (for (q <- Seq(1L, 2L); n <- 100L to 109L) yield (q, n))
+      .toDF("query_id", "nbr_id")
+    val m = Eval.ndcg(ranked, rel, k = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val idcg10 = (1 to 10).map(i => math.log(2) / math.log(i + 1)).sum
+    assert(m(1L)._1 == 1L)
+    assert(math.abs(m(1L)._2 - 1.0 / idcg10) < 1e-6)
+    assert(m(1L)._2 < 0.25) // the recall loss is visible
+    // query 2 retrieves all 10 relevant in ideal order -> exactly 1.0
+    assert(m(2L) == ((10L, 1.0)))
+  }
+
+  test("ndcg is 0 when the query has no relevant set at all") {
+    val ranked = Seq((1L, 5L, 1), (1L, 6L, 2)).toDF("query_id", "nbr_id", "rank")
+    val rel = Seq((9L, 5L)).toDF("query_id", "nbr_id")
+    val m = Eval.ndcg(ranked, rel, k = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m(1L) == ((0L, 0.0)))
+  }
 }
