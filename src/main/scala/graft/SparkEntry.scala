@@ -1014,23 +1014,21 @@ object SparkEntry {
       // value and the rejection cut are deterministic; only the final
       // D and the 1.358·√((n₁+n₂)/(n₁n₂)) comparison are fixed-shape
       // doubles over the same exact integers. Scale: the corpus
-      // reduces map-side to one row per distinct price; the
-      // cumulative window runs on that bounded table (documented:
-      // distinct-value-bounded, like the vocab tables), never the
-      // corpus.
-      import org.apache.spark.sql.expressions.Window
+      // reduces map-side to one row per distinct price; for a
+      // CONTINUOUS column distinct values ≈ rows, so the CDF prefix
+      // sums run as a distributed two-phase scan (PrefixSum: range
+      // buckets → partitioned per-bucket cumsum → broadcast bucket
+      // offsets) — no single-partition global window anywhere
+      // (r6 verdict item; PlanSpec-asserted).
       val o = tbl(s, dir, "orders")
         .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
           (col("o_orderstatus") === "F").as("s1"))
       val perV = o.groupBy(col("cents")).agg(
         sum(when(col("s1"), 1L).otherwise(0L)).as("c1"),
         sum(when(col("s1"), 0L).otherwise(1L)).as("c2"))
-      val wCum = Window.orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = perV
-        .select(col("cents"),
-          sum(col("c1")).over(wCum).as("f1"),
-          sum(col("c2")).over(wCum).as("f2"))
+      val cum = operators.PrefixSum.prefixSums(perV, Seq(col("cents")),
+          Seq("f1" -> col("c1"), "f2" -> col("c2")))
+        .select(col("cents"), col("f1"), col("f2"))
       val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
       val num = abs(col("f1").cast("decimal(38,0)") * col("n2") -
         col("f2").cast("decimal(38,0)") * col("n1"))
@@ -1842,20 +1840,24 @@ object SparkEntry {
       // 80% of revenue) + the exact Gini coefficient — the
       // concentration row of the profiling family. Gini is the exact
       // rational Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) over revenue-ascending
-      // order (numerator folds in decimal-exact integers); the
-      // cumulative-share window runs on the parts-bounded aggregate.
-      import org.apache.spark.sql.expressions.Window
+      // order (numerator folds in decimal-exact integers). Parts grow
+      // with SF (~2B at 100 TB TPC-H scale), so the global order runs
+      // as a distributed two-phase scan (PrefixSum) — rank i and the
+      // ascending running sum in ONE pass, the descending cumulative
+      // derived as t − cum_asc + rev (exact integers; tied revenues
+      // permute within the tie, which leaves the partial-sum SEQUENCE
+      // — and hence n80 and Gini — identical). No single-partition
+      // window (r6 verdict item; PlanSpec-asserted).
       val per = tbl(s, dir, "lineitem")
         .select(col("l_partkey"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"))
         .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev"))
-      val wAsc = Window.orderBy(col("rev"), col("l_partkey"))
-      val wDesc = Window.orderBy(col("rev").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = per.agg(count(lit(1)).as("n"), sum(col("rev")).as("t"))
-      val ranked = per.crossJoin(broadcast(tot))
-        .withColumn("i", row_number().over(wAsc).cast("long"))
-        .withColumn("cum_desc", sum(col("rev")).over(wDesc))
+      val ranked = operators.PrefixSum.prefixSums(per,
+          Seq(col("rev"), col("l_partkey")),
+          Seq("cum_asc" -> col("rev")), rowNum = Some("i"))
+        .crossJoin(broadcast(tot))
+        .withColumn("cum_desc", col("t") - col("cum_asc") + col("rev"))
         .localCheckpoint(true)
       val gnum = ranked.agg(sum(
         ((col("i") * 2 - col("n") - 1) * col("rev")).cast("decimal(38,0)"))
@@ -5135,7 +5137,12 @@ object SparkEntry {
         |r AS (
         |  SELECT l_partkey, rev,
         |    CAST(row_number() OVER (ORDER BY rev, l_partkey) AS BIGINT) AS i,
-        |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |    -- tiebreak DESC so (position n-i+1, cum_desc) describe ONE
+        |    -- consistent descending order: the pre-r7 (rev DESC,
+        |    -- l_partkey ASC) cum mixed two orders on tied revenues and
+        |    -- could shift n80 by a row or two (caught at sf1, where the
+        |    -- copy-scaled corpus makes revenue ties dense)
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey DESC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      AS cum_desc
         |  FROM per),

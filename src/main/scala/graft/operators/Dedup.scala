@@ -572,15 +572,23 @@ object Dedup {
       .foldCentroids(Similarity.sampleCentroids(vectors, nClusters))
       .localCheckpoint(true)
     // (vec_id, emb, list_id), map-only; materialized once because the
-    // pair join consumes it twice and the survivor anti-join a third
-    // time — re-planning would redo the centroid argmax per consumer
+    // pair join consumes it twice (bare ids), the embedding rejoins
+    // twice more, and the survivor anti-join once — re-planning would
+    // redo the centroid argmax per consumer
     val assigned = Similarity
       .assignFolded(vectors, centroidSet, "vec_id", "emb", probes = 1)
       .localCheckpoint(true)
-    val a = assigned.select(col("list_id"), col("vec_id").as("a"), col("emb").as("ea"))
-    val b = assigned.select(col("list_id"), col("vec_id").as("b"), col("emb").as("eb"))
-    val dropped = a.join(b, Seq("list_id"))
+    // bare-id cluster self-join (2 longs/row on the list_id exchange);
+    // embeddings re-attach via pairs-bounded rejoins — the
+    // embeddingCosinePairs/mutualKnn discipline (r6 verdict item)
+    val a = assigned.select(col("list_id"), col("vec_id").as("a"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("b"))
+    val cand = a.join(b, Seq("list_id"))
       .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    val dropped = cand
+      .join(assigned.select(col("vec_id").as("a"), col("emb").as("ea")), Seq("a"))
+      .join(assigned.select(col("vec_id").as("b"), col("emb").as("eb")), Seq("b"))
       .where(VectorFunctions.cosine(col("ea"), col("eb")) >= threshold)
       .select(col("b").as("vec_id"))
       .distinct()
@@ -659,9 +667,14 @@ object Dedup {
                            threshold: Double = 0.95,
                            nPlanes: Int = 8,
                            maxDocsPerBucket: Int = 10000): DataFrame = {
+    // bare (vec_id, bucket) longs — the embedding array is consumed by
+    // the hyperplane projection in the scan stage and NEVER rides the
+    // bucket exchange (the minhash/mutualKnn bare-id discipline: at
+    // 10⁹ × 768-dim vectors the old both-sides-carry-embeddings bucket
+    // self-join moved ~2× the corpus embedding volume where 2 longs/row
+    // do — r6 verdict item; PlanSpec-asserted).
     val bucketed = vectors.select(
       col("vec_id"),
-      col("embedding"),
       VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes).as("bucket")
     )
       // materialized ONCE: the hot-bucket aggregate and both join sides
@@ -672,10 +685,20 @@ object Dedup {
       .agg(count(lit(1)).as("cnt")).where(col("cnt") > maxDocsPerBucket)
       .select(col("bucket"))
     val capped = bucketed.join(broadcast(hot), Seq("bucket"), "left_anti")
-    val a = capped.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = capped.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
-    a.join(b, Seq("bucket"))
+    val a = capped.select(col("bucket"), col("vec_id").as("a"))
+    val b = capped.select(col("bucket"), col("vec_id").as("b"))
+    // each vector has exactly ONE bucket (single signature table), so
+    // every candidate pair is emitted once — no dedup shuffle needed;
+    // embeddings re-attach via two pairs-bounded rejoins and each pair
+    // is scored exactly once
+    val cand = a.join(b, Seq("bucket"))
       .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    cand
+      .join(vectors.select(col("vec_id").as("a"), col("embedding").as("ea")),
+        Seq("a"))
+      .join(vectors.select(col("vec_id").as("b"), col("embedding").as("eb")),
+        Seq("b"))
       .withColumn("cos", VectorFunctions.cosine(col("ea"), col("eb")))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))

@@ -339,6 +339,27 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("embedding dedup bucket joins shuffle bare ids — embeddings stay off the exchanges") {
+    import org.apache.spark.sql.types.ArrayType
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    // embeddingCosinePairs + semanticDedup now follow the
+    // minhash/mutualKnn discipline: the bucket/cluster self-join
+    // carries (bucket, vec_id) longs; embeddings re-attach via
+    // pairs-bounded broadcast rejoins (r6 verdict item 3).
+    for ((name, df) <- Seq(
+      "embeddingCosinePairs" ->
+        graft.operators.Dedup.embeddingCosinePairs(emb, threshold = 0.9, nPlanes = 4),
+      "semanticDedup" ->
+        graft.operators.Dedup.semanticDedup(emb, nClusters = 4, threshold = 0.9))) {
+      val offending = shuffles(df).filter { s =>
+        s.outputPartitioning != org.apache.spark.sql.catalyst.plans.physical.SinglePartition &&
+          s.output.exists(_.dataType.isInstanceOf[ArrayType])
+      }
+      assert(offending.isEmpty,
+        s"$name shuffles embedding arrays:\n${offending.map(_.output.mkString(", ")).mkString("\n")}")
+    }
+  }
+
   test("minhash bucket join shuffles bare ids — shingle arrays stay out of band exchanges") {
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.types.ArrayType
@@ -511,5 +532,40 @@ class PlanSpec extends SparkSpecBase {
     }
     assert(silBad.isEmpty,
       s"silhouette shuffles embedding arrays:\n${silBad.map(_.output.mkString(", ")).mkString("\n")}")
+  }
+
+  test("no single-partition global window outside the bounded whitelist") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // A WindowExec with NO partitionSpec moves its whole input to one
+    // partition — lethal when the input grows with SF (the r6 verdict
+    // flagged q_ks_test/q_pareto; both now run on PrefixSum's two-phase
+    // scan). This sweep locks the rest of the inventory: a new query
+    // may only carry a global window if its input is bounded by
+    // construction and its name is adjudicated here.
+    val bounded = Set(
+      // windows over the |strata|-row moment table (strata = source
+      // values; one corpus reduce precedes)
+      "d_sample_neyman",
+      // windows over the coarse-bucket-pruned frontier residual
+      // (dominated points already dropped by the broadcast min-table)
+      "q_skyline",
+      // window over the bounded (score, count) integer-ppm
+      // distribution table (score domain ≤ 10⁶ ppm values)
+      "t_quality_buckets",
+      // window over the TakeOrdered top-max(k) vocab cut (≤ 10⁴ rows
+      // by the literal k)
+      "t_vocab_coverage")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val bad =
+        try nonAdaptive() {
+          SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan
+            .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+            .nonEmpty
+        }
+        catch { case _: Throwable => false } // runtime issues: other gates' job
+      if (bad && !bounded(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unadjudicated single-partition global windows in: $offenders")
   }
 }
