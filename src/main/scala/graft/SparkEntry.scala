@@ -2178,6 +2178,33 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seq"))
     }),
 
+    "i_html_elements" -> ((s, dir) => {
+      // the in-process HTML reader (HtmlElementReader — the
+      // MarkItDownReader twin) over a deterministic HTML rendering of
+      // the documents corpus: title header, entity-escaped body
+      // paragraph, a metadata list, a standalone image, and an
+      // hr-then-footer — headers/paragraphs/lists/images/footers all
+      // exercised corpus-wide with a corpus-exact oracle (structure
+      // depth is spec-tested in HtmlReaderSpec). Parsing is one typed
+      // flatMap: map-only at any corpus size, like the markdown reader.
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val htmlDocs = tbl(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<html><head><title>t</title><style>p{x:0}</style></head><body>"),
+        lit("<h1>Doc "), col("doc_id"), lit("</h1>"),
+        lit("<p>body: "), esc, lit("</p>"),
+        lit("<ul><li>lang: "), col("lang"), lit("</li><li>source: "),
+        col("source"), lit("</li></ul>"),
+        lit("<img src=\"img"), col("doc_id"), lit(".png\" alt=\"fig "),
+        col("doc_id"), lit("\"/>"),
+        lit("<hr/><p>end of doc "), col("doc_id"), lit("</p></body></html>"))
+        .as("html"))
+      graft.sources.HtmlElementReader.elements(s, htmlDocs).toDF()
+        .select(col("doc_id"), col("seq"), col("kind"), col("level"), col("text"))
+        .orderBy(col("doc_id"), col("seq"))
+    }),
+
     "i_removal_processor" -> ((s, dir) => {
       val elems = graft.sources.MarkdownElementReader.elements(s, tbl(s, dir, "documents")).toDF()
       Processors.removeEmpty(Processors.removeFooters(elems))
@@ -4508,6 +4535,23 @@ object SparkEntry {
       """SELECT doc_id, CAST(0 AS INT) AS seq, 'paragraph' AS kind,
         |  CAST(0 AS INT) AS level, text
         |FROM documents WHERE length(trim(text)) > 0
+        |ORDER BY doc_id, seq""".stripMargin,
+
+    // replay of the deterministic HTML wrapping: the reader must
+    // decode the entity escapes back to the original text and collapse
+    // HTML whitespace runs; element order is fixed by the template
+    "i_html_elements" ->
+      """WITH base AS (SELECT doc_id, text, lang, source FROM documents)
+        |SELECT doc_id, CAST(seq AS INT) AS seq, kind,
+        |  CAST(level AS INT) AS level, text FROM (
+        |  SELECT doc_id, 0 AS seq, 'header' AS kind, 1 AS level,
+        |    'Doc ' || doc_id AS text FROM base
+        |  UNION ALL SELECT doc_id, 1, 'paragraph', 0,
+        |    trim(regexp_replace('body: ' || text, '\s+', ' ', 'g')) FROM base
+        |  UNION ALL SELECT doc_id, 2, 'paragraph', 0, 'lang: ' || lang FROM base
+        |  UNION ALL SELECT doc_id, 3, 'paragraph', 0, 'source: ' || source FROM base
+        |  UNION ALL SELECT doc_id, 4, 'image', 0, 'fig ' || doc_id FROM base
+        |  UNION ALL SELECT doc_id, 5, 'footer', 0, 'end of doc ' || doc_id FROM base)
         |ORDER BY doc_id, seq""".stripMargin,
 
     "i_chunk_header" -> structuralChunkOracle,

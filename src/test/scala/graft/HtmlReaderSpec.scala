@@ -1,0 +1,176 @@
+package graft
+
+import graft.sources.HtmlElementReader
+import org.apache.spark.sql.functions._
+
+/** HtmlElementReader — HTML in, the SAME element stream the markdown
+  * reader emits (the MarkItDownReader contract: html → markdown
+  * elements). Structure expectations are ported from the reference's
+  * MarkdownReader behaviors (header levels, Section flattening, footer
+  * after a break, image alt text) applied to the HTML equivalents,
+  * plus the tolerant-parsing cases a real crawl needs (unclosed tags,
+  * stray closes, entities, script/style stripping).
+  */
+class HtmlReaderSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def blocks(html: String) = HtmlElementReader.parseBlocks(html)
+
+  test("headers and paragraphs in document order, head/script/style dropped") {
+    val got = blocks(
+      """<html><head><title>T</title><style>p{color:red}</style></head>
+        |<body><h1>Title</h1><p>First para.</p>
+        |<script>var x = "<p>not content</p>";</script>
+        |<h2>Sub</h2><p>Second para.</p></body></html>""".stripMargin)
+    assert(got.map(b => (b._1, b._2, b._4)) == Seq(
+      ("header", 1, "Title"),
+      ("paragraph", 0, "First para."),
+      ("header", 2, "Sub"),
+      ("paragraph", 0, "Second para.")))
+    assert(got.head._3 == "# Title") // markdown rendering
+  }
+
+  test("unclosed <p> and <li> tags parse tolerantly (implicit close)") {
+    val got = blocks("<p>one<p>two<ul><li>a<li>b</ul><p>three")
+    assert(got.map(_._4) == Seq("one", "two", "a", "b", "three"))
+    assert(got.map(_._1) == Seq("paragraph", "paragraph", "paragraph",
+      "paragraph", "paragraph"))
+  }
+
+  test("entities decode (named, numeric, hex); unknown pass through") {
+    val got = blocks("<p>a &amp; b &lt;tag&gt; &#65;&#x42; &nosuch; &copy;</p>")
+    assert(got.head._4 == "a & b <tag> AB &nosuch; ©")
+  }
+
+  test("inline markup renders as markdown, text stays plain") {
+    val got = blocks(
+      """<p>see <a href="http://x.y/z">the docs</a> and <b>bold</b>,
+        |<em>it</em>, <code>f(x)</code></p>""".stripMargin)
+    assert(got.head._3 ==
+      "see [the docs](http://x.y/z) and **bold**, *it*, `f(x)`")
+    assert(got.head._4 == "see the docs and bold, it, f(x)")
+  }
+
+  test("table: pipe markdown, separator after first row, cell text joined") {
+    val got = blocks(
+      """<table><thead><tr><th>h1</th><th>h2</th></tr></thead>
+        |<tbody><tr><td>a</td><td>b</td></tr>
+        |<tr><td>c</td><td>d</td></tr></tbody></table>""".stripMargin)
+    assert(got.size == 1)
+    val (kind, _, md, text) = got.head
+    assert(kind == "table")
+    assert(md == "| h1 | h2 |\n| --- | --- |\n| a | b |\n| c | d |")
+    assert(text == "h1 h2 a b c d")
+  }
+
+  test("standalone image yields alt text; hr marks the next block a footer") {
+    val got = blocks(
+      """<p><img src="u.png" alt="a chart"/></p>
+        |<hr/><p>page 3 of 9</p>""".stripMargin)
+    assert(got == Seq(
+      ("image", 0, "![a chart](u.png)", "a chart"),
+      ("footer", 0, "page 3 of 9", "page 3 of 9")))
+  }
+
+  test("image first after <hr> is a footer (reference MapLeafBlock order)") {
+    val got = blocks("""<hr/><p><img src="u.png" alt="logo"/></p>""")
+    // footer text = alt, mirroring the markdown reader's stripInline
+    assert(got == Seq(("footer", 0, "![logo](u.png)", "logo")))
+  }
+
+  test("<footer> container paragraphs emit as footer kind") {
+    val got = blocks("<p>body</p><footer><p>fine print</p></footer>")
+    assert(got == Seq(
+      ("paragraph", 0, "body", "body"),
+      ("footer", 0, "fine print", "fine print")))
+  }
+
+  test("blockquote and div flatten to children (Section semantics)") {
+    val got = blocks(
+      """<blockquote><h3>quoted head</h3><p>quoted para</p></blockquote>
+        |<div><p>in div</p></div>""".stripMargin)
+    assert(got.map(b => (b._1, b._2, b._4)) == Seq(
+      ("header", 3, "quoted head"),
+      ("paragraph", 0, "quoted para"),
+      ("paragraph", 0, "in div")))
+  }
+
+  test("list items become one element each; image items stay images") {
+    val got = blocks(
+      """<ul><li>alpha</li><li><img src="i.png" alt="fig"/></li>
+        |<li>beta <b>strong</b></li></ul>""".stripMargin)
+    assert(got.map(b => (b._1, b._4)) == Seq(
+      ("paragraph", "alpha"),
+      ("image", "fig"),
+      ("paragraph", "beta strong")))
+  }
+
+  test("nested lists flatten; ordered lists too") {
+    val got = blocks(
+      "<ol><li>one<ul><li>one-a</li><li>one-b</li></ul></li><li>two</li></ol>")
+    assert(got.map(_._4) == Seq("one", "one-a", "one-b", "two"))
+  }
+
+  test("pre keeps verbatim body as code, whitespace preserved") {
+    val got = blocks("<pre>def f(x):\n    return x &lt; 2</pre>")
+    assert(got == Seq(("code", 0,
+      "```\ndef f(x):\n    return x < 2\n```", "def f(x):\n    return x < 2")))
+  }
+
+  test("mixed inline content under body merges into one paragraph") {
+    val got = blocks("plain text <b>bold</b> tail<p>next</p>")
+    assert(got.map(_._4) == Seq("plain text bold tail", "next"))
+  }
+
+  test("img mid-run stays inline; img starting a block is standalone") {
+    val inline = blocks("""<div>text <img src="u" alt="x"/> more</div>""")
+    assert(inline.map(b => (b._1, b._4)) == Seq(("paragraph", "text x more")))
+    val standalone = blocks("""<div><img src="u" alt="x"/></div>""")
+    assert(standalone.map(b => (b._1, b._4)) == Seq(("image", "x")))
+  }
+
+  test("whitespace collapses per block (HTML semantics)") {
+    val got = blocks("<p>a\n   b\t\tc</p>")
+    assert(got.head._4 == "a b c")
+  }
+
+  test("stray close tags and '<' junk never throw; parse is deterministic (fuzz)") {
+    val rnd = new scala.util.Random(7)
+    val atoms = Seq("<p>", "</p>", "<div>", "</div>", "<h2>", "</h2>",
+      "text & more", "<", ">", "<<>>", "<img src=x>", "</nope>", "<ul>",
+      "<li>", "&#x41;", "&broken", "<table><tr><td>c", "<!-- c -->",
+      "<script>x<y</script>", "\n\n", "<b>z", "<a href=u>l</a>", "<hr>",
+      "<pre>p</pre>", "<blockquote>", "<p / x>", "<a href=>", "<b =v>")
+    for (_ <- 0 until 300) {
+      val doc = Seq.fill(rnd.nextInt(30))(atoms(rnd.nextInt(atoms.size))).mkString
+      val a = blocks(doc); val b = blocks(doc)
+      assert(a == b)
+    }
+  }
+
+  test("empty and null-ish inputs") {
+    assert(blocks("").isEmpty)
+    assert(blocks("   \n  ").isEmpty)
+    assert(blocks("<html><body></body></html>").isEmpty)
+  }
+
+  test("elements: pageCol and metaCols propagate; pipeline is reader-agnostic") {
+    val docs = Seq(
+      (1L, "<h1>A</h1><p>body text</p>", 3, "web"),
+      (2L, "<p>only para</p>", 5, "crawl")
+    ).toDF("doc_id", "html", "page", "src")
+    val got = HtmlElementReader.elements(spark, docs,
+        pageCol = Some("page"), metaCols = Seq("src"))
+      .collect().sortBy(e => (e.doc_id, e.seq))
+    assert(got.map(e => (e.doc_id, e.seq, e.kind, e.text)).toSeq == Seq(
+      (1L, 0, "header", "A"), (1L, 1, "paragraph", "body text"),
+      (2L, 0, "paragraph", "only para")))
+    assert(got.forall(e => e.page_number.isDefined && e.metadata.contains("src")))
+    // the element stream feeds the SAME downstream ops as markdown
+    val elems = HtmlElementReader.elements(spark, docs,
+      pageCol = Some("page"), metaCols = Seq("src")).toDF()
+    val processed = graft.operators.Processors.removeEmpty(
+      graft.operators.Processors.removeFooters(elems))
+    assert(processed.count() == 3)
+  }
+}
