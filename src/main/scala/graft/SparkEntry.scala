@@ -2886,7 +2886,9 @@ object SparkEntry {
     "s_knn_lsh" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
-      Similarity.knnLsh(emb, queries, dim = 64, k = 5)
+      // nPlanes pinned for oracle parity (the library default 0
+      // auto-scales from a corpus count — Similarity.autoPlanes)
+      Similarity.knnLsh(emb, queries, dim = 64, k = 5, nPlanes = 8)
         .select(col("query_id"), col("rank"), col("nbr_id"), round(col("cos"), 6).as("cos"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -3185,8 +3187,9 @@ object SparkEntry {
     }),
 
     "s_pairwise_dups" -> ((s, dir) => {
+      // nPlanes pinned for oracle parity (library default auto-scales)
       Similarity.pairwiseHighCosine(vecsWithDups(tbl(s, dir, "embeddings")),
-          threshold = 0.85)
+          threshold = 0.85, nPlanes = 8)
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("a"), col("b"))
     }),

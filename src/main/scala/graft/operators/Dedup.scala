@@ -665,8 +665,14 @@ object Dedup {
 
   def embeddingCosinePairs(vectors: DataFrame,
                            threshold: Double = 0.95,
-                           nPlanes: Int = 8,
+                           nPlanes: Int = 0,
                            maxDocsPerBucket: Int = 10000): DataFrame = {
+    // nPlanes = 0 (default): derive ≈log₂(N/target-bucket) from one
+    // cheap count so bucket occupancy stays flat at any corpus size
+    // (Similarity.autoPlanes — the knob was documented but every call
+    // site used to pin a constant; r6 verdict item 6)
+    val planes =
+      if (nPlanes > 0) nPlanes else Similarity.autoPlanes(vectors.count())
     // bare (vec_id, bucket) longs — the embedding array is consumed by
     // the hyperplane projection in the scan stage and NEVER rides the
     // bucket exchange (the minhash/mutualKnn bare-id discipline: at
@@ -675,7 +681,7 @@ object Dedup {
     // do — r6 verdict item; PlanSpec-asserted).
     val bucketed = vectors.select(
       col("vec_id"),
-      VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes).as("bucket")
+      VectorFunctions.hyperplaneBucket(col("embedding"), planes).as("bucket")
     )
       // materialized ONCE: the hot-bucket aggregate and both join sides
       // would otherwise each re-scan the vector table and re-project the

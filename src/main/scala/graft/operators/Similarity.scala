@@ -49,21 +49,40 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Auto-scaled hyperplane count — the documented nPlanes rule
+    * (≈ log₂(N / target bucket size)) made executable: with FIXED
+    * planes, expected bucket occupancy N/2^p grows linearly with the
+    * corpus and the within-bucket pair stage goes quadratic; deriving
+    * p from one cheap count aggregate keeps occupancy — and therefore
+    * candidate volume per vector — flat at any corpus size
+    * (AutoPlanesSpec measures exactly this across GenData-style
+    * factors). Floored at 4 planes so tiny corpora keep a few buckets.
+    * Passing `nPlanes = 0` at the LSH entry points ([[knnLsh]],
+    * [[mutualKnn]], [[Dedup.embeddingCosinePairs]]) selects this;
+    * explicit values remain for oracle parity and recall tuning.
+    */
+  def autoPlanes(corpusCount: Long, targetBucket: Int = 256): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, corpusCount.toDouble / targetBucket)) /
+        math.log(2.0)).toInt)
+
   /** LSH-bucketed ANN: hyperplane-bucket both corpus and queries, score
     * only same-bucket pairs, per-query top-k. Multi-probe via
     * `nTables` plane sets with table-seeded weights — each table is an
     * INDEPENDENT family (a mere plane-count change would nest the
     * buckets and add zero recall); candidates are deduped before
-    * scoring.
+    * scoring. `nPlanes = 0` (the default) auto-scales from a corpus
+    * count ([[autoPlanes]]).
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
-             nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
+             nPlanes: Int = 0, nTables: Int = 2): DataFrame = {
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count())
     def bucketize(df: DataFrame, idName: String, embName: String): DataFrame = {
       val buckets = array((0 until nTables).map { t =>
         struct(
           lit(t).as("table"),
           VectorFunctions
-            .hyperplaneBucket(col("embedding"), nPlanes, seed = t)
+            .hyperplaneBucket(col("embedding"), planes, seed = t)
             .as("bucket")
         )
       }: _*)
@@ -124,7 +143,7 @@ object Similarity {
     * (bucket-prefiltered, never all-pairs).
     */
   def pairwiseHighCosine(vectors: DataFrame, threshold: Double,
-                         nPlanes: Int = 8): DataFrame =
+                         nPlanes: Int = 0): DataFrame =
     Dedup.embeddingCosinePairs(vectors, threshold, nPlanes)
 
   /** IVF-style ANN: partition the corpus into `nLists` inverted lists
@@ -590,18 +609,20 @@ object Similarity {
     * dedup / rank / mutual-join shuffles carry (ids, micro long).
     */
   def mutualKnn(vectors: DataFrame, k: Int = 5,
-                nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
+                nPlanes: Int = 0, nTables: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // nPlanes must scale with the corpus (≈ log₂(N / target bucket
     // size)): with fixed planes, bucket occupancy — and the candidate
     // pair count — grows linearly with N, so the pair stage is
     // quadratic per bucket (measured: 4s at 1k vectors, 145s at 66k
-    // with the demo's 8 planes before this restructure). The same
-    // guidance as embeddingCosinePairs (≥20-24 planes at 10⁹ vectors).
+    // with the demo's 8 planes before this restructure). nPlanes = 0
+    // (the default) derives the count from one cheap aggregate
+    // ([[autoPlanes]]); explicit values remain for oracle parity.
+    val planes = if (nPlanes > 0) nPlanes else autoPlanes(vectors.count())
     val banded = vectors.select(col("vec_id"),
       explode(array((0 until nTables).map { t =>
         struct(lit(t).as("t"),
-          VectorFunctions.hyperplaneBucket(col("embedding"), nPlanes, seed = t)
+          VectorFunctions.hyperplaneBucket(col("embedding"), planes, seed = t)
             .as("bucket"))
       }: _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
