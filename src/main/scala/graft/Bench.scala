@@ -85,7 +85,16 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"retimed":${jmap(retimed)},"sf":"$sfDir","errors":$errJson}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"retimed":${jmap(retimed)},"sf":"$sfDir","errors":$errJson}"""
+    println(json)
+    // The driver captures only the tail of stdout, so the r7 BENCH
+    // artifact lost most of the per-query map ("parsed": null). Also
+    // write the full JSON to a repo-root file (override via
+    // SPARK_GRAFT_BENCH_OUT) so per-query history survives rounds
+    // without a judge re-run (r7 verdict item 8).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

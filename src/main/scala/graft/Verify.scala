@@ -5,13 +5,21 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   /** Columns the driver's pandas hash-compare cannot sort/hash
-    * (array/map cells) — any query emitting one must array_join or
-    * explode it first (SURVEY §6). Spec-tested in VerifySpec. */
-  def nonScalarColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] =
-    schema.fields.toSeq.collect {
-      case f if f.dataType.typeName == "array" || f.dataType.typeName == "map" =>
-        s"${f.name}:${f.dataType.simpleString}"
+    * (array/map/struct cells, at ANY nesting depth — a struct wrapping
+    * scalars is just as unhashable as a top-level array, and an array
+    * buried inside a struct would slip a shallow check) — any query
+    * emitting one must array_join or explode it first (SURVEY §6).
+    * Spec-tested in VerifySpec. */
+  def nonScalarColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    def nonScalar(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
     }
+    schema.fields.toSeq.collect {
+      case f if nonScalar(f.dataType) => s"${f.name}:${f.dataType.simpleString}"
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)

@@ -666,13 +666,19 @@ object Dedup {
   def embeddingCosinePairs(vectors: DataFrame,
                            threshold: Double = 0.95,
                            nPlanes: Int = 0,
-                           maxDocsPerBucket: Int = 10000): DataFrame = {
+                           maxDocsPerBucket: Int = 10000,
+                           knownCount: Long = 0L): DataFrame = {
     // nPlanes = 0 (default): derive ≈log₂(N/target-bucket) from one
     // cheap count so bucket occupancy stays flat at any corpus size
     // (Similarity.autoPlanes — the knob was documented but every call
-    // site used to pin a constant; r6 verdict item 6)
+    // site used to pin a constant; r6 verdict item 6). The count is an
+    // EAGER job at construction time (it must run before bucketize);
+    // pass `knownCount` from a pipeline that already counted the
+    // corpus so composed LSH stages don't re-count it (r7 advice).
     val planes =
-      if (nPlanes > 0) nPlanes else Similarity.autoPlanes(vectors.count())
+      if (nPlanes > 0) nPlanes
+      else Similarity.autoPlanes(
+        if (knownCount > 0) knownCount else vectors.count())
     // bare (vec_id, bucket) longs — the embedding array is consumed by
     // the hyperplane projection in the scan stage and NEVER rides the
     // bucket exchange (the minhash/mutualKnn bare-id discipline: at
@@ -696,7 +702,12 @@ object Dedup {
     // each vector has exactly ONE bucket (single signature table), so
     // every candidate pair is emitted once — no dedup shuffle needed;
     // embeddings re-attach via two pairs-bounded rejoins and each pair
-    // is scored exactly once
+    // is scored exactly once. Precisely: embeddings stay off the
+    // BUCKET exchange (the quadratic-capable one — PlanSpec-asserted);
+    // above the auto-broadcast threshold the id-keyed rejoin is a
+    // sort-merge that shuffles the vector table by vec_id, which is a
+    // LINEAR, once-per-side exchange and the acceptable cost of
+    // re-attachment (r7 advice: claim scoped to the bucket exchange)
     val cand = a.join(b, Seq("bucket"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"))

@@ -73,10 +73,21 @@ object Similarity {
     * buckets and add zero recall); candidates are deduped before
     * scoring. `nPlanes = 0` (the default) auto-scales from a corpus
     * count ([[autoPlanes]]).
+    *
+    * NOTE the auto path runs an EAGER `corpus.count()` Spark job at
+    * DataFrame-construction time (before the lazy plan is returned) —
+    * on an expensive unmaterialized input that count recomputes the
+    * input plan. A composed pipeline that already knows the corpus
+    * size (or calls several LSH operators over the same corpus)
+    * should pass `knownCount` so exactly one count job runs per
+    * pipeline (r7 advice; AutoPlanesSpec asserts the job count).
     */
   def knnLsh(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
-             nPlanes: Int = 0, nTables: Int = 2): DataFrame = {
-    val planes = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count())
+             nPlanes: Int = 0, nTables: Int = 2,
+             knownCount: Long = 0L): DataFrame = {
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else autoPlanes(if (knownCount > 0) knownCount else corpus.count())
     def bucketize(df: DataFrame, idName: String, embName: String): DataFrame = {
       val buckets = array((0 until nTables).map { t =>
         struct(
@@ -609,7 +620,8 @@ object Similarity {
     * dedup / rank / mutual-join shuffles carry (ids, micro long).
     */
   def mutualKnn(vectors: DataFrame, k: Int = 5,
-                nPlanes: Int = 0, nTables: Int = 2): DataFrame = {
+                nPlanes: Int = 0, nTables: Int = 2,
+                knownCount: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // nPlanes must scale with the corpus (≈ log₂(N / target bucket
     // size)): with fixed planes, bucket occupancy — and the candidate
@@ -617,8 +629,13 @@ object Similarity {
     // quadratic per bucket (measured: 4s at 1k vectors, 145s at 66k
     // with the demo's 8 planes before this restructure). nPlanes = 0
     // (the default) derives the count from one cheap aggregate
-    // ([[autoPlanes]]); explicit values remain for oracle parity.
-    val planes = if (nPlanes > 0) nPlanes else autoPlanes(vectors.count())
+    // ([[autoPlanes]]) — an EAGER job at construction time; pass
+    // `knownCount` when the pipeline already counted this corpus so
+    // the count runs once per pipeline, not once per operator.
+    // Explicit nPlanes values remain for oracle parity.
+    val planes =
+      if (nPlanes > 0) nPlanes
+      else autoPlanes(if (knownCount > 0) knownCount else vectors.count())
     val banded = vectors.select(col("vec_id"),
       explode(array((0 until nTables).map { t =>
         struct(lit(t).as("t"),
@@ -630,7 +647,9 @@ object Similarity {
     // cheapest possible exchange), then embeddings re-attach via two
     // joins against the vector table (broadcast/AQE — the minhash
     // verify-rejoin discipline) so each surviving pair is scored ONCE
-    // and no embedding array ever rides the candidate exchange
+    // and no embedding array ever rides the candidate (bucket/distinct)
+    // exchange; above the broadcast threshold the id-keyed rejoin
+    // shuffles the vector table by id — linear, once per side, fine
     val x = banded.select(col("t"), col("bucket"), col("vec_id").as("query_id"))
     val y = banded.select(col("t"), col("bucket"), col("vec_id").as("nbr_id"))
     val cand = x.join(y, Seq("t", "bucket"))

@@ -88,10 +88,21 @@ object HtmlElementReader {
   private def isNameStart(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
+  /** Real-crawl pathological nesting guard (tens of thousands of
+    * unclosed `<div>`s — ImplicitClose covers p/li/tr but div/section
+    * nest freely): beyond this depth new elements are APPENDED but not
+    * PUSHED, so they flatten into the capped ancestor instead of
+    * growing the open stack. Bounds both the parse stack and every
+    * recursive consumer (walk / inlineMd / rawText) — without it a
+    * 100k-deep document throws StackOverflowError inside the flatMap
+    * and fails the whole task (r7 verdict item 3; fuzz-spec'd). */
+  private val MaxDepth = 256
+
   /** Parse into a tolerant DOM rooted at a synthetic <root>. */
   private def parseDom(html: String): Elem = {
     val root = Elem("root", Map.empty, ArrayBuffer.empty)
     var stack = List(root)
+    var depth = 0 // stack.length - 1, tracked to keep the cap O(1)
     val n = html.length
     var i = 0
     val text = new StringBuilder
@@ -123,10 +134,12 @@ object HtmlElementReader {
                       else html.substring(i + 2, end)).trim.toLowerCase
           // pop to the nearest matching open tag; a stray close is a no-op
           if (stack.exists(e => e.tag == name))
-            while (stack.head.tag != name && stack.head.tag != "root")
-              stack = stack.tail
-          if (stack.head.tag == name && stack.head.tag != "root")
-            stack = stack.tail
+            while (stack.head.tag != name && stack.head.tag != "root") {
+              stack = stack.tail; depth -= 1
+            }
+          if (stack.head.tag == name && stack.head.tag != "root") {
+            stack = stack.tail; depth -= 1
+          }
           i = if (end < 0) n else end + 1
         } else if (isNameStart(c1)) { // open tag
           flushText()
@@ -188,14 +201,27 @@ object HtmlElementReader {
               if (gt < 0) n else gt + 1
             }
           } else if (VoidTags.contains(name) || selfClose) {
+            // voids run the implicit-close loop too: browsers close an
+            // open <p> at <hr> (and any void that ImplicitClose names),
+            // so `<p>text<hr><p>footer` makes the <hr> a SIBLING — the
+            // hr-marks-next-block-as-footer idiom survives crawl HTML
+            // (r7 advice: the 'hr' entry was unreachable dead code when
+            // voids bypassed this loop)
+            while (ImplicitClose.get(stack.head.tag).exists(_.contains(name))) {
+              stack = stack.tail; depth -= 1
+            }
             stack.head.children += Elem(name, attrs.result(), ArrayBuffer.empty)
           } else {
             // implicit closes (unclosed <p>, <li>, <tr>, <td> …)
-            while (ImplicitClose.get(stack.head.tag).exists(_.contains(name)))
-              stack = stack.tail
+            while (ImplicitClose.get(stack.head.tag).exists(_.contains(name))) {
+              stack = stack.tail; depth -= 1
+            }
             val e = Elem(name, attrs.result(), ArrayBuffer.empty)
             stack.head.children += e
-            stack = e :: stack
+            // depth cap: append-but-don't-push flattens pathological
+            // nesting — children of over-deep elements attach to the
+            // capped ancestor, content is kept, recursion stays bounded
+            if (depth < MaxDepth) { stack = e :: stack; depth += 1 }
           }
         } else { // '<' followed by junk: literal text
           text.append(c); i += 1

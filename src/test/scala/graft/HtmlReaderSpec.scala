@@ -148,6 +148,36 @@ class HtmlReaderSpec extends SparkSpecBase {
     }
   }
 
+  test("void tags run implicit close: <hr> pops an open <p> (browser semantics)") {
+    // r7 advice: voids used to bypass the ImplicitClose loop, nesting
+    // the <hr> inside the unclosed <p> and silently losing the
+    // hr-marks-next-block-as-footer idiom on crawl HTML
+    assert(blocks("<p>a<hr><p>b").map(b => (b._1, b._4)) ==
+      Seq(("paragraph", "a"), ("footer", "b")))
+    // self-closing form and an img-after-hr agree
+    assert(blocks("<p>a<hr/><img src=x alt=y>").map(b => (b._1, b._4)) ==
+      Seq(("paragraph", "a"), ("footer", "y")))
+    // a void that does NOT implicitly close (img inside p) stays inline
+    assert(blocks("<p>a <img src=x alt=y> b</p>").map(_._4) == Seq("a y b"))
+  }
+
+  test("pathological nesting is depth-capped: no StackOverflowError, content kept") {
+    // r7 verdict item 3: 100k unclosed <div>s (ImplicitClose covers
+    // p/li/tr, div/section nest freely) must parse, not throw from
+    // unbounded parse/walk/inline recursion
+    val deepOpen = "<div>" * 100000 + "<p>survivor</p>"
+    assert(blocks(deepOpen).map(_._4) == Seq("survivor"))
+    // balanced deep nesting too (exercises the close-tag pop path)
+    val balanced = "<div>" * 50000 + "<p>mid</p>" + "</div>" * 50000
+    assert(blocks(balanced).map(_._4) == Seq("mid"))
+    // deep INLINE nesting (b is not a block: exercises inlineMd/Text)
+    val inline = "<p>" + "<b>" * 50000 + "x"
+    assert(blocks(inline).map(_._1) == Seq("paragraph"))
+    assert(blocks(inline).head._4 == "x")
+    // determinism under the cap
+    assert(blocks(deepOpen) == blocks(deepOpen))
+  }
+
   test("empty and null-ish inputs") {
     assert(blocks("").isEmpty)
     assert(blocks("   \n  ").isEmpty)

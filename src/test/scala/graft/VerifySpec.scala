@@ -15,11 +15,15 @@ class VerifySpec extends SparkSpecBase {
     val df = Seq((1L, "x")).toDF("id", "s")
       .withColumn("arr", array(lit(1L), lit(2L)))
       .withColumn("m", map(lit("k"), lit("v")))
+      .withColumn("st", struct(lit(1L).as("a")))              // struct of scalars
+      .withColumn("nested", struct(array(lit(1L)).as("xs")))  // array inside struct
       .withColumn("d", lit(1.5))
     val bad = Verify.nonScalarColumns(df.schema)
     assert(bad.exists(_.startsWith("arr:")))
     assert(bad.exists(_.startsWith("m:")))
-    assert(bad.size == 2)
+    assert(bad.exists(_.startsWith("st:")))
+    assert(bad.exists(_.startsWith("nested:")))
+    assert(bad.size == 4)
     val ok = Verify.nonScalarColumns(
       df.select(col("id"), col("s"), col("d"),
         array_join(col("arr").cast("array<string>"), ",").as("arr")).schema)
