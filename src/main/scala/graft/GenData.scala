@@ -20,14 +20,18 @@ import org.apache.spark.sql.functions._
   *    duplicates, so dedup pair counts grow quadratically in the
   *    factor (each group of f copies yields f(f-1)/2 pairs) and the
   *    near-dup benchmarks measure a pathological corpus rather than a
-  *    bigger one. Copy i > 0 rewrites every third token (position +
-  *    copy keyed), dropping cross-copy 3-gram Jaccard and minhash
-  *    similarity well below every dedup threshold — pair density per
-  *    document stays that of sf0.1 (the corpusWithDups-injected dups),
-  *    volume grows linearly.
-  *  - embeddings: copy i > 0 sign-flips ~1/3 of coordinates (deterministic
-  *    in (vec_id, dim, copy)), pushing cross-copy cosine far below
-  *    near-dup/ANN thresholds for the same reason.
+  *    bigger one. Copy i > 0 rewrites ~every third token, keyed by
+  *    xxhash64(doc_id, position, copy) so rewrite patterns are
+  *    INDEPENDENT across copies (r8: any mod-k arithmetic in `copy`
+  *    is periodic and hands same-residue copies identical patterns —
+  *    quadratic cross-copy pair growth), dropping cross-copy 3-gram
+  *    Jaccard, minhash, and simhash similarity well below every dedup
+  *    threshold — pair density per document stays that of sf0.1 (the
+  *    corpusWithDups-injected dups), volume grows linearly.
+  *  - embeddings: copy i > 0 sign-flips ~1/3 of coordinates (keyed by
+  *    xxhash64(vec_id, dim, copy), same independence argument),
+  *    pushing cross-copy cosine to ≈1/9, far below near-dup/ANN
+  *    thresholds at any factor.
   *
   * Deterministic: pure column expressions of (id, copy), no RNG — the
   * same invocation always writes byte-identical tables.
@@ -109,10 +113,32 @@ object GenData {
       col("event_type"), col("value"), col("props")),
       "events", factor)
 
-    // rewrite every third token, keyed on (position, doc_id, copy);
-    // copy 0 is the original text
+    // Copy i > 0 rewrites tokens under TWO keyed rules; copy 0 is the
+    // original text. Both rules are load-bearing (r8, each learned
+    // from a measured sf10 failure mode):
+    //  1. stride-3 with a per-(doc, copy) hash offset: every 3-token
+    //     window contains ≥1 rewritten token, so NO original 3-gram
+    //     survives into any copy — without this (a pure per-position
+    //     hash rewrite leaves (2/3)³ ≈ 30% of windows intact in EVERY
+    //     copy) the surviving shingles bucket all `factor` copies
+    //     together and the ngram candidate stage goes quadratic
+    //     (measured: ~2·10⁹ candidates and a disk-full crash at
+    //     factor 100). The offset must be hash-keyed, not linear in
+    //     copy: (i + doc + copy) % 3 hands copies of equal copy % 3
+    //     IDENTICAL patterns, whose shared token multisets inflate the
+    //     simhash family quadratically (measured: 1.05M pairs at
+    //     factor 100 vs the linear ~180k).
+    //  2. an extra ~1/7 of positions by per-(doc, pos, copy) hash:
+    //     decorrelates the token multisets of copies that drew the
+    //     same stride offset (1/3 of copy pairs), keeping their
+    //     simhash fingerprints apart.
+    // Replacement tokens carry the copy index (tok~c), so even
+    // same-position rewrites differ across copies.
+    val strideOff = pmod(xxhash64(col("doc_id"), col("copy")), lit(3))
     val perturbed = transform(split(col("text"), "\\s+"),
-      (tok, i) => when(col("copy") === 0 || (i + col("doc_id") + col("copy")) % 3 =!= 0, tok)
+      (tok, i) => when(col("copy") === 0 ||
+          (pmod(i + strideOff, lit(3)) =!= 0 &&
+           pmod(xxhash64(col("doc_id"), i, col("copy")), lit(7)) =!= 0), tok)
         .otherwise(concat(tok, lit("~"), col("copy"))))
     write(copies(docs).select(
       (col("doc_id") + col("copy") * kd).as("doc_id"),
@@ -121,9 +147,17 @@ object GenData {
       .withColumn("n_chars", length(col("text")).cast("long")),
       "documents", factor)
 
-    // sign-flip dims where (vec_id + dim·31 + copy·17) % 3 == 0
+    // sign-flip ~1/3 of dims, keyed on xxhash64(vec_id, dim, copy).
+    // Same r8 fix as documents: the old (vec_id + dim·31 + copy·17) % 3
+    // condition is periodic in copy mod 3, giving copies of equal
+    // copy % 3 IDENTICAL flip patterns — cross-copy cosine exactly 1.0,
+    // ~(factor/3)² same-residue pairs per base vector, and a 9.5M-pair
+    // / 167 s d_dedup_embedding at factor 100 where linear behavior
+    // yields ~22k pairs. Independent hash flips put two copies' expected
+    // same-sign fraction at 5/9 (cos ≈ 1/9), far below ANN thresholds.
     val flipped = transform(col("embedding"),
-      (v, i) => when(col("copy") === 0 || (col("vec_id") + i * 31 + col("copy") * 17) % 3 =!= 0, v)
+      (v, i) => when(col("copy") === 0 ||
+          pmod(xxhash64(col("vec_id"), i, col("copy")), lit(3)) =!= 0, v)
         .otherwise(-v))
     write(copies(emb).select(
       (col("vec_id") + col("copy") * kv).as("vec_id"),

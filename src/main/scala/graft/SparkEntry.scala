@@ -251,8 +251,10 @@ object SparkEntry {
   private def sqlBucket(embExpr: String, nPlanes: Int, seed: Int = 0, dim: Int = 64): String = {
     val planes = (0 until nPlanes).map { p =>
       val terms = (0 until dim).map { i =>
-        val mixed = ((p + seed * 31L) * 1315423911L + i * 2654435761L) % 1000003L
-        val sign = if ((mixed & 1L) == 0L) "1.0" else "-1.0"
+        // signs come from the SAME function the kernel evaluates
+        // (native.planeSign, the r8 avalanche mix), inlined as ±1
+        // constants so the SQL fold adds the same doubles in order
+        val sign = if (graft.functions.native.planeSign(p, i, seed)) "1.0" else "-1.0"
         s"CAST($embExpr[${i + 1}] AS DOUBLE) * $sign"
       }.mkString(" + ")
       s"(CASE WHEN ($terms) > 0 THEN ${1L << p} ELSE 0 END)"

@@ -362,9 +362,30 @@ object native {
     out
   }
 
+  /** ±1 plane weight for (plane, coordinate, seed) — a full
+    * splitmix64-style avalanche so weights are INDEPENDENT across
+    * planes. The previous mix, parity of (p·c1 + i·c2) mod 1000003,
+    * made consecutive planes' sign vectors differ only where the mod
+    * wrapped (P≈0.42): correlated planes collapse the effective bit
+    * count and skew bucket occupancy (measured at 200k vectors,
+    * 10 planes: only 256 of 1024 cells occupied, max bucket 9426 vs
+    * target 256, Σ C(b,2) ≈ 6·10⁸ candidate pairs per table — the r8
+    * sf10 mutual-kNN cliff). With avalanched weights the same corpus
+    * fills the cells and the candidate stage returns to its designed
+    * N·target/2 volume. Seed salts the family for multi-table LSH.
+    */
+  def planeSign(p: Int, i: Int, seed: Int): Boolean = {
+    var z = p * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL +
+      seed * 0x165667B19E3779F9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    ((z ^ (z >>> 31)) & 1L) == 0L
+  }
+
   /** Random-hyperplane LSH bucket (twin of
     * VectorFunctions.hyperplaneBucket): deterministic ±1 plane weights
-    * from an integer mix of (plane, coordinate).
+    * from [[planeSign]], mirrored constant-for-constant by the oracle
+    * replay (SparkEntry.sqlBucket inlines the signs this emits).
     */
   def hyperplaneBucket(vec: ArrayData, isDouble: Boolean, nPlanes: Int,
                        seed: Int): Long = {
@@ -376,10 +397,7 @@ object native {
       var i = 0
       while (i < dim) {
         val v = if (isDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
-        // seed salts the plane family so multi-table LSH probes get
-        // genuinely independent planes (seed 0 = the original family)
-        val mixed = ((p + seed * 31L) * 1315423911L + i * 2654435761L) % 1000003L
-        proj += (if ((mixed & 1L) == 0L) v else -v)
+        proj += (if (planeSign(p, i, seed)) v else -v)
         i += 1
       }
       if (proj > 0) bucket |= (1L << p)

@@ -621,7 +621,8 @@ object Similarity {
     */
   def mutualKnn(vectors: DataFrame, k: Int = 5,
                 nPlanes: Int = 0, nTables: Int = 2,
-                knownCount: Long = 0L): DataFrame = {
+                knownCount: Long = 0L,
+                maxDocsPerBucket: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // nPlanes must scale with the corpus (≈ log₂(N / target bucket
     // size)): with fixed planes, bucket occupancy — and the candidate
@@ -650,8 +651,37 @@ object Similarity {
     // and no embedding array ever rides the candidate (bucket/distinct)
     // exchange; above the broadcast threshold the id-keyed rejoin
     // shuffles the vector table by id — linear, once per side, fine
+    // Hot-bucket guard (r8, the sf10 cliff): a dense region — or an
+    // adversarially skewed corpus — can put b ≫ target vectors in one
+    // bucket, and an uncapped self-join pays Θ(b²) pairs there
+    // (measured: correlated planes concentrated 200k vectors into 256
+    // cells, Σ C(b,2) ≈ 6·10⁸ per table, 25+ min of spill before the
+    // plane fix). The NEIGHBOR side of oversized buckets is capped to
+    // a deterministic hash-ordered sample of `maxDocsPerBucket`; the
+    // QUERY side stays complete, so every vector still gets
+    // candidates and per-bucket work is ≤ b·cap (linear in b). Within
+    // hot buckets, mutual recall degrades to sample coverage — the
+    // documented bounded-work trade, same knob as
+    // Dedup.embeddingCosinePairs. The rank window runs on the HOT
+    // SUBSET only (df-cut + broadcast, the house pattern), so a corpus
+    // with no oversized buckets pays one map-combined count aggregate
+    // and no sort.
+    val bucketCounts = banded.groupBy(col("t"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val hot = bucketCounts.where(col("cnt") > maxDocsPerBucket)
+      .select(col("t"), col("bucket"))
+    val wCap = Window.partitionBy(col("t"), col("bucket"))
+      .orderBy(graft.functions.TextFunctions.portableHash(
+        concat(col("vec_id").cast("string"), lit(":"), col("t").cast("string"))),
+        col("vec_id"))
     val x = banded.select(col("t"), col("bucket"), col("vec_id").as("query_id"))
-    val y = banded.select(col("t"), col("bucket"), col("vec_id").as("nbr_id"))
+    val yCold = banded.join(broadcast(hot), Seq("t", "bucket"), "left_anti")
+    val yHot = banded.join(broadcast(hot), Seq("t", "bucket"), "left_semi")
+      .withColumn("rk", row_number().over(wCap))
+      .where(col("rk") <= maxDocsPerBucket)
+      .drop("rk")
+    val y = yCold.union(yHot)
+      .select(col("t"), col("bucket"), col("vec_id").as("nbr_id"))
     val cand = x.join(y, Seq("t", "bucket"))
       .where(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"))
