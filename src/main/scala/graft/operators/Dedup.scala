@@ -679,43 +679,45 @@ object Dedup {
       if (nPlanes > 0) nPlanes
       else Similarity.autoPlanes(
         if (knownCount > 0) knownCount else vectors.count())
-    // bare (vec_id, bucket) longs — the embedding array is consumed by
-    // the hyperplane projection in the scan stage and NEVER rides the
-    // bucket exchange (the minhash/mutualKnn bare-id discipline: at
-    // 10⁹ × 768-dim vectors the old both-sides-carry-embeddings bucket
-    // self-join moved ~2× the corpus embedding volume where 2 longs/row
-    // do — r6 verdict item; PlanSpec-asserted).
+    // Embeddings ride EXACTLY ONE corpus-linear exchange (the bucket
+    // shuffle, each embedding once per join side) and are scored
+    // IN-JOIN, so no candidate-proportional stream ever materializes
+    // an array. This reverses the r6 bare-id + rejoin formulation
+    // deliberately, on measurement: the r8 sf10 probe clocked the
+    // rejoin plan at 67.5s (vs 0.9s at sf3) because with occupancy
+    // target B the candidate table is N·B/2 rows ≫ N, and the first
+    // rejoin's output carries the embedding array onto the second
+    // rejoin's exchange — candidate-proportional array traffic
+    // (~8 GB at sf10; at 10⁹ × 768-dim it's petabytes where the
+    // bucket exchange is ~2× corpus volume). Bucket-local scoring
+    // runs the same probe point in ~4s. PlanSpec asserts the refined
+    // invariant: every array-carrying shuffle is the bucket exchange.
     val bucketed = vectors.select(
-      col("vec_id"),
+      col("vec_id"), col("embedding"),
       VectorFunctions.hyperplaneBucket(col("embedding"), planes).as("bucket")
     )
       // materialized ONCE: the hot-bucket aggregate and both join sides
       // would otherwise each re-scan the vector table and re-project the
       // nPlanes dot products per row
       .localCheckpoint(true)
+    // the hot-bucket count aggregate is map-side partial on (bucket)
+    // alone — no array reaches its exchange
     val hot = bucketed.groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt")).where(col("cnt") > maxDocsPerBucket)
       .select(col("bucket"))
     val capped = bucketed.join(broadcast(hot), Seq("bucket"), "left_anti")
-    val a = capped.select(col("bucket"), col("vec_id").as("a"))
-    val b = capped.select(col("bucket"), col("vec_id").as("b"))
+    val a = capped.select(col("bucket"), col("vec_id").as("a"),
+      col("embedding").as("ea"))
+    val b = capped.select(col("bucket"), col("vec_id").as("b"),
+      col("embedding").as("eb"))
     // each vector has exactly ONE bucket (single signature table), so
     // every candidate pair is emitted once — no dedup shuffle needed;
-    // embeddings re-attach via two pairs-bounded rejoins and each pair
-    // is scored exactly once. Precisely: embeddings stay off the
-    // BUCKET exchange (the quadratic-capable one — PlanSpec-asserted);
-    // above the auto-broadcast threshold the id-keyed rejoin is a
-    // sort-merge that shuffles the vector table by vec_id, which is a
-    // LINEAR, once-per-side exchange and the acceptable cost of
-    // re-attachment (r7 advice: claim scoped to the bucket exchange)
-    val cand = a.join(b, Seq("bucket"))
+    // cosine + threshold evaluate in the join stage and only
+    // (a, b, cos) survivors flow downstream. Worst-case task skew is
+    // bounded by maxDocsPerBucket²/2 pairs in one bucket — the cap is
+    // the pathology guard, autoPlanes keeps typical occupancy ~2⁸.
+    a.join(b, Seq("bucket"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"))
-    cand
-      .join(vectors.select(col("vec_id").as("a"), col("embedding").as("ea")),
-        Seq("a"))
-      .join(vectors.select(col("vec_id").as("b"), col("embedding").as("eb")),
-        Seq("b"))
       .withColumn("cos", VectorFunctions.cosine(col("ea"), col("eb")))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
