@@ -13,7 +13,8 @@ import scala.collection.mutable.ArrayBuffer
   * OOXML is just a zip containing XML parts, so the JDK covers it:
   * `java.util.zip` for the container, StAX (`javax.xml.stream`) for
   * `word/document.xml` — no new dependency, which is the whole point
-  * (PDF genuinely needs a library and stays behind [[ExternalReader]]).
+  * ([[PdfElementReader]] closes the common-case PDF leg the same way;
+  * full-fidelity PDF stays behind [[ExternalReader]]).
   *
   * Emits the SAME (kind, level, markdown, text) element stream as the
   * markdown and HTML readers, so every processor/chunker/enricher

@@ -1,0 +1,880 @@
+package graft.sources
+
+import graft.model.DocElement
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import scala.collection.mutable.ArrayBuffer
+
+/** PDF → structural elements, in-process and dependency-free: the
+  * third leg of the MarkItDownReader twin (the reference shells out
+  * to the `markitdown` CLI — src/Microsoft.Extensions.DataIngestion
+  * .MarkItDown/MarkItDownReader.cs:51-74 — or to hosted parsers
+  * (Azure.AI.DocumentIntelligence.DocumentReader, LlamaParse) for
+  * PDF; [[HtmlElementReader]] closed the HTML leg in r7 and
+  * [[DocxElementReader]] the OOXML leg in r8 — this closes the
+  * common-case PDF leg with the JDK alone: `java.util.zip.Inflater`
+  * for FlateDecode and a hand-rolled COS parser/interpreter).
+  *
+  * Scope — the honest dependency-free subset, chosen to cover what
+  * ordinary text-bearing PDFs (office exports, LaTeX, report
+  * generators) actually use:
+  *   - COS object syntax incl. literal/hex strings, dicts, arrays,
+  *     indirect refs; objects located by a tolerant sequential
+  *     scanner (works with classic xref tables, xref streams, linear
+  *     and incrementally-updated files alike — the xref is never
+  *     needed);
+  *   - FlateDecode streams (bounded by [[MaxStreamBytes]]); object
+  *     streams (/Type/ObjStm, PDF 1.5+) expanded;
+  *   - page tree walk with attribute inheritance (/Resources),
+  *     falling back to /Type/Page objects in file order when the
+  *     catalog is unreachable;
+  *   - text extraction from BT/ET blocks: Tf/Td/TD/Tm/TL and T*
+  *     state, Tj/TJ/'/" shows, q/Q state stack; TJ kerning gaps become
+  *     spaces; y-position changes become line breaks;
+  *   - simple fonts decode as Latin-1; any font with a /ToUnicode
+  *     CMap uses it (bfchar + bfrange, incl. array form); Type0
+  *     (2-byte) fonts WITHOUT /ToUnicode are skipped rather than
+  *     emitting glyph-id garbage;
+  *   - structure inferred from font sizes: the corpus-dominant size
+  *     is body text, larger sizes become headers leveled by size
+  *     rank — the same structural stream every other reader emits.
+  *
+  * Documented out of scope (degrade, never throw): encrypted files,
+  * non-Flate filters (DCT/JBIG2/... are image data anyway), exotic
+  * CMaps, rotated/columnar layout analysis, tables (ambiguous
+  * without ruling-line analysis — a PDF "table" is just positioned
+  * text), image XObjects. Malformed or unsupported input yields the
+  * elements parsed so far — one bad crawl document must not fail a
+  * 100 TB job. Parsing runs inside a typed flatMap: one binary row
+  * in, N element rows out — narrow, shuffle-free, map-only at any
+  * corpus size.
+  */
+object PdfElementReader {
+
+  /** Decompression cap per stream — a crawl-sourced flate bomb must
+    * not OOM an executor; real content streams are KBs to a few MB. */
+  val MaxStreamBytes: Int = 64 << 20
+
+  /** Dict/array recursion cap (crafted deep nesting must not blow the
+    * parser stack) and page-tree walk cap. */
+  private val MaxDepth = 64
+
+  /** Upper bound on scanned objects — runaway guard on crafted input. */
+  private val MaxObjects = 100000
+
+  /** Thrown when nesting/size caps trip: the enclosing object is
+    * dropped wholesale (scan resumes after its header) instead of the
+    * cap path chewing through the rest of the file a byte at a time. */
+  private final class Bail extends RuntimeException(null, null, false, false)
+
+  // ------------------------------------------------------------------
+  // COS object model
+  // ------------------------------------------------------------------
+  private sealed trait PObj
+  private case object PNull extends PObj
+  private final case class PBool(v: Boolean) extends PObj
+  private final case class PNum(v: Double) extends PObj
+  private final case class PStr(bytes: Array[Byte]) extends PObj
+  private final case class PName(v: String) extends PObj
+  private final case class PArr(items: Vector[PObj]) extends PObj
+  private final case class PDict(m: Map[String, PObj]) extends PObj
+  private final case class PRef(num: Int) extends PObj // generation ignored
+  private final case class PStream(dict: PDict, raw: Array[Byte]) extends PObj
+
+  // ------------------------------------------------------------------
+  // Lexer / parser over a byte array
+  // ------------------------------------------------------------------
+  private final class Lexer(val b: Array[Byte], var pos: Int) {
+    def end: Int = b.length
+    def peek: Int = if (pos < end) b(pos) & 0xff else -1
+    def at(i: Int): Int = if (i < end) b(i) & 0xff else -1
+
+    private def isWs(c: Int) =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+    private def isDelim(c: Int) =
+      c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+        c == '{' || c == '}' || c == '/' || c == '%'
+    def isRegular(c: Int): Boolean = c >= 0 && !isWs(c) && !isDelim(c)
+
+    def skipWs(): Unit = {
+      var go = true
+      while (go) {
+        while (isWs(peek)) pos += 1
+        if (peek == '%') { // comment to EOL
+          while (pos < end && peek != '\n' && peek != '\r') pos += 1
+        } else go = false
+      }
+    }
+
+    def matches(s: String): Boolean =
+      pos + s.length <= end &&
+        (0 until s.length).forall(i => b(pos + i) == s.charAt(i).toByte)
+
+    /** Consume a bare keyword (regular chars) if present. */
+    def keyword(): String = {
+      val s = pos
+      while (isRegular(peek)) pos += 1
+      new String(b, s, pos - s, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+
+    def parseName(): PName = { // at '/'
+      pos += 1
+      val sb = new StringBuilder
+      while (isRegular(peek)) {
+        val c = peek
+        if (c == '#' && isHex(at(pos + 1)) && isHex(at(pos + 2))) {
+          sb.append(((hexVal(at(pos + 1)) << 4) | hexVal(at(pos + 2))).toChar)
+          pos += 3
+        } else { sb.append(c.toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
+
+    private def isHex(c: Int) =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+    private def hexVal(c: Int) =
+      if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
+
+    def parseLiteralString(): PStr = { // at '('
+      pos += 1
+      val out = new java.io.ByteArrayOutputStream
+      var depth = 1
+      while (depth > 0 && pos < end) {
+        val c = peek; pos += 1
+        c match {
+          case '\\' =>
+            val e = peek
+            e match {
+              case 'n' => out.write('\n'); pos += 1
+              case 'r' => out.write('\r'); pos += 1
+              case 't' => out.write('\t'); pos += 1
+              case 'b' => out.write('\b'); pos += 1
+              case 'f' => out.write('\f'); pos += 1
+              case '(' => out.write('('); pos += 1
+              case ')' => out.write(')'); pos += 1
+              case '\\' => out.write('\\'); pos += 1
+              case '\r' => pos += 1; if (peek == '\n') pos += 1 // line continuation
+              case '\n' => pos += 1
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var n = 0
+                while (n < 3 && peek >= '0' && peek <= '7') {
+                  v = v * 8 + (peek - '0'); pos += 1; n += 1
+                }
+                out.write(v & 0xff)
+              case _ => // unknown escape: keep the char
+                if (e >= 0) { out.write(e); pos += 1 }
+            }
+          case '(' => depth += 1; out.write('(')
+          case ')' => depth -= 1; if (depth > 0) out.write(')')
+          case _ => out.write(c)
+        }
+      }
+      PStr(out.toByteArray)
+    }
+
+    def parseHexString(): PStr = { // at '<' (single)
+      pos += 1
+      val out = new java.io.ByteArrayOutputStream
+      var hi = -1
+      while (pos < end && peek != '>') {
+        val c = peek
+        if (isHex(c)) {
+          if (hi < 0) hi = hexVal(c)
+          else { out.write((hi << 4) | hexVal(c)); hi = -1 }
+        }
+        pos += 1
+      }
+      if (hi >= 0) out.write(hi << 4) // odd digit: pad 0
+      if (peek == '>') pos += 1
+      PStr(out.toByteArray)
+    }
+
+    def parseNumber(): Option[PNum] = {
+      val s = pos
+      if (peek == '+' || peek == '-') pos += 1
+      var digits = false
+      while (peek >= '0' && peek <= '9') { pos += 1; digits = true }
+      if (peek == '.') {
+        pos += 1
+        while (peek >= '0' && peek <= '9') { pos += 1; digits = true }
+      }
+      if (!digits) { pos = s; None }
+      else Some(PNum(new String(b, s, pos - s,
+        java.nio.charset.StandardCharsets.ISO_8859_1).toDouble))
+    }
+
+    /** Parse one object. Integer followed by `<int> R` folds into a
+      * PRef. Unparseable input advances one byte and yields PNull so a
+      * tolerant caller always makes progress. */
+    def parseObject(depth: Int): PObj = {
+      if (depth > MaxDepth) throw new Bail
+      skipWs()
+      peek match {
+        case -1 => PNull
+        case '/' => parseName()
+        case '(' => parseLiteralString()
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[PObj]
+          skipWs()
+          var n = 0
+          while (peek != ']' && peek != -1) {
+            if (n >= 65536) throw new Bail
+            items += parseObject(depth + 1); skipWs(); n += 1
+          }
+          if (peek == ']') pos += 1
+          PArr(items.result())
+        case '<' =>
+          if (at(pos + 1) == '<') {
+            pos += 2
+            val m = Map.newBuilder[String, PObj]
+            skipWs()
+            var n = 0
+            while (!(peek == '>' && at(pos + 1) == '>') && peek != -1) {
+              if (n >= 65536) throw new Bail
+              if (peek == '/') {
+                val k = parseName().v
+                m += k -> parseObject(depth + 1)
+              } else pos += 1 // junk key: skip a byte, stay tolerant
+              skipWs(); n += 1
+            }
+            if (peek == '>') pos += 2
+            PDict(m.result())
+          } else parseHexString()
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          val num = parseNumber().getOrElse { pos += 1; return PNull }
+          // <int> <int> R  →  reference
+          if (num.v >= 0 && num.v == num.v.floor) {
+            val save = pos
+            skipWs()
+            parseNumber() match {
+              case Some(g) if g.v >= 0 && g.v == g.v.floor =>
+                skipWs()
+                if (peek == 'R' && !isRegular(at(pos + 1))) {
+                  pos += 1
+                  return PRef(num.v.toInt)
+                }
+                pos = save
+              case _ => pos = save
+            }
+          }
+          num
+        case _ =>
+          keyword() match {
+            case "true" => PBool(true)
+            case "false" => PBool(false)
+            case "null" => PNull
+            case "" => pos += 1; PNull
+            case _ => PNull // bare operator keyword (content streams)
+          }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // File-level scan: objnum → object (sequential, xref-free)
+  // ------------------------------------------------------------------
+  private def indexOfBytes(hay: Array[Byte], needle: String, from: Int): Int = {
+    val n = needle.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    var i = math.max(0, from)
+    val last = hay.length - n.length
+    while (i <= last) {
+      var j = 0
+      while (j < n.length && hay(i + j) == n(j)) j += 1
+      if (j == n.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def scanObjects(bytes: Array[Byte]): Map[Int, PObj] = {
+    val out = scala.collection.mutable.Map.empty[Int, PObj]
+    var cursor = 0
+    var found = 0
+    while (cursor < bytes.length && found < MaxObjects) {
+      val at = indexOfBytes(bytes, "obj", cursor)
+      if (at < 0) { cursor = bytes.length }
+      else {
+        // backtrack over "<int> <int> obj" — both ints required
+        var p = at - 1
+        def skipBackWs(): Unit =
+          while (p >= 0 && (bytes(p) == ' ' || bytes(p) == '\r' ||
+            bytes(p) == '\n' || bytes(p) == '\t')) p -= 1
+        def backInt(): Option[Int] = {
+          val e = p
+          while (p >= 0 && bytes(p) >= '0' && bytes(p) <= '9') p -= 1
+          if (e == p) None
+          else Some(new String(bytes, p + 1, e - p,
+            java.nio.charset.StandardCharsets.ISO_8859_1).toInt)
+        }
+        skipBackWs()
+        val gen = backInt()
+        skipBackWs()
+        val num = backInt()
+        val okBoundary = {
+          val after = if (at + 3 < bytes.length) bytes(at + 3) & 0xff else -1
+          after == -1 || after == ' ' || after == '\r' || after == '\n' ||
+            after == '\t' || after == '<' || after == '[' || after == '/'
+        }
+        if (num.isEmpty || gen.isEmpty || !okBoundary) cursor = at + 3
+        else {
+          val lx = new Lexer(bytes, at + 3)
+          try {
+            val obj = lx.parseObject(0)
+            lx.skipWs()
+            val stored =
+              if (lx.matches("stream")) {
+                lx.pos += "stream".length
+                if (lx.peek == '\r') lx.pos += 1
+                if (lx.peek == '\n') lx.pos += 1
+                val dict = obj match { case d: PDict => d; case _ => PDict(Map.empty) }
+                val start = lx.pos
+                val declared = dict.m.get("Length") match {
+                  case Some(PNum(n)) if n >= 0 && n <= bytes.length - start =>
+                    val endAt = start + n.toInt
+                    // trust /Length only if "endstream" actually follows
+                    val tail = indexOfBytes(bytes, "endstream", endAt)
+                    if (tail >= 0 && tail - endAt < 4) Some(endAt) else None
+                  case _ => None
+                }
+                val dataEnd = declared.getOrElse {
+                  val e = indexOfBytes(bytes, "endstream", start)
+                  if (e < 0) start else e
+                }
+                lx.pos = dataEnd
+                PStream(dict, java.util.Arrays.copyOfRange(bytes, start, dataEnd))
+              } else obj
+            out(num.get) = stored // later definition wins (incremental updates)
+            found += 1
+            cursor = math.max(lx.pos, at + 3)
+          } catch {
+            case _: Exception => cursor = at + 3
+          }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 20))
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput() && out.size <= MaxStreamBytes) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) return Some(out.toByteArray) // truncated
+        out.write(buf, 0, n)
+      }
+      if (out.size > MaxStreamBytes) None // bomb guard
+      else Some(out.toByteArray)
+    } catch { case _: Exception => None }
+    finally inf.end()
+  }
+
+  /** Decode a stream's bytes: no filter → raw; FlateDecode (single or
+    * in a filter array, applied left to right) → inflated; any other
+    * filter → None (image/exotic data we don't parse). */
+  private def decodeStream(ps: PStream,
+                           resolve: PObj => PObj): Option[Array[Byte]] = {
+    val filters: Seq[String] = resolve(ps.dict.m.getOrElse("Filter", PNull)) match {
+      case PName(n) => Seq(n)
+      case PArr(items) => items.map(resolve).collect { case PName(n) => n }
+      case _ => Nil
+    }
+    filters.foldLeft(Option(ps.raw)) {
+      case (Some(d), "FlateDecode") => inflate(d)
+      case (Some(d), "Fl") => inflate(d)
+      case (_, _) => None
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // ToUnicode CMap (bfchar / bfrange)
+  // ------------------------------------------------------------------
+  private def parseToUnicode(cmap: Array[Byte]): Map[Int, String] = {
+    val s = new String(cmap, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = Map.newBuilder[Int, String]
+    def hexToInt(h: String): Int = java.lang.Long.parseLong(h, 16).toInt
+    def hexToStr(h: String): String = {
+      // UTF-16BE code units
+      val sb = new StringBuilder
+      var i = 0
+      while (i + 4 <= h.length) {
+        sb.append(hexToInt(h.substring(i, i + 4)).toChar); i += 4
+      }
+      sb.toString
+    }
+    val hex = "<([0-9a-fA-F]+)>"
+    val charBlock = ("(?s)beginbfchar(.*?)endbfchar").r
+    val pair = (hex + "\\s*" + hex).r
+    for (m <- charBlock.findAllMatchIn(s); p <- pair.findAllMatchIn(m.group(1)))
+      try out += hexToInt(p.group(1)) -> hexToStr(p.group(2))
+      catch { case _: Exception => }
+    val rangeBlock = ("(?s)beginbfrange(.*?)endbfrange").r
+    val triple = (hex + "\\s*" + hex + "\\s*(?:" + hex + "|\\[([^\\]]*)\\])").r
+    for (m <- rangeBlock.findAllMatchIn(s); t <- triple.findAllMatchIn(m.group(1)))
+      try {
+        val lo = hexToInt(t.group(1)); val hi = hexToInt(t.group(2))
+        if (hi - lo <= 65535) {
+          if (t.group(3) != null) {
+            val base = t.group(3)
+            // increment applies to the LAST code unit (PDF spec)
+            val prefix = base.substring(0, math.max(0, base.length - 4))
+            val lastStart = hexToInt(base.substring(math.max(0, base.length - 4)))
+            for (c <- lo to hi)
+              out += c -> (hexToStr(prefix) + (lastStart + (c - lo)).toChar)
+          } else {
+            val dsts = hex.r.findAllMatchIn(t.group(4)).map(_.group(1)).toVector
+            for ((c, i) <- (lo to hi).zipWithIndex if i < dsts.length)
+              out += c -> hexToStr(dsts(i))
+          }
+        }
+      } catch { case _: Exception => }
+    out.result()
+  }
+
+  private final case class FontInfo(toUnicode: Map[Int, String],
+                                    twoByte: Boolean)
+
+  // ------------------------------------------------------------------
+  // Content-stream text interpreter
+  // ------------------------------------------------------------------
+  private final case class Line(y: Double, size: Double, text: String)
+
+  private def interpretContent(content: Array[Byte],
+                               fonts: Map[String, FontInfo]): Seq[Line] = {
+    val lx = new Lexer(content, 0)
+    val lines = ArrayBuffer.empty[Line]
+    val sb = new StringBuilder
+    var curFont: FontInfo = FontInfo(Map.empty, twoByte = false)
+    var fontSize = 0.0
+    var tmScale = 1.0
+    var y = 0.0
+    var leading = 0.0
+    var maxSize = 0.0
+    var haveLine = false
+    var stack = List.empty[(FontInfo, Double, Double)]
+
+    def flushLine(): Unit = {
+      if (haveLine && sb.nonEmpty)
+        lines += Line(y, maxSize, sb.toString)
+      sb.clear(); maxSize = 0.0; haveLine = false
+    }
+    def moveY(newY: Double): Unit = {
+      if (haveLine && math.abs(newY - y) > 0.5) flushLine()
+      y = newY
+    }
+    def effSize: Double = math.abs(fontSize * tmScale)
+
+    def showBytes(bytes: Array[Byte]): Unit = {
+      haveLine = true
+      if (effSize > maxSize) maxSize = effSize
+      if (curFont.twoByte) {
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+          curFont.toUnicode.get(code).foreach(sb.append)
+          // no ToUnicode → skip: glyph ids are not text
+          i += 2
+        }
+      } else {
+        var i = 0
+        while (i < bytes.length) {
+          val code = bytes(i) & 0xff
+          curFont.toUnicode.get(code) match {
+            case Some(u) => sb.append(u)
+            case None => sb.append(code.toChar) // Latin-1 fallback
+          }
+          i += 1
+        }
+      }
+    }
+
+    val operands = ArrayBuffer.empty[PObj]
+    def num(i: Int): Double = operands.lift(operands.length - i) match {
+      case Some(PNum(v)) => v
+      case _ => 0.0
+    }
+    var steps = 0
+    while (lx.pos < lx.end && steps < 4000000) {
+      steps += 1
+      lx.skipWs()
+      val c = lx.peek
+      if (c == -1) { lx.pos = lx.end }
+      else if (c == '/' || c == '(' || c == '[' || c == '<' ||
+        c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        try operands += lx.parseObject(0)
+        catch { case _: Bail => lx.pos += 1 } // hostile nesting: skip on
+      } else if (lx.isRegular(c)) {
+        val op = lx.keyword()
+        op match {
+          case "Tf" =>
+            fontSize = num(1)
+            operands.lift(operands.length - 2) match {
+              case Some(PName(f)) =>
+                curFont = fonts.getOrElse(f, FontInfo(Map.empty, twoByte = false))
+              case _ =>
+            }
+          case "Td" => moveY(y + num(1) * tmScale)
+          case "TD" => leading = -num(1) * tmScale; moveY(y + num(1) * tmScale)
+          case "TL" => leading = num(1) * tmScale
+          case "T*" => moveY(y - (if (leading != 0) leading else effSize * 1.2))
+          case "Tm" =>
+            // operands: a b c d e f — d scales y, f is the y offset
+            val d = num(3); val f = num(1)
+            tmScale = math.max(math.abs(d), 1e-9)
+            moveY(f)
+          case "Tj" =>
+            operands.lastOption.collect { case PStr(b) => showBytes(b) }
+          case "'" =>
+            moveY(y - (if (leading != 0) leading else effSize * 1.2))
+            operands.lastOption.collect { case PStr(b) => showBytes(b) }
+          case "\"" =>
+            moveY(y - (if (leading != 0) leading else effSize * 1.2))
+            operands.lastOption.collect { case PStr(b) => showBytes(b) }
+          case "TJ" =>
+            operands.lastOption.collect { case PArr(items) =>
+              items.foreach {
+                case PStr(b) => showBytes(b)
+                case PNum(k) =>
+                  // large negative kerning = inter-word gap
+                  if (k < -180 && haveLine &&
+                    sb.nonEmpty && !sb.last.isWhitespace) sb.append(' ')
+                case _ =>
+              }
+            }
+          case "BT" =>
+            flushLine(); y = 0.0; tmScale = 1.0; leading = 0.0
+          case "ET" => flushLine()
+          case "BI" =>
+            // inline image: raw binary after ID until EI — skip it
+            // wholesale so image bytes can't masquerade as operators
+            val id = indexOfBytes(lx.b, "ID", lx.pos)
+            val ei = if (id >= 0) indexOfBytes(lx.b, "EI", id + 2) else -1
+            lx.pos = if (ei >= 0) ei + 2 else lx.end
+          case "q" => stack = (curFont, fontSize, tmScale) :: stack
+          case "Q" => stack match {
+            case (f, s, t) :: rest =>
+              curFont = f; fontSize = s; tmScale = t; stack = rest
+            case Nil =>
+          }
+          case _ => // painting/path/color operators: irrelevant to text
+        }
+        operands.clear()
+      } else lx.pos += 1
+    }
+    flushLine()
+    lines.toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // Document assembly
+  // ------------------------------------------------------------------
+  private def collapse(s: String): String =
+    s.replaceAll("\\s+", " ").trim
+
+  /** Parse one PDF binary into ordered
+    * (kind, level, markdown, text, page) tuples — the shared reader
+    * stream plus the page number the reference's paged readers set. */
+  def parseBlocks(pdf: Array[Byte]): Seq[(String, Int, String, String, Int)] = {
+    if (pdf == null || pdf.length < 8) return Nil
+    try parseBlocksUnsafe(pdf)
+    catch { case _: Exception => Nil } // degrade, never throw
+  }
+
+  private def parseBlocksUnsafe(
+      pdf: Array[Byte]): Seq[(String, Int, String, String, Int)] = {
+    var objects = scanObjects(pdf)
+    if (objects.isEmpty) return Nil
+
+    def resolve(o: PObj, depth: Int = 0): PObj = o match {
+      case PRef(n) if depth < 16 =>
+        resolve(objects.getOrElse(n, PNull), depth + 1)
+      case other => other
+    }
+
+    // expand object streams (PDF 1.5+): their members are first-class
+    // objects that the scanner can't see inside the flate data
+    val objStms = objects.values.collect {
+      case s @ PStream(PDict(m), _) if m.get("Type").contains(PName("ObjStm")) => s
+    }.toVector
+    objStms.foreach { s =>
+      for {
+        data <- decodeStream(s, resolve(_))
+        n <- resolve(s.dict.m.getOrElse("N", PNull)) match {
+          case PNum(v) => Some(v.toInt); case _ => None }
+        first <- resolve(s.dict.m.getOrElse("First", PNull)) match {
+          case PNum(v) => Some(v.toInt); case _ => None }
+      } {
+        val hdr = new Lexer(data, 0)
+        val entries = ArrayBuffer.empty[(Int, Int)]
+        var i = 0
+        var ok = true
+        while (i < n && ok) {
+          hdr.skipWs()
+          (hdr.parseNumber(), { hdr.skipWs(); hdr.parseNumber() }) match {
+            case (Some(on), Some(off)) => entries += ((on.v.toInt, off.v.toInt))
+            case _ => ok = false
+          }
+          i += 1
+        }
+        entries.foreach { case (objNum, off) =>
+          if (!objects.contains(objNum) && first + off < data.length) {
+            val sub = new Lexer(data, first + off)
+            try objects += objNum -> sub.parseObject(0)
+            catch { case _: Exception => }
+          }
+        }
+      }
+    }
+
+    def dictOf(o: PObj): Option[PDict] = resolve(o) match {
+      case d: PDict => Some(d)
+      case PStream(d, _) => Some(d)
+      case _ => None
+    }
+
+    // page list: catalog → pages tree (with /Resources inheritance);
+    // fall back to /Type/Page objects in object-number order
+    val catalog = objects.values.flatMap(dictOf).find(
+      _.m.get("Type").contains(PName("Catalog")))
+    val pages = ArrayBuffer.empty[(PDict, Option[PDict])] // (page, inherited res)
+    val visited = scala.collection.mutable.Set.empty[Int]
+    def walk(node: PObj, inheritedRes: Option[PDict], depth: Int): Unit = {
+      if (depth > MaxDepth) return
+      val nodeNum = node match { case PRef(n) => Some(n); case _ => None }
+      if (nodeNum.exists(!visited.add(_))) return // cycle guard
+      dictOf(node).foreach { d =>
+        val res = dictOf(d.m.getOrElse("Resources", PNull)).orElse(inheritedRes)
+        d.m.get("Type") match {
+          case Some(PName("Pages")) =>
+            resolve(d.m.getOrElse("Kids", PNull)) match {
+              case PArr(kids) => kids.foreach(walk(_, res, depth + 1))
+              case _ =>
+            }
+          case Some(PName("Page")) => pages += ((d, res))
+          case _ =>
+        }
+      }
+    }
+    catalog.foreach(c => walk(c.m.getOrElse("Pages", PNull), None, 0))
+    if (pages.isEmpty)
+      objects.toSeq.sortBy(_._1).foreach { case (_, o) =>
+        dictOf(o).filter(_.m.get("Type").contains(PName("Page")))
+          .foreach(d => pages += ((d,
+            dictOf(d.m.getOrElse("Resources", PNull)))))
+      }
+    if (pages.isEmpty) return Nil
+
+    def fontsOf(res: Option[PDict]): Map[String, FontInfo] =
+      (for {
+        r <- res.toSeq
+        fontDict <- dictOf(r.m.getOrElse("Font", PNull)).toSeq
+        (name, fRef) <- fontDict.m.toSeq
+        f <- dictOf(fRef).toSeq
+      } yield {
+        val twoByte = f.m.get("Subtype").contains(PName("Type0"))
+        val toUni = resolve(f.m.getOrElse("ToUnicode", PNull)) match {
+          case s: PStream =>
+            decodeStream(s, resolve(_)).map(parseToUnicode).getOrElse(Map.empty)
+          case _ => Map.empty[Int, String]
+        }
+        name -> FontInfo(toUni, twoByte)
+      }).toMap
+
+    // per page: decode contents (single stream or array), interpret
+    val pageLines: Seq[Seq[Line]] = pages.toSeq.map { case (page, res) =>
+      val streams = resolve(page.m.getOrElse("Contents", PNull)) match {
+        case s: PStream => Seq(s)
+        case PArr(items) => items.map(resolve(_)).collect { case s: PStream => s }
+        case _ => Nil
+      }
+      val content = streams.flatMap(decodeStream(_, resolve(_))) match {
+        case Nil => Array.empty[Byte]
+        case parts => // streams concatenate with a separating space
+          val out = new java.io.ByteArrayOutputStream
+          parts.foreach { p => out.write(p); out.write('\n') }
+          out.toByteArray
+      }
+      if (content.isEmpty) Nil
+      else interpretContent(content, fontsOf(res))
+    }
+
+    // body size = dominant size weighted by text length; headers are
+    // larger sizes, leveled by rank
+    val allLines = pageLines.flatten
+    if (allLines.isEmpty) return Nil
+    def sizeKey(s: Double): Double = math.rint(s * 2) / 2 // 0.5pt classes
+    val weightBySize = allLines.groupBy(l => sizeKey(l.size))
+      .map { case (s, ls) => s -> ls.map(_.text.length).sum }
+    val bodySize = weightBySize.maxBy { case (s, w) => (w, -s) }._1
+    val headerSizes = weightBySize.keys.filter(_ > bodySize + 0.6).toSeq
+      .sorted.reverse
+    val levelOf = headerSizes.zipWithIndex.map {
+      case (s, i) => s -> math.min(i + 1, 6) }.toMap
+
+    val out = ArrayBuffer.empty[(String, Int, String, String, Int)]
+    pageLines.zipWithIndex.foreach { case (lines, pageIdx) =>
+      // group consecutive lines into blocks: same size class AND a
+      // y-gap under ~1.8× the size reads as one paragraph
+      val blocks = ArrayBuffer.empty[ArrayBuffer[Line]]
+      lines.foreach { l =>
+        val startNew = blocks.isEmpty || {
+          val prev = blocks.last.last
+          sizeKey(prev.size) != sizeKey(l.size) ||
+            math.abs(prev.y - l.y) > math.max(l.size, 1.0) * 1.8
+        }
+        if (startNew) blocks += ArrayBuffer(l) else blocks.last += l
+      }
+      blocks.foreach { bls =>
+        val text = collapse(bls.map(_.text).mkString(" "))
+        if (text.nonEmpty) {
+          val sz = sizeKey(bls.head.size)
+          levelOf.get(sz) match {
+            case Some(level) =>
+              out += (("header", level, ("#" * level) + " " + text, text,
+                pageIdx + 1))
+            case None =>
+              out += (("paragraph", 0, text, text, pageIdx + 1))
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** documents(doc_id, content: binary) → Dataset[DocElement] — the
+    * same contract as the markdown/HTML/DOCX readers, with
+    * page_number derived from the PDF's own page tree. */
+  def elements(spark: SparkSession, documents: DataFrame,
+               idCol: String = "doc_id", contentCol: String = "content",
+               metaCols: Seq[String] = Nil): Dataset[DocElement] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val metaNames = metaCols
+    val projected = documents.select(
+      Seq(col(idCol).cast("long"), col(contentCol).cast("binary")) ++
+        metaNames.map(c => col(c).cast("string")): _*)
+    projected.flatMap { row =>
+      val id = row.getLong(0)
+      val bytes =
+        if (row.isNullAt(1)) Array.empty[Byte] else row.getAs[Array[Byte]](1)
+      val meta = metaNames.zipWithIndex.collect {
+        case (name, i) if !row.isNullAt(2 + i) => name -> row.getString(2 + i)
+      }.toMap
+      parseBlocks(bytes).zipWithIndex.map {
+        case ((kind, level, md, txt, page), seq) =>
+          DocElement(id, seq, kind, level, md, txt, Some(page), meta)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Deterministic synthesis (specs + the i_pdf_elements driver row):
+  // a minimal classic-xref PDF built from per-page block lists, with
+  // Flate-compressed content streams so the decode path is exercised
+  // corpus-wide. Latin-1 text only (chars beyond U+00FF become '?' —
+  // PDF literal strings are byte strings; the reader's ToUnicode path
+  // is spec-tested with hand-built CMaps instead).
+  // ------------------------------------------------------------------
+  sealed trait SynthBlock
+  final case class SHeading(level: Int, text: String) extends SynthBlock
+  final case class SPara(text: String) extends SynthBlock
+
+  /** Font sizes the synthesis uses: body 11pt, headings 20/17/15/14/
+    * 13/12.5 — all above the reader's body+0.6 header threshold and
+    * strictly rank-ordered. */
+  def headingSize(level: Int): Double = level match {
+    case 1 => 20.0
+    case 2 => 17.0
+    case 3 => 15.0
+    case 4 => 14.0
+    case 5 => 13.0
+    case _ => 12.5
+  }
+  val BodySize: Double = 11.0
+
+  private def escapeLiteral(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '(' => sb.append("\\(")
+      case ')' => sb.append("\\)")
+      case c if c > 0xff => sb.append('?')
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  def synthesize(pages: Seq[Seq[SynthBlock]]): Array[Byte] = {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    def contentFor(blocks: Seq[SynthBlock]): Array[Byte] = {
+      val sb = new StringBuilder
+      var y = 760.0
+      blocks.foreach { b =>
+        val (size, text) = b match {
+          case SHeading(l, t) => (headingSize(l), t)
+          case SPara(t) => (BodySize, t)
+        }
+        // Double.toString is locale-independent (f"" is not)
+        val sz = (math.rint(size * 10) / 10).toString
+        val yy = (math.rint(y * 10) / 10).toString
+        sb.append(s"BT /F1 $sz Tf 72 $yy Td (${escapeLiteral(text)}) Tj ET\n")
+        y -= size * 2.5 // inter-block gap > the reader's 1.8× split
+        if (y < 40) y = 760.0 // overflow: keep coordinates sane
+      }
+      val raw = sb.toString.getBytes(latin1)
+      val d = new java.util.zip.Deflater()
+      try {
+        d.setInput(raw); d.finish()
+        val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        out.toByteArray
+      } finally d.end()
+    }
+
+    // object layout: 1 Catalog, 2 Pages, 3 Font, then per page i:
+    // (4+2i) Page, (5+2i) its content stream
+    val nPages = pages.length
+    val objs = ArrayBuffer.empty[(Int, Array[Byte])]
+    val kidRefs = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    objs += 1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes(latin1)
+    objs += 2 -> s"<< /Type /Pages /Kids [ $kidRefs ] /Count $nPages /Resources << /Font << /F1 3 0 R >> >> >>".getBytes(latin1)
+    objs += 3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>".getBytes(latin1)
+    pages.zipWithIndex.foreach { case (blocks, i) =>
+      val content = contentFor(blocks)
+      objs += (4 + 2 * i) ->
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] /Contents ${5 + 2 * i} 0 R >>".getBytes(latin1)
+      val streamObj = new java.io.ByteArrayOutputStream
+      streamObj.write(
+        s"<< /Length ${content.length} /Filter /FlateDecode >>\nstream\n".getBytes(latin1))
+      streamObj.write(content)
+      streamObj.write("\nendstream".getBytes(latin1))
+      objs += (5 + 2 * i) -> streamObj.toByteArray
+    }
+
+    val out = new java.io.ByteArrayOutputStream
+    out.write("%PDF-1.5\n%âãÏÓ\n".getBytes(latin1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    objs.sortBy(_._1).foreach { case (num, body) =>
+      offsets(num) = out.size
+      out.write(s"$num 0 obj\n".getBytes(latin1))
+      out.write(body)
+      out.write("\nendobj\n".getBytes(latin1))
+    }
+    val xrefAt = out.size
+    val maxObj = objs.map(_._1).max
+    out.write(s"xref\n0 ${maxObj + 1}\n".getBytes(latin1))
+    out.write("0000000000 65535 f \n".getBytes(latin1))
+    (1 to maxObj).foreach { n =>
+      val off = offsets.getOrElse(n, 0).toString
+      out.write((("0" * (10 - off.length)) + off + " 00000 n \n").getBytes(latin1))
+    }
+    out.write(
+      s"trailer\n<< /Size ${maxObj + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n"
+        .getBytes(latin1))
+    out.toByteArray
+  }
+}
