@@ -2272,6 +2272,46 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seq"))
     }),
 
+    "i_auto_elements" -> ((s, dir) => {
+      // format-sniffing reader router (AutoElementReader, r8): the
+      // documents corpus is packaged into a MIXED-format binary
+      // column — doc_id % 4 selects markdown / HTML / DOCX / PDF —
+      // and one elements() call routes each row by magic bytes. The
+      // oracle is the strongest form of the reader-agnostic claim:
+      // the SAME two canonical rows per document REGARDLESS of which
+      // format carried it, so any reader diverging from the shared
+      // element contract fails the hash. Packaging + detection +
+      // parsing fuse into one typed map/flatMap — map-only at any
+      // corpus size.
+      import s.implicits._
+      import graft.sources.{AutoElementReader, DocxElementReader, PdfElementReader}
+      val base = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+      val mixed = base.map { case (id, textRaw) =>
+        val text = Option(textRaw).getOrElse("")
+        val title = s"Doc $id"
+        val body = "body: " + text
+        val bytes = (id % 4) match {
+          case 0 => s"# $title\n\n$body"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case 1 => s"<html><body><h1>$title</h1><p>$body</p></body></html>"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case 2 => DocxElementReader.synthesize(Seq(
+            DocxElementReader.SHeading(1, title),
+            DocxElementReader.SPara(body)))
+          case _ => PdfElementReader.synthesize(Seq(Seq(
+            PdfElementReader.SHeading(1, title),
+            PdfElementReader.SPara(body))))
+        }
+        (id, bytes)
+      }.toDF("doc_id", "content")
+      AutoElementReader.elements(s, mixed).toDF()
+        .select(col("doc_id"), col("seq"), col("kind"), col("level"),
+          col("text"), col("metadata")("format").as("format"))
+        .orderBy(col("doc_id"), col("seq"))
+    }),
+
     "i_pipeline_html" -> ((s, dir) => {
       // the reader-agnostic claim proven END-TO-END over the HTML leg
       // (r7 verdict item 4): HTML corpus → HtmlElementReader elements
@@ -4696,6 +4736,23 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 3, 'paragraph', 0, 'source: ' || source, 2 FROM base
         |  UNION ALL SELECT doc_id, 4, 'paragraph', 0,
         |    'end of doc ' || doc_id, 2 FROM base)
+        |ORDER BY doc_id, seq""".stripMargin,
+
+    // mixed-format routing replay: whichever of the four formats
+    // carried the document (doc_id % 4), the canonical element rows
+    // are identical — only the detected-format audit column varies
+    "i_auto_elements" ->
+      """WITH base AS (SELECT doc_id, text,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'markdown'
+        |    WHEN 1 THEN 'html' WHEN 2 THEN 'docx' ELSE 'pdf' END AS format
+        |  FROM documents)
+        |SELECT doc_id, CAST(seq AS INT) AS seq, kind,
+        |  CAST(level AS INT) AS level, text, format FROM (
+        |  SELECT doc_id, 0 AS seq, 'header' AS kind, 1 AS level,
+        |    'Doc ' || doc_id AS text, format FROM base
+        |  UNION ALL SELECT doc_id, 1, 'paragraph', 0,
+        |    trim(regexp_replace('body: ' || text, '\s+', ' ', 'g')),
+        |    format FROM base)
         |ORDER BY doc_id, seq""".stripMargin,
 
     // full HTML-pipeline replay: the packed chunk content is the six
