@@ -99,10 +99,15 @@ object SparkEntry {
         transform(col("embedding"), x => (x * lit(1.01)).cast("float")).as("embedding")))
   }
 
+  // NOTE: CAST(1.01 AS DOUBLE) is load-bearing — a bare 1.01 literal
+  // is DECIMAL(3,2) in DuckDB, and the decimal×float path rounds
+  // ~0.07% of coordinates to a different float than Spark's
+  // double-math `x * lit(1.01)`; at sf1 scale those last-ulp copy
+  // divergences flipped micro-cosine ties in s_mutual_knn (r8).
   private val vecsWithDupsSql =
     """SELECT vec_id, embedding FROM embeddings
       |UNION ALL SELECT vec_id + 100000,
-      |  list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT))
+      |  list_transform(embedding, x -> CAST(x * CAST(1.01 AS DOUBLE) AS FLOAT))
       |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
 
   private val corpusWithDupsSql =
