@@ -103,13 +103,22 @@ object DocxElementReader {
                                  attrs: Map[String, String],
                                  children: ArrayBuffer[AnyRef]) // XNode | String
 
-  private def xmlFactory(): javax.xml.stream.XMLInputFactory = {
-    val f = javax.xml.stream.XMLInputFactory.newInstance()
-    // XXE hardening: crawled DOCX is untrusted content
-    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
-    f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-    f
-  }
+  // one factory per executor thread: XMLInputFactory.newInstance()
+  // runs an SPI classpath scan — per-DOCUMENT it dominated the parse
+  // (the sf1 i_docx_elements row spent ~20s of a 380s inventory in
+  // factory lookups); factories aren't guaranteed thread-safe, so
+  // ThreadLocal rather than a shared val
+  private val xmlFactoryTL =
+    ThreadLocal.withInitial[javax.xml.stream.XMLInputFactory] { () =>
+      val f = javax.xml.stream.XMLInputFactory.newInstance()
+      // XXE hardening: crawled DOCX is untrusted content
+      f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+      f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+      f
+    }
+
+  private def xmlFactory(): javax.xml.stream.XMLInputFactory =
+    xmlFactoryTL.get()
 
   /** Parse XML bytes into a namespace-stripped tree (local names only:
     * WordprocessingML prefixes are fixed in practice, and keying on
@@ -519,6 +528,11 @@ object DocxElementReader {
         "</Types>"
     val bos = new java.io.ByteArrayOutputStream
     val zos = new java.util.zip.ZipOutputStream(bos)
+    // BEST_SPEED: the parse side still exercises inflate, but default
+    // compression made corpus-wide packaging the single most
+    // expensive bench row (20.5s of the sf1 inventory's 380s); the
+    // synthesized XML is tiny, so the ratio loss is irrelevant
+    zos.setLevel(java.util.zip.Deflater.BEST_SPEED)
     def put(name: String, content: String): Unit = {
       val e = new java.util.zip.ZipEntry(name)
       e.setTime(0L) // pinned: byte-identical output for fixed input

@@ -825,7 +825,9 @@ object PdfElementReader {
         if (y < 40) y = 760.0 // overflow: keep coordinates sane
       }
       val raw = sb.toString.getBytes(latin1)
-      val d = new java.util.zip.Deflater()
+      // BEST_SPEED: packaging is per-row work in the driver rows; the
+      // reader's inflate path is exercised regardless of level
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
       try {
         d.setInput(raw); d.finish()
         val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
