@@ -67,27 +67,29 @@ object SparkEntry {
       .select(col("doc_id"), (col("doc_id") * 10 + 2).as("seq"), lit("D").as("op"),
         lit("").as("text")))
     .unionByName(base.where(col("doc_id") % 13 === 0)
-      .select((col("doc_id") + 5000000L).as("doc_id"),
+      .select((col("doc_id") + 500000000L).as("doc_id"),
         (col("doc_id") * 10 + 3).as("seq"), lit("I").as("op"),
         concat(lit("inserted "), col("doc_id").cast("string")).as("text")))
 
   /** Documents corpus with induced duplicates, shared by the dedup
     * queries (the synthetic corpus has no natural dups): every 10th doc
-    * reappears verbatim at id+1000000 (exact dup) and with one token
-    * appended at id+2000000 (near dup).
+    * reappears verbatim at id+10^8 (exact dup) and with one token
+    * appended at id+2*10^8 (near dup; offsets clear GenData's real
+    * id range, which reaches ~10^6 at sf10 — colliding offsets
+    * silently misclassify real rows as injected dups, r8 find).
     */
   private def corpusWithDups(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     base
       .union(base.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
       .union(base.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 2000000L).as("doc_id"),
+        .select((col("doc_id") + 200000000L).as("doc_id"),
           concat(col("text"), lit(" graftdup")).as("text")))
   }
 
   /** Embeddings with induced near-dups: every 10th vector reappears at
-    * id+100000 scaled by 1.01 (same direction ⇒ cosine 1, same LSH
+    * id+10^8 scaled by 1.01 (same direction ⇒ cosine 1, same LSH
     * bucket) — the synthetic random vectors have no natural high-cosine
     * pairs, so without this the pairwise queries would be 0-row.
     */
@@ -95,7 +97,7 @@ object SparkEntry {
     val base = emb.select(col("vec_id"), col("embedding"))
     base.union(
       base.where(col("vec_id") % 10 === 0).select(
-        (col("vec_id") + 100000L).as("vec_id"),
+        (col("vec_id") + 100000000L).as("vec_id"),
         transform(col("embedding"), x => (x * lit(1.01)).cast("float")).as("embedding")))
   }
 
@@ -106,14 +108,14 @@ object SparkEntry {
   // divergences flipped micro-cosine ties in s_mutual_knn (r8).
   private val vecsWithDupsSql =
     """SELECT vec_id, embedding FROM embeddings
-      |UNION ALL SELECT vec_id + 100000,
+      |UNION ALL SELECT vec_id + 100000000,
       |  list_transform(embedding, x -> CAST(x * CAST(1.01 AS DOUBLE) AS FLOAT))
       |FROM embeddings WHERE vec_id % 10 = 0""".stripMargin
 
   private val corpusWithDupsSql =
     """SELECT doc_id, text FROM documents
-      |UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
-      |UNION ALL SELECT doc_id + 2000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0""".stripMargin
+      |UNION ALL SELECT doc_id + 100000000, text FROM documents WHERE doc_id % 10 = 0
+      |UNION ALL SELECT doc_id + 200000000, text || ' graftdup' FROM documents WHERE doc_id % 10 = 0""".stripMargin
 
   /** Fixed merge table for the t_bpe_encode query (rank = position).
     * Drawn from the corpus's real top character pairs; the last two
@@ -1665,10 +1667,10 @@ object SparkEntry {
       // divided once and rounded 6dp. Grams shuffle as 8-byte window
       // hashes (the span-family kernel), never strings.
       val corpus = corpusWithDups(tbl(s, dir, "documents"))
-      val a = corpus.where(col("doc_id") < 1000000L && col("doc_id") % 10 === 0)
+      val a = corpus.where(col("doc_id") < 100000000L && col("doc_id") % 10 === 0)
         .select(col("doc_id").as("pid"), col("text"))
-      val b = corpus.where(col("doc_id") >= 2000000L)
-        .select((col("doc_id") - 2000000L).as("pid"), col("text"))
+      val b = corpus.where(col("doc_id") >= 200000000L)
+        .select((col("doc_id") - 200000000L).as("pid"), col("text"))
       def grams(side: DataFrame, n: Int, cnt: String) = side
         .select(col("pid"), explode(
           graft.functions.native.positionalWindowHashes(col("text"), n, wide = true))
@@ -2821,7 +2823,7 @@ object SparkEntry {
       // is scanned, never self-paired (old↔old dups do NOT appear)
       val docs = tbl(s, dir, "documents")
       val delta = docs.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
       Dedup.incrementalNgramPairs(docs, delta, n = 3, threshold = 0.8)
         .orderBy(col("a"), col("b"))
     }),
@@ -2838,7 +2840,7 @@ object SparkEntry {
           when(col("doc_id") % 11 === 5, concat(col("text"), lit(" rev2")))
             .otherwise(col("text")).as("text"))
         .unionByName(old.where(col("doc_id") % 13 === 7)
-          .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text")))
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text")))
       Corpus.snapshotDiff(old, v2).orderBy(col("doc_id"))
     }),
 
@@ -2885,12 +2887,12 @@ object SparkEntry {
         .where(col("valid_from_seq") <= col("as_of") &&
           (col("valid_to_seq").isNull || col("valid_to_seq") > col("as_of")))
         .groupBy(col("as_of"))
-        .agg(sum(when(col("op") =!= "D" && col("doc_id") < 5000000L, 1L)
+        .agg(sum(when(col("op") =!= "D" && col("doc_id") < 500000000L, 1L)
           .otherwise(0L)).as("n_live_changed"),
           sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deleted"),
-          sum(when(col("op") =!= "D" && col("doc_id") >= 5000000L, 1L)
+          sum(when(col("op") =!= "D" && col("doc_id") >= 500000000L, 1L)
             .otherwise(0L)).as("n_inserted"))
-      val touched = hist.where(col("doc_id") < 5000000L)
+      val touched = hist.where(col("doc_id") < 500000000L)
         .crossJoin(broadcast(tdf))
         .where(col("valid_from_seq") <= col("as_of"))
         .groupBy(col("as_of"))
@@ -3117,8 +3119,8 @@ object SparkEntry {
       // SQ8 shape). Dim stats broadcast; the cosine pass is
       // pairs-bounded.
       val vecs = vecsWithDups(tbl(s, dir, "embeddings"))
-      val pairs = vecs.where(col("vec_id") >= 100000)
-        .select((col("vec_id") - 100000).as("a"), col("vec_id").as("b"))
+      val pairs = vecs.where(col("vec_id") >= 100000000L)
+        .select((col("vec_id") - 100000000L).as("a"), col("vec_id").as("b"))
       Similarity.sq8Audit(vecs, pairs).orderBy(col("a"))
     }),
 
@@ -5266,9 +5268,9 @@ object SparkEntry {
            |  GROUP BY 1, 2)""".stripMargin
       s"""WITH corpus AS ($corpusWithDupsSql),
          |a AS (SELECT doc_id AS pid, text FROM corpus
-         |      WHERE doc_id < 1000000 AND doc_id % 10 = 0),
-         |b AS (SELECT doc_id - 2000000 AS pid, text FROM corpus
-         |      WHERE doc_id >= 2000000),
+         |      WHERE doc_id < 100000000 AND doc_id % 10 = 0),
+         |b AS (SELECT doc_id - 200000000 AS pid, text FROM corpus
+         |      WHERE doc_id >= 200000000),
          |${gramCte("a", 1, "ga1")},
          |${gramCte("b", 1, "gb1")},
          |${gramCte("a", 2, "ga2")},
@@ -5899,7 +5901,7 @@ object SparkEntry {
 
     "d_dedup_incremental" ->
       s"""WITH delta AS (
-         |  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+         |  SELECT doc_id + 500000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
          |comb AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id, text FROM delta),
          |toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM comb),
@@ -5915,7 +5917,7 @@ object SparkEntry {
          |pairs AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb, count(*) AS inter
          |  FROM capped x JOIN capped y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-         |  WHERE y.doc_id >= 5000000
+         |  WHERE y.doc_id >= 500000000
          |  GROUP BY 1, 2, 3, 4)
          |SELECT a, b, inter, na, nb FROM pairs
          |WHERE inter * 10000 >= 8000 * (na + nb - inter)
@@ -5930,7 +5932,7 @@ object SparkEntry {
         |    FROM base WHERE doc_id % 7 = 0
         |  UNION ALL SELECT doc_id, doc_id * 10 + 2, 'D', ''
         |    FROM base WHERE doc_id % 11 = 0
-        |  UNION ALL SELECT doc_id + 5000000, doc_id * 10 + 3, 'I',
+        |  UNION ALL SELECT doc_id + 500000000, doc_id * 10 + 3, 'I',
         |    'inserted ' || CAST(doc_id AS VARCHAR)
         |    FROM base WHERE doc_id % 13 = 0),
         |last AS (
@@ -5954,7 +5956,7 @@ object SparkEntry {
         |    FROM base WHERE doc_id % 7 = 0
         |  UNION ALL SELECT doc_id, doc_id * 10 + 2, 'D', ''
         |    FROM base WHERE doc_id % 11 = 0
-        |  UNION ALL SELECT doc_id + 5000000, doc_id * 10 + 3, 'I',
+        |  UNION ALL SELECT doc_id + 500000000, doc_id * 10 + 3, 'I',
         |    'inserted ' || CAST(doc_id AS VARCHAR)
         |    FROM base WHERE doc_id % 13 = 0),
         |v AS (
@@ -5978,7 +5980,7 @@ object SparkEntry {
         |    FROM base WHERE doc_id % 7 = 0
         |  UNION ALL SELECT doc_id, doc_id * 10 + 2, 'D', ''
         |    FROM base WHERE doc_id % 11 = 0
-        |  UNION ALL SELECT doc_id + 5000000, doc_id * 10 + 3, 'I',
+        |  UNION ALL SELECT doc_id + 500000000, doc_id * 10 + 3, 'I',
         |    'inserted ' || CAST(doc_id AS VARCHAR)
         |    FROM base WHERE doc_id % 13 = 0),
         |v AS (
@@ -5990,11 +5992,11 @@ object SparkEntry {
         |t AS (SELECT sm // 2 AS as_of FROM sm UNION ALL SELECT sm FROM sm),
         |cur AS (
         |  SELECT t.as_of,
-        |    CAST(sum(CASE WHEN op <> 'D' AND doc_id < 5000000
+        |    CAST(sum(CASE WHEN op <> 'D' AND doc_id < 500000000
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_live_changed,
         |    CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_deleted,
-        |    CAST(sum(CASE WHEN op <> 'D' AND doc_id >= 5000000
+        |    CAST(sum(CASE WHEN op <> 'D' AND doc_id >= 500000000
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
         |  FROM v, t
         |  WHERE v.seq <= t.as_of AND
@@ -6002,7 +6004,7 @@ object SparkEntry {
         |  GROUP BY 1),
         |tou AS (
         |  SELECT t.as_of, count(DISTINCT doc_id) AS n_touched
-        |  FROM ch, t WHERE doc_id < 5000000 AND seq <= t.as_of GROUP BY 1),
+        |  FROM ch, t WHERE doc_id < 500000000 AND seq <= t.as_of GROUP BY 1),
         |bn AS (SELECT count(*) AS n_base FROM base)
         |SELECT as_of, n_live_changed, n_deleted, n_inserted,
         |  CAST(n_base - n_touched AS BIGINT) AS n_untouched,
@@ -6047,7 +6049,7 @@ object SparkEntry {
          |    CASE WHEN doc_id % 11 = 5 THEN text || ' rev2' ELSE text END AS text
          |  FROM old WHERE doc_id % 17 <> 3
          |  UNION ALL
-         |  SELECT doc_id + 10000000, text FROM old WHERE doc_id % 13 = 7),
+         |  SELECT doc_id + 1000000000, text FROM old WHERE doc_id % 13 = 7),
          |j AS (
          |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
          |    CASE WHEN o.doc_id IS NULL THEN 'added'
@@ -6475,10 +6477,10 @@ object SparkEntry {
          |  SELECT list(CAST(mn AS DOUBLE) ORDER BY d) AS mns,
          |         list(CAST(mx AS DOUBLE) ORDER BY d) AS mxs FROM st),
          |pr AS (
-         |  SELECT v2.vec_id - 100000 AS a, v2.vec_id AS b,
+         |  SELECT v2.vec_id - 100000000 AS a, v2.vec_id AS b,
          |    va.embedding AS ea, v2.embedding AS eb
-         |  FROM vecs v2 JOIN vecs va ON va.vec_id = v2.vec_id - 100000
-         |  WHERE v2.vec_id >= 100000),
+         |  FROM vecs v2 JOIN vecs va ON va.vec_id = v2.vec_id - 100000000
+         |  WHERE v2.vec_id >= 100000000),
          |q AS (
          |  SELECT a, b,
          |    list_transform(range(1, 65), i -> CAST(ea[i] AS DOUBLE)) AS fa,
