@@ -3068,7 +3068,15 @@ object SparkEntry {
       // near-dup corpus puts a vector and its scaled copy within
       // 1e-9 cosine of third parties, where raw double ordering is
       // last-ulp noise across engines.
-      Similarity.mutualKnn(vecsWithDups(tbl(s, dir, "embeddings")), k = 5, nPlanes = 12)
+      // maxDocsPerBucket = MaxValue: the DuckDB oracle self-joins ALL
+      // bucket members, so the neighbor-side hot-bucket cap must be
+      // provably inert here — an Int.MaxValue cap makes `hot` empty by
+      // construction at ANY gated scale (no bucket can exceed it), so
+      // Spark and oracle candidate sets are identical and the capped
+      // path can never silently diverge the hash gate. The cap path
+      // itself is spec-covered (DedupSimilaritySpec "mutualKnn cap").
+      Similarity.mutualKnn(vecsWithDups(tbl(s, dir, "embeddings")), k = 5, nPlanes = 12,
+          maxDocsPerBucket = Int.MaxValue)
         .orderBy(col("a"), col("b"))
     }),
 

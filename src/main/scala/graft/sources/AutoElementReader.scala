@@ -35,10 +35,24 @@ object AutoElementReader {
   /** Sniff the source format from leading bytes. */
   def detect(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.isEmpty) return "markdown"
-    if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
-      bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-') return "pdf"
+    // zip magic at offset 0 is decisive (checked FIRST: a DOCX's
+    // compressed payload can coincidentally contain "%PDF-" in its
+    // first KB, and no real PDF starts with a local-file header)
     if (bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
       bytes(2) == 3 && bytes(3) == 4) return "docx"
+    // %PDF- anywhere in the first 1024 bytes, not just offset 0: the
+    // PDF spec (ISO 32000-1 §7.5.2 note; Acrobat's documented
+    // tolerance) allows junk before the header, and real crawl files
+    // use it — a strict offset-0 match routed such files to the
+    // markdown reader, emitting binary garbage as text elements
+    // instead of parsing (or cleanly degrading) as PDF
+    val scan = math.min(bytes.length - 4, 1024)
+    var p = 0
+    while (p < scan) {
+      if (bytes(p) == '%' && bytes(p + 1) == 'P' && bytes(p + 2) == 'D' &&
+        bytes(p + 3) == 'F' && bytes(p + 4) == '-') return "pdf"
+      p += 1
+    }
     // textual: skip UTF-8 BOM and whitespace, look for a tag open
     var i = 0
     if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&

@@ -133,6 +133,10 @@ object DocxElementReader {
         val root = XNode("#root", Map.empty, ArrayBuffer.empty)
         var stack: List[XNode] = List(root)
         var depth = 0
+        // opens appended-but-not-pushed past the depth cap: their
+        // matching closes must be swallowed, not pop real ancestors
+        // (else one >MaxDepth spike re-parents the rest of the body)
+        var skippedDepth = 0
         while (r.hasNext) {
           r.next() match {
             case START_ELEMENT =>
@@ -143,8 +147,10 @@ object DocxElementReader {
               stack.head.children += node
               // depth cap: append-but-don't-push flattens crafted nesting
               if (depth < MaxDepth) { stack = node :: stack; depth += 1 }
+              else skippedDepth += 1
             case END_ELEMENT =>
-              if (stack.tail.nonEmpty) { stack = stack.tail; depth -= 1 }
+              if (skippedDepth > 0) skippedDepth -= 1
+              else if (stack.tail.nonEmpty) { stack = stack.tail; depth -= 1 }
             case CHARACTERS | CDATA =>
               if (!r.isWhiteSpace || stack.head.name == "t")
                 stack.head.children += r.getText

@@ -103,6 +103,12 @@ object HtmlElementReader {
     val root = Elem("root", Map.empty, ArrayBuffer.empty)
     var stack = List(root)
     var depth = 0 // stack.length - 1, tracked to keep the cap O(1)
+    // open tags appended-but-not-pushed past the depth cap, innermost
+    // first: their matching closes must be swallowed here, not matched
+    // against a real same-named ancestor (else a >MaxDepth spike of
+    // nested <div>s pops genuine ancestors all the way to the root and
+    // everything after the spike re-parents near the top)
+    var skipped: List[String] = Nil
     val n = html.length
     var i = 0
     val text = new StringBuilder
@@ -132,13 +138,23 @@ object HtmlElementReader {
           val end = html.indexOf('>', i)
           val name = (if (end < 0) html.substring(i + 2)
                       else html.substring(i + 2, end)).trim.toLowerCase
-          // pop to the nearest matching open tag; a stray close is a no-op
-          if (stack.exists(e => e.tag == name))
-            while (stack.head.tag != name && stack.head.tag != "root") {
-              stack = stack.tail; depth -= 1
+          // a close matching an unpushed over-cap open consumes that
+          // open (and any unclosed unpushed opens nested inside it)
+          // without touching the real stack
+          if (skipped.contains(name)) {
+            skipped = skipped.dropWhile(_ != name).tail
+          } else {
+            // pop to the nearest matching open tag; a stray close is a no-op
+            if (stack.exists(e => e.tag == name)) {
+              while (stack.head.tag != name && stack.head.tag != "root") {
+                stack = stack.tail; depth -= 1
+              }
+              if (stack.head.tag == name && stack.head.tag != "root") {
+                stack = stack.tail; depth -= 1
+              }
+              // any unpushed opens were descendants of the closed subtree
+              skipped = Nil
             }
-          if (stack.head.tag == name && stack.head.tag != "root") {
-            stack = stack.tail; depth -= 1
           }
           i = if (end < 0) n else end + 1
         } else if (isNameStart(c1)) { // open tag
@@ -208,13 +224,13 @@ object HtmlElementReader {
             // (r7 advice: the 'hr' entry was unreachable dead code when
             // voids bypassed this loop)
             while (ImplicitClose.get(stack.head.tag).exists(_.contains(name))) {
-              stack = stack.tail; depth -= 1
+              stack = stack.tail; depth -= 1; skipped = Nil
             }
             stack.head.children += Elem(name, attrs.result(), ArrayBuffer.empty)
           } else {
             // implicit closes (unclosed <p>, <li>, <tr>, <td> …)
             while (ImplicitClose.get(stack.head.tag).exists(_.contains(name))) {
-              stack = stack.tail; depth -= 1
+              stack = stack.tail; depth -= 1; skipped = Nil
             }
             val e = Elem(name, attrs.result(), ArrayBuffer.empty)
             stack.head.children += e
@@ -222,6 +238,11 @@ object HtmlElementReader {
             // nesting — children of over-deep elements attach to the
             // capped ancestor, content is kept, recursion stays bounded
             if (depth < MaxDepth) { stack = e :: stack; depth += 1 }
+            // bound the ledger at MaxDepth entries so contains/dropWhile
+            // on the close path stay O(MaxDepth) against crafted bombs;
+            // past 2×MaxDepth nesting the degrade is the documented
+            // flatten (close falls through to the ancestor match)
+            else if (skipped.length < MaxDepth) skipped = name :: skipped
           }
         } else { // '<' followed by junk: literal text
           text.append(c); i += 1

@@ -84,10 +84,21 @@ class AutoPlanesSpec extends SparkSpecBase {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
     }
+    // listener events are async: drain the bus deterministically
+    // (r8 advice: a fixed sleep races under a loaded CI executor) —
+    // LiveListenerBus.waitUntilEmpty() is private[spark], reached via
+    // reflection; any eager job inside `body` has completed by the
+    // time body returns, so a drained bus ⇒ exact job counts
+    def drainListenerBus(): Unit = {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    }
     def jobsOf(body: => Unit): Int = {
+      drainListenerBus()
       jobs.set(0)
       body
-      Thread.sleep(500) // listener events are async
+      drainListenerBus()
       jobs.get()
     }
     spark.sparkContext.addSparkListener(listener)

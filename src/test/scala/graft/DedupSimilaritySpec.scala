@@ -235,6 +235,30 @@ class DedupSimilaritySpec extends SparkSpecBase {
       maxDocsPerBucket = 1).count() == 0)
   }
 
+  test("mutualKnn cap: hot-bucket neighbor side is sampled, inert cap is exact") {
+    // 30 colinear vectors: identical sign pattern → one LSH bucket in
+    // every table, cosine exactly 1.0 for all pairs (scaled copies),
+    // so micro ties break on nbr_id and the uncapped mutual graph is
+    // fully determined: top-5 of any query = the 5 lowest other ids,
+    // mutual pairs = all pairs within {0..5} = C(6,2) = 15
+    val colinear = (0 until 30).map { i =>
+      (i.toLong, Array((1.0f + i * 0.001f), 0.0f, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val uncapped = Similarity.mutualKnn(colinear, k = 5, nPlanes = 4,
+      maxDocsPerBucket = Int.MaxValue)
+    assert(uncapped.count() == 15)
+    // cap = 10 < 30: both endpoints of every surviving pair must come
+    // from the hash-ordered neighbor sample (≤ cap ids per table, 2
+    // tables) — strictly fewer distinct ids than the corpus proves the
+    // cap actually bound, and two runs must agree (deterministic sample)
+    def pairs() = Similarity.mutualKnn(colinear, k = 5, nPlanes = 4,
+      maxDocsPerBucket = 10).select("a", "b").as[(Long, Long)].collect().toSet
+    val got = pairs()
+    val ids = got.flatMap(p => Seq(p._1, p._2))
+    assert(ids.size <= 20, s"cap did not bind: ${ids.size} distinct ids")
+    assert(got == pairs(), "capped mutualKnn is not deterministic")
+  }
+
   test("embeddingCosinePairs: same-direction vectors pair up") {
     val got = Dedup.embeddingCosinePairs(vecs, threshold = 0.9, nPlanes = 4)
       .select("a", "b").as[(Long, Long)].collect().toSet

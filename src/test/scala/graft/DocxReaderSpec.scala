@@ -121,6 +121,26 @@ class DocxReaderSpec extends SparkSpecBase {
     assert(DocxElementReader.parseBlocks(bos.toByteArray).isEmpty)
   }
 
+  test("over-deep XML spike keeps post-spike siblings in the body") {
+    // r8 advice: past MaxDepth an element is appended but not pushed;
+    // its END_ELEMENT must be swallowed, not pop a real ancestor —
+    // with the old unconditional pop, a 300-deep spike popped body and
+    // document off the stack and every later paragraph re-parented
+    // outside <w:body>, silently dropping the rest of the document
+    val spike = "<x>" * 300 + "</x>" * 300
+    val xml =
+      """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""" +
+        """<w:p><w:r><w:t>before</w:t></w:r></w:p>""" + spike +
+        """<w:p><w:r><w:t>after</w:t></w:r></w:p>""" +
+        """</w:body></w:document>"""
+    val bos = new java.io.ByteArrayOutputStream
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    z.write(xml.getBytes); z.closeEntry(); z.close()
+    val got = DocxElementReader.parseBlocks(bos.toByteArray)
+    assert(got.map(_._4) == Seq("before", "after"), got.toString)
+  }
+
   test("XXE: DOCTYPE with external entity is rejected, not fetched") {
     val evil =
       """<?xml version="1.0"?><!DOCTYPE doc [<!ENTITY xxe SYSTEM "file:///etc/passwd">]>""" +

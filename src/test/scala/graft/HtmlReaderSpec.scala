@@ -178,6 +178,23 @@ class HtmlReaderSpec extends SparkSpecBase {
     assert(blocks(deepOpen) == blocks(deepOpen))
   }
 
+  test("over-deep balanced spike keeps post-spike siblings at the right level") {
+    // r8 advice: past MaxDepth an open is appended but not pushed; its
+    // close must be swallowed by the skipped-ledger, not matched
+    // against a real same-named ancestor. With the old pop-to-match,
+    // the spike's excess </div>s popped the footer and outer div, so
+    // "after" lost its footer context (and anything between the spike
+    // and the next real div ancestor re-parented near the root)
+    val spiked = "<body><div><footer>" +
+      "<div>" * 300 + "deep" + "</div>" * 300 +
+      "<p>after</p></footer></div></body>"
+    val got = blocks(spiked)
+    assert(got.exists(b => b._1 == "footer" && b._4 == "after"),
+      got.map(b => (b._1, b._4)).mkString("; "))
+    // the over-deep text is kept (flatten, not drop)
+    assert(got.exists(_._4.contains("deep")))
+  }
+
   test("empty and null-ish inputs") {
     assert(blocks("").isEmpty)
     assert(blocks("   \n  ").isEmpty)
