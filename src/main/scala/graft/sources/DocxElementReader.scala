@@ -25,7 +25,12 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Mapping (WordprocessingML → elements, mirroring what markitdown's
   * mammoth-based conversion feeds MarkdownReader.cs:128-146):
-  *   - w:p with pStyle Heading1..6 (or Title)  → header (level n; Title → 1)
+  *   - w:p with pStyle Heading1..6 (or Title)  → header (level n; Title → 1);
+  *                                               pStyle ids that point at a
+  *                                               custom style resolve through
+  *                                               word/styles.xml — by the
+  *                                               style's w:name ("heading 1")
+  *                                               or its w:basedOn chain
   *   - plain w:p                               → paragraph (inline markdown:
   *                                               bold/italic/code runs,
   *                                               hyperlinks via the rels part,
@@ -191,8 +196,11 @@ object DocxElementReader {
   private val HeadingStyle = java.util.regex.Pattern.compile(
     "(?i)heading([1-9])")
 
-  /** pStyle value → (kind, headerLevel). */
-  private def styleKind(style: String): (String, Int) = {
+  /** pStyle value → (kind, headerLevel). Spaces are stripped first so
+    * Word's built-in style NAMES ("heading 1", "HTML Preformatted")
+    * match the same patterns as their ids. */
+  private def styleKind(style0: String): (String, Int) = {
+    val style = style0.replace(" ", "")
     val m = HeadingStyle.matcher(style)
     if (m.matches()) ("header", math.min(m.group(1).toInt, 6))
     else if (style.equalsIgnoreCase("Title")) ("header", 1)
@@ -200,6 +208,47 @@ object DocxElementReader {
     else if (style.equalsIgnoreCase("Code") ||
              style.equalsIgnoreCase("HTMLPreformatted")) ("code", 0)
     else ("paragraph", 0)
+  }
+
+  /** word/styles.xml: styleId → (w:name val, w:basedOn val). */
+  private final case class StyleDef(name: String, basedOn: Option[String])
+
+  private def parseStyles(bytes: Array[Byte]): Map[String, StyleDef] =
+    parseXml(bytes) match {
+      case Some(root) =>
+        kids(root, "style").flatMap { st =>
+          st.attrs.get("styleId").map { id =>
+            id -> StyleDef(
+              first(st, "name").flatMap(_.attrs.get("val")).getOrElse(""),
+              first(st, "basedOn").flatMap(_.attrs.get("val")))
+          }
+        }.toMap
+      case None => Map.empty
+    }
+
+  /** Resolve a pStyle id through styles.xml: real documents rarely
+    * carry the literal built-in id on the paragraph — they point at a
+    * custom style whose w:name is the built-in ("heading 1") or that
+    * is basedOn a heading style. Checks, in order, the id itself, the
+    * style's display name, then the basedOn chain (cycle-capped), the
+    * same lookup order Word's own style resolution uses. */
+  private def resolveStyleKind(style: String,
+                               styles: Map[String, StyleDef]): (String, Int) = {
+    var cur = style
+    var hops = 0
+    while (cur.nonEmpty && hops < 12) {
+      val direct = styleKind(cur)
+      if (direct._1 != "paragraph") return direct
+      styles.get(cur) match {
+        case Some(sd) =>
+          val byName = styleKind(sd.name)
+          if (byName._1 != "paragraph") return byName
+          cur = sd.basedOn.getOrElse("")
+        case None => cur = ""
+      }
+      hops += 1
+    }
+    ("paragraph", 0)
   }
 
   /** A run-level toggle property (w:b, w:i) is ON unless w:val says
@@ -347,11 +396,14 @@ object DocxElementReader {
   def parseBlocks(docx: Array[Byte]): Seq[(String, Int, String, String)] = {
     if (docx == null || docx.length < 4) return Nil
     val parts = zipParts(docx,
-      Set("word/document.xml", "word/_rels/document.xml.rels"))
+      Set("word/document.xml", "word/_rels/document.xml.rels",
+        "word/styles.xml"))
     val docXml = parts.get("word/document.xml").flatMap(parseXml)
     if (docXml.isEmpty) return Nil
     val rels = parts.get("word/_rels/document.xml.rels")
       .map(parseRels).getOrElse(Map.empty)
+    val styles = parts.get("word/styles.xml")
+      .map(parseStyles).getOrElse(Map.empty)
     val body = first(docXml.get, "body").getOrElse(docXml.get)
     val out = ArrayBuffer.empty[(String, Int, String, String)]
 
@@ -360,7 +412,7 @@ object DocxElementReader {
         case "p" =>
           val style = first(c, "pPr").flatMap(first(_, "pStyle"))
             .flatMap(_.attrs.get("val")).getOrElse("")
-          val (kind, level) = styleKind(style)
+          val (kind, level) = resolveStyleKind(style, styles)
           val (mdRaw, txRaw, onlyDrawings, alt) = renderParagraph(c, rels)
           if (kind == "code") {
             val bodyTx = txRaw.replaceAll("^\\n|\\n$", "")

@@ -30,8 +30,11 @@ import scala.collection.mutable.ArrayBuffer
   *   - text extraction from BT/ET blocks: Tf/Td/TD/Tm/TL and T*
   *     state, Tj/TJ/'/" shows, q/Q state stack; TJ kerning gaps become
   *     spaces; y-position changes become line breaks;
-  *   - simple fonts decode as Latin-1; any font with a /ToUnicode
-  *     CMap uses it (bfchar + bfrange, incl. array form); Type0
+  *   - simple fonts decode via /ToUnicode when present (bfchar +
+  *     bfrange, incl. array form), else via /Encoding —
+  *     WinAnsi/MacRoman base tables plus /Differences glyph-name
+  *     overrides resolved through an Adobe-Glyph-List subset
+  *     (ISO 32000-1 §9.6.6, Annex D) — else as Latin-1; Type0
   *     (2-byte) fonts WITHOUT /ToUnicode are skipped rather than
   *     emitting glyph-id garbage;
   *   - structure inferred from font sizes: the corpus-dominant size
@@ -434,8 +437,164 @@ object PdfElementReader {
     out.result()
   }
 
+  // ------------------------------------------------------------------
+  // Simple-font /Encoding (ISO 32000-1 §9.6.6, Annex D): a name
+  // (/WinAnsiEncoding, /MacRomanEncoding) or a dict with /BaseEncoding
+  // + /Differences [ code name name ... code name ... ]. Real office
+  // exports routinely write WinAnsi base + Differences overrides;
+  // decoding them through the glyph list (instead of falling back to
+  // Latin-1) is what keeps é/•/— from turning into mojibake.
+  // ------------------------------------------------------------------
+
+  /** Adobe Glyph List subset → unicode. Letters/digits map to
+    * themselves by the AGL naming rule; the literal table covers ASCII
+    * punctuation, Latin-1 supplement, and the WinAnsi typography range
+    * (the names any /Differences array from an office exporter uses).
+    * `uniXXXX` / `uXXXX(XX)` names decode per the AGL algorithm. */
+  private val glyphList: Map[String, String] = {
+    val letters =
+      (('A' to 'Z') ++ ('a' to 'z')).map(c => c.toString -> c.toString)
+    val digits = Seq("zero", "one", "two", "three", "four", "five", "six",
+      "seven", "eight", "nine").zipWithIndex.map { case (n, i) =>
+      n -> ('0' + i).toChar.toString
+    }
+    val table = Seq(
+      "space" -> 0x20, "exclam" -> 0x21, "quotedbl" -> 0x22,
+      "numbersign" -> 0x23, "dollar" -> 0x24, "percent" -> 0x25,
+      "ampersand" -> 0x26, "quotesingle" -> 0x27, "parenleft" -> 0x28,
+      "parenright" -> 0x29, "asterisk" -> 0x2a, "plus" -> 0x2b,
+      "comma" -> 0x2c, "hyphen" -> 0x2d, "period" -> 0x2e,
+      "slash" -> 0x2f, "colon" -> 0x3a, "semicolon" -> 0x3b,
+      "less" -> 0x3c, "equal" -> 0x3d, "greater" -> 0x3e,
+      "question" -> 0x3f, "at" -> 0x40, "bracketleft" -> 0x5b,
+      "backslash" -> 0x5c, "bracketright" -> 0x5d,
+      "asciicircum" -> 0x5e, "underscore" -> 0x5f, "grave" -> 0x60,
+      "braceleft" -> 0x7b, "bar" -> 0x7c, "braceright" -> 0x7d,
+      "asciitilde" -> 0x7e,
+      // Latin-1 supplement
+      "exclamdown" -> 0xa1, "cent" -> 0xa2, "sterling" -> 0xa3,
+      "currency" -> 0xa4, "yen" -> 0xa5, "brokenbar" -> 0xa6,
+      "section" -> 0xa7, "dieresis" -> 0xa8, "copyright" -> 0xa9,
+      "ordfeminine" -> 0xaa, "guillemotleft" -> 0xab,
+      "logicalnot" -> 0xac, "registered" -> 0xae, "macron" -> 0xaf,
+      "degree" -> 0xb0, "plusminus" -> 0xb1, "twosuperior" -> 0xb2,
+      "threesuperior" -> 0xb3, "acute" -> 0xb4, "mu" -> 0xb5,
+      "paragraph" -> 0xb6, "periodcentered" -> 0xb7, "cedilla" -> 0xb8,
+      "onesuperior" -> 0xb9, "ordmasculine" -> 0xba,
+      "guillemotright" -> 0xbb, "onequarter" -> 0xbc, "onehalf" -> 0xbd,
+      "threequarters" -> 0xbe, "questiondown" -> 0xbf,
+      "Agrave" -> 0xc0, "Aacute" -> 0xc1, "Acircumflex" -> 0xc2,
+      "Atilde" -> 0xc3, "Adieresis" -> 0xc4, "Aring" -> 0xc5,
+      "AE" -> 0xc6, "Ccedilla" -> 0xc7, "Egrave" -> 0xc8,
+      "Eacute" -> 0xc9, "Ecircumflex" -> 0xca, "Edieresis" -> 0xcb,
+      "Igrave" -> 0xcc, "Iacute" -> 0xcd, "Icircumflex" -> 0xce,
+      "Idieresis" -> 0xcf, "Eth" -> 0xd0, "Ntilde" -> 0xd1,
+      "Ograve" -> 0xd2, "Oacute" -> 0xd3, "Ocircumflex" -> 0xd4,
+      "Otilde" -> 0xd5, "Odieresis" -> 0xd6, "multiply" -> 0xd7,
+      "Oslash" -> 0xd8, "Ugrave" -> 0xd9, "Uacute" -> 0xda,
+      "Ucircumflex" -> 0xdb, "Udieresis" -> 0xdc, "Yacute" -> 0xdd,
+      "Thorn" -> 0xde, "germandbls" -> 0xdf,
+      "agrave" -> 0xe0, "aacute" -> 0xe1, "acircumflex" -> 0xe2,
+      "atilde" -> 0xe3, "adieresis" -> 0xe4, "aring" -> 0xe5,
+      "ae" -> 0xe6, "ccedilla" -> 0xe7, "egrave" -> 0xe8,
+      "eacute" -> 0xe9, "ecircumflex" -> 0xea, "edieresis" -> 0xeb,
+      "igrave" -> 0xec, "iacute" -> 0xed, "icircumflex" -> 0xee,
+      "idieresis" -> 0xef, "eth" -> 0xf0, "ntilde" -> 0xf1,
+      "ograve" -> 0xf2, "oacute" -> 0xf3, "ocircumflex" -> 0xf4,
+      "otilde" -> 0xf5, "odieresis" -> 0xf6, "divide" -> 0xf7,
+      "oslash" -> 0xf8, "ugrave" -> 0xf9, "uacute" -> 0xfa,
+      "ucircumflex" -> 0xfb, "udieresis" -> 0xfc, "yacute" -> 0xfd,
+      "thorn" -> 0xfe, "ydieresis" -> 0xff,
+      // WinAnsi typography range + common extras
+      "Euro" -> 0x20ac, "quotesinglbase" -> 0x201a, "florin" -> 0x192,
+      "quotedblbase" -> 0x201e, "ellipsis" -> 0x2026,
+      "dagger" -> 0x2020, "daggerdbl" -> 0x2021, "circumflex" -> 0x2c6,
+      "perthousand" -> 0x2030, "Scaron" -> 0x160,
+      "guilsinglleft" -> 0x2039, "OE" -> 0x152, "Zcaron" -> 0x17d,
+      "quoteleft" -> 0x2018, "quoteright" -> 0x2019,
+      "quotedblleft" -> 0x201c, "quotedblright" -> 0x201d,
+      "bullet" -> 0x2022, "endash" -> 0x2013, "emdash" -> 0x2014,
+      "tilde" -> 0x2dc, "trademark" -> 0x2122, "scaron" -> 0x161,
+      "guilsinglright" -> 0x203a, "oe" -> 0x153, "zcaron" -> 0x17e,
+      "Ydieresis" -> 0x178,
+      "minus" -> 0x2212, "fraction" -> 0x2044, "fi" -> 0xfb01,
+      "fl" -> 0xfb02, "dotlessi" -> 0x131, "Lslash" -> 0x141,
+      "lslash" -> 0x142, "ring" -> 0x2da, "breve" -> 0x2d8,
+      "caron" -> 0x2c7, "ogonek" -> 0x2db, "hungarumlaut" -> 0x2dd,
+      "dotaccent" -> 0x2d9
+    ).map { case (n, cp) => n -> new String(Character.toChars(cp)) }
+    (letters ++ digits ++ table).toMap
+  }
+
+  private val UniName = java.util.regex.Pattern.compile("uni([0-9A-F]{4})")
+  private val UName = java.util.regex.Pattern.compile("u([0-9A-F]{4,6})")
+
+  private def glyphToUnicode(name: String): Option[String] =
+    glyphList.get(name).orElse {
+      val m = UniName.matcher(name)
+      if (m.matches()) Some(Integer.parseInt(m.group(1), 16).toChar.toString)
+      else {
+        val m2 = UName.matcher(name)
+        if (m2.matches())
+          try Some(new String(Character.toChars(Integer.parseInt(m2.group(1), 16))))
+          catch { case _: Exception => None }
+        else None
+      }
+    }
+
+  /** Base-encoding tables via the JVM's own charsets (cp1252 ships
+    * everywhere; MacRoman on every mainstream JDK — absent charset →
+    * empty map → Latin-1 fallback, the pre-existing degrade). */
+  private def baseEncoding(name: String): Map[Int, String] = {
+    val charset = name match {
+      case "WinAnsiEncoding" => "windows-1252"
+      case "MacRomanEncoding" => "x-MacRoman"
+      case _ => return Map.empty // StandardEncoding ≈ Latin-1 fallback
+    }
+    try {
+      val cs = java.nio.charset.Charset.forName(charset)
+      (0 until 256).flatMap { code =>
+        val s = new String(Array(code.toByte), cs)
+        // drop undecodable slots so the Latin-1 fallback applies there
+        if (s.length == 1 && s.charAt(0) != '�') Some(code -> s)
+        else None
+      }.toMap
+    } catch { case _: Exception => Map.empty }
+  }
+
+  /** /Encoding entry → code → unicode overlay (Differences win over
+    * the base table; unmappable glyph names fall through to base). */
+  private def parseEncoding(enc: PObj,
+                            resolve: PObj => PObj): Map[Int, String] =
+    resolve(enc) match {
+      case PName(n) => baseEncoding(n)
+      case d: PDict =>
+        val base = d.m.get("BaseEncoding") match {
+          case Some(PName(n)) => baseEncoding(n)
+          case _ => Map.empty[Int, String]
+        }
+        val diffs = resolve(d.m.getOrElse("Differences", PNull)) match {
+          case PArr(items) =>
+            val b = Map.newBuilder[Int, String]
+            var code = -1
+            items.foreach {
+              case PNum(n) => code = n.toInt
+              case PName(g) if code >= 0 && code < 256 =>
+                glyphToUnicode(g).foreach(u => b += code -> u)
+                code += 1
+              case PName(_) => // differences before any code: skip
+              case _ =>
+            }
+            b.result()
+          case _ => Map.empty[Int, String]
+        }
+        base ++ diffs
+      case _ => Map.empty
+    }
+
   private final case class FontInfo(toUnicode: Map[Int, String],
-                                    twoByte: Boolean)
+                                    twoByte: Boolean,
+                                    encoding: Map[Int, String] = Map.empty)
 
   // ------------------------------------------------------------------
   // Content-stream text interpreter
@@ -482,9 +641,14 @@ object PdfElementReader {
         var i = 0
         while (i < bytes.length) {
           val code = bytes(i) & 0xff
+          // priority: ToUnicode CMap > /Encoding (base + Differences)
+          // > Latin-1 fallback — the ISO 32000 text-extraction order
           curFont.toUnicode.get(code) match {
             case Some(u) => sb.append(u)
-            case None => sb.append(code.toChar) // Latin-1 fallback
+            case None => curFont.encoding.get(code) match {
+              case Some(u) => sb.append(u)
+              case None => sb.append(code.toChar) // Latin-1 fallback
+            }
           }
           i += 1
         }
@@ -680,7 +844,10 @@ object PdfElementReader {
             decodeStream(s, resolve(_)).map(parseToUnicode).getOrElse(Map.empty)
           case _ => Map.empty[Int, String]
         }
-        name -> FontInfo(toUni, twoByte)
+        val enc =
+          if (twoByte) Map.empty[Int, String] // Type0 /Encoding is a CMap, not a table
+          else parseEncoding(f.m.getOrElse("Encoding", PNull), resolve(_))
+        name -> FontInfo(toUni, twoByte, enc)
       }).toMap
 
     // per page: decode contents (single stream or array), interpret

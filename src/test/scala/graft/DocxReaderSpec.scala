@@ -121,6 +121,41 @@ class DocxReaderSpec extends SparkSpecBase {
     assert(DocxElementReader.parseBlocks(bos.toByteArray).isEmpty)
   }
 
+  test("styles.xml indirection: custom pStyle ids resolve to headings") {
+    // real Word exports rarely put the literal built-in id on the
+    // paragraph: the pStyle points at a custom style whose w:name is
+    // the built-in ("heading 1") or that is basedOn a heading style
+    val doc =
+      """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""" +
+        """<w:p><w:pPr><w:pStyle w:val="MyHead"/></w:pPr><w:r><w:t>By Name</w:t></w:r></w:p>""" +
+        """<w:p><w:pPr><w:pStyle w:val="Derived"/></w:pPr><w:r><w:t>By Chain</w:t></w:r></w:p>""" +
+        """<w:p><w:pPr><w:pStyle w:val="Looped"/></w:pPr><w:r><w:t>Cycle Safe</w:t></w:r></w:p>""" +
+        """<w:p><w:r><w:t>plain body</w:t></w:r></w:p>""" +
+        """</w:body></w:document>"""
+    val styles =
+      """<w:styles xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+        """<w:style w:type="paragraph" w:styleId="MyHead"><w:name w:val="heading 1"/></w:style>""" +
+        """<w:style w:type="paragraph" w:styleId="Derived"><w:name w:val="Fancy"/><w:basedOn w:val="Mid"/></w:style>""" +
+        """<w:style w:type="paragraph" w:styleId="Mid"><w:name w:val="Middle"/><w:basedOn w:val="Heading2"/></w:style>""" +
+        """<w:style w:type="paragraph" w:styleId="Looped"><w:name w:val="L1"/><w:basedOn w:val="Looped"/></w:style>""" +
+        """</w:styles>"""
+    val bos = new java.io.ByteArrayOutputStream
+    val z = new java.util.zip.ZipOutputStream(bos)
+    def put(n: String, c: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(n)); z.write(c.getBytes); z.closeEntry()
+    }
+    put("word/document.xml", doc)
+    put("word/styles.xml", styles)
+    z.close()
+    val got = DocxElementReader.parseBlocks(bos.toByteArray)
+      .map(b => (b._1, b._2, b._4))
+    assert(got == Seq(
+      ("header", 1, "By Name"),      // styles.xml name "heading 1"
+      ("header", 2, "By Chain"),     // basedOn → Mid → Heading2
+      ("paragraph", 0, "Cycle Safe"), // self-referential basedOn: no hang
+      ("paragraph", 0, "plain body")), got.toString)
+  }
+
   test("over-deep XML spike keeps post-spike siblings in the body") {
     // r8 advice: past MaxDepth an element is appended but not pushed;
     // its END_ELEMENT must be swallowed, not pop a real ancestor —

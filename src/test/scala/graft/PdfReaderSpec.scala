@@ -127,6 +127,84 @@ class PdfReaderSpec extends SparkSpecBase {
   }
 
   // ------------------------------------------------------------------
+  // simple-font /Encoding: WinAnsi base + /Differences (r8 verdict
+  // item 3 — the producer-quirk space real office exports live in)
+  // ------------------------------------------------------------------
+  test("/WinAnsiEncoding name decodes the 0x80-0x9F typography range") {
+    // bytes 0x93/0x94 are curly quotes in WinAnsi but C1 controls in
+    // Latin-1 — the fallback used to emit the controls
+    val pdf = onePage(
+      s"BT /F1 11 Tf 72 700 Td (${0x93.toChar}quoted${0x94.toChar} café ${0x96.toChar} dash) Tj ET",
+      fontExtra = "/Encoding /WinAnsiEncoding")
+    assert(texts(pdf) == Seq("“quoted” café – dash"))
+  }
+
+  test("/Differences overrides decode through the glyph list") {
+    val pdf = onePage(
+      s"BT /F1 11 Tf 72 700 Td (caf${0x80.toChar} ${0x81.toChar} list) Tj ET",
+      fontExtra = "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+        "/Differences [ 128 /eacute /bullet ] >>")
+    // 128 → /eacute, running code: 129 → /bullet (WinAnsi would say
+    // € and an undefined slot — Differences must win)
+    assert(texts(pdf) == Seq("café • list"))
+  }
+
+  test("/Differences: unknown glyph falls back to base, uniXXXX decodes") {
+    val pdf = onePage(
+      s"BT /F1 11 Tf 72 700 Td (x${0x82.toChar}y ${0x83.toChar}z) Tj ET",
+      fontExtra = "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+        "/Differences [ 130 /notarealglyphname 131 /uni2603 ] >>")
+    // 0x82: unmappable name → WinAnsi base (single low quote);
+    // 0x83: uniXXXX AGL rule → snowman
+    assert(texts(pdf) == Seq("x‚y ☃z"))
+  }
+
+  // ------------------------------------------------------------------
+  // producer quirks: object order, inter-object garbage, incremental
+  // updates (r8 verdict item 3)
+  // ------------------------------------------------------------------
+  private def pageObjs(content: String): Seq[(Int, String)] = Seq(
+    1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+    2 -> "<< /Type /Pages /Kids [ 4 0 R ] /Count 1 /Resources << /Font << /F1 3 0 R >> >> >>",
+    3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    4 -> "<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>",
+    5 -> s"<< >>\nstream\n$content\nendstream")
+
+  test("object order is irrelevant: shuffled bodies parse identically") {
+    val objs = pageObjs("BT /F1 11 Tf 72 700 Td (order free) Tj ET")
+    val expected = texts(rawPdf(objs: _*))
+    assert(expected == Seq("order free"), "setup")
+    for (perm <- Seq(objs.reverse, Seq(objs(2), objs(4), objs(0), objs(3), objs(1))))
+      assert(texts(rawPdf(perm: _*)) == expected, perm.map(_._1).toString)
+  }
+
+  test("garbage bytes between objects are skipped by the scanner") {
+    val objs = pageObjs("BT /F1 11 Tf 72 700 Td (survives junk) Tj ET")
+    val junk = "\n% rogue comment >>>] (unterminated\nÞ­¾ï raw bytes { [ <act\n"
+    val sb = new StringBuilder("%PDF-1.4\n")
+    objs.foreach { case (n, body) =>
+      sb.append(junk).append(s"$n 0 obj\n").append(body).append("\nendobj\n")
+    }
+    sb.append(junk).append("%%EOF\n")
+    assert(texts(sb.toString.getBytes(latin1)) == Seq("survives junk"))
+  }
+
+  test("incremental update: the appended redefinition wins") {
+    // a second body after %%EOF redefines the content stream — the
+    // classic save-in-place layout; later definition must win
+    val base = rawPdf(pageObjs("BT /F1 11 Tf 72 700 Td (original) Tj ET"): _*)
+    val update = ("5 0 obj\n<< >>\nstream\n" +
+      "BT /F1 11 Tf 72 700 Td (updated text) Tj ET" +
+      "\nendstream\nendobj\nstartxref\n0\n%%EOF\n").getBytes(latin1)
+    assert(texts(base ++ update) == Seq("updated text"))
+    // two stacked updates: last one still wins
+    val update2 = ("5 0 obj\n<< >>\nstream\n" +
+      "BT /F1 11 Tf 72 700 Td (third revision) Tj ET" +
+      "\nendstream\nendobj\nstartxref\n0\n%%EOF\n").getBytes(latin1)
+    assert(texts(base ++ update ++ update2) == Seq("third revision"))
+  }
+
+  // ------------------------------------------------------------------
   // streams: Flate, /Length forms, ObjStm
   // ------------------------------------------------------------------
   private def deflate(raw: Array[Byte]): Array[Byte] = {
