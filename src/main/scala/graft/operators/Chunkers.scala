@@ -246,25 +246,64 @@ object Chunkers {
                     opts: ChunkerOptions = ChunkerOptions()): Dataset[Chunk] = {
     import spark.implicits._
     elements.groupByKey(_.doc_id).flatMapGroups { (id, it) =>
-      val sorted = it.toArray.sortBy(e => (e.page_number.getOrElse(0), e.seq))
-      val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
-      var nextId = 0
-      var i = 0
-      while (i < sorted.length) {
-        val page = sorted(i).page_number
-        val run = scala.collection.mutable.ArrayBuffer.empty[DocElement]
-        while (i < sorted.length && sorted(i).page_number == page) {
-          run += sorted(i); i += 1
-        }
-        // first-wins metadata merge across the run's elements
-        val meta = run.foldLeft(Map.empty[String, String])((acc, e) => e.metadata ++ acc)
-        val packed = packElements(id, "",
-          run.map(e => (e.kind, semanticText(e.kind, e.markdown, e.text))).toSeq,
-          opts, nextId, page, meta)
-        nextId += packed.size
-        out ++= packed
+      packDocElements(id, it.toSeq, opts)
+    }
+  }
+
+  /** Pack ONE document's elements into chunks — the per-group body of
+    * [[elementChunks]], also the per-ROW body of the fused streaming
+    * path ([[autoElementChunks]]) where a file already is a whole
+    * document, so the two paths are identical by construction. */
+  def packDocElements(id: Long, elems: Seq[DocElement],
+                      opts: ChunkerOptions = ChunkerOptions()): Seq[Chunk] = {
+    val sorted = elems.toArray.sortBy(e => (e.page_number.getOrElse(0), e.seq))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+    var nextId = 0
+    var i = 0
+    while (i < sorted.length) {
+      val page = sorted(i).page_number
+      val run = scala.collection.mutable.ArrayBuffer.empty[DocElement]
+      while (i < sorted.length && sorted(i).page_number == page) {
+        run += sorted(i); i += 1
       }
-      out.toSeq
+      // first-wins metadata merge across the run's elements
+      val meta = run.foldLeft(Map.empty[String, String])((acc, e) => e.metadata ++ acc)
+      val packed = packElements(id, "",
+        run.map(e => (e.kind, semanticText(e.kind, e.markdown, e.text))).toSeq,
+        opts, nextId, page, meta)
+      nextId += packed.size
+      out ++= packed
+    }
+    out.toSeq
+  }
+
+  /** Reader + chunker FUSED for mixed-format binary corpora — the
+    * streaming-legal form of AutoElementReader → [[elementChunks]]:
+    * `flatMapGroups` is unsupported on a stream, and unnecessary here,
+    * because one binary file IS one document — format sniffing, parse,
+    * and chunk packing all happen in a single stateless flatMap call
+    * (no shuffle, no state store, map-only at any corpus size; the
+    * batch and streaming plans are the same narrow stage). */
+  def autoElementChunks(spark: SparkSession, documents: DataFrame,
+                        idCol: String = "doc_id",
+                        contentCol: String = "content",
+                        metaCols: Seq[String] = Nil,
+                        opts: ChunkerOptions = ChunkerOptions()): Dataset[Chunk] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val metaNames = metaCols
+    val projected = documents.select(
+      Seq(col(idCol).cast("long"), col(contentCol).cast("binary")) ++
+        metaNames.map(c => col(c).cast("string")): _*)
+    projected.flatMap { row =>
+      val id = row.getLong(0)
+      val bytes =
+        if (row.isNullAt(1)) Array.empty[Byte] else row.getAs[Array[Byte]](1)
+      val meta = metaNames.zipWithIndex.collect {
+        case (name, i) if !row.isNullAt(2 + i) => name -> row.getString(2 + i)
+      }.toMap
+      packDocElements(id,
+        graft.sources.AutoElementReader.docElements(id, bytes, meta), opts)
     }
   }
 

@@ -87,6 +87,19 @@ object AutoElementReader {
         }
     }
 
+  /** One binary document → its ordered [[DocElement]]s (detected
+    * format recorded in metadata under "format") — the per-row body of
+    * [[elements]], shared with the fused streaming chunker
+    * ([[graft.operators.Chunkers.autoElementChunks]]). */
+  def docElements(id: Long, bytes: Array[Byte],
+                  baseMeta: Map[String, String] = Map.empty): Seq[DocElement] = {
+    val meta = baseMeta + ("format" -> detect(bytes))
+    parseBlocks(bytes).zipWithIndex.map {
+      case ((kind, level, md, txt, page), seq) =>
+        DocElement(id, seq, kind, level, md, txt, page, meta)
+    }
+  }
+
   /** documents(doc_id, content: binary) → Dataset[DocElement] — the
     * shared reader contract over a MIXED-format corpus. The detected
     * format is recorded in each element's metadata under "format" so
@@ -106,11 +119,8 @@ object AutoElementReader {
         if (row.isNullAt(1)) Array.empty[Byte] else row.getAs[Array[Byte]](1)
       val meta = metaNames.zipWithIndex.collect {
         case (name, i) if !row.isNullAt(2 + i) => name -> row.getString(2 + i)
-      }.toMap + ("format" -> detect(bytes))
-      parseBlocks(bytes).zipWithIndex.map {
-        case ((kind, level, md, txt, page), seq) =>
-          DocElement(id, seq, kind, level, md, txt, page, meta)
-      }
+      }.toMap
+      docElements(id, bytes, meta)
     }
   }
 }

@@ -69,6 +69,50 @@ object DocumentSource {
     else withId.withColumn("text", col(textField).cast("string")).drop(textField)
   }
 
+  /** Read every file under `dir` as one BINARY document row:
+    * (doc_id, content, source) — the mixed-format corpus shape
+    * [[AutoElementReader.elements]] consumes (a crawl dump where the
+    * format is a per-row property, not a directory-level one). */
+  def readBinaryDir(spark: SparkSession, dir: String,
+                    glob: String = "*"): DataFrame =
+    spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        col("content"),
+        col("path").as("source")
+      )
+
+  /** Streaming variant of [[readBinaryDir]]: watch `dir` and emit new
+    * binary files as (doc_id, content, source) rows. */
+  def streamBinaryDir(spark: SparkSession, dir: String, glob: String = "*",
+                      maxFilesPerTrigger: Int = 32): DataFrame =
+    spark.readStream
+      .format("binaryFile")
+      // the binaryFile schema is FIXED by the format, but a streaming
+      // file source refuses to start without one declared up front
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        col("content"),
+        col("path").as("source")
+      )
+
   /** Streaming variant: watch `dir` and emit new files as documents. */
   def streamDir(spark: SparkSession, dir: String, glob: String = "*.md",
                 maxFilesPerTrigger: Int = 32): DataFrame =

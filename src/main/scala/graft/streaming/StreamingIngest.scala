@@ -61,6 +61,32 @@ object StreamingIngest {
     pipeline.namedObservedChunks(spark, docs)
   }
 
+  /** Crawl-shaped streaming ingest: watch a directory of MIXED-format
+    * binary documents (markdown / HTML / DOCX / PDF), route each file
+    * through the magic-byte reader ([[graft.sources.AutoElementReader]]),
+    * pack its elements into chunks, and run the pipeline's chunk
+    * processors — the streaming twin of the i_auto_elements driver row.
+    * The reader+chunker stage is the FUSED flatMap
+    * ([[graft.operators.Chunkers.autoElementChunks]]): `flatMapGroups`
+    * is illegal on a stream and unnecessary here because one file IS
+    * one document, so the whole pipeline stays stateless — no
+    * watermark, no state store, per-stage rows observable via
+    * `graft_*` named metrics on every micro-batch progress.
+    * Note the document rows are binary: `pipeline.documentProcessors`
+    * here must expect (doc_id, content, source), not (doc_id, text) —
+    * the canonical pipeline has none, only chunk processors.
+    */
+  def autoChunkStream(spark: SparkSession, inputDir: String,
+                      pipeline: IngestionPipeline = IngestionPipeline.canonical,
+                      maxFilesPerTrigger: Int = 32): DataFrame = {
+    val docs = graft.sources.DocumentSource.streamBinaryDir(
+      spark, inputDir, maxFilesPerTrigger = maxFilesPerTrigger)
+    pipeline.withChunker((sp, d) =>
+        graft.operators.Chunkers.autoElementChunks(sp, d,
+          metaCols = Seq("source")).toDF())
+      .namedObservedChunks(spark, docs)
+  }
+
   /** Write the chunk stream as vector records (append mode, checkpointed). */
   def writer(chunks: DataFrame, sinkPath: String, checkpoint: String,
              dim: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =

@@ -61,6 +61,61 @@ class StreamingSpec extends SparkSpecBase {
     assert(metrics("graft_chunkProcessor_1") == 2)
   }
 
+  test("autoChunkStream: mixed md/html/docx/pdf directory → enriched chunks, stateless") {
+    import graft.sources.{DocxElementReader, PdfElementReader}
+    val in = Files.createTempDirectory("graft-auto-in").toString
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    Files.write(java.nio.file.Path.of(in, "a.md"),
+      "# Doc A\n\nalpha body text".getBytes(utf8))
+    Files.write(java.nio.file.Path.of(in, "b.html"),
+      "<html><body><h1>Doc B</h1><p>beta body text</p></body></html>".getBytes(utf8))
+    Files.write(java.nio.file.Path.of(in, "c.docx"),
+      DocxElementReader.synthesize(Seq(
+        DocxElementReader.SHeading(1, "Doc C"),
+        DocxElementReader.SPara("gamma body text"))))
+    Files.write(java.nio.file.Path.of(in, "d.pdf"),
+      PdfElementReader.synthesize(Seq(Seq(
+        PdfElementReader.SHeading(1, "Doc D"),
+        PdfElementReader.SPara("delta body text")))))
+    val q = StreamingIngest.autoChunkStream(spark, in)
+      .writeStream.format("memory").queryName("graft_auto")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("graft_auto").collect()
+    // all four formats landed, each as one enriched chunk
+    assert(got.map(_.getAs[Long]("doc_id")).distinct.length == 4)
+    assert(got.forall(r => r.getAs[String]("summary") != null &&
+      r.getAs[String]("sentiment") != null))
+    val contents = got.map(_.getAs[String]("content")).sorted.toSeq
+    for (body <- Seq("alpha body text", "beta body text",
+        "gamma body text", "delta body text"))
+      assert(contents.exists(_.contains(body)), body)
+    // per-stage rows ride the progress events
+    val metrics = q.recentProgress.flatMap(p =>
+      scala.jdk.CollectionConverters.MapHasAsScala(p.observedMetrics).asScala)
+      .groupMapReduce(_._1)((kv: (String, org.apache.spark.sql.Row)) =>
+        kv._2.getAs[Long]("rows"))(_ + _)
+    assert(metrics("graft_reader") == 4)
+    assert(metrics("graft_chunker") == 4)
+    assert(metrics("graft_chunkProcessor_1") == 4)
+    // stateless by construction: no state-store operators in progress
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty))
+    // and the fused streaming chunker matches the batch reader+chunker
+    // path row-for-row (shared packDocElements makes them identical by
+    // construction — this locks the contract)
+    val batch = graft.operators.Chunkers.elementChunks(spark,
+      graft.sources.AutoElementReader.elements(spark,
+        graft.sources.DocumentSource.readBinaryDir(spark, in),
+        metaCols = Seq("source"))).toDF()
+      .select("doc_id", "chunk_id", "content").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val streamed = got.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Int]("chunk_id"), r.getAs[String]("content"))).toSet
+    assert(streamed == batch)
+  }
+
   test("text-analysis ops compose with streams: PII scrub + corpus filter on a file stream") {
     val in = Files.createTempDirectory("graft-pii-in").toString
     val out = Files.createTempDirectory("graft-pii-out").toString
