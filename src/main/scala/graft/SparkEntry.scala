@@ -2266,12 +2266,18 @@ object SparkEntry {
       val base = tbl(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .as[(Long, String, String, String)]
+      // page 2 ends with a RULED table (r9): synthesize draws the
+      // grid with m/l strokes and the reader's bordered-grid detector
+      // (detectRuledTable) must recover the same pipe-markdown table
+      // element the DOCX/HTML readers emit — corpus-wide, hash-exact
       val pdfDocs = base.map { case (id, text, lang, source) =>
         (id, PdfElementReader.synthesize(Seq(
           Seq(SHeading(1, s"Doc $id"),
             SPara("body: " + Option(text).getOrElse(""))),
           Seq(SPara("lang: " + lang), SPara("source: " + source),
-            SPara(s"end of doc $id")))))
+            SPara(s"end of doc $id"),
+            STable(Seq(Seq("field", "value"),
+              Seq("lang", lang), Seq("source", source)))))))
       }.toDF("doc_id", "content")
       PdfElementReader.elements(s, pdfDocs).toDF()
         .select(col("doc_id"), col("seq"), col("kind"), col("level"),
@@ -4750,7 +4756,9 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, 2, 'paragraph', 0, 'lang: ' || lang, 2 FROM base
         |  UNION ALL SELECT doc_id, 3, 'paragraph', 0, 'source: ' || source, 2 FROM base
         |  UNION ALL SELECT doc_id, 4, 'paragraph', 0,
-        |    'end of doc ' || doc_id, 2 FROM base)
+        |    'end of doc ' || doc_id, 2 FROM base
+        |  UNION ALL SELECT doc_id, 5, 'table', 0,
+        |    'field value lang ' || lang || ' source ' || source, 2 FROM base)
         |ORDER BY doc_id, seq""".stripMargin,
 
     // mixed-format routing replay: whichever of the four formats

@@ -601,19 +601,38 @@ object PdfElementReader {
   // ------------------------------------------------------------------
   private final case class Line(y: Double, size: Double, text: String)
 
+  /** One text-showing op: start position + effective size + decoded
+    * text — the cell-assignment granularity for ruled-table detection
+    * (lines aggregate shows; a table needs per-show x). */
+  private final case class Show(x: Double, y: Double, size: Double,
+                                text: String)
+
+  /** One painted path segment (from re edges or m/l strokes) — the
+    * ruling-line raw material for table detection. */
+  private final case class Seg(x1: Double, y1: Double,
+                               x2: Double, y2: Double)
+
   private def interpretContent(content: Array[Byte],
-                               fonts: Map[String, FontInfo]): Seq[Line] = {
+                               fonts: Map[String, FontInfo])
+      : (Seq[Line], Seq[Show], Seq[Seg]) = {
     val lx = new Lexer(content, 0)
     val lines = ArrayBuffer.empty[Line]
+    val shows = ArrayBuffer.empty[Show]
+    val segs = ArrayBuffer.empty[Seg]
+    val pending = ArrayBuffer.empty[Seg] // path under construction
     val sb = new StringBuilder
     var curFont: FontInfo = FontInfo(Map.empty, twoByte = false)
     var fontSize = 0.0
     var tmScale = 1.0
+    var xScale = 1.0
+    var x = 0.0
     var y = 0.0
+    var pathX = 0.0
+    var pathY = 0.0
     var leading = 0.0
     var maxSize = 0.0
     var haveLine = false
-    var stack = List.empty[(FontInfo, Double, Double)]
+    var stack = List.empty[(FontInfo, Double, Double, Double)]
 
     def flushLine(): Unit = {
       if (haveLine && sb.nonEmpty)
@@ -629,6 +648,7 @@ object PdfElementReader {
     def showBytes(bytes: Array[Byte]): Unit = {
       haveLine = true
       if (effSize > maxSize) maxSize = effSize
+      val mark = sb.length
       if (curFont.twoByte) {
         var i = 0
         while (i + 1 < bytes.length) {
@@ -653,6 +673,8 @@ object PdfElementReader {
           i += 1
         }
       }
+      val t = sb.substring(mark)
+      if (t.nonEmpty) shows += Show(x, y, effSize, t)
     }
 
     val operands = ArrayBuffer.empty[PObj]
@@ -680,14 +702,20 @@ object PdfElementReader {
                 curFont = fonts.getOrElse(f, FontInfo(Map.empty, twoByte = false))
               case _ =>
             }
-          case "Td" => moveY(y + num(1) * tmScale)
-          case "TD" => leading = -num(1) * tmScale; moveY(y + num(1) * tmScale)
+          case "Td" =>
+            x += num(2) * xScale
+            moveY(y + num(1) * tmScale)
+          case "TD" =>
+            x += num(2) * xScale
+            leading = -num(1) * tmScale; moveY(y + num(1) * tmScale)
           case "TL" => leading = num(1) * tmScale
           case "T*" => moveY(y - (if (leading != 0) leading else effSize * 1.2))
           case "Tm" =>
-            // operands: a b c d e f — d scales y, f is the y offset
-            val d = num(3); val f = num(1)
+            // operands: a b c d e f — a/d scale x/y, e/f are offsets
+            val a = num(6); val d = num(3); val e = num(2); val f = num(1)
+            xScale = math.max(math.abs(a), 1e-9)
             tmScale = math.max(math.abs(d), 1e-9)
+            x = e
             moveY(f)
           case "Tj" =>
             operands.lastOption.collect { case PStr(b) => showBytes(b) }
@@ -702,34 +730,159 @@ object PdfElementReader {
               items.foreach {
                 case PStr(b) => showBytes(b)
                 case PNum(k) =>
-                  // large negative kerning = inter-word gap
+                  // large negative kerning = inter-word gap (mirrored
+                  // onto the last Show so the shows stream rebuilds
+                  // the same line text when a table consumes siblings)
                   if (k < -180 && haveLine &&
-                    sb.nonEmpty && !sb.last.isWhitespace) sb.append(' ')
+                    sb.nonEmpty && !sb.last.isWhitespace) {
+                    sb.append(' ')
+                    if (shows.nonEmpty) {
+                      val last = shows.last
+                      shows(shows.length - 1) =
+                        last.copy(text = last.text + " ")
+                    }
+                  }
                 case _ =>
               }
             }
           case "BT" =>
-            flushLine(); y = 0.0; tmScale = 1.0; leading = 0.0
+            flushLine(); x = 0.0; y = 0.0
+            xScale = 1.0; tmScale = 1.0; leading = 0.0
           case "ET" => flushLine()
+          // path construction (ruling lines for table detection);
+          // curves (c/v/y) are never table rules — skipped below
+          case "m" => pathX = num(2); pathY = num(1)
+          case "l" =>
+            val nx = num(2); val ny = num(1)
+            pending += Seg(pathX, pathY, nx, ny)
+            pathX = nx; pathY = ny
+          case "re" =>
+            // x y w h re → the rect's four edges are candidate rules
+            val rx = num(4); val ry = num(3); val rw = num(2); val rh = num(1)
+            pending += Seg(rx, ry, rx + rw, ry)
+            pending += Seg(rx, ry + rh, rx + rw, ry + rh)
+            pending += Seg(rx, ry, rx, ry + rh)
+            pending += Seg(rx + rw, ry, rx + rw, ry + rh)
+          case "S" | "s" | "B" | "B*" | "b" | "b*" | "f" | "f*" | "F" =>
+            segs ++= pending; pending.clear() // painted: rules are real
+          case "n" => pending.clear() // no-op paint (clip path): discard
           case "BI" =>
             // inline image: raw binary after ID until EI — skip it
             // wholesale so image bytes can't masquerade as operators
             val id = indexOfBytes(lx.b, "ID", lx.pos)
             val ei = if (id >= 0) indexOfBytes(lx.b, "EI", id + 2) else -1
             lx.pos = if (ei >= 0) ei + 2 else lx.end
-          case "q" => stack = (curFont, fontSize, tmScale) :: stack
+          case "q" => stack = (curFont, fontSize, tmScale, xScale) :: stack
           case "Q" => stack match {
-            case (f, s, t) :: rest =>
-              curFont = f; fontSize = s; tmScale = t; stack = rest
+            case (f, s, t, xs) :: rest =>
+              curFont = f; fontSize = s; tmScale = t; xScale = xs
+              stack = rest
             case Nil =>
           }
-          case _ => // painting/path/color operators: irrelevant to text
+          case _ => // remaining painting/color operators: irrelevant
         }
         operands.clear()
       } else lx.pos += 1
     }
     flushLine()
-    lines.toSeq
+    (lines.toSeq, shows.toSeq, segs.toSeq)
+  }
+
+  // ------------------------------------------------------------------
+  // Ruled-table detection (r8 verdict item 7 — the SIMPLE bordered
+  // case only): the content stream already draws the grid (re/m/l +
+  // paint ops); cluster those rules into row/column boundaries and
+  // bucket text shows into the cells, emitting the same pipe-markdown
+  // table element the DOCX/HTML readers produce. CONSERVATIVE by
+  // contract: one full grid per page, every rule must span the whole
+  // grid, ≥2 columns and ≥2 non-empty cells — anything partial,
+  // nested, or ambiguous degrades to the plain paragraph path (a fake
+  // table is worse than none). Borderless / whitespace-aligned
+  // layout analysis stays documented out of scope.
+  // ------------------------------------------------------------------
+  private final case class RuledTable(topY: Double, md: String, text: String)
+
+  private def detectRuledTable(shows: Seq[Show], segs: Seq[Seg])
+      : Option[(RuledTable, Set[Int])] = {
+    if (segs.isEmpty) return None
+    // split into horizontal / vertical rules (axis-aligned only)
+    val hs0 = segs.collect {
+      case s if math.abs(s.y1 - s.y2) <= 0.3 && math.abs(s.x2 - s.x1) > 2 =>
+        ((s.y1 + s.y2) / 2, math.min(s.x1, s.x2), math.max(s.x1, s.x2))
+    }
+    val vs0 = segs.collect {
+      case s if math.abs(s.x1 - s.x2) <= 0.3 && math.abs(s.y2 - s.y1) > 2 =>
+        ((s.x1 + s.x2) / 2, math.min(s.y1, s.y2), math.max(s.y1, s.y2))
+    }
+    if (hs0.size < 2 || vs0.size < 2) return None
+    // cluster near-coincident rules (double-stroked borders), union spans
+    def cluster(rules: Seq[(Double, Double, Double)]): Seq[(Double, Double, Double)] = {
+      val out = ArrayBuffer.empty[(Double, Double, Double)]
+      rules.sortBy(_._1).foreach { case (p, lo, hi) =>
+        if (out.nonEmpty && p - out.last._1 <= 1.5) {
+          val l = out.last
+          out(out.length - 1) = (l._1, math.min(l._2, lo), math.max(l._3, hi))
+        } else out += ((p, lo, hi))
+      }
+      out.toSeq
+    }
+    val hs = cluster(hs0) // by y, ascending
+    val vs = cluster(vs0) // by x, ascending
+    if (hs.size < 2 || vs.size < 2 || (hs.size - 1) * (vs.size - 1) < 2)
+      return None
+    val ys = hs.map(_._1); val xs = vs.map(_._1)
+    val (x0, xm) = (xs.head, xs.last)
+    val (yBot, yTop) = (ys.head, ys.last)
+    val tol = 3.0
+    // full-border contract: every rule spans the whole grid
+    if (!hs.forall(h => h._2 <= x0 + tol && h._3 >= xm - tol) ||
+        !vs.forall(v => v._2 <= yBot + tol && v._3 >= yTop - tol))
+      return None
+    val rowTops = ys.reverse // descending: row r spans (rowTops(r+1), rowTops(r))
+    val nRows = rowTops.size - 1
+    val nCols = xs.size - 1
+    val cells = Array.fill(nRows, nCols)(ArrayBuffer.empty[Show])
+    val consumed = scala.collection.mutable.Set.empty[Int]
+    shows.zipWithIndex.foreach { case (s, i) =>
+      if (s.x >= x0 && s.x <= xm && s.y >= yBot && s.y <= yTop) {
+        var r = 0
+        while (r < nRows - 1 && s.y < rowTops(r + 1)) r += 1
+        var c = 0
+        while (c < nCols - 1 && s.x >= xs(c + 1)) c += 1
+        cells(r)(c) += s
+        consumed += i
+      }
+    }
+    val rows = cells.map(_.map(cell =>
+      collapse(cell.sortBy(s => (-s.y, s.x)).map(_.text).mkString(" "))).toSeq).toSeq
+    if (rows.flatten.count(_.nonEmpty) < 2) return None
+    // same pipe-markdown shape as the DOCX/HTML table elements
+    val md = new StringBuilder
+    md.append(rows.head.mkString("| ", " | ", " |")).append('\n')
+    md.append(Seq.fill(nCols)("---").mkString("| ", " | ", " |"))
+    rows.tail.foreach(r => md.append('\n').append(r.mkString("| ", " | ", " |")))
+    val text = collapse(rows.flatten.filter(_.nonEmpty).mkString(" "))
+    Some((RuledTable(yTop, md.toString, text), consumed.toSet))
+  }
+
+  /** Rebuild lines from the shows a detected table did NOT consume —
+    * the same flush-on-y-move grouping [[interpretContent]] applies
+    * while streaming (only invoked when a table was found, so
+    * table-free documents keep the original line stream bit-exact). */
+  private def rebuildLines(shows: Seq[Show]): Seq[Line] = {
+    val out = ArrayBuffer.empty[Line]
+    val cur = ArrayBuffer.empty[Show]
+    def flush(): Unit = if (cur.nonEmpty) {
+      val t = cur.map(_.text).mkString("")
+      if (t.nonEmpty) out += Line(cur.last.y, cur.map(_.size).max, t)
+      cur.clear()
+    }
+    shows.foreach { s =>
+      if (cur.nonEmpty && math.abs(s.y - cur.last.y) > 0.5) flush()
+      cur += s
+    }
+    flush()
+    out.toSeq
   }
 
   // ------------------------------------------------------------------
@@ -851,7 +1004,8 @@ object PdfElementReader {
       }).toMap
 
     // per page: decode contents (single stream or array), interpret
-    val pageLines: Seq[Seq[Line]] = pages.toSeq.map { case (page, res) =>
+    val pageContent: Seq[(Seq[Line], Option[RuledTable])] =
+      pages.toSeq.map { case (page, res) =>
       val streams = resolve(page.m.getOrElse("Contents", PNull)) match {
         case s: PStream => Seq(s)
         case PArr(items) => items.map(resolve(_)).collect { case s: PStream => s }
@@ -864,25 +1018,39 @@ object PdfElementReader {
           parts.foreach { p => out.write(p); out.write('\n') }
           out.toByteArray
       }
-      if (content.isEmpty) Nil
-      else interpretContent(content, fontsOf(res))
+      if (content.isEmpty) (Nil: Seq[Line], None: Option[RuledTable])
+      else {
+        val (lines, shows, segs) = interpretContent(content, fontsOf(res))
+        detectRuledTable(shows, segs) match {
+          case Some((tbl, consumed)) =>
+            // table text leaves the line stream (and the body-size
+            // vote): remaining shows rebuild with the same grouping
+            val rest = shows.zipWithIndex.collect {
+              case (s, i) if !consumed(i) => s
+            }
+            (rebuildLines(rest), Some(tbl))
+          case None => (lines, None)
+        }
+      }
     }
 
     // body size = dominant size weighted by text length; headers are
     // larger sizes, leveled by rank
-    val allLines = pageLines.flatten
-    if (allLines.isEmpty) return Nil
+    val allLines = pageContent.flatMap(_._1)
+    if (allLines.isEmpty && pageContent.forall(_._2.isEmpty)) return Nil
     def sizeKey(s: Double): Double = math.rint(s * 2) / 2 // 0.5pt classes
     val weightBySize = allLines.groupBy(l => sizeKey(l.size))
       .map { case (s, ls) => s -> ls.map(_.text.length).sum }
-    val bodySize = weightBySize.maxBy { case (s, w) => (w, -s) }._1
+    val bodySize =
+      if (weightBySize.isEmpty) 0.0 // table-only document: no lines
+      else weightBySize.maxBy { case (s, w) => (w, -s) }._1
     val headerSizes = weightBySize.keys.filter(_ > bodySize + 0.6).toSeq
       .sorted.reverse
     val levelOf = headerSizes.zipWithIndex.map {
       case (s, i) => s -> math.min(i + 1, 6) }.toMap
 
     val out = ArrayBuffer.empty[(String, Int, String, String, Int)]
-    pageLines.zipWithIndex.foreach { case (lines, pageIdx) =>
+    pageContent.zipWithIndex.foreach { case ((lines, tableOpt), pageIdx) =>
       // group consecutive lines into blocks: same size class AND a
       // y-gap under ~1.8× the size reads as one paragraph
       val blocks = ArrayBuffer.empty[ArrayBuffer[Line]]
@@ -894,19 +1062,29 @@ object PdfElementReader {
         }
         if (startNew) blocks += ArrayBuffer(l) else blocks.last += l
       }
+      // elements stay in ENCOUNTER order (unchanged when no table); a
+      // detected table splices in before the first block below its top
+      // rule (PDF y grows upward: reading order is descending y)
+      val elems = ArrayBuffer.empty[(Double, (String, Int, String, String, Int))]
       blocks.foreach { bls =>
         val text = collapse(bls.map(_.text).mkString(" "))
         if (text.nonEmpty) {
           val sz = sizeKey(bls.head.size)
-          levelOf.get(sz) match {
+          val elem = levelOf.get(sz) match {
             case Some(level) =>
-              out += (("header", level, ("#" * level) + " " + text, text,
-                pageIdx + 1))
+              ("header", level, ("#" * level) + " " + text, text, pageIdx + 1)
             case None =>
-              out += (("paragraph", 0, text, text, pageIdx + 1))
+              ("paragraph", 0, text, text, pageIdx + 1)
           }
+          elems += ((bls.head.y, elem))
         }
       }
+      tableOpt.foreach { t =>
+        val at = elems.indexWhere(_._1 < t.topY)
+        val elem = ((t.topY, ("table", 0, t.md, t.text, pageIdx + 1)))
+        if (at < 0) elems += elem else elems.insert(at, elem)
+      }
+      out ++= elems.map(_._2)
     }
     out.toSeq
   }
@@ -948,6 +1126,11 @@ object PdfElementReader {
   sealed trait SynthBlock
   final case class SHeading(level: Int, text: String) extends SynthBlock
   final case class SPara(text: String) extends SynthBlock
+  /** A fully-bordered ruled table: the grid is DRAWN (m/l strokes)
+    * and each cell's text placed inside it — what a report-style
+    * exporter emits, and exactly the shape [[detectRuledTable]]
+    * recovers. First row reads as the header. */
+  final case class STable(rows: Seq[Seq[String]]) extends SynthBlock
 
   /** Font sizes the synthesis uses: body 11pt, headings 20/17/15/14/
     * 13/12.5 — all above the reader's body+0.6 header threshold and
@@ -979,17 +1162,43 @@ object PdfElementReader {
     def contentFor(blocks: Seq[SynthBlock]): Array[Byte] = {
       val sb = new StringBuilder
       var y = 760.0
-      blocks.foreach { b =>
-        val (size, text) = b match {
-          case SHeading(l, t) => (headingSize(l), t)
-          case SPara(t) => (BodySize, t)
-        }
-        // Double.toString is locale-independent (f"" is not)
-        val sz = (math.rint(size * 10) / 10).toString
-        val yy = (math.rint(y * 10) / 10).toString
-        sb.append(s"BT /F1 $sz Tf 72 $yy Td (${escapeLiteral(text)}) Tj ET\n")
-        y -= size * 2.5 // inter-block gap > the reader's 1.8× split
-        if (y < 40) y = 760.0 // overflow: keep coordinates sane
+      // Double.toString is locale-independent (f"" is not)
+      def fmt(v: Double): String = (math.rint(v * 10) / 10).toString
+      blocks.foreach {
+        case STable(rows0) =>
+          val rows = rows0.filter(_.nonEmpty)
+          if (rows.nonEmpty) {
+            val nCols = rows.map(_.size).max
+            val colW = 120.0; val rowH = 22.0
+            val x0 = 72.0
+            val top = y
+            val bot = top - rows.size * rowH
+            val x1 = x0 + nCols * colW
+            // grid rules: horizontal per row boundary, vertical per col
+            for (r <- 0 to rows.size)
+              sb.append(s"${fmt(x0)} ${fmt(top - r * rowH)} m ${fmt(x1)} ${fmt(top - r * rowH)} l S\n")
+            for (c <- 0 to nCols)
+              sb.append(s"${fmt(x0 + c * colW)} ${fmt(bot)} m ${fmt(x0 + c * colW)} ${fmt(top)} l S\n")
+            // cell text: placed inside its cell, body size
+            val szT = fmt(BodySize)
+            for ((row, r) <- rows.zipWithIndex; (cell, c) <- row.zipWithIndex
+                 if cell.nonEmpty) {
+              val cx = fmt(x0 + c * colW + 5)
+              val cy = fmt(top - r * rowH - 15)
+              sb.append(s"BT /F1 $szT Tf $cx $cy Td (${escapeLiteral(cell)}) Tj ET\n")
+            }
+            y = bot - BodySize * 2.5
+            if (y < 40) y = 760.0
+          }
+        case b =>
+          val (size, text) = b match {
+            case SHeading(l, t) => (headingSize(l), t)
+            case SPara(t) => (BodySize, t)
+            case _ => (BodySize, "")
+          }
+          sb.append(s"BT /F1 ${fmt(size)} Tf 72 ${fmt(y)} Td (${escapeLiteral(text)}) Tj ET\n")
+          y -= size * 2.5 // inter-block gap > the reader's 1.8× split
+          if (y < 40) y = 760.0 // overflow: keep coordinates sane
       }
       val raw = sb.toString.getBytes(latin1)
       // BEST_SPEED: packaging is per-row work in the driver rows; the

@@ -160,6 +160,78 @@ class PdfReaderSpec extends SparkSpecBase {
   }
 
   // ------------------------------------------------------------------
+  // ruled-table extraction (r8 verdict item 7, simple bordered case)
+  // ------------------------------------------------------------------
+  test("synthesized ruled table roundtrips as a pipe-markdown table element") {
+    val pdf = synthesize(Seq(Seq(
+      SHeading(1, "Inventory"),
+      STable(Seq(Seq("name", "qty"), Seq("bolt", "7"), Seq("nut", "12"))),
+      SPara("after the table"))))
+    val got = PdfElementReader.parseBlocks(pdf)
+    assert(got == Seq(
+      ("header", 1, "# Inventory", "Inventory", 1),
+      ("table", 0,
+        "| name | qty |\n| --- | --- |\n| bolt | 7 |\n| nut | 12 |",
+        "name qty bolt 7 nut 12", 1),
+      ("paragraph", 0, "after the table", "after the table", 1)), got.toString)
+  }
+
+  test("ruled table: cell text is excluded from the body-size vote") {
+    // a big table + one heading + one short para: if cell text leaked
+    // into the line stream it would dominate the size vote and demote
+    // the heading — the table consumption must keep inference intact
+    val rows = (1 to 8).map(i => Seq(s"k$i", s"v$i"))
+    val pdf = synthesize(Seq(Seq(
+      SHeading(1, "T"), STable(Seq(Seq("a", "b")) ++ rows), SPara("tail"))))
+    val kinds = PdfElementReader.parseBlocks(pdf).map(_._1)
+    assert(kinds == Seq("header", "table", "paragraph"), kinds.toString)
+  }
+
+  test("partial rules degrade to paragraphs, never a fake table") {
+    // only horizontal rules (no verticals): not a grid
+    val hOnly = onePage(
+      "72 700 m 400 700 l S\n72 650 m 400 650 l S\n72 600 m 400 600 l S\n" +
+        "BT /F1 11 Tf 80 680 Td (just lined paper) Tj ET")
+    assert(PdfElementReader.parseBlocks(hOnly).map(b => (b._1, b._4)) ==
+      Seq(("paragraph", "just lined paper")))
+    // a single ruled box (1 cell) is a frame, not a table
+    val box = onePage(
+      "72 700 m 300 700 l S\n72 600 m 300 600 l S\n" +
+        "72 600 m 72 700 l S\n300 600 m 300 700 l S\n" +
+        "BT /F1 11 Tf 80 650 Td (framed callout text) Tj ET")
+    assert(PdfElementReader.parseBlocks(box).map(b => (b._1, b._4)) ==
+      Seq(("paragraph", "framed callout text")))
+    // a rule that does not span the grid: ambiguous → no table
+    val ragged = onePage(
+      "72 700 m 400 700 l S\n72 650 m 400 650 l S\n72 600 m 200 600 l S\n" +
+        "72 600 m 72 700 l S\n236 600 m 236 700 l S\n400 600 m 400 700 l S\n" +
+        "BT /F1 11 Tf 80 680 Td (cell-ish) Tj ET")
+    assert(PdfElementReader.parseBlocks(ragged).map(_._1) == Seq("paragraph"))
+    // unpainted path (n = clip, not drawn): rules don't exist
+    val clipped = onePage(
+      "72 700 m 400 700 l n\n72 650 m 400 650 l n\n72 600 m 400 600 l n\n" +
+        "72 600 m 72 700 l n\n236 600 m 236 700 l n\n400 600 m 400 700 l n\n" +
+        "BT /F1 11 Tf 80 680 Td (clip path only) Tj ET\n" +
+        "BT /F1 11 Tf 80 630 Td (second cell) Tj ET")
+    assert(PdfElementReader.parseBlocks(clipped).map(_._1).forall(_ == "paragraph"))
+  }
+
+  test("re-drawn (rectangle) grid detects like stroked lines") {
+    // 2×2 grid drawn as four cell rectangles — the border-per-cell
+    // style some exporters use; shared edges cluster into one rule
+    val pdf = onePage(
+      "72 650 100 30 re S\n172 650 100 30 re S\n" +
+        "72 620 100 30 re S\n172 620 100 30 re S\n" +
+        "BT /F1 11 Tf 76 668 Td (h1) Tj ET\n" +
+        "BT /F1 11 Tf 176 668 Td (h2) Tj ET\n" +
+        "BT /F1 11 Tf 76 638 Td (a) Tj ET\n" +
+        "BT /F1 11 Tf 176 638 Td (b) Tj ET")
+    val got = PdfElementReader.parseBlocks(pdf)
+    assert(got == Seq(("table", 0,
+      "| h1 | h2 |\n| --- | --- |\n| a | b |", "h1 h2 a b", 1)), got.toString)
+  }
+
+  // ------------------------------------------------------------------
   // producer quirks: object order, inter-object garbage, incremental
   // updates (r8 verdict item 3)
   // ------------------------------------------------------------------
