@@ -45,6 +45,17 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # big-SF runs (sf10 shingle oracles blow past DuckDB's default 80%-
+    # of-RAM limit and OOM-risk the host): opt-in caps via env, default
+    # behavior unchanged for the driver-replica path
+    if os.environ.get("DUCKDB_MEMORY_LIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMORY_LIMIT']}'")
+    if os.environ.get("DUCKDB_TEMP_DIR"):
+        os.makedirs(os.environ["DUCKDB_TEMP_DIR"], exist_ok=True)
+        con.execute(f"SET temp_directory='{os.environ['DUCKDB_TEMP_DIR']}'")
+    if os.environ.get("DUCKDB_MAX_TEMP_SIZE"):
+        con.execute("SET max_temp_directory_size="
+                    f"'{os.environ['DUCKDB_MAX_TEMP_SIZE']}'")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         # driver testdata = single files; GenData output = spark dirs
