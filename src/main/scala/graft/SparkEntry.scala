@@ -6277,13 +6277,21 @@ object SparkEntry {
          |    FROM v x, params
          |    WHERE x.vec_id % params.step = 0), params
          |  WHERE r <= params.c),
+         |best AS (
+         |  -- hash-agg argmax, NOT a window over the v × centroids
+         |  -- materialization: lexicographic struct max over
+         |  -- (cos, -list_id) ≡ row_number ORDER BY cos DESC, list_id
+         |  -- (same doubles, same tie-break) but streams in O(groups)
+         |  -- memory — the window form spills ~100 GB at sf10
+         |  SELECT x.vec_id,
+         |    max(struct_pack(cs := ${sqlCos("x.embedding", "c.centroid")},
+         |                    nl := -c.list_id)) AS m
+         |  FROM v x, centroids c
+         |  GROUP BY x.vec_id),
          |assign AS (
-         |  SELECT vec_id, embedding, list_id FROM (
-         |    SELECT x.vec_id, x.embedding, c.list_id,
-         |      row_number() OVER (PARTITION BY x.vec_id
-         |        ORDER BY ${sqlCos("x.embedding", "c.centroid")} DESC, c.list_id) AS r
-         |    FROM v x, centroids c)
-         |  WHERE r = 1),
+         |  SELECT b.vec_id, v.embedding,
+         |    CAST(-struct_extract(b.m, 'nl') AS BIGINT) AS list_id
+         |  FROM best b JOIN v ON v.vec_id = b.vec_id),
          |dropped AS (
          |  SELECT DISTINCT y.vec_id
          |  FROM assign x JOIN assign y
