@@ -794,16 +794,76 @@ object PdfElementReader {
   // paint ops); cluster those rules into row/column boundaries and
   // bucket text shows into the cells, emitting the same pipe-markdown
   // table element the DOCX/HTML readers produce. CONSERVATIVE by
-  // contract: one full grid per page, every rule must span the whole
-  // grid, ≥2 columns and ≥2 non-empty cells — anything partial,
-  // nested, or ambiguous degrades to the plain paragraph path (a fake
-  // table is worse than none). Borderless / whitespace-aligned
-  // layout analysis stays documented out of scope.
+  // contract: each connected rule component must form ONE full grid
+  // (every rule spans the whole grid, ≥2 columns and ≥2 non-empty
+  // cells); components that don't, and grids whose boxes overlap
+  // another grid (nested/ambiguous layout), degrade to the plain
+  // paragraph path (a fake table is worse than none). Multiple
+  // DISJOINT grids per page are each emitted (r9 — the two-tables-
+  // per-report-page shape). Borderless / whitespace-aligned layout
+  // analysis stays documented out of scope.
   // ------------------------------------------------------------------
-  private final case class RuledTable(topY: Double, md: String, text: String)
+  private final case class RuledTable(topY: Double, x0: Double,
+                                      md: String, text: String)
+  /** Grid bounding box, for the overlap (nested-layout) degrade. */
+  private final case class GridBox(x0: Double, xm: Double,
+                                   yBot: Double, yTop: Double) {
+    def overlaps(o: GridBox): Boolean =
+      x0 < o.xm && o.x0 < xm && yBot < o.yTop && o.yBot < yTop
+  }
 
-  private def detectRuledTable(shows: Seq[Show], segs: Seq[Seg])
-      : Option[(RuledTable, Set[Int])] = {
+  /** Partition painted segments into connected components (segments
+    * touching within tol are one component — a drawn grid is always
+    * one component, two separate tables are two) and run the
+    * single-grid detector on each. Quadratic connectivity is bounded:
+    * past MaxTableSegs the whole page falls back to the one-component
+    * path (the r8 behavior — degrade, never slow down unboundedly). */
+  private val MaxTableSegs = 512
+  private def detectRuledTables(shows: Seq[Show], segs: Seq[Seg])
+      : (Seq[RuledTable], Set[Int]) = {
+    if (segs.isEmpty) return (Nil, Set.empty)
+    val comps: Seq[Seq[Seg]] =
+      if (segs.size > MaxTableSegs) Seq(segs)
+      else {
+        val tol = 1.5
+        val n = segs.size
+        val parent = Array.tabulate(n)(identity)
+        def find(i: Int): Int = {
+          var r = i; while (parent(r) != r) r = parent(r)
+          var c = i
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        def touch(a: Seg, b: Seg): Boolean = {
+          val (ax0, ax1) = (math.min(a.x1, a.x2) - tol, math.max(a.x1, a.x2) + tol)
+          val (ay0, ay1) = (math.min(a.y1, a.y2) - tol, math.max(a.y1, a.y2) + tol)
+          val (bx0, bx1) = (math.min(b.x1, b.x2), math.max(b.x1, b.x2))
+          val (by0, by1) = (math.min(b.y1, b.y2), math.max(b.y1, b.y2))
+          ax0 <= bx1 && bx0 <= ax1 && ay0 <= by1 && by0 <= ay1
+        }
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            if (find(i) != find(j) && touch(segs(i), segs(j)))
+              parent(find(i)) = find(j)
+            j += 1
+          }
+          i += 1
+        }
+        segs.indices.groupBy(find).toSeq.sortBy(_._1)
+          .map { case (_, idx) => idx.map(segs) }
+      }
+    val found = comps.flatMap(cs => detectGridIn(shows, cs))
+    // nested/overlapping grids are ambiguous layout: degrade BOTH
+    val kept = found.filter(g =>
+      !found.exists(o => (o ne g) && g._3.overlaps(o._3)))
+    val tables = kept.map(_._1).sortBy(t => (-t.topY, t.x0))
+    (tables, kept.flatMap(_._2).toSet)
+  }
+
+  private def detectGridIn(shows: Seq[Show], segs: Seq[Seg])
+      : Option[(RuledTable, Set[Int], GridBox)] = {
     if (segs.isEmpty) return None
     // split into horizontal / vertical rules (axis-aligned only)
     val hs0 = segs.collect {
@@ -862,7 +922,8 @@ object PdfElementReader {
     md.append(Seq.fill(nCols)("---").mkString("| ", " | ", " |"))
     rows.tail.foreach(r => md.append('\n').append(r.mkString("| ", " | ", " |")))
     val text = collapse(rows.flatten.filter(_.nonEmpty).mkString(" "))
-    Some((RuledTable(yTop, md.toString, text), consumed.toSet))
+    Some((RuledTable(yTop, x0, md.toString, text), consumed.toSet,
+      GridBox(x0, xm, yBot, yTop)))
   }
 
   /** Rebuild lines from the shows a detected table did NOT consume —
@@ -1004,7 +1065,7 @@ object PdfElementReader {
       }).toMap
 
     // per page: decode contents (single stream or array), interpret
-    val pageContent: Seq[(Seq[Line], Option[RuledTable])] =
+    val pageContent: Seq[(Seq[Line], Seq[RuledTable])] =
       pages.toSeq.map { case (page, res) =>
       val streams = resolve(page.m.getOrElse("Contents", PNull)) match {
         case s: PStream => Seq(s)
@@ -1018,18 +1079,18 @@ object PdfElementReader {
           parts.foreach { p => out.write(p); out.write('\n') }
           out.toByteArray
       }
-      if (content.isEmpty) (Nil: Seq[Line], None: Option[RuledTable])
+      if (content.isEmpty) (Nil: Seq[Line], Nil: Seq[RuledTable])
       else {
         val (lines, shows, segs) = interpretContent(content, fontsOf(res))
-        detectRuledTable(shows, segs) match {
-          case Some((tbl, consumed)) =>
+        detectRuledTables(shows, segs) match {
+          case (tables, consumed) if tables.nonEmpty =>
             // table text leaves the line stream (and the body-size
             // vote): remaining shows rebuild with the same grouping
             val rest = shows.zipWithIndex.collect {
               case (s, i) if !consumed(i) => s
             }
-            (rebuildLines(rest), Some(tbl))
-          case None => (lines, None)
+            (rebuildLines(rest), tables)
+          case _ => (lines, Nil)
         }
       }
     }
@@ -1050,7 +1111,7 @@ object PdfElementReader {
       case (s, i) => s -> math.min(i + 1, 6) }.toMap
 
     val out = ArrayBuffer.empty[(String, Int, String, String, Int)]
-    pageContent.zipWithIndex.foreach { case ((lines, tableOpt), pageIdx) =>
+    pageContent.zipWithIndex.foreach { case ((lines, tables), pageIdx) =>
       // group consecutive lines into blocks: same size class AND a
       // y-gap under ~1.8× the size reads as one paragraph
       val blocks = ArrayBuffer.empty[ArrayBuffer[Line]]
@@ -1079,7 +1140,10 @@ object PdfElementReader {
           elems += ((bls.head.y, elem))
         }
       }
-      tableOpt.foreach { t =>
+      // tables arrive sorted (topY desc, x0 asc): sequential insertion
+      // keeps both the vertical reading order and a deterministic
+      // left-to-right order for side-by-side grids
+      tables.foreach { t =>
         val at = elems.indexWhere(_._1 < t.topY)
         val elem = ((t.topY, ("table", 0, t.md, t.text, pageIdx + 1)))
         if (at < 0) elems += elem else elems.insert(at, elem)

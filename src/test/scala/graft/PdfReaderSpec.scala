@@ -231,6 +231,77 @@ class PdfReaderSpec extends SparkSpecBase {
       "| h1 | h2 |\n| --- | --- |\n| a | b |", "h1 h2 a b", 1)), got.toString)
   }
 
+  test("two stacked tables on one page are both extracted in order") {
+    val pdf = synthesize(Seq(Seq(
+      SHeading(1, "Report"),
+      STable(Seq(Seq("a", "b"), Seq("1", "2"))),
+      SPara("between"),
+      STable(Seq(Seq("x", "y"), Seq("3", "4"))),
+      SPara("end"))))
+    val got = PdfElementReader.parseBlocks(pdf)
+    assert(got.map(b => (b._1, b._4)) == Seq(
+      ("header", "Report"),
+      ("table", "a b 1 2"),
+      ("paragraph", "between"),
+      ("table", "x y 3 4"),
+      ("paragraph", "end")), got.toString)
+  }
+
+  test("side-by-side tables emit left-to-right at the same height") {
+    def grid(x0: Int, cells: Seq[(String, String, String, String)]): String = {
+      val x1 = x0 + 200
+      // 2 cols x 2 rows, y 600..700
+      s"$x0 700 m $x1 700 l S\n$x0 650 m $x1 650 l S\n$x0 600 m $x1 600 l S\n" +
+        s"$x0 600 m $x0 700 l S\n${x0 + 100} 600 m ${x0 + 100} 700 l S\n" +
+        s"$x1 600 m $x1 700 l S\n" +
+        cells.map { case (a, b, c, d) =>
+          s"BT /F1 11 Tf ${x0 + 5} 680 Td ($a) Tj ET\n" +
+            s"BT /F1 11 Tf ${x0 + 105} 680 Td ($b) Tj ET\n" +
+            s"BT /F1 11 Tf ${x0 + 5} 630 Td ($c) Tj ET\n" +
+            s"BT /F1 11 Tf ${x0 + 105} 630 Td ($d) Tj ET\n"
+        }.mkString
+    }
+    val pdf = onePage(grid(60, Seq(("L1", "L2", "L3", "L4"))) +
+      grid(330, Seq(("R1", "R2", "R3", "R4"))))
+    val got = PdfElementReader.parseBlocks(pdf)
+    assert(got.map(b => (b._1, b._4)) == Seq(
+      ("table", "L1 L2 L3 L4"), ("table", "R1 R2 R3 R4")), got.toString)
+  }
+
+  test("nested (overlapping) grids are ambiguous: both degrade") {
+    // outer 2x2 grid 72..472 x 550..750; inner 2x2 grid fully inside
+    // the outer's top-left cell, not touching it — two valid grids
+    // whose boxes overlap → neither is emitted, text stays paragraphs
+    val outer =
+      "72 750 m 472 750 l S\n72 650 m 472 650 l S\n72 550 m 472 550 l S\n" +
+        "72 550 m 72 750 l S\n272 550 m 272 750 l S\n472 550 m 472 750 l S\n"
+    val inner =
+      "100 740 m 240 740 l S\n100 710 m 240 710 l S\n100 680 m 240 680 l S\n" +
+        "100 680 m 100 740 l S\n170 680 m 170 740 l S\n240 680 m 240 740 l S\n"
+    val pdf = onePage(outer + inner +
+      "BT /F1 11 Tf 110 730 Td (i1) Tj ET\n" +
+      "BT /F1 11 Tf 180 730 Td (i2) Tj ET\n" +
+      "BT /F1 11 Tf 300 700 Td (o1) Tj ET\n" +
+      "BT /F1 11 Tf 300 600 Td (o2) Tj ET")
+    val got = PdfElementReader.parseBlocks(pdf)
+    assert(got.forall(_._1 == "paragraph"), got.toString)
+    assert(got.map(_._4).mkString(" ").split(" ").sorted.toSeq ==
+      Seq("i1", "i2", "o1", "o2"), got.toString)
+  }
+
+  test("a segment bomb falls back to the bounded one-component path") {
+    // 600 disjoint horizontal strokes (> MaxTableSegs): connectivity
+    // is skipped, the single-component grid check fails (no verticals),
+    // and the text survives as a paragraph — bounded, no table
+    val strokes = (0 until 600).map { i =>
+      val y = 60 + (i % 300) * 2; val x = 60 + (i / 300) * 250
+      s"$x $y m ${x + 200} $y l S"
+    }.mkString("\n")
+    val pdf = onePage(strokes + "\nBT /F1 11 Tf 72 735 Td (still here) Tj ET")
+    assert(PdfElementReader.parseBlocks(pdf).map(b => (b._1, b._4)) ==
+      Seq(("paragraph", "still here")))
+  }
+
   // ------------------------------------------------------------------
   // producer quirks: object order, inter-object garbage, incremental
   // updates (r8 verdict item 3)
