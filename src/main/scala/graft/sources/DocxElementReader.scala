@@ -365,7 +365,7 @@ object DocxElementReader {
   private def tableElement(tbl: XNode, rels: Map[String, String])
       : Option[(String, Int, String, String)] = {
     val rows = kids(tbl, "tr").map { tr =>
-      kids(tr, "tc").map { tc =>
+      kids(tr, "tc").flatMap { tc =>
         val cellMd = new StringBuilder; val cellTx = new StringBuilder
         kids(tc, "p").foreach { p =>
           val (m, t, _, _) = renderParagraph(p, rels)
@@ -373,7 +373,20 @@ object DocxElementReader {
           if (cellTx.nonEmpty && t.nonEmpty) cellTx.append(' ')
           cellMd.append(m); cellTx.append(t)
         }
-        (collapse(cellMd.toString), collapse(cellTx.toString))
+        // merged cells (real Word exports use them constantly):
+        // w:gridSpan=N keeps column alignment via N-1 empty pads;
+        // a w:vMerge continuation (no val, or val="continue") renders
+        // empty — its text already appeared in the "restart" cell above
+        val pr = first(tc, "tcPr")
+        val span = pr.flatMap(first(_, "gridSpan"))
+          .flatMap(_.attrs.get("val")).flatMap(_.toIntOption)
+          .getOrElse(1).max(1).min(64)
+        val vCont = pr.flatMap(first(_, "vMerge"))
+          .exists(!_.attrs.get("val").contains("restart"))
+        val cell =
+          if (vCont) ("", "")
+          else (collapse(cellMd.toString), collapse(cellTx.toString))
+        cell +: Seq.fill(span - 1)(("", ""))
       }
     }.filter(_.nonEmpty)
     if (rows.isEmpty) None

@@ -381,15 +381,43 @@ object HtmlElementReader {
     }
 
     def tableElement(t: Elem): Unit = {
-      // collect rows depth-first (thead/tbody/tfoot transparent)
+      // collect rows depth-first (thead/tbody/tfoot transparent),
+      // normalizing the grid: colspan=N pads N-1 empty cells so
+      // columns stay aligned, rowspan=N reserves the column in the
+      // next N-1 rows (the spanning text appears once, continuation
+      // slots render empty — the standard markdown degrade)
       val rows = ArrayBuffer.empty[Seq[(String, String)]] // (md, text) per cell
+      val carry = scala.collection.mutable.Map.empty[Int, Int] // col → rows left
+      def intAttr(c: Elem, name: String): Int =
+        c.attrs.get(name).flatMap(_.trim.toIntOption)
+          .getOrElse(1).max(1).min(64)
       def collectRows(e: Elem): Unit = e.children.foreach {
         case tr: Elem if tr.tag == "tr" =>
-          val cells = tr.children.collect {
+          val cells = ArrayBuffer.empty[(String, String)]
+          var col = 0
+          def claimCarried(): Unit =
+            while (carry.getOrElse(col, 0) > 0) {
+              carry(col) -= 1; if (carry(col) == 0) carry.remove(col)
+              cells += (("", "")); col += 1
+            }
+          tr.children.foreach {
             case c: Elem if c.tag == "td" || c.tag == "th" =>
-              (collapse(c.children.map(inlineMd).mkString),
-                collapse(c.children.map(inlineText).mkString))
+              claimCarried()
+              val span = intAttr(c, "colspan")
+              val rspan = intAttr(c, "rowspan")
+              cells += ((collapse(c.children.map(inlineMd).mkString),
+                collapse(c.children.map(inlineText).mkString)))
+              if (rspan > 1) carry(col) = rspan - 1
+              col += 1
+              var k = 1
+              while (k < span) {
+                cells += (("", ""))
+                if (rspan > 1) carry(col) = rspan - 1
+                col += 1; k += 1
+              }
+            case _ =>
           }
+          claimCarried() // trailing columns held by a rowspan
           if (cells.nonEmpty) rows += cells.toSeq
         case g: Elem if Set("thead", "tbody", "tfoot").contains(g.tag) =>
           collectRows(g)

@@ -156,6 +156,32 @@ class DocxReaderSpec extends SparkSpecBase {
       ("paragraph", 0, "plain body")), got.toString)
   }
 
+  test("merged cells: gridSpan pads columns, vMerge continuation is empty") {
+    // the two merge mechanisms real Word tables use: a header cell
+    // spanning both columns (w:gridSpan=2) and a vertically merged
+    // first column (w:vMerge restart + continue) — column alignment
+    // must hold and the merged text must appear exactly once
+    def tc(body: String, pr: String = ""): String =
+      s"<w:tc>${if (pr.nonEmpty) s"<w:tcPr>$pr</w:tcPr>" else ""}" +
+        s"<w:p><w:r><w:t>$body</w:t></w:r></w:p></w:tc>"
+    val doc =
+      """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body><w:tbl>""" +
+        "<w:tr>" + tc("wide header", """<w:gridSpan w:val="2"/>""") + "</w:tr>" +
+        "<w:tr>" + tc("tall", """<w:vMerge w:val="restart"/>""") + tc("r1") + "</w:tr>" +
+        "<w:tr>" + tc("", "<w:vMerge/>") + tc("r2") + "</w:tr>" +
+        "</w:tbl></w:body></w:document>"
+    val bos = new java.io.ByteArrayOutputStream
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    z.write(doc.getBytes); z.closeEntry(); z.close()
+    val got = DocxElementReader.parseBlocks(bos.toByteArray)
+    assert(got.map(_._1) == Seq("table"), got.toString)
+    assert(got.head._3 ==
+      "| wide header |  |\n| --- | --- |\n| tall | r1 |\n|  | r2 |",
+      got.head._3)
+    assert(got.head._4 == "wide header tall r1 r2", got.head._4)
+  }
+
   test("over-deep XML spike keeps post-spike siblings in the body") {
     // r8 advice: past MaxDepth an element is appended but not pushed;
     // its END_ELEMENT must be swallowed, not pop a real ancestor —

@@ -51,6 +51,18 @@ class HtmlReaderSpec extends SparkSpecBase {
     assert(got.head._4 == "see the docs and bold, it, f(x)")
   }
 
+  test("table: colspan pads columns, rowspan reserves them downward") {
+    val got = blocks(
+      """<table><tr><th colspan="2">wide</th><th>h3</th></tr>
+        |<tr><td rowspan="2">tall</td><td>b1</td><td>c1</td></tr>
+        |<tr><td>b2</td><td>c2</td></tr></table>""".stripMargin)
+    assert(got.size == 1)
+    assert(got.head._3 ==
+      "| wide |  | h3 |\n| --- | --- | --- |\n| tall | b1 | c1 |\n|  | b2 | c2 |",
+      got.head._3)
+    assert(got.head._4 == "wide h3 tall b1 c1 b2 c2", got.head._4)
+  }
+
   test("table: pipe markdown, separator after first row, cell text joined") {
     val got = blocks(
       """<table><thead><tr><th>h1</th><th>h2</th></tr></thead>
