@@ -420,6 +420,7 @@ object HtmlElementReader {
           claimCarried() // trailing columns held by a rowspan
           if (cells.nonEmpty) rows += cells.toSeq
         case g: Elem if Set("thead", "tbody", "tfoot").contains(g.tag) =>
+          carry.clear() // rowspan cannot cross a row-group boundary
           collectRows(g)
         case _ =>
       }

@@ -116,6 +116,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("autoChunkStream: ruled PDF table text flows into the chunk stream") {
+    import graft.sources.PdfElementReader
+    val in = Files.createTempDirectory("graft-auto-tbl").toString
+    Files.write(java.nio.file.Path.of(in, "t.pdf"),
+      PdfElementReader.synthesize(Seq(Seq(
+        PdfElementReader.SHeading(1, "Spec Sheet"),
+        PdfElementReader.STable(Seq(
+          Seq("part", "qty"), Seq("flange", "9"))),
+        PdfElementReader.SPara("trailing note")))))
+    val q = StreamingIngest.autoChunkStream(spark, in)
+      .writeStream.format("memory").queryName("graft_auto_tbl")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val contents = spark.table("graft_auto_tbl")
+      .collect().map(_.getAs[String]("content")).toSeq
+    // the grid the content stream drew arrives as a pipe-markdown
+    // table in a chunk — the crawl-shaped e2e the grid detector implies
+    assert(contents.exists(c =>
+      c.contains("| part | qty |") && c.contains("| flange | 9 |")),
+      contents.toString)
+    assert(contents.exists(_.contains("trailing note")), contents.toString)
+  }
+
   test("text-analysis ops compose with streams: PII scrub + corpus filter on a file stream") {
     val in = Files.createTempDirectory("graft-pii-in").toString
     val out = Files.createTempDirectory("graft-pii-out").toString
