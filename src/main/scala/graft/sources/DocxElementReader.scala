@@ -367,8 +367,20 @@ object DocxElementReader {
     val rows = kids(tbl, "tr").map { tr =>
       kids(tr, "tc").flatMap { tc =>
         val cellMd = new StringBuilder; val cellTx = new StringBuilder
-        kids(tc, "p").foreach { p =>
-          val (m, t, _, _) = renderParagraph(p, rels)
+        kids(tc).foreach { child =>
+          // p → rendered runs; a NESTED w:tbl flattens to its joined
+          // cell text (pipe markdown inside a cell would break the
+          // outer table's rendering; losing the text would be worse) —
+          // recursion is bounded by the XML parse depth cap
+          val (m, t) = child.name match {
+            case "p" =>
+              val (m0, t0, _, _) = renderParagraph(child, rels)
+              (m0, t0)
+            case "tbl" =>
+              val t0 = tableElement(child, rels).map(_._4).getOrElse("")
+              (t0, t0)
+            case _ => ("", "")
+          }
           if (cellMd.nonEmpty && m.nonEmpty) cellMd.append(' ')
           if (cellTx.nonEmpty && t.nonEmpty) cellTx.append(' ')
           cellMd.append(m); cellTx.append(t)

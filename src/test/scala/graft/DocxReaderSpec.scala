@@ -182,6 +182,28 @@ class DocxReaderSpec extends SparkSpecBase {
     assert(got.head._4 == "wide header tall r1 r2", got.head._4)
   }
 
+  test("a table nested inside a cell flattens to text, never lost") {
+    def tc(inner: String): String = s"<w:tc>$inner</w:tc>"
+    def p(t: String): String = s"<w:p><w:r><w:t>$t</w:t></w:r></w:p>"
+    val innerTbl = "<w:tbl><w:tr>" + tc(p("in1")) + tc(p("in2")) +
+      "</w:tr></w:tbl>"
+    val doc =
+      """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body><w:tbl>""" +
+        "<w:tr>" + tc(p("h1")) + tc(p("h2")) + "</w:tr>" +
+        "<w:tr>" + tc(p("outer") + innerTbl) + tc(p("plain")) + "</w:tr>" +
+        "</w:tbl></w:body></w:document>"
+    val bos = new java.io.ByteArrayOutputStream
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    z.write(doc.getBytes); z.closeEntry(); z.close()
+    val got = DocxElementReader.parseBlocks(bos.toByteArray)
+    assert(got.map(_._1) == Seq("table"), got.toString)
+    assert(got.head._3 ==
+      "| h1 | h2 |\n| --- | --- |\n| outer in1 in2 | plain |",
+      got.head._3)
+    assert(got.head._4 == "h1 h2 outer in1 in2 plain", got.head._4)
+  }
+
   test("over-deep XML spike keeps post-spike siblings in the body") {
     // r8 advice: past MaxDepth an element is appended but not pushed;
     // its END_ELEMENT must be swallowed, not pop a real ancestor —
