@@ -62,11 +62,42 @@ object AutoElementReader {
     if (i < bytes.length && bytes(i) == '<') "html" else "markdown"
   }
 
-  /** Parse one binary into the shared element tuple stream (page is
-    * None for the pageless formats, the PDF page number otherwise). */
-  def parseBlocks(
+  /** Does the prefix read as text? Used to decide whether a document
+    * whose SNIFFED binary format parsed to zero elements can be
+    * recovered down the text path (a markdown/HTML doc that merely
+    * MENTIONS `%PDF-` in its first KB) or is genuinely unparseable
+    * binary. Textual = no control bytes outside \t \n \r \f (beyond a
+    * 5% tolerance for stray high-bit sequences in the sample). */
+  private[sources] def looksTextual(bytes: Array[Byte]): Boolean = {
+    if (bytes == null || bytes.isEmpty) return false
+    val n = math.min(bytes.length, 4096)
+    var bin = 0
+    var i = 0
+    while (i < n) {
+      val c = bytes(i) & 0xff
+      if (c < 0x20 && c != '\t' && c != '\n' && c != '\r' && c != 0x0c)
+        bin += 1
+      i += 1
+    }
+    bin * 20 < n
+  }
+
+  /** Textual-format detection ONLY (the tail of [[detect]] without the
+    * binary sniffs) — the fallback router for recovered text. */
+  private[sources] def detectText(bytes: Array[Byte]): String = {
+    var i = 0
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+      (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf) i = 3
+    while (i < bytes.length && (bytes(i) == ' ' || bytes(i) == '\n' ||
+      bytes(i) == '\r' || bytes(i) == '\t')) i += 1
+    if (i < bytes.length && bytes(i) == '<') "html" else "markdown"
+  }
+
+  /** Parse with a KNOWN format — the per-format dispatch body shared
+    * by [[parseBlocks]] and the fallback path in [[docElements]]. */
+  private def parseAs(fmt: String,
       bytes: Array[Byte]): Seq[(String, Int, String, String, Option[Int])] =
-    detect(bytes) match {
+    fmt match {
       case "pdf" =>
         PdfElementReader.parseBlocks(bytes).map {
           case (k, l, m, t, p) => (k, l, m, t, Some(p))
@@ -87,16 +118,70 @@ object AutoElementReader {
         }
     }
 
+  /** Parse one binary into the shared element tuple stream (page is
+    * None for the pageless formats, the PDF page number otherwise).
+    * Sniff-and-parse only — the zero-element fallback lives in
+    * [[docElements]] where recovery can be recorded in metadata. */
+  def parseBlocks(
+      bytes: Array[Byte]): Seq[(String, Int, String, String, Option[Int])] =
+    parseAs(detect(bytes), bytes)
+
   /** One binary document → its ordered [[DocElement]]s (detected
     * format recorded in metadata under "format") — the per-row body of
     * [[elements]], shared with the fused streaming chunker
-    * ([[graft.operators.Chunkers.autoElementChunks]]). */
+    * ([[graft.operators.Chunkers.autoElementChunks]]).
+    *
+    * Zero-element fallback: magic-byte sniffing is tolerant by design
+    * (the `%PDF-` first-KB scan per ISO 32000-1 §7.5.2's junk-header
+    * note), so a textual document that merely MENTIONS a magic string
+    * can be misrouted to a binary parser, which degrades to zero
+    * elements — and without a fallback the document's entire content
+    * silently vanishes. When the sniffed format parses to zero
+    * elements:
+    *   - bytes that read as text re-parse down the text path
+    *     (html/markdown by [[detectText]]); recovered elements carry
+    *     `format` = the format that actually parsed and
+    *     `format_fallback` = the misrouted sniff, so pipeline metrics
+    *     can count recoveries;
+    *   - genuinely unparseable binary emits ONE `unparsed` marker
+    *     element (empty text, `parse_failed` = "true") so the loss is
+    *     countable downstream instead of invisible.
+    * Well-formed documents never reach either branch, so existing
+    * corpora hash identically. */
   def docElements(id: Long, bytes: Array[Byte],
                   baseMeta: Map[String, String] = Map.empty): Seq[DocElement] = {
-    val meta = baseMeta + ("format" -> detect(bytes))
-    parseBlocks(bytes).zipWithIndex.map {
-      case ((kind, level, md, txt, page), seq) =>
-        DocElement(id, seq, kind, level, md, txt, page, meta)
+    val fmt = detect(bytes)
+    val blocks = parseAs(fmt, bytes)
+    def emit(bs: Seq[(String, Int, String, String, Option[Int])],
+             meta: Map[String, String]): Seq[DocElement] =
+      bs.zipWithIndex.map {
+        case ((kind, level, md, txt, page), seq) =>
+          DocElement(id, seq, kind, level, md, txt, page, meta)
+      }
+    if (blocks.nonEmpty) emit(blocks, baseMeta + ("format" -> fmt))
+    // markdown is the terminal text path: zero elements there means
+    // genuinely empty/whitespace content — nothing was lost
+    else if (fmt == "markdown" || bytes == null || bytes.isEmpty) Nil
+    else {
+      val recovered: Option[(String, Seq[(String, Int, String, String, Option[Int])])] =
+        if (!looksTextual(bytes)) None
+        else {
+          // try the text formats in sniff order, markdown last (it is
+          // terminal: any non-whitespace text yields elements there)
+          val fb0 = detectText(bytes)
+          val candidates =
+            (if (fb0 == fmt) Nil else Seq(fb0)) :+ "markdown"
+          candidates.distinct.iterator
+            .map(f => f -> parseAs(f, bytes))
+            .find(_._2.nonEmpty)
+        }
+      recovered match {
+        case Some((fb, fbBlocks)) =>
+          emit(fbBlocks, baseMeta + ("format" -> fb, "format_fallback" -> fmt))
+        case None =>
+          Seq(DocElement(id, 0, "unparsed", 0, "", "", None,
+            baseMeta + ("format" -> fmt, "parse_failed" -> "true")))
+      }
     }
   }
 

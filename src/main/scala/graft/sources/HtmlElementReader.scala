@@ -109,6 +109,23 @@ object HtmlElementReader {
     // nested <div>s pops genuine ancestors all the way to the root and
     // everything after the spike re-parents near the top)
     var skipped: List[String] = Nil
+    // closes still EXPECTED for unpushed opens whose element was
+    // already auto-closed (by a real or implicit pop of the frame they
+    // attached under): tag → count. A late-arriving close for one of
+    // these must be swallowed, never matched against a genuine
+    // same-named ancestor — wiping the ledger on a real close (the r9
+    // heuristic) lost that memory and let `</div>` after an
+    // intervening sibling close pop a real ancestor <div>. Bounded at
+    // 4×MaxDepth total so crafted bombs can't grow it; past the bound
+    // the degrade is the documented flatten.
+    val pendingClose = scala.collection.mutable.Map.empty[String, Int]
+    var pendingTotal = 0
+    def retire(names: List[String]): Unit = names.foreach { nm =>
+      if (pendingTotal < 4 * MaxDepth) {
+        pendingClose(nm) = pendingClose.getOrElse(nm, 0) + 1
+        pendingTotal += 1
+      }
+    }
     val n = html.length
     var i = 0
     val text = new StringBuilder
@@ -142,7 +159,15 @@ object HtmlElementReader {
           // open (and any unclosed unpushed opens nested inside it)
           // without touching the real stack
           if (skipped.contains(name)) {
+            // inner unclosed unpushed opens auto-close with this one,
+            // but their closes may still arrive — retire, don't drop
+            retire(skipped.takeWhile(_ != name))
             skipped = skipped.dropWhile(_ != name).tail
+          } else if (pendingClose.getOrElse(name, 0) > 0) {
+            // late close for an unpushed open already auto-closed:
+            // swallow (browser-innermost-match semantics)
+            pendingClose(name) -= 1; pendingTotal -= 1
+            if (pendingClose(name) == 0) pendingClose.remove(name)
           } else {
             // pop to the nearest matching open tag; a stray close is a no-op
             if (stack.exists(e => e.tag == name)) {
@@ -152,8 +177,9 @@ object HtmlElementReader {
               if (stack.head.tag == name && stack.head.tag != "root") {
                 stack = stack.tail; depth -= 1
               }
-              // any unpushed opens were descendants of the closed subtree
-              skipped = Nil
+              // unpushed opens were descendants of the closed subtree:
+              // their elements auto-close, their closes stay expected
+              retire(skipped); skipped = Nil
             }
           }
           i = if (end < 0) n else end + 1
@@ -224,13 +250,15 @@ object HtmlElementReader {
             // (r7 advice: the 'hr' entry was unreachable dead code when
             // voids bypassed this loop)
             while (ImplicitClose.get(stack.head.tag).exists(_.contains(name))) {
-              stack = stack.tail; depth -= 1; skipped = Nil
+              stack = stack.tail; depth -= 1
+              retire(skipped); skipped = Nil
             }
             stack.head.children += Elem(name, attrs.result(), ArrayBuffer.empty)
           } else {
             // implicit closes (unclosed <p>, <li>, <tr>, <td> …)
             while (ImplicitClose.get(stack.head.tag).exists(_.contains(name))) {
-              stack = stack.tail; depth -= 1; skipped = Nil
+              stack = stack.tail; depth -= 1
+              retire(skipped); skipped = Nil
             }
             val e = Elem(name, attrs.result(), ArrayBuffer.empty)
             stack.head.children += e
@@ -418,6 +446,16 @@ object HtmlElementReader {
             case _ =>
           }
           claimCarried() // trailing columns held by a rowspan
+          // ragged row shorter than a carried column (gap before the
+          // reservation): claimCarried stops at the first gap, so
+          // consume every remaining carry at index >= col explicitly,
+          // padding the gap cells — otherwise the reservation slips
+          // down an extra row and misaligns every later row
+          carry.keys.filter(_ >= col).toSeq.sorted.foreach { k =>
+            while (col < k) { cells += (("", "")); col += 1 }
+            carry(k) -= 1; if (carry(k) == 0) carry.remove(k)
+            cells += (("", "")); col += 1
+          }
           if (cells.nonEmpty) rows += cells.toSeq
         case g: Elem if Set("thead", "tbody", "tfoot").contains(g.tag) =>
           carry.clear() // rowspan cannot cross a row-group boundary

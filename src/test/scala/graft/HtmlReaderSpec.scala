@@ -207,6 +207,48 @@ class HtmlReaderSpec extends SparkSpecBase {
     assert(got.exists(_._4.contains("deep")))
   }
 
+  test("over-cap close arriving AFTER an intervening real close is swallowed") {
+    // r9 verdict item 6: the old ledger was WIPED on any matched real
+    // close, so an unpushed open whose close arrived after an
+    // intervening real-sibling close could pop a genuine same-named
+    // ancestor. Construct: real <footer> ancestor, 255 <div>s to reach
+    // the 256 cap, an UNPUSHED <footer> at the cap, a real </div>
+    // (retires the unpushed open), then the late </footer> — which
+    // must be swallowed by the pending-close ledger, NOT pop the real
+    // footer ancestor. Observable: "after" keeps its footer context.
+    val html = "<footer>" + "<div>" * 255 + "<footer>deep" +
+      "</div>" + "</footer>" + "<p>after</p>"
+    val got = blocks(html)
+    assert(got.exists(b => b._1 == "footer" && b._4 == "after"),
+      got.map(b => (b._1, b._4)).mkString("; "))
+    assert(got.exists(_._4.contains("deep")))
+    // nested unpushed opens whose OUTER close arrives first: the inner
+    // unclosed opens retire too — the late </footer> here belongs to
+    // the UNPUSHED inner footer (discarded wholesale by the old
+    // dropWhile), not to the real footer ancestor
+    val html2 = "<footer>" + "<div>" * 255 +
+      "<section><footer>deeper</section>" + // inner footer never closed
+      "</div>" + "</footer>" + "<p>tail</p>"
+    val got2 = blocks(html2)
+    assert(got2.exists(b => b._1 == "footer" && b._4 == "tail"),
+      got2.map(b => (b._1, b._4)).mkString("; "))
+  }
+
+  test("table: ragged row shorter than a carried rowspan column stays aligned") {
+    // r9 advice: claimCarried stopped at the first gap, so a carry at
+    // a column beyond a short row was never decremented and the
+    // reservation slipped down a row, misaligning every later row
+    val got = blocks(
+      """<table><tr><td>a1</td><td>b1</td><td rowspan="2">c1</td></tr>
+        |<tr><td>a2</td></tr>
+        |<tr><td>a3</td><td>b3</td><td>c3</td></tr></table>""".stripMargin)
+    assert(got.size == 1)
+    assert(got.head._3 ==
+      "| a1 | b1 | c1 |\n| --- | --- | --- |\n| a2 |  |  |\n| a3 | b3 | c3 |",
+      got.head._3)
+    assert(got.head._4 == "a1 b1 c1 a2 a3 b3 c3", got.head._4)
+  }
+
   test("empty and null-ish inputs") {
     assert(blocks("").isEmpty)
     assert(blocks("   \n  ").isEmpty)

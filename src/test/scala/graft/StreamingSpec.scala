@@ -77,6 +77,12 @@ class StreamingSpec extends SparkSpecBase {
       PdfElementReader.synthesize(Seq(Seq(
         PdfElementReader.SHeading(1, "Doc D"),
         PdfElementReader.SPara("delta body text")))))
+    // a markdown doc that merely MENTIONS %PDF- in its first KB: the
+    // tolerant sniff misroutes it to the PDF parser; the zero-element
+    // fallback must keep its content and flag the recovery in chunk
+    // metadata (r9 verdict item 1 — observable in the stream's rows)
+    Files.write(java.nio.file.Path.of(in, "e.md"),
+      "# Doc E\n\nepsilon body text mentions %PDF-1.7 early".getBytes(utf8))
     val q = StreamingIngest.autoChunkStream(spark, in)
       .writeStream.format("memory").queryName("graft_auto")
       .outputMode("append")
@@ -84,22 +90,31 @@ class StreamingSpec extends SparkSpecBase {
       .start()
     q.awaitTermination()
     val got = spark.table("graft_auto").collect()
-    // all four formats landed, each as one enriched chunk
-    assert(got.map(_.getAs[Long]("doc_id")).distinct.length == 4)
+    // all five documents landed, each as one enriched chunk
+    assert(got.map(_.getAs[Long]("doc_id")).distinct.length == 5)
     assert(got.forall(r => r.getAs[String]("summary") != null &&
       r.getAs[String]("sentiment") != null))
     val contents = got.map(_.getAs[String]("content")).sorted.toSeq
     for (body <- Seq("alpha body text", "beta body text",
-        "gamma body text", "delta body text"))
+        "gamma body text", "delta body text", "epsilon body text"))
       assert(contents.exists(_.contains(body)), body)
+    // the recovered doc's chunk carries the format_fallback flag
+    val recovered = got.filter(
+      _.getAs[String]("content").contains("epsilon body text"))
+    assert(recovered.nonEmpty)
+    assert(recovered.forall { r =>
+      val m = r.getAs[Map[String, String]]("metadata")
+      m.get("format").contains("markdown") &&
+        m.get("format_fallback").contains("pdf")
+    }, recovered.map(_.getAs[Map[String, String]]("metadata")).toSeq.toString)
     // per-stage rows ride the progress events
     val metrics = q.recentProgress.flatMap(p =>
       scala.jdk.CollectionConverters.MapHasAsScala(p.observedMetrics).asScala)
       .groupMapReduce(_._1)((kv: (String, org.apache.spark.sql.Row)) =>
         kv._2.getAs[Long]("rows"))(_ + _)
-    assert(metrics("graft_reader") == 4)
-    assert(metrics("graft_chunker") == 4)
-    assert(metrics("graft_chunkProcessor_1") == 4)
+    assert(metrics("graft_reader") == 5)
+    assert(metrics("graft_chunker") == 5)
+    assert(metrics("graft_chunkProcessor_1") == 5)
     // stateless by construction: no state-store operators in progress
     assert(q.recentProgress.forall(_.stateOperators.isEmpty))
     // and the fused streaming chunker matches the batch reader+chunker

@@ -12,6 +12,10 @@ import json, re, subprocess, sys, time
 def main():
     sf_dir, out_dir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
     queries = sys.argv[4:]
+    if not queries:
+        print("spotgate: no queries given — refusing a vacuous pass",
+              file=sys.stderr)
+        sys.exit(2)
     results = {}
     # ONE subprocess per query: a heavy oracle (sf10 shingle SQL) can't
     # hold memory across queries or take down the whole gate, and the
@@ -45,7 +49,6 @@ def main():
            "pass": n_pass, "fail": len(results) - n_pass}
     with open(artifact, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
-    print(proc.stdout.splitlines()[-1] if proc.stdout else "no output")
     print(f"wrote {artifact}: {n_pass}/{len(results)} pass")
     sys.exit(0 if n_pass == len(results) else 1)
 
