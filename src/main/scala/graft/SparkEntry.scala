@@ -3086,6 +3086,21 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    "s_mutual_knn_capped" -> ((s, dir) => {
+      // the PRODUCTION hot-bucket guard, oracle-faced (r9 verdict
+      // item 5): a deliberately coarse 4-plane space (16 buckets —
+      // mean occupancy ≥34 at every gated scale, so the cap BINDS
+      // everywhere) with maxDocsPerBucket = 16. The oracle replays
+      // the deterministic keep-rule — per (table, bucket), neighbors
+      // are the top-16 by (portableHash(vec_id:":":table), vec_id) —
+      // in SQL, so capped-path exactness is hash-gated, not spec-only
+      // (s_mutual_knn keeps the cap provably inert for full-recall
+      // parity; this row proves the guard itself).
+      Similarity.mutualKnn(vecsWithDups(tbl(s, dir, "embeddings")), k = 5,
+          nPlanes = 4, maxDocsPerBucket = 16)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "s_embedding_outliers" -> ((s, dir) => {
       // embedding OOD audit: per-vector sum of squared per-dimension
       // z-scores (the diagonal-Mahalanobis screen for corrupted /
@@ -6426,6 +6441,46 @@ object SparkEntry {
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS nbr_id
          |  FROM banded x JOIN banded y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         |  WHERE x.vec_id <> y.vec_id),
+         |scored AS (
+         |  SELECT query_id, nbr_id,
+         |    CAST(round(${sqlCos("q.embedding", "e.embedding")} * 1000000)
+         |      AS BIGINT) AS micro
+         |  FROM cand JOIN vecs q ON q.vec_id = query_id
+         |  JOIN vecs e ON e.vec_id = nbr_id),
+         |ranked AS MATERIALIZED (
+         |  SELECT query_id, nbr_id, micro,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY micro DESC, nbr_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT r1.query_id AS a, r1.nbr_id AS b,
+         |  r1.rank AS rank_ab, r2.rank AS rank_ba,
+         |  CAST(r1.micro AS DOUBLE) / 1000000.0 AS cos
+         |FROM ranked r1 JOIN ranked r2
+         |  ON r2.query_id = r1.nbr_id AND r2.nbr_id = r1.query_id
+         |WHERE r1.rank <= 5 AND r2.rank <= 5 AND r1.query_id < r1.nbr_id
+         |ORDER BY a, b""".stripMargin,
+
+    // capped-path replay: 4-plane buckets; the neighbor side of EVERY
+    // bucket keeps only the top-16 rows by (portableHash(id:":":tbl),
+    // id) — identical to Spark's hot-subset row_number because cold
+    // buckets (cnt ≤ 16) pass whole either way; query side complete
+    "s_mutual_knn_capped" ->
+      s"""WITH vecs AS ($vecsWithDupsSql),
+         |banded AS (
+         |  SELECT 0 AS tbl, vec_id, embedding, ${sqlBucket("embedding", 4, seed = 0)} AS bucket FROM vecs
+         |  UNION ALL
+         |  SELECT 1 AS tbl, vec_id, embedding, ${sqlBucket("embedding", 4, seed = 1)} AS bucket FROM vecs),
+         |nbrs AS (
+         |  SELECT tbl, bucket, vec_id FROM (
+         |    SELECT tbl, bucket, vec_id,
+         |      row_number() OVER (PARTITION BY tbl, bucket
+         |        ORDER BY ${sqlHash("CAST(vec_id AS VARCHAR) || ':' || CAST(tbl AS VARCHAR)")}, vec_id) AS rk
+         |    FROM banded)
+         |  WHERE rk <= 16),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS nbr_id
+         |  FROM banded x JOIN nbrs y ON x.tbl = y.tbl AND x.bucket = y.bucket
          |  WHERE x.vec_id <> y.vec_id),
          |scored AS (
          |  SELECT query_id, nbr_id,
