@@ -2285,6 +2285,37 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seq"))
     }),
 
+    "i_pdf_rowrules" -> ((s, dir) => {
+      // row-rules-only PDF tables (r9 verdict item 2 — the booktabs/
+      // LaTeX report shape): synthesize draws ONLY three horizontal
+      // rules (toprule / midrule / bottomrule, no verticals); the
+      // reader recovers rows from text baselines between the rules
+      // and columns from repeated x-start clustering
+      // (PdfElementReader.detectRowRuleTables), emitting the same
+      // pipe-markdown table element as the bordered-grid / DOCX /
+      // HTML paths — corpus-wide, hash-exact. The reference reaches
+      // this shape through hosted layout analysis
+      // (DocumentIntelligenceReader.cs Table elements); graft parses
+      // it in-process. Map-only at any corpus size.
+      import s.implicits._
+      import graft.sources.PdfElementReader
+      import graft.sources.PdfElementReader._
+      val base = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .as[(Long, String, String)]
+      val pdfDocs = base.map { case (id, lang, source) =>
+        (id, PdfElementReader.synthesize(Seq(Seq(
+          SHeading(1, s"Doc $id"),
+          SRowRuleTable(Seq(Seq("field", "value"),
+            Seq("lang", lang), Seq("source", source))),
+          SPara(s"end of doc $id")))))
+      }.toDF("doc_id", "content")
+      PdfElementReader.elements(s, pdfDocs).toDF()
+        .select(col("doc_id"), col("seq"), col("kind"), col("level"),
+          col("text"), col("page_number"))
+        .orderBy(col("doc_id"), col("seq"))
+    }),
+
     "i_auto_elements" -> ((s, dir) => {
       // format-sniffing reader router (AutoElementReader, r8): the
       // documents corpus is packaged into a MIXED-format binary
@@ -4774,6 +4805,21 @@ object SparkEntry {
         |    'end of doc ' || doc_id, 2 FROM base
         |  UNION ALL SELECT doc_id, 5, 'table', 0,
         |    'field value lang ' || lang || ' source ' || source, 2 FROM base)
+        |ORDER BY doc_id, seq""".stripMargin,
+
+    // row-rules replay: header, the recovered 2-column table (cells in
+    // reading order), trailing paragraph — single page
+    "i_pdf_rowrules" ->
+      """WITH base AS (SELECT doc_id, lang, source FROM documents)
+        |SELECT doc_id, CAST(seq AS INT) AS seq, kind,
+        |  CAST(level AS INT) AS level, text,
+        |  CAST(page AS INT) AS page_number FROM (
+        |  SELECT doc_id, 0 AS seq, 'header' AS kind, 1 AS level,
+        |    'Doc ' || doc_id AS text, 1 AS page FROM base
+        |  UNION ALL SELECT doc_id, 1, 'table', 0,
+        |    'field value lang ' || lang || ' source ' || source, 1 FROM base
+        |  UNION ALL SELECT doc_id, 2, 'paragraph', 0,
+        |    'end of doc ' || doc_id, 1 FROM base)
         |ORDER BY doc_id, seq""".stripMargin,
 
     // mixed-format routing replay: whichever of the four formats

@@ -854,12 +854,167 @@ object PdfElementReader {
         segs.indices.groupBy(find).toSeq.sortBy(_._1)
           .map { case (_, idx) => idx.map(segs) }
       }
-    val found = comps.flatMap(cs => detectGridIn(shows, cs))
+    val gridHits = comps.zipWithIndex.flatMap { case (cs, i) =>
+      detectGridIn(shows, cs).map(i -> _)
+    }
+    // row-rules-only tables (booktabs/report shape): built from the
+    // horizontal rules of components that produced NO grid — each
+    // full-width rule is its own connected component, so this pass is
+    // page-level by construction
+    val gridCompIdx = gridHits.map(_._1).toSet
+    val leftover = comps.zipWithIndex.collect {
+      case (cs, i) if !gridCompIdx(i) => cs
+    }.flatten
+    val found = gridHits.map(_._2) ++ detectRowRuleTables(shows, leftover, segs)
     // nested/overlapping grids are ambiguous layout: degrade BOTH
     val kept = found.filter(g =>
       !found.exists(o => (o ne g) && g._3.overlaps(o._3)))
     val tables = kept.map(_._1).sortBy(t => (-t.topY, t.x0))
     (tables, kept.flatMap(_._2).toSet)
+  }
+
+  /** Cluster near-coincident parallel rules (double-stroked borders)
+    * by position, unioning their spans. Input tuples are
+    * (position, spanLo, spanHi); output is position-ascending. */
+  private def clusterRules(
+      rules: Seq[(Double, Double, Double)]): Seq[(Double, Double, Double)] = {
+    val out = ArrayBuffer.empty[(Double, Double, Double)]
+    rules.sortBy(_._1).foreach { case (p, lo, hi) =>
+      if (out.nonEmpty && p - out.last._1 <= 1.5) {
+        val l = out.last
+        out(out.length - 1) = (l._1, math.min(l._2, lo), math.max(l._3, hi))
+      } else out += ((p, lo, hi))
+    }
+    out.toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // Row-rules-only table detection (r9 verdict item 2 — the booktabs/
+  // LaTeX report shape): horizontal rules only (toprule / midrule /
+  // bottomrule, optionally per-row rules), NO verticals; rows are the
+  // text baselines between the top and bottom rules, columns come
+  // from x-position clustering of the show start positions across
+  // those lines (left-aligned column starts repeat across rows — the
+  // behavior DocumentIntelligenceReader.cs recovers as Table elements
+  // from layout analysis). Same CONSERVATIVE degrade contract as the
+  // bordered-grid detector — ambiguity reads as paragraphs:
+  //   - needs ≥3 span-aligned full rules (the booktabs signature; a
+  //     lone <hr> pair never fires),
+  //   - any vertical rule crossing the band → grid territory, skip,
+  //   - any text in the band starting OUTSIDE the rule span (side
+  //     text, wrapped margin notes) → ambiguous layout, skip,
+  //   - a column start must repeat in ≥2 distinct lines (a one-off x
+  //     is a kerned continuation show, not a column), ≥2 columns and
+  //     ≥2 non-empty cells required,
+  //   - a stack splits at inter-rule gaps >4× the median gap so two
+  //     stacked same-width tables (prose between) never merge.
+  // ------------------------------------------------------------------
+  private def detectRowRuleTables(shows: Seq[Show], leftover: Seq[Seg],
+                                  all: Seq[Seg])
+      : Seq[(RuledTable, Set[Int], GridBox)] = {
+    val hs0 = leftover.collect {
+      case s if math.abs(s.y1 - s.y2) <= 0.3 && math.abs(s.x2 - s.x1) > 2 =>
+        ((s.y1 + s.y2) / 2, math.min(s.x1, s.x2), math.max(s.x1, s.x2))
+    }
+    if (hs0.size < 3) return Nil
+    val hs = clusterRules(hs0)
+    if (hs.size < 3) return Nil
+    val tol = 3.0
+    // group span-aligned rules, y-descending within each group
+    val groups = ArrayBuffer.empty[ArrayBuffer[(Double, Double, Double)]]
+    hs.sortBy(-_._1).foreach { r =>
+      groups.find(g => math.abs(g.head._2 - r._2) <= tol &&
+        math.abs(g.head._3 - r._3) <= tol) match {
+        case Some(g) => g += r
+        case None => groups += ArrayBuffer(r)
+      }
+    }
+    groups.toSeq.filter(_.size >= 3).flatMap { g0 =>
+      val g = g0.toSeq // y desc
+      val gaps = g.sliding(2).collect { case Seq(a, b) => a._1 - b._1 }.toSeq
+      val med = gaps.sorted.apply(gaps.size / 2)
+      val stacks = ArrayBuffer(ArrayBuffer(g.head))
+      g.sliding(2).foreach {
+        case Seq(a, b) =>
+          if (med > 0 && (a._1 - b._1) > 4 * med) stacks += ArrayBuffer(b)
+          else stacks.last += b
+        case _ =>
+      }
+      stacks.toSeq.filter(_.size >= 3)
+        .flatMap(st => detectRowRuleIn(shows, st.toSeq, all))
+    }
+  }
+
+  private def detectRowRuleIn(shows: Seq[Show],
+                              rules: Seq[(Double, Double, Double)],
+                              all: Seq[Seg])
+      : Option[(RuledTable, Set[Int], GridBox)] = {
+    val tol = 3.0
+    val x0 = rules.map(_._2).min
+    val xm = rules.map(_._3).max
+    val yTop = rules.head._1
+    val yBot = rules.last._1
+    // a vertical rule crossing the band means this is (broken-)grid
+    // territory, not a row-rules table: degrade
+    val hasVert = all.exists { s =>
+      math.abs(s.x1 - s.x2) <= 0.3 && math.abs(s.y2 - s.y1) > 2 && {
+        val x = (s.x1 + s.x2) / 2
+        val (lo, hi) = (math.min(s.y1, s.y2), math.max(s.y1, s.y2))
+        x >= x0 - tol && x <= xm + tol && lo < yTop && hi > yBot
+      }
+    }
+    if (hasVert) return None
+    val slab = shows.zipWithIndex.filter {
+      case (s, _) => s.y < yTop - 0.5 && s.y > yBot + 0.5
+    }
+    if (slab.isEmpty) return None
+    // text starting outside the rule span within the band: side text,
+    // ambiguous layout — a fake table is worse than none
+    if (slab.exists { case (s, _) => s.x < x0 - tol || s.x > xm + tol })
+      return None
+    // rows = text baselines, reading order (y desc, then x)
+    val lines = ArrayBuffer.empty[ArrayBuffer[(Show, Int)]]
+    slab.sortBy { case (s, _) => (-s.y, s.x) }.foreach { case (s, i) =>
+      if (lines.nonEmpty && math.abs(lines.last.last._1.y - s.y) <= 0.5)
+        lines.last += ((s, i))
+      else lines += ArrayBuffer((s, i))
+    }
+    if (lines.size < 2) return None // header + at least one body row
+    // column starts: chain-cluster all show x positions; a start must
+    // repeat in ≥2 distinct lines to count as a column
+    val xsAll = lines.zipWithIndex
+      .flatMap { case (ln, li) => ln.map(p => (p._1.x, li)) }
+      .sortBy(_._1)
+    val cl = ArrayBuffer.empty[(Double, Double, scala.collection.mutable.Set[Int])]
+    xsAll.foreach { case (x, li) =>
+      if (cl.nonEmpty && x - cl.last._2 <= tol) {
+        val l = cl.last
+        cl(cl.length - 1) = (l._1, x, l._3 += li)
+      } else cl += ((x, x, scala.collection.mutable.Set(li)))
+    }
+    val colStarts = cl.filter(_._3.size >= 2).map(_._1).toSeq
+    if (colStarts.size < 2) return None
+    def colOf(x: Double): Int = {
+      var c = 0
+      var i = 1
+      while (i < colStarts.size && x >= colStarts(i) - tol) { c = i; i += 1 }
+      c
+    }
+    val nCols = colStarts.size
+    val rows = lines.map { ln =>
+      val cells = Array.fill(nCols)(ArrayBuffer.empty[Show])
+      ln.foreach { case (s, _) => cells(colOf(s.x)) += s }
+      cells.map(cell =>
+        collapse(cell.sortBy(_.x).map(_.text).mkString(" "))).toSeq
+    }.toSeq
+    if (rows.flatten.count(_.nonEmpty) < 2) return None
+    val md = new StringBuilder
+    md.append(rows.head.mkString("| ", " | ", " |")).append('\n')
+    md.append(Seq.fill(nCols)("---").mkString("| ", " | ", " |"))
+    rows.tail.foreach(r => md.append('\n').append(r.mkString("| ", " | ", " |")))
+    val text = collapse(rows.flatten.filter(_.nonEmpty).mkString(" "))
+    Some((RuledTable(yTop, x0, md.toString, text),
+      slab.map(_._2).toSet, GridBox(x0, xm, yBot, yTop)))
   }
 
   private def detectGridIn(shows: Seq[Show], segs: Seq[Seg])
@@ -875,19 +1030,8 @@ object PdfElementReader {
         ((s.x1 + s.x2) / 2, math.min(s.y1, s.y2), math.max(s.y1, s.y2))
     }
     if (hs0.size < 2 || vs0.size < 2) return None
-    // cluster near-coincident rules (double-stroked borders), union spans
-    def cluster(rules: Seq[(Double, Double, Double)]): Seq[(Double, Double, Double)] = {
-      val out = ArrayBuffer.empty[(Double, Double, Double)]
-      rules.sortBy(_._1).foreach { case (p, lo, hi) =>
-        if (out.nonEmpty && p - out.last._1 <= 1.5) {
-          val l = out.last
-          out(out.length - 1) = (l._1, math.min(l._2, lo), math.max(l._3, hi))
-        } else out += ((p, lo, hi))
-      }
-      out.toSeq
-    }
-    val hs = cluster(hs0) // by y, ascending
-    val vs = cluster(vs0) // by x, ascending
+    val hs = clusterRules(hs0) // by y, ascending
+    val vs = clusterRules(vs0) // by x, ascending
     if (hs.size < 2 || vs.size < 2 || (hs.size - 1) * (vs.size - 1) < 2)
       return None
     val ys = hs.map(_._1); val xs = vs.map(_._1)
@@ -1195,6 +1339,13 @@ object PdfElementReader {
     * exporter emits, and exactly the shape [[detectRuledTable]]
     * recovers. First row reads as the header. */
   final case class STable(rows: Seq[Seq[String]]) extends SynthBlock
+  /** A row-rules-only table (the booktabs/LaTeX report shape): only
+    * three horizontal rules are drawn — toprule, midrule under the
+    * header row, bottomrule — body rows separated by baseline position
+    * alone, columns by left-aligned x starts. Exactly the shape
+    * [[detectRowRuleTables]] recovers. Needs ≥2 rows to emit (a
+    * 1-row table collapses midrule onto bottomrule). */
+  final case class SRowRuleTable(rows: Seq[Seq[String]]) extends SynthBlock
 
   /** Font sizes the synthesis uses: body 11pt, headings 20/17/15/14/
     * 13/12.5 — all above the reader's body+0.6 header threshold and
@@ -1244,6 +1395,29 @@ object PdfElementReader {
             for (c <- 0 to nCols)
               sb.append(s"${fmt(x0 + c * colW)} ${fmt(bot)} m ${fmt(x0 + c * colW)} ${fmt(top)} l S\n")
             // cell text: placed inside its cell, body size
+            val szT = fmt(BodySize)
+            for ((row, r) <- rows.zipWithIndex; (cell, c) <- row.zipWithIndex
+                 if cell.nonEmpty) {
+              val cx = fmt(x0 + c * colW + 5)
+              val cy = fmt(top - r * rowH - 15)
+              sb.append(s"BT /F1 $szT Tf $cx $cy Td (${escapeLiteral(cell)}) Tj ET\n")
+            }
+            y = bot - BodySize * 2.5
+            if (y < 40) y = 760.0
+          }
+        case SRowRuleTable(rows0) =>
+          val rows = rows0.filter(_.nonEmpty)
+          if (rows.size >= 2) {
+            val nCols = rows.map(_.size).max
+            val colW = 120.0; val rowH = 22.0
+            val x0 = 72.0
+            val top = y
+            val bot = top - rows.size * rowH
+            val x1 = x0 + nCols * colW
+            // booktabs shape: toprule, midrule under the header,
+            // bottomrule — NO verticals, body rows by baseline only
+            for (ry <- Seq(top, top - rowH, bot))
+              sb.append(s"${fmt(x0)} ${fmt(ry)} m ${fmt(x1)} ${fmt(ry)} l S\n")
             val szT = fmt(BodySize)
             for ((row, r) <- rows.zipWithIndex; (cell, c) <- row.zipWithIndex
                  if cell.nonEmpty) {

@@ -216,6 +216,90 @@ class PdfReaderSpec extends SparkSpecBase {
     assert(PdfElementReader.parseBlocks(clipped).map(_._1).forall(_ == "paragraph"))
   }
 
+  // ------------------------------------------------------------------
+  // row-rules-only tables (r9 verdict item 2 — the booktabs shape)
+  // ------------------------------------------------------------------
+  test("synthesized row-rules table roundtrips as a pipe-markdown table") {
+    val pdf = synthesize(Seq(Seq(
+      SHeading(1, "Results"),
+      SRowRuleTable(Seq(Seq("name", "qty"), Seq("bolt", "7"), Seq("nut", "12"))),
+      SPara("after the table"))))
+    val got = PdfElementReader.parseBlocks(pdf)
+    assert(got == Seq(
+      ("header", 1, "# Results", "Results", 1),
+      ("table", 0,
+        "| name | qty |\n| --- | --- |\n| bolt | 7 |\n| nut | 12 |",
+        "name qty bolt 7 nut 12", 1),
+      ("paragraph", 0, "after the table", "after the table", 1)), got.toString)
+  }
+
+  test("row-rules: continuation shows merge into their column, no fake column") {
+    // "bolt"+"heavy" are two shows in one cell; the one-off x start
+    // (101) must NOT become a column — a column start repeats in ≥2
+    // lines (here 77 and 197 do, across all three baselines)
+    val pdf = onePage(
+      "72 700 m 400 700 l S\n72 678 m 400 678 l S\n72 634 m 400 634 l S\n" +
+        "BT /F1 11 Tf 77 685 Td (name) Tj ET\n" +
+        "BT /F1 11 Tf 197 685 Td (qty) Tj ET\n" +
+        "BT /F1 11 Tf 77 663 Td (bolt) Tj ET\n" +
+        "BT /F1 11 Tf 101 663 Td (heavy) Tj ET\n" +
+        "BT /F1 11 Tf 197 663 Td (7) Tj ET\n" +
+        "BT /F1 11 Tf 77 641 Td (nut) Tj ET\n" +
+        "BT /F1 11 Tf 197 641 Td (12) Tj ET")
+    val got = PdfElementReader.parseBlocks(pdf)
+    assert(got == Seq(("table", 0,
+      "| name | qty |\n| --- | --- |\n| bolt heavy | 7 |\n| nut | 12 |",
+      "name qty bolt heavy 7 nut 12", 1)), got.toString)
+  }
+
+  test("row-rules degrade: prose between rules, side text, crossing vertical") {
+    // two prose lines between 3 rules: every x start is one-off → <2
+    // repeating columns → paragraphs, never a fake table
+    val prose = onePage(
+      "72 700 m 400 700 l S\n72 660 m 400 660 l S\n72 620 m 400 620 l S\n" +
+        "BT /F1 11 Tf 77 680 Td (first prose line) Tj ET\n" +
+        "BT /F1 11 Tf 150 640 Td (second prose line) Tj ET")
+    assert(PdfElementReader.parseBlocks(prose).map(_._1).forall(_ == "paragraph"))
+    // column-shaped text but a show STARTING outside the rule span:
+    // ambiguous side text → degrade
+    val side = onePage(
+      "72 700 m 300 700 l S\n72 678 m 300 678 l S\n72 634 m 300 634 l S\n" +
+        "BT /F1 11 Tf 77 685 Td (h1) Tj ET\nBT /F1 11 Tf 197 685 Td (h2) Tj ET\n" +
+        "BT /F1 11 Tf 77 663 Td (a) Tj ET\nBT /F1 11 Tf 197 663 Td (b) Tj ET\n" +
+        "BT /F1 11 Tf 350 663 Td (margin note) Tj ET")
+    assert(PdfElementReader.parseBlocks(side).map(_._1).forall(_ == "paragraph"))
+    // a vertical rule crossing the band: (broken-)grid territory, not
+    // a row-rules table → degrade
+    val vert = onePage(
+      "72 700 m 400 700 l S\n72 678 m 400 678 l S\n72 634 m 400 634 l S\n" +
+        "150 640 m 150 690 l S\n" +
+        "BT /F1 11 Tf 77 685 Td (h1) Tj ET\nBT /F1 11 Tf 197 685 Td (h2) Tj ET\n" +
+        "BT /F1 11 Tf 77 663 Td (a) Tj ET\nBT /F1 11 Tf 197 663 Td (b) Tj ET")
+    assert(PdfElementReader.parseBlocks(vert).map(_._1).forall(_ == "paragraph"))
+    // only 2 rules (an hr pair is not a table signature) → degrade
+    val two = onePage(
+      "72 700 m 400 700 l S\n72 634 m 400 634 l S\n" +
+        "BT /F1 11 Tf 77 685 Td (h1) Tj ET\nBT /F1 11 Tf 197 685 Td (h2) Tj ET\n" +
+        "BT /F1 11 Tf 77 663 Td (a) Tj ET\nBT /F1 11 Tf 197 663 Td (b) Tj ET")
+    assert(PdfElementReader.parseBlocks(two).map(_._1).forall(_ == "paragraph"))
+  }
+
+  test("row-rules and bordered grid coexist on one page") {
+    val pdf = synthesize(Seq(Seq(
+      SHeading(1, "Mixed"),
+      STable(Seq(Seq("g1", "g2"), Seq("1", "2"))),
+      SPara("between"),
+      SRowRuleTable(Seq(Seq("r1", "r2"), Seq("3", "4"))),
+      SPara("end"))))
+    val got = PdfElementReader.parseBlocks(pdf)
+    assert(got.map(b => (b._1, b._4)) == Seq(
+      ("header", "Mixed"),
+      ("table", "g1 g2 1 2"),
+      ("paragraph", "between"),
+      ("table", "r1 r2 3 4"),
+      ("paragraph", "end")), got.toString)
+  }
+
   test("re-drawn (rectangle) grid detects like stroked lines") {
     // 2×2 grid drawn as four cell rectangles — the border-per-cell
     // style some exporters use; shared edges cluster into one rule
