@@ -539,6 +539,95 @@ object Similarity {
       .limit(k)
   }
 
+  /** Incrementally append vectors to a persisted IVF index — the
+    * production follow-on to [[writeIvfIndex]], and the index-side
+    * twin of the reference's incremental vector-store ingestion
+    * (VectorStoreWriterOptions.cs `incrementalIngestion`). New
+    * vectors are assigned to the EXISTING centroids (no re-train: the
+    * standard IVF maintenance trade — assignment stays a map-only
+    * scan stage and previously issued probes remain valid), and ONLY
+    * the touched list partitions rewrite copy-on-write (dynamic
+    * partition overwrite, the [[graft.sinks.VectorStoreWriter]]
+    * discipline): untouched list directories keep their files
+    * byte-identical, so append cost is bounded by touched lists +
+    * batch, never the index size — at 100 TB that is the difference
+    * between rewriting 4 directories and rebuilding the store.
+    *
+    * Centroid drift is RECORDED per touched list in `path/drift`
+    * (append-only: generation, list_id, n_added, list_n, mean_cos —
+    * the cosine between the stored centroid and the post-append list
+    * mean). A decaying mean_cos is the reindex trigger: assignment
+    * quality degrades as the data distribution walks away from the
+    * frozen centroids, and this table is the observable that drives
+    * the re-train policy.
+    */
+  def appendToIvfIndex(spark: SparkSession, path: String,
+                       newVectors: DataFrame): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroidSet = foldCentroids(centroids).localCheckpoint(true)
+    val assigned = assignFolded(
+        newVectors.select(col("vec_id"), col("embedding")),
+        centroidSet, "vec_id", "embedding", probes = 1)
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+      .localCheckpoint(true) // 3 consumers: touched ids, merge, drift
+    centroidSet.unpersist()
+    // touched lists: ≤ nLists values — index metadata, driver-bounded
+    // exactly like the probe's centroid read
+    val touched = assigned.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    // survivors of the touched partitions only, MATERIALIZED so we
+    // never overwrite a path we are still lazily reading from
+    val existing = spark.read.parquet(s"$path/lists")
+      .where(col("list_id").isin(touched: _*))
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+      .localCheckpoint(true)
+    val merged = existing.union(assigned)
+    val previous =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      merged.write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$path/lists")
+    } finally {
+      previous match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    // drift audit: post-append list mean vs the frozen centroid.
+    // Means round through FLOAT (the trained-IVF contract) so the
+    // audit is insensitive to double-sum association order.
+    val fs = new org.apache.hadoop.fs.Path(s"$path/drift")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/drift")))
+        spark.read.parquet(s"$path/drift")
+          .agg(max(col("generation"))).head().getLong(0) + 1L
+      else 0L
+    val dims = merged.select(col("list_id"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("list_id"), col("d"))
+      .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("list_id"))
+      .agg(max(col("n")).as("list_n"),
+        transform(
+          sort_array(collect_list(struct(col("d"), col("s"), col("n")))),
+          t => (t.getField("s") / t.getField("n")).cast("float"))
+          .as("list_mean"))
+    val added = assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_added"))
+    dims.join(added, Seq("list_id"))
+      .join(centroids, Seq("list_id"))
+      .select(lit(gen).as("generation"), col("list_id"),
+        col("n_added"), col("list_n"),
+        VectorFunctions.cosine(col("list_mean"), col("centroid"))
+          .as("mean_cos"))
+      .write.mode("append").parquet(s"$path/drift")
+  }
+
   /** Per-dimension embedding statistics (mean, variance, extremes) —
     * the embedding-health audit run before building an ANN index or
     * normalizing a corpus: a dimension whose variance collapses (or

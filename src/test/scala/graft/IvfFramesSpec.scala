@@ -43,6 +43,67 @@ class IvfFramesSpec extends SparkSpecBase {
     assert(all == bf)
   }
 
+  test("appendToIvfIndex: copy-on-write lists, rebuild-equal probe, drift recorded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val base = emb.where(col("vec_id") < 400)
+    val batch = emb.where(col("vec_id") >= 400 && col("vec_id") < 403) // 3 vectors → ≤3 touched lists
+    Similarity.writeIvfIndex(base, dir, nLists = 8)
+    def listFiles(): Map[String, Set[(String, Long, Long)]] = {
+      val root = new java.io.File(s"$dir/lists")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length(), f.lastModified())).toSet)
+        .toMap
+    }
+    val before = listFiles()
+    Similarity.appendToIvfIndex(spark, dir, batch)
+    val after = listFiles()
+    // exactly base ∪ batch, each vector once
+    val lists = spark.read.parquet(s"$dir/lists")
+    assert(lists.count() == 403 && lists.select("vec_id").distinct().count() == 403)
+    // drift audit: generation 0, one row per touched list, n_added sums
+    // to the batch, mean_cos a valid cosine
+    val drift = spark.read.parquet(s"$dir/drift").collect()
+    assert(drift.nonEmpty && drift.forall(_.getAs[Long]("generation") == 0L))
+    assert(drift.map(_.getAs[Long]("n_added")).sum == 3L)
+    assert(drift.forall { r =>
+      val c = r.getAs[Double]("mean_cos"); c >= -1.0001 && c <= 1.0001 })
+    val touched = drift.map(r => s"list_id=${r.getAs[Long]("list_id")}").toSet
+    // copy-on-write: only the touched partitions changed; every
+    // untouched list directory keeps its files byte-identical
+    assert(touched.size <= 3 && touched.size < before.size)
+    before.foreach { case (part, files) =>
+      if (!touched.contains(part))
+        assert(after(part) == files, s"untouched $part was rewritten")
+      else assert(after(part) != files, s"touched $part was not rewritten")
+    }
+    // full-probe over the appended index ≡ brute force over the union
+    // (and therefore ≡ a full rebuild probed at nProbe = nLists)
+    val query = emb.where(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head()
+    val got = Similarity.probeIvfIndex(spark, dir, query, k = 5, nProbe = 8)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    val bf = base.union(batch).select(col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("embedding"),
+          typedlit(query.toSeq)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(got == bf)
+    // pruning still file-listing-level after the append
+    val probe = Similarity.probeIvfIndex(spark, dir, query, k = 5, nProbe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"), plan)
+    // a second append records the next generation
+    Similarity.appendToIvfIndex(spark, dir,
+      emb.where(col("vec_id") >= 403 && col("vec_id") < 405))
+    val gens = spark.read.parquet(s"$dir/drift")
+      .select("generation").distinct().as[Long].collect().sorted.toSeq
+    assert(gens == Seq(0L, 1L))
+    assert(spark.read.parquet(s"$dir/lists").count() == 405)
+  }
+
   test("trainCentroids: Lloyd iterations converge to well-separated cluster centers") {
     // three tight clusters on orthogonal axes; a bad seed (all three
     // seeds inside cluster A) must still migrate two centroids out
