@@ -81,10 +81,14 @@ object Bench {
       k -> math.min(v, retimed.getOrElse(k, v))
     }
 
+    // milliseconds are far below host noise; rounding halves the JSON
+    // line so the driver's stdout-tail capture holds more of it (the
+    // r9 artifact lost 2/3 of the per-query map to truncation)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def jmap(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
-    val total = results.values.sum
+    val total = r3(results.values.sum)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"retimed":${jmap(retimed)},"sf":"$sfDir","errors":$errJson}"""
     println(json)
     // The driver captures only the tail of stdout, so the r7 BENCH
