@@ -930,14 +930,48 @@ object PdfElementReader {
       }
     }
     groups.toSeq.filter(_.size >= 3).flatMap { g0 =>
+      // split the stack at PROSE slabs — a slab (band between two
+      // consecutive rules) that is empty, or whose every text line
+      // occupies <2 repeated column clusters, reads as prose between
+      // two stacked tables, not table content (the grid detector gets
+      // this separation for free from segment connectivity; rules
+      // alone don't connect). A table slab always holds ≥1 line on
+      // ≥2 columns (header band, body band, per-row bands alike), so
+      // a single table never splits; the known limit is a multi-show
+      // kerned prose line wide enough to touch 2 clusters — the
+      // conservative failure is a merged table, never lost text.
       val g = g0.toSeq // y desc
-      val gaps = g.sliding(2).collect { case Seq(a, b) => a._1 - b._1 }.toSeq
-      val med = gaps.sorted.apply(gaps.size / 2)
+      val yTop = g.head._1; val yBot = g.last._1
+      val inBand = shows.filter(s => s.y < yTop - 0.5 && s.y > yBot + 0.5)
+      val lineYs = ArrayBuffer.empty[ArrayBuffer[Show]]
+      inBand.sortBy(s => (-s.y, s.x)).foreach { s =>
+        if (lineYs.nonEmpty && math.abs(lineYs.last.last.y - s.y) <= 0.5)
+          lineYs.last += s
+        else lineYs += ArrayBuffer(s)
+      }
+      val xsAll = lineYs.zipWithIndex
+        .flatMap { case (ln, li) => ln.map(s => (s.x, li)) }.sortBy(_._1)
+      val cl = ArrayBuffer.empty[(Double, Double, scala.collection.mutable.Set[Int])]
+      xsAll.foreach { case (x, li) =>
+        if (cl.nonEmpty && x - cl.last._2 <= tol) {
+          val l = cl.last
+          cl(cl.length - 1) = (l._1, x, l._3 += li)
+        } else cl += ((x, x, scala.collection.mutable.Set(li)))
+      }
+      val kept = cl.filter(_._3.size >= 2).map(_._1).toSeq
+      def colOf(x: Double): Int = {
+        var c = 0; var i = 1
+        while (i < kept.size && x >= kept(i) - tol) { c = i; i += 1 }
+        c
+      }
+      def tabular(ln: Seq[Show]): Boolean =
+        kept.size >= 2 && ln.map(s => colOf(s.x)).distinct.size >= 2
       val stacks = ArrayBuffer(ArrayBuffer(g.head))
       g.sliding(2).foreach {
         case Seq(a, b) =>
-          if (med > 0 && (a._1 - b._1) > 4 * med) stacks += ArrayBuffer(b)
-          else stacks.last += b
+          val slab = lineYs.filter(ln => ln.head.y < a._1 && ln.head.y > b._1)
+          val prose = slab.isEmpty || slab.forall(ln => !tabular(ln.toSeq))
+          if (prose) stacks += ArrayBuffer(b) else stacks.last += b
         case _ =>
       }
       stacks.toSeq.filter(_.size >= 3)

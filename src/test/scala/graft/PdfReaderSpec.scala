@@ -284,6 +284,33 @@ class PdfReaderSpec extends SparkSpecBase {
     assert(PdfElementReader.parseBlocks(two).map(_._1).forall(_ == "paragraph"))
   }
 
+  test("stacked row-rules tables split at the prose slab, in reading order") {
+    // prose between two same-width rule stacks must NOT merge them
+    // into one table (the grid detector gets this from segment
+    // connectivity; rules alone don't connect — the slab-tabularity
+    // split does the same job here)
+    val pdf = synthesize(Seq(Seq(
+      SHeading(1, "Report"),
+      SRowRuleTable(Seq(Seq("a", "b"), Seq("1", "2"))),
+      SPara("between"),
+      SRowRuleTable(Seq(Seq("x", "y"), Seq("3", "4"))),
+      SPara("end"))))
+    val got = PdfElementReader.parseBlocks(pdf)
+    assert(got.map(b => (b._1, b._4)) == Seq(
+      ("header", "Report"),
+      ("table", "a b 1 2"),
+      ("paragraph", "between"),
+      ("table", "x y 3 4"),
+      ("paragraph", "end")), got.toString)
+    // back-to-back (no prose): the EMPTY slab splits them
+    val pdf2 = synthesize(Seq(Seq(
+      SRowRuleTable(Seq(Seq("a", "b"), Seq("1", "2"))),
+      SRowRuleTable(Seq(Seq("x", "y"), Seq("3", "4"))))))
+    val got2 = PdfElementReader.parseBlocks(pdf2)
+    assert(got2.map(b => (b._1, b._4)) == Seq(
+      ("table", "a b 1 2"), ("table", "x y 3 4")), got2.toString)
+  }
+
   test("row-rules and bordered grid coexist on one page") {
     val pdf = synthesize(Seq(Seq(
       SHeading(1, "Mixed"),
