@@ -284,6 +284,25 @@ class PdfReaderSpec extends SparkSpecBase {
     assert(PdfElementReader.parseBlocks(two).map(_._1).forall(_ == "paragraph"))
   }
 
+  test("row-rules: a partial-span rule (cmidrule) does not break the stack") {
+    // booktabs \cmidrule spans only some columns; it lands in its own
+    // span-group (≠ the full-width stack) and must neither join the
+    // stack nor degrade it — the full-width table still parses
+    val pdf = onePage(
+      "72 700 m 400 700 l S\n72 678 m 400 678 l S\n72 634 m 400 634 l S\n" +
+        "197 681 m 280 681 l S\n" + // partial rule under a group header
+        "BT /F1 11 Tf 77 690 Td (name) Tj ET\n" +
+        "BT /F1 11 Tf 197 690 Td (qty) Tj ET\n" +
+        "BT /F1 11 Tf 77 663 Td (bolt) Tj ET\n" +
+        "BT /F1 11 Tf 197 663 Td (7) Tj ET\n" +
+        "BT /F1 11 Tf 77 641 Td (nut) Tj ET\n" +
+        "BT /F1 11 Tf 197 641 Td (12) Tj ET")
+    val got = PdfElementReader.parseBlocks(pdf)
+    assert(got == Seq(("table", 0,
+      "| name | qty |\n| --- | --- |\n| bolt | 7 |\n| nut | 12 |",
+      "name qty bolt 7 nut 12", 1)), got.toString)
+  }
+
   test("stacked row-rules tables split at the prose slab, in reading order") {
     // prose between two same-width rule stacks must NOT merge them
     // into one table (the grid detector gets this from segment

@@ -517,6 +517,15 @@ class PlanSpec extends SparkSpecBase {
       _.dataType.isInstanceOf[ArrayType]))
     assert(offending.isEmpty,
       s"mutualKnn shuffles arrays:\n${offending.map(_.output.mkString(", ")).mkString("\n")}")
+    // the BINDING-cap path (s_mutual_knn_capped shape) adds the
+    // hot-subset rank window — its exchange moves (vec_id, t, bucket)
+    // scalars, so the discipline must hold there too
+    val capped = graft.operators.Similarity.mutualKnn(
+      emb, k = 3, nPlanes = 4, maxDocsPerBucket = 4)
+    val offending2 = shuffles(capped).filter(_.output.exists(
+      _.dataType.isInstanceOf[ArrayType]))
+    assert(offending2.isEmpty,
+      s"capped mutualKnn shuffles arrays:\n${offending2.map(_.output.mkString(", ")).mkString("\n")}")
   }
 
   test("cdc chunk dedup: chunk text is dropped before every exchange") {
