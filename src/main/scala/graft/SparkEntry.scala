@@ -436,6 +436,46 @@ object SparkEntry {
       "\nSELECT node, rank FROM r8 ORDER BY node"
   }
 
+  /** Unrolled sync-LPA twin of Graph.labelPropagation over the
+    * planted-block graph: identical symmetrize-distinct edge set,
+    * identical vote (count per neighbor label) and identical
+    * tie-break (cnt desc, label asc) per round — all-integer, so the
+    * replay is exact with no float contract needed.
+    */
+  private lazy val lpaSql: String = {
+    val body = (1 to 3).map { i =>
+      s"""v$i AS (
+         |  SELECT u.src AS node, l.label, count(*) AS cnt
+         |  FROM und u JOIN l${i - 1} l ON l.node = u.dst
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (PARTITION BY node
+         |      ORDER BY cnt DESC, label) AS rk FROM v$i)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
+       |  FROM documents),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |ring AS (
+       |  SELECT node AS src,
+       |    (node - node % 10) + (node % 10 + k) % 10 AS dst
+       |  FROM nodes, unnest([1, 2]) AS t(k)
+       |  WHERE (node - node % 10) + (node % 10 + k) % 10 < (SELECT n FROM nn)),
+       |bridge AS (
+       |  SELECT node AS src, (node + 10) % (SELECT n FROM nn) AS dst
+       |  FROM nodes WHERE node % 10 = 0),
+       |e0 AS (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM bridge),
+       |und AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM e0 WHERE src <> dst
+       |  UNION ALL
+       |  SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst)),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+       |""".stripMargin + body +
+      "\nSELECT node, label FROM l3 ORDER BY node"
+  }
+
   /** Unrolled HITS twin of Graph.hits over the same edge
     * construction: raw linear updates (auth = Σ in-hub, hub = Σ
     * out-auth — normalization commutes, applied once at the end via
@@ -3923,6 +3963,31 @@ object SparkEntry {
         .select(col("src"),
           ((col("src") * 31 + col("k") * 7919) % nDocs).as("dst"))
       Graph.triangleCounts(edges).orderBy(col("node"))
+    }),
+
+    "g_communities" -> ((s, dir) => {
+      // synchronous label propagation over a planted-block graph
+      // (community detection — the host/domain clustering pass run
+      // before per-community quotas or contamination sweeps): blocks
+      // of 10 nodes form rings (each node links +1/+2 within its
+      // block), blocks chain weakly through their first node. Three
+      // sync rounds, most-frequent-neighbor-label votes, ties to the
+      // smallest label — every step an exact integer computation, so
+      // the DuckDB oracle unrolls the identical rounds and the result
+      // is hash-exact at any parallelism (Graph.labelPropagation).
+      val nDocs = tbl(s, dir, "documents").count()
+      val base = s.range(nDocs)
+      val ring = base
+        .select(col("id").as("src"),
+          explode(array(lit(1L), lit(2L))).as("j"))
+        .select(col("src"),
+          ((col("src") - col("src") % 10) + (col("src") % 10 + col("j")) % 10)
+            .as("dst"))
+        .where(col("dst") < nDocs)
+      val bridge = base.where(col("id") % 10 === 0)
+        .select(col("id").as("src"), ((col("id") + 10) % nDocs).as("dst"))
+      Graph.labelPropagation(ring.union(bridge), rounds = 3)
+        .orderBy(col("node"))
     }),
 
     "d_dedup_cdc_chunks" -> ((s, dir) => {
@@ -7980,6 +8045,7 @@ object SparkEntry {
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "g_pagerank" -> pageRankSql,
+    "g_communities" -> lpaSql,
     "g_hits" -> hitsSql,
 
     // recursive-CTE BFS replay over the same 3-regular construction;

@@ -202,6 +202,53 @@ object Graph {
     * the peeling cascade's total work is O(rounds · |E_surviving|),
     * and lineage is checkpoint-truncated per round.
     */
+  /** Synchronous label propagation (community detection — the
+    * host/domain clustering pass corpus curation runs before
+    * per-community quotas or contamination sweeps): every node starts
+    * labeled with its own id; each round it adopts the most frequent
+    * label among its neighbors, ties to the SMALLEST label.
+    * Deterministic at any parallelism — the vote is an exact integer
+    * count and the tie-break total. `rounds` is FIXED (sync LPA can
+    * 2-cycle on bipartite structure; a fixed round count keeps the
+    * result well-defined and lets the DuckDB oracle unroll the exact
+    * same rounds).
+    *
+    * Scale: the symmetrized edge list materializes ONCE partitioned
+    * on dst (the side every round's vote join probes — label rows
+    * co-locate to it); per round the only edge-proportional exchange
+    * is the (node, label) vote count, which map-side combines to at
+    * most one row per distinct neighbor label per node before moving;
+    * the arg-max window runs on those votes, never on edges. Lineage
+    * is checkpoint-truncated every other round.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst"))
+    val und = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("dst"))
+      .localCheckpoint(true)
+    var labels = und.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("cnt").desc, col("label").asc)
+    for (r <- 1 to rounds) {
+      val votes = und
+        .join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumnRenamed("src", "node")
+      labels = votes.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("node"), col("label"))
+      if (r % 2 == 0 && r < rounds) labels = labels.localCheckpoint(true)
+    }
+    labels
+  }
+
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 8): DataFrame = {
     var e = edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),

@@ -148,6 +148,31 @@ class GraphSpec extends SparkSpecBase {
     assert(docs(3) == Dedup.exactDedup(qualityPass).count())
   }
 
+  test("labelPropagation: planted cliques converge to per-clique min label") {
+    // two 4-cliques joined by one bridge edge: after a few sync
+    // rounds every member carries its clique's smallest id; the
+    // single bridge cannot flip a clique (3 internal votes vs 1)
+    def clique(ids: Seq[Long]): Seq[(Long, Long)] =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (3L -> 10L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 8)
+    for (n <- Seq(0L, 1L, 2L, 3L)) assert(got(n) == 0L, s"$n -> ${got(n)}")
+    for (n <- Seq(10L, 11L, 12L, 13L)) assert(got(n) == 10L, s"$n -> ${got(n)}")
+    // deterministic: same input, same labels, any run
+    val again = Graph.labelPropagation(edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+    // self-loops and direction are ignored (symmetrized, src!=dst)
+    val messy = (edges.collect().map(r => (r.getLong(1), r.getLong(0))).toSeq
+      :+ (5L -> 5L)).toDF("src", "dst")
+    val got2 = Graph.labelPropagation(messy, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got) // the pure self-loop node has no real edges: absent
+  }
+
   test("hits: star graph ranks the center as sole authority, leaves as hubs") {
     // 1..4 all link to 0; 0 links nowhere
     val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("src", "dst")
