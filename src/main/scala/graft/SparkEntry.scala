@@ -442,7 +442,7 @@ object SparkEntry {
     * tie-break (cnt desc, label asc) per round — all-integer, so the
     * replay is exact with no float contract needed.
     */
-  private lazy val lpaSql: String = {
+  private lazy val lpaCtes: String = {
     val body = (1 to 3).map { i =>
       s"""v$i AS (
          |  SELECT u.src AS node, l.label, count(*) AS cnt
@@ -472,9 +472,41 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst)),
        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
-       |""".stripMargin + body +
-      "\nSELECT node, label FROM l3 ORDER BY node"
+       |""".stripMargin + body
   }
+
+  private lazy val lpaSql: String =
+    lpaCtes + "\nSELECT node, label FROM l3 ORDER BY node"
+
+  /** Per-community modularity decomposition over the LPA partition:
+    * exact-integer m / e_in / deg_c, one fixed-shape double q term
+    * per row — no cross-row float accumulation, so rows hash-compare
+    * engine-exactly.
+    */
+  private lazy val modularitySql: String =
+    lpaCtes + s""",
+      |eu AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |  FROM e0 WHERE src <> dst),
+      |mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM eu),
+      |degs AS (SELECT node, count(*) AS deg FROM (
+      |  SELECT a AS node FROM eu UNION ALL SELECT b AS node FROM eu)
+      |  GROUP BY 1),
+      |tagged AS (SELECT la.label AS lab_a, lb.label AS lab_b
+      |  FROM eu JOIN l3 la ON la.node = eu.a JOIN l3 lb ON lb.node = eu.b),
+      |intra AS (SELECT lab_a AS label, CAST(count(*) AS BIGINT) AS internal_edges
+      |  FROM tagged WHERE lab_a = lab_b GROUP BY 1),
+      |per AS (SELECT l3.label, CAST(count(*) AS BIGINT) AS nodes,
+      |  CAST(sum(coalesce(d.deg, 0)) AS BIGINT) AS degree_sum
+      |  FROM l3 LEFT JOIN degs d ON d.node = l3.node GROUP BY 1)
+      |SELECT per.label, per.nodes,
+      |  CAST(coalesce(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+      |  per.degree_sum,
+      |  round(CAST(coalesce(i.internal_edges, 0) AS DOUBLE) / (SELECT m FROM mm)
+      |    - (CAST(per.degree_sum AS DOUBLE) / (2 * (SELECT m FROM mm)))
+      |      * (CAST(per.degree_sum AS DOUBLE) / (2 * (SELECT m FROM mm))), 6)
+      |    AS q_term
+      |FROM per LEFT JOIN intra i ON i.label = per.label
+      |ORDER BY per.label""".stripMargin
 
   /** Unrolled HITS twin of Graph.hits over the same edge
     * construction: raw linear updates (auth = Σ in-hub, hub = Σ
@@ -3988,6 +4020,30 @@ object SparkEntry {
         .select(col("id").as("src"), ((col("id") + 10) % nDocs).as("dst"))
       Graph.labelPropagation(ring.union(bridge), rounds = 3)
         .orderBy(col("node"))
+    }),
+
+    "g_modularity" -> ((s, dir) => {
+      // per-community modularity decomposition of the LPA partition
+      // (Graph.communityStats): member count, internal undirected
+      // edges, degree sum, and q = e_in/m − (deg_c/2m)² per label —
+      // the partition-quality audit run before per-community quotas
+      // key on the clustering. m/e_in/deg_c are exact integers; q is
+      // one fixed-shape double per ROW (no cross-row float sums), so
+      // the oracle unrolls LPA and recomputes the same integers.
+      val nDocs = tbl(s, dir, "documents").count()
+      val base = s.range(nDocs)
+      val ring = base
+        .select(col("id").as("src"),
+          explode(array(lit(1L), lit(2L))).as("j"))
+        .select(col("src"),
+          ((col("src") - col("src") % 10) + (col("src") % 10 + col("j")) % 10)
+            .as("dst"))
+        .where(col("dst") < nDocs)
+      val bridge = base.where(col("id") % 10 === 0)
+        .select(col("id").as("src"), ((col("id") + 10) % nDocs).as("dst"))
+      val edges = ring.union(bridge)
+      Graph.communityStats(edges, Graph.labelPropagation(edges, rounds = 3))
+        .orderBy(col("label"))
     }),
 
     "d_dedup_cdc_chunks" -> ((s, dir) => {
@@ -8046,6 +8102,7 @@ object SparkEntry {
 
     "g_pagerank" -> pageRankSql,
     "g_communities" -> lpaSql,
+    "g_modularity" -> modularitySql,
     "g_hits" -> hitsSql,
 
     // recursive-CTE BFS replay over the same 3-regular construction;

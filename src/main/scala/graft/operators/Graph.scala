@@ -249,6 +249,52 @@ object Graph {
     labels
   }
 
+  /** Per-community partition-quality audit (the modularity
+    * decomposition): for every label in `labels`, the member count,
+    * internal undirected edge count, total member degree, and the
+    * community's modularity term q = e_in/m − (deg_c/2m)² — the
+    * quantity community detection maximizes, reported per community
+    * so a polluted or fragmented cluster is visible BEFORE quotas or
+    * sweeps key on it. Exactness: m, e_in, deg_c are exact integers;
+    * q is one fixed-shape double expression of them (divide-first),
+    * rounded to 6dp — no cross-row float accumulation anywhere, so
+    * rows hash-compare engine-exactly.
+    *
+    * Scale: edges canonicalize/distinct once; the label tag is two
+    * node-keyed joins (labels are node-sized); every aggregate
+    * map-side combines to |labels| rows.
+    */
+  def communityStats(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val m = e.count().toDouble
+    val la = labels.select(col("node").as("a"), col("label").as("la"))
+    val lb = labels.select(col("node").as("b"), col("label").as("lb"))
+    val internal = e.join(la, Seq("a")).join(lb, Seq("b"))
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("internal_edges"))
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val per = labels.join(deg, Seq("node"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("nodes"),
+        sum(coalesce(col("deg"), lit(0L))).as("degree_sum"))
+    per.join(internal, Seq("label"), "left")
+      .select(col("label"), col("nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        col("degree_sum"),
+        round(
+          coalesce(col("internal_edges"), lit(0L)).cast("double") / m -
+            (col("degree_sum").cast("double") / (2 * m)) *
+            (col("degree_sum").cast("double") / (2 * m)), 6).as("q_term"))
+  }
+
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 8): DataFrame = {
     var e = edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),

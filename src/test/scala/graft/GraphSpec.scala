@@ -173,6 +173,29 @@ class GraphSpec extends SparkSpecBase {
     assert(got2 == got) // the pure self-loop node has no real edges: absent
   }
 
+  test("communityStats: per-community modularity terms on planted cliques") {
+    def clique(ids: Seq[Long]): Seq[(Long, Long)] =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (3L -> 10L)).toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges, rounds = 4)
+    val got = Graph.communityStats(edges, labels).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    // m = 13 undirected edges; each clique: 6 internal, degree sum 13
+    // (three deg-3 members + the deg-4 bridge endpoint);
+    // q = 6/13 − (13/26)² = 0.211538
+    assert(got.keySet == Set(0L, 10L))
+    for (c <- Seq(0L, 10L)) {
+      val (nodes, internal, degSum, q) = got(c)
+      assert(nodes == 4 && internal == 6 && degSum == 13, got(c).toString)
+      assert(math.abs(q - (6.0 / 13 - 0.25)) < 1e-6, q.toString)
+    }
+    // whole-partition modularity = Σ q_term; for this split it is
+    // positive (better than random) — the audit the op exists for
+    assert(got.values.map(_._4).sum > 0.4)
+  }
+
   test("hits: star graph ranks the center as sole authority, leaves as hubs") {
     // 1..4 all link to 0; 0 links nowhere
     val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("src", "dst")
