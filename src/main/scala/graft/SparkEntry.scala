@@ -442,6 +442,26 @@ object SparkEntry {
     * tie-break (cnt desc, label asc) per round — all-integer, so the
     * replay is exact with no float contract needed.
     */
+  /** Planted-block community graph shared by g_communities and
+    * g_modularity (the ONE construction the lpaCtes oracle replays —
+    * a single definition so the two driver rows can never
+    * desynchronize from it): blocks of 10 nodes form rings (+1/+2
+    * within the block), blocks chain weakly through their first
+    * node. */
+  private def plantedBlockEdges(s: SparkSession, nDocs: Long): DataFrame = {
+    val base = s.range(nDocs)
+    val ring = base
+      .select(col("id").as("src"),
+        explode(array(lit(1L), lit(2L))).as("j"))
+      .select(col("src"),
+        ((col("src") - col("src") % 10) + (col("src") % 10 + col("j")) % 10)
+          .as("dst"))
+      .where(col("dst") < nDocs)
+    val bridge = base.where(col("id") % 10 === 0)
+      .select(col("id").as("src"), ((col("id") + 10) % nDocs).as("dst"))
+    ring.union(bridge)
+  }
+
   private lazy val lpaCtes: String = {
     val body = (1 to 3).map { i =>
       s"""v$i AS (
@@ -4007,18 +4027,8 @@ object SparkEntry {
       // smallest label — every step an exact integer computation, so
       // the DuckDB oracle unrolls the identical rounds and the result
       // is hash-exact at any parallelism (Graph.labelPropagation).
-      val nDocs = tbl(s, dir, "documents").count()
-      val base = s.range(nDocs)
-      val ring = base
-        .select(col("id").as("src"),
-          explode(array(lit(1L), lit(2L))).as("j"))
-        .select(col("src"),
-          ((col("src") - col("src") % 10) + (col("src") % 10 + col("j")) % 10)
-            .as("dst"))
-        .where(col("dst") < nDocs)
-      val bridge = base.where(col("id") % 10 === 0)
-        .select(col("id").as("src"), ((col("id") + 10) % nDocs).as("dst"))
-      Graph.labelPropagation(ring.union(bridge), rounds = 3)
+      Graph.labelPropagation(
+          plantedBlockEdges(s, tbl(s, dir, "documents").count()), rounds = 3)
         .orderBy(col("node"))
     }),
 
@@ -4030,18 +4040,7 @@ object SparkEntry {
       // key on the clustering. m/e_in/deg_c are exact integers; q is
       // one fixed-shape double per ROW (no cross-row float sums), so
       // the oracle unrolls LPA and recomputes the same integers.
-      val nDocs = tbl(s, dir, "documents").count()
-      val base = s.range(nDocs)
-      val ring = base
-        .select(col("id").as("src"),
-          explode(array(lit(1L), lit(2L))).as("j"))
-        .select(col("src"),
-          ((col("src") - col("src") % 10) + (col("src") % 10 + col("j")) % 10)
-            .as("dst"))
-        .where(col("dst") < nDocs)
-      val bridge = base.where(col("id") % 10 === 0)
-        .select(col("id").as("src"), ((col("id") + 10) % nDocs).as("dst"))
-      val edges = ring.union(bridge)
+      val edges = plantedBlockEdges(s, tbl(s, dir, "documents").count())
       Graph.communityStats(edges, Graph.labelPropagation(edges, rounds = 3))
         .orderBy(col("label"))
     }),

@@ -500,6 +500,10 @@ object Similarity {
     val centroids = sampleCentroids(vectors, nLists)
     val centroidSet = foldCentroids(centroids).localCheckpoint(true)
     assignFolded(vectors, centroidSet, "vec_id", "embedding", probes = 1)
+      // vec_id-clustered files: appendToIvfIndex's upsert staleness
+      // scan prunes on parquet row-group stats instead of reading
+      // every list
+      .sortWithinPartitions(col("list_id"), col("vec_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/lists")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     centroidSet.unpersist()
@@ -539,19 +543,23 @@ object Similarity {
       .limit(k)
   }
 
-  /** Incrementally append vectors to a persisted IVF index — the
+  /** Incrementally UPSERT vectors into a persisted IVF index — the
     * production follow-on to [[writeIvfIndex]], and the index-side
     * twin of the reference's incremental vector-store ingestion
-    * (VectorStoreWriterOptions.cs `incrementalIngestion`). New
-    * vectors are assigned to the EXISTING centroids (no re-train: the
-    * standard IVF maintenance trade — assignment stays a map-only
-    * scan stage and previously issued probes remain valid), and ONLY
-    * the touched list partitions rewrite copy-on-write (dynamic
-    * partition overwrite, the [[graft.sinks.VectorStoreWriter]]
-    * discipline): untouched list directories keep their files
-    * byte-identical, so append cost is bounded by touched lists +
-    * batch, never the index size — at 100 TB that is the difference
-    * between rewriting 4 directories and rebuilding the store.
+    * (VectorStoreWriterOptions.cs `incrementalIngestion`, whose
+    * replace semantics key on the record id). New vectors are
+    * assigned to the EXISTING centroids (no re-train: the standard
+    * IVF maintenance trade — assignment stays a map-only scan stage
+    * and previously issued probes remain valid); a re-ingested vec_id
+    * REPLACES its previous version wherever it lived (the stale copy
+    * may sit in a different list — one row-group-pruned id semi-join
+    * locates those partitions), and ONLY the touched list partitions
+    * rewrite copy-on-write (dynamic partition overwrite, the
+    * [[graft.sinks.VectorStoreWriter]] discipline): untouched list
+    * directories keep their files byte-identical, so append cost is
+    * bounded by touched lists + batch, never the index size — at
+    * 100 TB that is the difference between rewriting 4 directories
+    * and rebuilding the store.
     *
     * Centroid drift is RECORDED per touched list in `path/drift`
     * (append-only: generation, list_id, n_added, list_n, mean_cos —
@@ -569,25 +577,45 @@ object Similarity {
         newVectors.select(col("vec_id"), col("embedding")),
         centroidSet, "vec_id", "embedding", probes = 1)
       .select(col("vec_id"), col("embedding"), col("list_id"))
-      .localCheckpoint(true) // 3 consumers: touched ids, merge, drift
+      .localCheckpoint(true) // consumers: touched ids, merge, drift
     centroidSet.unpersist()
+    if (assigned.isEmpty) return
+    val lists0 = spark.read.parquet(s"$path/lists")
+    // UPSERT semantics (the reference's incremental ingestion replaces
+    // re-ingested ids): a re-ingested vector's STALE version may live
+    // in ANY list (its old embedding may have been assigned elsewhere),
+    // so locate stale partitions with one id semi-join over the store —
+    // lists are written sorted by vec_id inside each file, so parquet
+    // row-group stats prune the scan to the groups that can match.
+    val batchIds = assigned.select(col("vec_id")).distinct()
+      .localCheckpoint(true)
+    // (partition-column type inference reads list_id back as int)
+    val staleLists = lists0.join(batchIds, Seq("vec_id"), "left_semi")
+      .select(col("list_id").cast("long").as("list_id")).distinct()
     // touched lists: ≤ nLists values — index metadata, driver-bounded
     // exactly like the probe's centroid read
-    val touched = assigned.select(col("list_id")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    if (touched.isEmpty) return
-    // survivors of the touched partitions only, MATERIALIZED so we
-    // never overwrite a path we are still lazily reading from
-    val existing = spark.read.parquet(s"$path/lists")
+    val touched = (assigned.select(col("list_id")).distinct()
+        .collect().map(_.getLong(0)) ++
+      staleLists.collect().map(_.getLong(0))).distinct.sorted
+    // survivors of the touched partitions only (minus re-ingested
+    // ids), MATERIALIZED so we never overwrite a path we are still
+    // lazily reading from
+    val existing = lists0
       .where(col("list_id").isin(touched: _*))
-      .select(col("vec_id"), col("embedding"), col("list_id"))
+      .join(batchIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("embedding"),
+        col("list_id").cast("long").as("list_id"))
       .localCheckpoint(true)
+    batchIds.unpersist()
     val merged = existing.union(assigned)
     val previous =
       spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      merged.write.mode("overwrite").partitionBy("list_id")
+      // cluster file contents by vec_id so the upsert's staleness
+      // semi-join (and any point lookup) prunes on row-group stats
+      merged.sortWithinPartitions(col("list_id"), col("vec_id"))
+        .write.mode("overwrite").partitionBy("list_id")
         .parquet(s"$path/lists")
     } finally {
       previous match {

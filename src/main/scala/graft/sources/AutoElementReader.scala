@@ -53,13 +53,8 @@ object AutoElementReader {
         bytes(p + 3) == 'F' && bytes(p + 4) == '-') return "pdf"
       p += 1
     }
-    // textual: skip UTF-8 BOM and whitespace, look for a tag open
-    var i = 0
-    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
-      (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf) i = 3
-    while (i < bytes.length && (bytes(i) == ' ' || bytes(i) == '\n' ||
-      bytes(i) == '\r' || bytes(i) == '\t')) i += 1
-    if (i < bytes.length && bytes(i) == '<') "html" else "markdown"
+    // textual: the shared text router (BOM/ws skip, tag-open check)
+    detectText(bytes)
   }
 
   /** Does the prefix read as text? Used to decide whether a document
@@ -177,10 +172,11 @@ object AutoElementReader {
         }
       recovered match {
         case Some((fb, fbBlocks)) =>
-          emit(fbBlocks, baseMeta + ("format" -> fb, "format_fallback" -> fmt))
+          emit(fbBlocks,
+            baseMeta ++ Map("format" -> fb, "format_fallback" -> fmt))
         case None =>
           Seq(DocElement(id, 0, "unparsed", 0, "", "", None,
-            baseMeta + ("format" -> fmt, "parse_failed" -> "true")))
+            baseMeta ++ Map("format" -> fmt, "parse_failed" -> "true")))
       }
     }
   }

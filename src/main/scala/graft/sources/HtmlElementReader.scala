@@ -102,30 +102,39 @@ object HtmlElementReader {
   private def parseDom(html: String): Elem = {
     val root = Elem("root", Map.empty, ArrayBuffer.empty)
     var stack = List(root)
+    // open-order stamp per real frame (parallel to `stack`): closes
+    // resolve INNERMOST-first across real and retired-virtual opens,
+    // and "innermost" is exactly "most recently opened"
+    var seqStack: List[Long] = List(0L)
+    var seqCounter = 0L
     var depth = 0 // stack.length - 1, tracked to keep the cap O(1)
     // open tags appended-but-not-pushed past the depth cap, innermost
-    // first: their matching closes must be swallowed here, not matched
-    // against a real same-named ancestor (else a >MaxDepth spike of
-    // nested <div>s pops genuine ancestors all the way to the root and
-    // everything after the spike re-parents near the top)
-    var skipped: List[String] = Nil
+    // first, with their open stamps: their matching closes must be
+    // swallowed here, not matched against a real same-named ancestor
+    // (else a >MaxDepth spike of nested <div>s pops genuine ancestors
+    // all the way to the root and everything after the spike
+    // re-parents near the top)
+    var skipped: List[(String, Long)] = Nil
     // closes still EXPECTED for unpushed opens whose element was
     // already auto-closed (by a real or implicit pop of the frame they
-    // attached under): tag → count. A late-arriving close for one of
-    // these must be swallowed, never matched against a genuine
-    // same-named ancestor — wiping the ledger on a real close (the r9
-    // heuristic) lost that memory and let `</div>` after an
-    // intervening sibling close pop a real ancestor <div>. Bounded at
-    // 4×MaxDepth total so crafted bombs can't grow it; past the bound
-    // the degrade is the documented flatten.
-    val pendingClose = scala.collection.mutable.Map.empty[String, Int]
+    // attached under): tag → open stamps, newest first. A late close
+    // for one of these is swallowed ONLY while the retired open is
+    // newer than every real same-named frame — so it can neither pop
+    // a genuine ancestor (the r9 wipe bug) nor shadow the close of a
+    // same-named element opened AFTER the retire (the r10 review
+    // finding). Bounded at 4×MaxDepth stamps total so crafted bombs
+    // can't grow it; past the bound the degrade is the documented
+    // flatten.
+    val pendingClose = scala.collection.mutable.Map.empty[String, List[Long]]
     var pendingTotal = 0
-    def retire(names: List[String]): Unit = names.foreach { nm =>
-      if (pendingTotal < 4 * MaxDepth) {
-        pendingClose(nm) = pendingClose.getOrElse(nm, 0) + 1
-        pendingTotal += 1
+    def retire(entries: List[(String, Long)]): Unit =
+      entries.foreach { case (nm, sq) =>
+        if (pendingTotal < 4 * MaxDepth) {
+          val (newer, older) = pendingClose.getOrElse(nm, Nil).span(_ > sq)
+          pendingClose(nm) = newer ::: sq :: older // keep newest-first
+          pendingTotal += 1
+        }
       }
-    }
     val n = html.length
     var i = 0
     val text = new StringBuilder
@@ -158,29 +167,38 @@ object HtmlElementReader {
           // a close matching an unpushed over-cap open consumes that
           // open (and any unclosed unpushed opens nested inside it)
           // without touching the real stack
-          if (skipped.contains(name)) {
+          if (skipped.exists(_._1 == name)) {
             // inner unclosed unpushed opens auto-close with this one,
             // but their closes may still arrive — retire, don't drop
-            retire(skipped.takeWhile(_ != name))
-            skipped = skipped.dropWhile(_ != name).tail
-          } else if (pendingClose.getOrElse(name, 0) > 0) {
-            // late close for an unpushed open already auto-closed:
-            // swallow (browser-innermost-match semantics)
-            pendingClose(name) -= 1; pendingTotal -= 1
-            if (pendingClose(name) == 0) pendingClose.remove(name)
+            retire(skipped.takeWhile(_._1 != name))
+            skipped = skipped.dropWhile(_._1 != name).tail
           } else {
-            // pop to the nearest matching open tag; a stray close is a no-op
-            if (stack.exists(e => e.tag == name)) {
+            // innermost-match across real frames and retired virtual
+            // opens: the newest same-named open wins this close
+            val real = stack.zip(seqStack).find {
+              case (e, _) => (e ne root) && e.tag == name
+            }
+            val pending = pendingClose.getOrElse(name, Nil)
+            val virtualWins = pending.headOption.exists(ps =>
+              real.forall { case (_, rs) => ps > rs })
+            if (virtualWins) {
+              // late close for an unpushed open already auto-closed,
+              // still the innermost candidate: swallow
+              pendingClose(name) = pending.tail
+              pendingTotal -= 1
+              if (pendingClose(name).isEmpty) pendingClose.remove(name)
+            } else if (real.isDefined) {
+              // pop to the nearest matching open tag
               while (stack.head.tag != name && stack.head.tag != "root") {
-                stack = stack.tail; depth -= 1
+                stack = stack.tail; seqStack = seqStack.tail; depth -= 1
               }
               if (stack.head.tag == name && stack.head.tag != "root") {
-                stack = stack.tail; depth -= 1
+                stack = stack.tail; seqStack = seqStack.tail; depth -= 1
               }
               // unpushed opens were descendants of the closed subtree:
               // their elements auto-close, their closes stay expected
               retire(skipped); skipped = Nil
-            }
+            } // else: stray close, no-op
           }
           i = if (end < 0) n else end + 1
         } else if (isNameStart(c1)) { // open tag
@@ -250,27 +268,32 @@ object HtmlElementReader {
             // (r7 advice: the 'hr' entry was unreachable dead code when
             // voids bypassed this loop)
             while (ImplicitClose.get(stack.head.tag).exists(_.contains(name))) {
-              stack = stack.tail; depth -= 1
+              stack = stack.tail; seqStack = seqStack.tail; depth -= 1
               retire(skipped); skipped = Nil
             }
             stack.head.children += Elem(name, attrs.result(), ArrayBuffer.empty)
           } else {
             // implicit closes (unclosed <p>, <li>, <tr>, <td> …)
             while (ImplicitClose.get(stack.head.tag).exists(_.contains(name))) {
-              stack = stack.tail; depth -= 1
+              stack = stack.tail; seqStack = seqStack.tail; depth -= 1
               retire(skipped); skipped = Nil
             }
             val e = Elem(name, attrs.result(), ArrayBuffer.empty)
             stack.head.children += e
+            seqCounter += 1
             // depth cap: append-but-don't-push flattens pathological
             // nesting — children of over-deep elements attach to the
             // capped ancestor, content is kept, recursion stays bounded
-            if (depth < MaxDepth) { stack = e :: stack; depth += 1 }
-            // bound the ledger at MaxDepth entries so contains/dropWhile
-            // on the close path stay O(MaxDepth) against crafted bombs;
-            // past 2×MaxDepth nesting the degrade is the documented
-            // flatten (close falls through to the ancestor match)
-            else if (skipped.length < MaxDepth) skipped = name :: skipped
+            if (depth < MaxDepth) {
+              stack = e :: stack; seqStack = seqCounter :: seqStack
+              depth += 1
+            }
+            // bound the ledger at MaxDepth entries so the scans on the
+            // close path stay O(MaxDepth) against crafted bombs; past
+            // 2×MaxDepth nesting the degrade is the documented flatten
+            // (close falls through to the ancestor match)
+            else if (skipped.length < MaxDepth)
+              skipped = (name, seqCounter) :: skipped
           }
         } else { // '<' followed by junk: literal text
           text.append(c); i += 1

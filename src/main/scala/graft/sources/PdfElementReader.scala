@@ -906,9 +906,65 @@ object PdfElementReader {
   //   - a column start must repeat in ≥2 distinct lines (a one-off x
   //     is a kerned continuation show, not a column), ≥2 columns and
   //     ≥2 non-empty cells required,
-  //   - a stack splits at inter-rule gaps >4× the median gap so two
-  //     stacked same-width tables (prose between) never merge.
+  //   - a stack splits at PROSE slabs (a band between consecutive
+  //     rules that is empty or whose every line occupies <2 repeated
+  //     columns) so two stacked same-width tables never merge and
+  //     the prose between them stays paragraphs,
+  //   - a slab with more than MaxLinesPerSlab baselines reads as
+  //     running text (no real table packs that many rows between two
+  //     rules) and splits the stack there like a prose slab.
+  // KNOWN BOUNDARY (shared by any geometry-only detector): a
+  // two-column PROSE page whose every line starts at the same two x
+  // positions, bracketed by ≥3 full-width decorative rules, is
+  // geometrically indistinguishable from a 2-column borderless table
+  // — it will read as one. Disambiguating that needs font/semantic
+  // cues (the hosted layout-analysis territory documented out of
+  // scope); the slab-line cap bounds the damage to short bands.
   // ------------------------------------------------------------------
+  /** Real tables never pack more baselines than this between two
+    * rules; a denser band is running text (two-column prose, quoted
+    * listings) and the stack degrades to paragraphs. */
+  private val MaxLinesPerSlab = 64
+
+  /** Group band shows into text baselines (reading order: y desc,
+    * then x), carrying each show's index for consumption tracking. */
+  private def bandLines(slab: Seq[(Show, Int)]): Seq[Seq[(Show, Int)]] = {
+    val lines = ArrayBuffer.empty[ArrayBuffer[(Show, Int)]]
+    slab.sortBy { case (s, _) => (-s.y, s.x) }.foreach { case (s, i) =>
+      if (lines.nonEmpty && math.abs(lines.last.last._1.y - s.y) <= 0.5)
+        lines.last += ((s, i))
+      else lines += ArrayBuffer((s, i))
+    }
+    lines.map(_.toSeq).toSeq
+  }
+
+  /** Chain-cluster show x-starts across lines; returns the starts of
+    * clusters repeating in ≥2 distinct lines (a one-off x is a kerned
+    * continuation show, not a column). The ONE column definition both
+    * the stack-split test and cell extraction use. */
+  private def repeatedColumnStarts(lines: Seq[Seq[(Show, Int)]],
+                                   tol: Double): Seq[Double] = {
+    val xsAll = lines.zipWithIndex
+      .flatMap { case (ln, li) => ln.map(p => (p._1.x, li)) }
+      .sortBy(_._1)
+    val cl = ArrayBuffer.empty[(Double, Double, scala.collection.mutable.Set[Int])]
+    xsAll.foreach { case (x, li) =>
+      if (cl.nonEmpty && x - cl.last._2 <= tol) {
+        val l = cl.last
+        cl(cl.length - 1) = (l._1, x, l._3 += li)
+      } else cl += ((x, x, scala.collection.mutable.Set(li)))
+    }
+    cl.filter(_._3.size >= 2).map(_._1).toSeq
+  }
+
+  /** Column index of an x-start among kept column starts. */
+  private def columnOf(starts: Seq[Double], x: Double, tol: Double): Int = {
+    var c = 0
+    var i = 1
+    while (i < starts.size && x >= starts(i) - tol) { c = i; i += 1 }
+    c
+  }
+
   private def detectRowRuleTables(shows: Seq[Show], leftover: Seq[Seg],
                                   all: Seq[Seg])
       : Seq[(RuledTable, Set[Int], GridBox)] = {
@@ -942,35 +998,20 @@ object PdfElementReader {
       // conservative failure is a merged table, never lost text.
       val g = g0.toSeq // y desc
       val yTop = g.head._1; val yBot = g.last._1
-      val inBand = shows.filter(s => s.y < yTop - 0.5 && s.y > yBot + 0.5)
-      val lineYs = ArrayBuffer.empty[ArrayBuffer[Show]]
-      inBand.sortBy(s => (-s.y, s.x)).foreach { s =>
-        if (lineYs.nonEmpty && math.abs(lineYs.last.last.y - s.y) <= 0.5)
-          lineYs.last += s
-        else lineYs += ArrayBuffer(s)
-      }
-      val xsAll = lineYs.zipWithIndex
-        .flatMap { case (ln, li) => ln.map(s => (s.x, li)) }.sortBy(_._1)
-      val cl = ArrayBuffer.empty[(Double, Double, scala.collection.mutable.Set[Int])]
-      xsAll.foreach { case (x, li) =>
-        if (cl.nonEmpty && x - cl.last._2 <= tol) {
-          val l = cl.last
-          cl(cl.length - 1) = (l._1, x, l._3 += li)
-        } else cl += ((x, x, scala.collection.mutable.Set(li)))
-      }
-      val kept = cl.filter(_._3.size >= 2).map(_._1).toSeq
-      def colOf(x: Double): Int = {
-        var c = 0; var i = 1
-        while (i < kept.size && x >= kept(i) - tol) { c = i; i += 1 }
-        c
-      }
-      def tabular(ln: Seq[Show]): Boolean =
-        kept.size >= 2 && ln.map(s => colOf(s.x)).distinct.size >= 2
+      val lines = bandLines(shows.zipWithIndex.filter {
+        case (s, _) => s.y < yTop - 0.5 && s.y > yBot + 0.5
+      })
+      val kept = repeatedColumnStarts(lines, tol)
+      def tabular(ln: Seq[(Show, Int)]): Boolean =
+        kept.size >= 2 &&
+          ln.map(p => columnOf(kept, p._1.x, tol)).distinct.size >= 2
       val stacks = ArrayBuffer(ArrayBuffer(g.head))
       g.sliding(2).foreach {
         case Seq(a, b) =>
-          val slab = lineYs.filter(ln => ln.head.y < a._1 && ln.head.y > b._1)
-          val prose = slab.isEmpty || slab.forall(ln => !tabular(ln.toSeq))
+          val slab = lines.filter(ln =>
+            ln.head._1.y < a._1 && ln.head._1.y > b._1)
+          val prose = slab.isEmpty || slab.size > MaxLinesPerSlab ||
+            slab.forall(ln => !tabular(ln))
           if (prose) stacks += ArrayBuffer(b) else stacks.last += b
         case _ =>
       }
@@ -1006,38 +1047,16 @@ object PdfElementReader {
     // ambiguous layout — a fake table is worse than none
     if (slab.exists { case (s, _) => s.x < x0 - tol || s.x > xm + tol })
       return None
-    // rows = text baselines, reading order (y desc, then x)
-    val lines = ArrayBuffer.empty[ArrayBuffer[(Show, Int)]]
-    slab.sortBy { case (s, _) => (-s.y, s.x) }.foreach { case (s, i) =>
-      if (lines.nonEmpty && math.abs(lines.last.last._1.y - s.y) <= 0.5)
-        lines.last += ((s, i))
-      else lines += ArrayBuffer((s, i))
-    }
+    // rows = text baselines; columns = repeated x-start clusters (the
+    // same definitions the stack-split test used)
+    val lines = bandLines(slab)
     if (lines.size < 2) return None // header + at least one body row
-    // column starts: chain-cluster all show x positions; a start must
-    // repeat in ≥2 distinct lines to count as a column
-    val xsAll = lines.zipWithIndex
-      .flatMap { case (ln, li) => ln.map(p => (p._1.x, li)) }
-      .sortBy(_._1)
-    val cl = ArrayBuffer.empty[(Double, Double, scala.collection.mutable.Set[Int])]
-    xsAll.foreach { case (x, li) =>
-      if (cl.nonEmpty && x - cl.last._2 <= tol) {
-        val l = cl.last
-        cl(cl.length - 1) = (l._1, x, l._3 += li)
-      } else cl += ((x, x, scala.collection.mutable.Set(li)))
-    }
-    val colStarts = cl.filter(_._3.size >= 2).map(_._1).toSeq
+    val colStarts = repeatedColumnStarts(lines, tol)
     if (colStarts.size < 2) return None
-    def colOf(x: Double): Int = {
-      var c = 0
-      var i = 1
-      while (i < colStarts.size && x >= colStarts(i) - tol) { c = i; i += 1 }
-      c
-    }
     val nCols = colStarts.size
     val rows = lines.map { ln =>
       val cells = Array.fill(nCols)(ArrayBuffer.empty[Show])
-      ln.foreach { case (s, _) => cells(colOf(s.x)) += s }
+      ln.foreach { case (s, _) => cells(columnOf(colStarts, s.x, tol)) += s }
       cells.map(cell =>
         collapse(cell.sortBy(_.x).map(_.text).mkString(" "))).toSeq
     }.toSeq

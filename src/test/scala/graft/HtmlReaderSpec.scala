@@ -234,6 +234,29 @@ class HtmlReaderSpec extends SparkSpecBase {
       got2.map(b => (b._1, b._4)).mkString("; "))
   }
 
+  test("retired over-cap open does not shadow a NEWER real element's close") {
+    // r10 review finding: a retired unpushed <table>'s pending close
+    // must NOT swallow the close of a table opened AFTER the retire —
+    // innermost-match means the newest same-named open wins. If the
+    // newer table's close were swallowed, the trailing <p> would parse
+    // INSIDE the still-open table and its text would be dropped by the
+    // table renderer (observable content loss).
+    val html = "<div>" * 256 +
+      "<table>" + // unpushed at the cap
+      "</div></div></div>" + // pops 3 divs, retires the virtual table
+      "<table><tr><td>cell</td></tr></table>" + // real, newer
+      "<p>after</p>"
+    val got = blocks(html)
+    assert(got.exists(b => b._1 == "table" && b._4 == "cell"),
+      got.map(b => (b._1, b._4)).mkString("; "))
+    assert(got.exists(b => b._1 == "paragraph" && b._4 == "after"),
+      got.map(b => (b._1, b._4)).mkString("; "))
+    // and the r9 scenario still holds: a late close for a retired
+    // open with NO newer same-named real element is swallowed, not
+    // matched against a genuine ancestor (covered in the over-cap
+    // swallow test above — both semantics coexist via open stamps)
+  }
+
   test("table: ragged row shorter than a carried rowspan column stays aligned") {
     // r9 advice: claimCarried stopped at the first gap, so a carry at
     // a column beyond a short row was never decremented and the

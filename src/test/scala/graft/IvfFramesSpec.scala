@@ -102,6 +102,23 @@ class IvfFramesSpec extends SparkSpecBase {
       .select("generation").distinct().as[Long].collect().sorted.toSeq
     assert(gens == Seq(0L, 1L))
     assert(spark.read.parquet(s"$dir/lists").count() == 405)
+    // UPSERT: re-ingesting an existing vec_id with a CHANGED embedding
+    // replaces the stale version (wherever its old list was) instead
+    // of duplicating it — the reference's incremental replace-by-id
+    val newEmb = emb.where(col("vec_id") === 450)
+      .select("embedding").as[Array[Float]].head()
+    Similarity.appendToIvfIndex(spark, dir,
+      Seq((0L, newEmb)).toDF("vec_id", "embedding"))
+    val lists2 = spark.read.parquet(s"$dir/lists")
+    assert(lists2.count() == 405) // replaced, not appended
+    val rows0 = lists2.where(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].collect()
+    assert(rows0.length == 1 && rows0.head.sameElements(newEmb))
+    // and the replacement is what probing now sees
+    val probeNew = Similarity.probeIvfIndex(spark, dir, newEmb,
+      k = 3, nProbe = 8).as[(Long, Double)].collect()
+    assert(probeNew.count(_._1 == 0L) == 1)
+    assert(probeNew.find(_._1 == 0L).get._2 > 0.999999)
   }
 
   test("trainCentroids: Lloyd iterations converge to well-separated cluster centers") {
