@@ -330,6 +330,43 @@ class PdfReaderSpec extends SparkSpecBase {
       ("table", "a b 1 2"), ("table", "x y 3 4")), got2.toString)
   }
 
+  test("row-rules: seeded fuzz roundtrip — every synthesized table recovers exactly") {
+    // randomized shapes (2-8 rows, 2-4 cols, cells sometimes empty,
+    // surrounded by headings/paragraphs) must parse back to the same
+    // cell grid; determinism asserted by double-parse
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 25) {
+      val nRows = 2 + rnd.nextInt(7)
+      val nCols = 2 + rnd.nextInt(3)
+      // forced cells keep the contract satisfiable: the header row and
+      // first body row are fully populated (booktabs headers label
+      // every column — and each SLAB needs ≥1 multi-column line or it
+      // reads as prose and splits the stack, the documented trade),
+      // every later row keeps ≥1 show so its baseline exists;
+      // everything else goes empty at random
+      val forced = (0 until nRows).map(r => (r, r % nCols)).toSet ++
+        (0 until nCols).flatMap(c => Seq((0, c), (1, c)))
+      val rows = (0 until nRows).map { r =>
+        (0 until nCols).map { c =>
+          if (forced((r, c)) || rnd.nextInt(5) > 0) s"c${trial}r${r}v$c"
+          else ""
+        }
+      }
+      val pdf = synthesize(Seq(Seq(
+        SHeading(1, s"T$trial"),
+        SRowRuleTable(rows),
+        SPara(s"tail $trial"))))
+      val got = PdfElementReader.parseBlocks(pdf)
+      assert(got.map(_._1) == Seq("header", "table", "paragraph"),
+        s"trial $trial: ${got.map(b => (b._1, b._4))}")
+      val expectedMd = rows.head.mkString("| ", " | ", " |") + "\n" +
+        Seq.fill(nCols)("---").mkString("| ", " | ", " |") +
+        rows.tail.map(r => "\n" + r.mkString("| ", " | ", " |")).mkString
+      assert(got(1)._3 == expectedMd, s"trial $trial:\n${got(1)._3}\nvs\n$expectedMd")
+      assert(got == PdfElementReader.parseBlocks(pdf)) // deterministic
+    }
+  }
+
   test("row-rules and bordered grid coexist on one page") {
     val pdf = synthesize(Seq(Seq(
       SHeading(1, "Mixed"),
