@@ -462,8 +462,11 @@ object SparkEntry {
     ring.union(bridge)
   }
 
-  private lazy val lpaCtes: String = {
-    val body = (1 to 3).map { i =>
+  /** The sync-LPA round unroll (v_i vote / l_i arg-max CTE chain) —
+    * shared by every oracle that replays Graph.labelPropagation;
+    * expects `und` (symmetrized distinct edges) and `l0` upstream. */
+  private def lpaUnroll(rounds: Int): String =
+    (1 to rounds).map { i =>
       s"""v$i AS (
          |  SELECT u.src AS node, l.label, count(*) AS cnt
          |  FROM und u JOIN l${i - 1} l ON l.node = u.dst
@@ -474,6 +477,9 @@ object SparkEntry {
          |      ORDER BY cnt DESC, label) AS rk FROM v$i)
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
+
+  private lazy val lpaCtes: String = {
+    val body = lpaUnroll(3)
     s"""WITH nodes AS (
        |  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
        |  FROM documents),
@@ -3086,6 +3092,35 @@ object SparkEntry {
       Corpus.balancedSample(tbl(s, dir, "documents"), "lang", cap = 40)
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    "d_sample_community" -> ((s, dir) => {
+      // community-quota subsample — the cross-family composition the
+      // two pieces exist for: LPA communities (graph built on the
+      // documents' OWN doc_ids — blocks of 10, weak bridges; ids need
+      // not be contiguous, edge targets needn't be real docs, every
+      // doc is a src so every doc gets a label) cap representation at
+      // 4 docs per community, membership by lowest portable hash —
+      // the RNG-free balancedSample rule, stratified by DISCOVERED
+      // community instead of a given column (per-domain caps in crawl
+      // curation work exactly like this).
+      val docs = tbl(s, dir, "documents")
+      val ids = docs.select(col("doc_id").cast("long").as("id"))
+      val ring = ids
+        .select(col("id").as("src"),
+          explode(array(lit(1L), lit(2L))).as("j"))
+        .select(col("src"),
+          ((col("src") - col("src") % 10) + (col("src") % 10 + col("j")) % 10)
+            .as("dst"))
+      val bridge = ids.where(col("id") % 10 === 0)
+        .select(col("id").as("src"), (col("id") + 10).as("dst"))
+      val labels = Graph.labelPropagation(ring.union(bridge), rounds = 3)
+      val tagged = docs.join(
+        labels.select(col("node").as("doc_id"), col("label").as("community")),
+        Seq("doc_id"))
+      Corpus.balancedSample(tagged, "community", cap = 4)
+        .select(col("doc_id"), col("community"), col("lang"))
+        .orderBy(col("community"), col("doc_id"))
     }),
 
     "d_sample_weighted" -> ((s, dir) => {
@@ -6286,6 +6321,29 @@ object SparkEntry {
          |  FROM documents)
          |WHERE rk <= 40
          |ORDER BY lang, doc_id""".stripMargin,
+
+    // community-quota replay: LPA unroll over doc_id-keyed edges, then
+    // the balancedSample hash-rank window stratified by the label
+    "d_sample_community" ->
+      s"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+         |ring AS (
+         |  SELECT id AS src, (id - id % 10) + (id % 10 + k) % 10 AS dst
+         |  FROM ids, unnest([1, 2]) AS t(k)),
+         |bridge AS (SELECT id AS src, id + 10 AS dst FROM ids WHERE id % 10 = 0),
+         |e0 AS (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM bridge),
+         |und AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM e0 WHERE src <> dst
+         |  UNION ALL
+         |  SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst)),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+         |${lpaUnroll(3)}
+         |SELECT doc_id, community, lang FROM (
+         |  SELECT d.doc_id, l.label AS community, d.lang,
+         |    row_number() OVER (PARTITION BY l.label
+         |      ORDER BY ${sqlHash("CAST(d.doc_id AS VARCHAR)")}, d.doc_id) AS rk
+         |  FROM documents d JOIN l3 l ON l.node = d.doc_id)
+         |WHERE rk <= 4
+         |ORDER BY community, doc_id""".stripMargin,
 
     // A-Res replay: u from the portable id hash (exact in a double),
     // key = ln(u)/w computed identically in both engines, 6-dp-rounded
