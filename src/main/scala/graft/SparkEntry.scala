@@ -442,24 +442,52 @@ object SparkEntry {
     * tie-break (cnt desc, label asc) per round — all-integer, so the
     * replay is exact with no float contract needed.
     */
-  /** Planted-block community graph shared by g_communities and
-    * g_modularity (the ONE construction the lpaCtes oracle replays —
-    * a single definition so the two driver rows can never
-    * desynchronize from it): blocks of 10 nodes form rings (+1/+2
-    * within the block), blocks chain weakly through their first
-    * node. */
-  private def plantedBlockEdges(s: SparkSession, nDocs: Long): DataFrame = {
-    val base = s.range(nDocs)
-    val ring = base
+  /** Planted-block community graph — the ONE construction every LPA
+    * oracle replays, so no driver row can desynchronize from it:
+    * blocks of 10 form rings (+1/+2 within the block), blocks chain
+    * weakly through their first member. Two flavors of the SAME
+    * formula: `wrap = Some(n)` is the contiguous-range form
+    * (g_communities / g_modularity — nodes 0..n-1, ring clamped and
+    * bridge wrapped so the node space is closed), `wrap = None` is
+    * the id-keyed form (d_sample_community — ids need not be
+    * contiguous and edge targets needn't exist as rows; every id is
+    * still a src, so every row gets a label). */
+  private def plantedBlockEdges(ids: DataFrame,
+                                wrap: Option[Long]): DataFrame = {
+    val ring0 = ids
       .select(col("id").as("src"),
         explode(array(lit(1L), lit(2L))).as("j"))
       .select(col("src"),
         ((col("src") - col("src") % 10) + (col("src") % 10 + col("j")) % 10)
           .as("dst"))
-      .where(col("dst") < nDocs)
-    val bridge = base.where(col("id") % 10 === 0)
-      .select(col("id").as("src"), ((col("id") + 10) % nDocs).as("dst"))
+    val ring = wrap.map(n => ring0.where(col("dst") < n)).getOrElse(ring0)
+    val bridge0 = ids.where(col("id") % 10 === 0)
+    val bridge = wrap match {
+      case Some(n) =>
+        bridge0.select(col("id").as("src"), ((col("id") + 10) % n).as("dst"))
+      case None =>
+        bridge0.select(col("id").as("src"), (col("id") + 10).as("dst"))
+    }
     ring.union(bridge)
+  }
+
+  private def plantedBlockEdges(s: SparkSession, nDocs: Long): DataFrame =
+    plantedBlockEdges(s.range(nDocs).select(col("id")), Some(nDocs))
+
+  /** ring/bridge CTE pair for the planted-block graph — the SQL twin
+    * of [[plantedBlockEdges]], emitted from one builder for the same
+    * no-desync reason. `src`/`idc` name the id CTE and column; `wrap`
+    * is the SQL expression for n in the contiguous form. */
+  private def plantedBlockSql(src: String, idc: String,
+                              wrap: Option[String]): String = {
+    val target = s"($idc - $idc % 10) + ($idc % 10 + k) % 10"
+    val ringWhere = wrap.map(n => s"\n  WHERE $target < $n").getOrElse("")
+    val bridgeDst = wrap.map(n => s"($idc + 10) % $n").getOrElse(s"$idc + 10")
+    s"""ring AS (
+       |  SELECT $idc AS src, $target AS dst
+       |  FROM $src, unnest([1, 2]) AS t(k)$ringWhere),
+       |bridge AS (
+       |  SELECT $idc AS src, $bridgeDst AS dst FROM $src WHERE $idc % 10 = 0)""".stripMargin
   }
 
   /** The sync-LPA round unroll (v_i vote / l_i arg-max CTE chain) —
@@ -484,14 +512,7 @@ object SparkEntry {
        |  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS node
        |  FROM documents),
        |nn AS (SELECT count(*) AS n FROM nodes),
-       |ring AS (
-       |  SELECT node AS src,
-       |    (node - node % 10) + (node % 10 + k) % 10 AS dst
-       |  FROM nodes, unnest([1, 2]) AS t(k)
-       |  WHERE (node - node % 10) + (node % 10 + k) % 10 < (SELECT n FROM nn)),
-       |bridge AS (
-       |  SELECT node AS src, (node + 10) % (SELECT n FROM nn) AS dst
-       |  FROM nodes WHERE node % 10 = 0),
+       |${plantedBlockSql("nodes", "node", Some("(SELECT n FROM nn)"))},
        |e0 AS (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM bridge),
        |und AS (SELECT DISTINCT src, dst FROM (
        |  SELECT src, dst FROM e0 WHERE src <> dst
@@ -3106,15 +3127,8 @@ object SparkEntry {
       // curation work exactly like this).
       val docs = tbl(s, dir, "documents")
       val ids = docs.select(col("doc_id").cast("long").as("id"))
-      val ring = ids
-        .select(col("id").as("src"),
-          explode(array(lit(1L), lit(2L))).as("j"))
-        .select(col("src"),
-          ((col("src") - col("src") % 10) + (col("src") % 10 + col("j")) % 10)
-            .as("dst"))
-      val bridge = ids.where(col("id") % 10 === 0)
-        .select(col("id").as("src"), (col("id") + 10).as("dst"))
-      val labels = Graph.labelPropagation(ring.union(bridge), rounds = 3)
+      val labels = Graph.labelPropagation(
+        plantedBlockEdges(ids, wrap = None), rounds = 3)
       val tagged = docs.join(
         labels.select(col("node").as("doc_id"), col("label").as("community")),
         Seq("doc_id"))
@@ -6326,10 +6340,7 @@ object SparkEntry {
     // the balancedSample hash-rank window stratified by the label
     "d_sample_community" ->
       s"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
-         |ring AS (
-         |  SELECT id AS src, (id - id % 10) + (id % 10 + k) % 10 AS dst
-         |  FROM ids, unnest([1, 2]) AS t(k)),
-         |bridge AS (SELECT id AS src, id + 10 AS dst FROM ids WHERE id % 10 = 0),
+         |${plantedBlockSql("ids", "id", None)},
          |e0 AS (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM bridge),
          |und AS (SELECT DISTINCT src, dst FROM (
          |  SELECT src, dst FROM e0 WHERE src <> dst
