@@ -131,6 +131,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("autoChunkStream: unparseable binary is countable, never silently absent") {
+    // a corrupt binary (zip that is not a DOCX) yields the 'unparsed'
+    // marker element (empty text) and therefore NO chunks — the loss
+    // shows up as the reader-vs-chunker observed-row delta, the
+    // pipeline metric the r9 verdict asked to exist
+    val in = Files.createTempDirectory("graft-auto-bad").toString
+    Files.write(java.nio.file.Path.of(in, "good.md"),
+      "# Good\n\nsurvives".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bos = new java.io.ByteArrayOutputStream
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("junk.bin"))
+    z.write(Array.fill[Byte](64)(0x03)); z.closeEntry(); z.close()
+    Files.write(java.nio.file.Path.of(in, "bad.docx"), bos.toByteArray)
+    val q = StreamingIngest.autoChunkStream(spark, in)
+      .writeStream.format("memory").queryName("graft_auto_bad")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("graft_auto_bad").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).distinct.length == 1)
+    assert(got.forall(_.getAs[String]("content").contains("survives")))
+    val metrics = q.recentProgress.flatMap(p =>
+      scala.jdk.CollectionConverters.MapHasAsScala(p.observedMetrics).asScala)
+      .groupMapReduce(_._1)((kv: (String, org.apache.spark.sql.Row)) =>
+        kv._2.getAs[Long]("rows"))(_ + _)
+    assert(metrics("graft_reader") == 2) // both files entered
+    assert(metrics("graft_chunker") == 1) // the delta IS the loss count
+  }
+
   test("autoChunkStream: ruled PDF table text flows into the chunk stream") {
     import graft.sources.PdfElementReader
     val in = Files.createTempDirectory("graft-auto-tbl").toString
