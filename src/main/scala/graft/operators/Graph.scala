@@ -272,6 +272,16 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     val m = e.count().toDouble
+    // m == 0 (no edges after self-loop/dup removal): every community's
+    // e_in and degree are 0 and the modularity term is defined as 0 —
+    // branch at plan-build so the divide below never sees a 0 divisor
+    // (NaN rows are not a degrade contract, they're a wrong answer)
+    val qTerm =
+      if (m == 0.0) lit(0.0)
+      else round(
+        coalesce(col("internal_edges"), lit(0L)).cast("double") / m -
+          (col("degree_sum").cast("double") / (2 * m)) *
+          (col("degree_sum").cast("double") / (2 * m)), 6)
     val la = labels.select(col("node").as("a"), col("label").as("la"))
     val lb = labels.select(col("node").as("b"), col("label").as("lb"))
     val internal = e.join(la, Seq("a")).join(lb, Seq("b"))
@@ -289,10 +299,7 @@ object Graph {
       .select(col("label"), col("nodes"),
         coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
         col("degree_sum"),
-        round(
-          coalesce(col("internal_edges"), lit(0L)).cast("double") / m -
-            (col("degree_sum").cast("double") / (2 * m)) *
-            (col("degree_sum").cast("double") / (2 * m)), 6).as("q_term"))
+        qTerm.as("q_term"))
   }
 
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 8): DataFrame = {

@@ -573,8 +573,19 @@ object Similarity {
                        newVectors: DataFrame): Unit = {
     val centroids = spark.read.parquet(s"$path/centroids")
     val centroidSet = foldCentroids(centroids).localCheckpoint(true)
+    // in-batch id dedupe: replace-by-id promises at most ONE stored row
+    // per vec_id, and the anti-join below only removes STORE copies —
+    // a batch carrying the same id twice would write both. A batch is
+    // an unordered set, so "last writer" is meaningless here; resolve
+    // duplicates deterministically to the lexicographically-greatest
+    // embedding (callers with a real ordering — a changelog — must
+    // pre-resolve last-writer-wins upstream, e.g. via
+    // Corpus.applyChangelog, before appending).
+    val uniqueVectors = newVectors.select(col("vec_id"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("embedding")).as("embedding"))
     val assigned = assignFolded(
-        newVectors.select(col("vec_id"), col("embedding")),
+        uniqueVectors,
         centroidSet, "vec_id", "embedding", probes = 1)
       .select(col("vec_id"), col("embedding"), col("list_id"))
       .localCheckpoint(true) // consumers: touched ids, merge, drift
@@ -625,6 +636,22 @@ object Similarity {
           spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
+    // dynamic overwrite only rewrites partitions PRESENT in the write:
+    // a touched list whose every row was a stale copy of a re-ingested
+    // id (and that received nothing new) has zero merged rows, so its
+    // directory — now all-stale — survives the overwrite and a probe
+    // would return the dead copies alongside the new ones. Drop those
+    // emptied partitions explicitly (touched is ≤ nLists — index
+    // metadata, driver-bounded).
+    val nonEmpty = merged.groupBy(col("list_id")).agg(count(lit(1)))
+      .select(col("list_id")).collect().map(_.getLong(0)).toSet
+    val listsFs = new org.apache.hadoop.fs.Path(s"$path/lists")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(nonEmpty).foreach { id =>
+      listsFs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/lists/list_id=$id"), true)
+      ()
+    }
     // drift audit: post-append list mean vs the frozen centroid.
     // Means round through FLOAT (the trained-IVF contract) so the
     // audit is insensitive to double-sum association order.
@@ -647,10 +674,14 @@ object Similarity {
           .as("list_mean"))
     val added = assigned.groupBy(col("list_id"))
       .agg(count(lit(1)).as("n_added"))
-    dims.join(added, Seq("list_id"))
+    // LEFT join: a list rewritten only because stale copies were
+    // removed (content changed, nothing added) still gets a drift row
+    // — its mean moved too, and a silent reindex observable is no
+    // observable at all
+    dims.join(added, Seq("list_id"), "left")
       .join(centroids, Seq("list_id"))
       .select(lit(gen).as("generation"), col("list_id"),
-        col("n_added"), col("list_n"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"), col("list_n"),
         VectorFunctions.cosine(col("list_mean"), col("centroid"))
           .as("mean_cos"))
       .write.mode("append").parquet(s"$path/drift")

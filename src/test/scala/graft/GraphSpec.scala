@@ -196,6 +196,30 @@ class GraphSpec extends SparkSpecBase {
     assert(got.values.map(_._4).sum > 0.4)
   }
 
+  test("communityStats: degenerate graphs (no edges / self-loops only) yield zero terms, never NaN") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("node", "label")
+    // edge-free: m = 0 — every community must report exact zeros, not
+    // a NaN/Infinity q_term from an unguarded divide
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val gotEmpty = Graph.communityStats(empty, labels).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(gotEmpty.keySet == Set(1L, 3L))
+    assert(gotEmpty(1L) == ((2L, 0L, 0L, 0.0)), gotEmpty.toString)
+    assert(gotEmpty(3L) == ((1L, 0L, 0L, 0.0)), gotEmpty.toString)
+    assert(gotEmpty.values.forall(v => !v._4.isNaN && !v._4.isInfinity))
+    // self-loops only: they are stripped before counting, so m is
+    // still 0 — same zero contract
+    val loops = Seq((1L, 1L), (3L, 3L)).toDF("src", "dst")
+    val gotLoops = Graph.communityStats(loops, labels).collect()
+      .map(r => r.getDouble(4))
+    assert(gotLoops.forall(q => q == 0.0))
+    // and the rest of the family degrades cleanly on the empty graph
+    assert(Graph.labelPropagation(empty, rounds = 3).count() == 0)
+    assert(Graph.labelPropagation(loops, rounds = 3).count() == 0)
+  }
+
   test("hits: star graph ranks the center as sole authority, leaves as hubs") {
     // 1..4 all link to 0; 0 links nowhere
     val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("src", "dst")

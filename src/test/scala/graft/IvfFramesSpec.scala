@@ -121,6 +121,70 @@ class IvfFramesSpec extends SparkSpecBase {
     assert(probeNew.find(_._1 == 0L).get._2 > 0.999999)
   }
 
+  test("appendToIvfIndex: in-batch duplicate ids, stale-only drift rows, emptied lists dropped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-upsert").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    Similarity.writeIvfIndex(emb.where(col("vec_id") < 100), dir, nLists = 4)
+    val byList = spark.read.parquet(s"$dir/lists")
+      .select(col("list_id").cast("long"), col("vec_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sorted.toSeq }
+    // two distinct non-empty lists to play donor/victim
+    val lists = byList.filter(_._2.size >= 2).keys.toSeq.sorted
+    assert(lists.size >= 2, s"need 2 lists with >=2 vectors, got $byList")
+    val victim = lists.head; val donor = lists.last
+    val donorEmb = spark.read.parquet(s"$dir/lists")
+      .where(col("list_id") === donor && col("vec_id") === byList(donor).head)
+      .select("embedding").as[Array[Float]].head()
+
+    // (1) in-batch duplicate vec_id resolves to ONE stored row,
+    // deterministically the lexicographically-greater embedding
+    val dupA = donorEmb.clone(); dupA(0) = -100f
+    val dupB = donorEmb.clone(); dupB(0) = 100f
+    Similarity.appendToIvfIndex(spark, dir,
+      Seq((9000L, dupA), (9000L, dupB)).toDF("vec_id", "embedding"))
+    val stored = spark.read.parquet(s"$dir/lists").where(col("vec_id") === 9000L)
+      .select("embedding").as[Array[Float]].collect()
+    assert(stored.length == 1, s"dup id stored ${stored.length} times")
+    assert(stored.head(0) == 100f, "dedupe must keep the greater embedding")
+
+    // (2) a list touched ONLY by stale-copy removal (one id moves out,
+    // nothing moves in) still records a drift row, with n_added = 0
+    val gen2 = {
+      val moved = byList(victim).head
+      Similarity.appendToIvfIndex(spark, dir,
+        Seq((moved, donorEmb)).toDF("vec_id", "embedding"))
+      val drift = spark.read.parquet(s"$dir/drift")
+      val g = drift.agg(max(col("generation"))).head().getLong(0)
+      val rows = drift.where(col("generation") === g)
+        .select(col("list_id").cast("long"), col("n_added"))
+        .as[(Long, Long)].collect().toMap
+      assert(rows.get(victim).contains(0L),
+        s"stale-only list $victim missing its n_added=0 drift row: $rows")
+      assert(rows(donor) >= 1L, rows.toString)
+      g
+    }
+
+    // (3) re-ingesting EVERY remaining id of the victim list (all
+    // assigned elsewhere) must DELETE its partition directory — under
+    // plain dynamic overwrite the all-stale files would survive and
+    // probes would return dead copies
+    val remaining = byList(victim).tail
+    Similarity.appendToIvfIndex(spark, dir,
+      remaining.map(id => (id, donorEmb)).toDF("vec_id", "embedding"))
+    assert(!new java.io.File(s"$dir/lists/list_id=$victim").exists(),
+      s"emptied list_id=$victim directory must be dropped")
+    val all = spark.read.parquet(s"$dir/lists")
+    // every id exactly once — no stale duplicates anywhere
+    assert(all.count() == all.select("vec_id").distinct().count())
+    assert(all.where(col("vec_id").isin(byList(victim): _*))
+      .select(col("list_id").cast("long")).distinct()
+      .as[Long].collect().toSeq == Seq(donor))
+    // drift generations advanced monotonically
+    val gens = spark.read.parquet(s"$dir/drift")
+      .select("generation").distinct().as[Long].collect().sorted.toSeq
+    assert(gens == (0L to (gen2 + 1)).toSeq, gens.toString)
+  }
+
   test("trainCentroids: Lloyd iterations converge to well-separated cluster centers") {
     // three tight clusters on orthogonal axes; a bad seed (all three
     // seeds inside cluster A) must still migrate two centroids out
