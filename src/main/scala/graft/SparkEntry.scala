@@ -3851,6 +3851,25 @@ object SparkEntry {
               |FROM graft_docs ORDER BY doc_id""".stripMargin)
     }),
 
+    "x_stream_sessionize" -> ((s, dir) => {
+      // STREAMING execution of sessionization (file-source micro-
+      // batches → flatMapGroupsWithState → watermark-flushed sink),
+      // hash-gated against the SAME oracle the batch q_sessionize
+      // passes — the stream-batch parity proof for the custom-state
+      // operator (state is one open session per user at any scale)
+      graft.streaming.StreamBatchParity.sessionizeParity(
+        s, events(s, dir).select(col("user_id"), col("sec")))
+    }),
+
+    "x_stream_windows" -> ((s, dir) => {
+      // STREAMING execution of watermarked tumbling-window counts,
+      // finalized by watermark advance and hash-gated against the
+      // batch hour-bucket oracle shape (q_event_windows's twin with
+      // the streaming aggregate's decimal(18,6) sum contract)
+      graft.streaming.StreamBatchParity.windowCountsParity(
+        s, events(s, dir).select(col("event_type"), col("value"), col("sec")))
+    }),
+
     // ---------------------------------------------- multimodal
     "m_binary_dedup" -> ((s, dir) => {
       // exact binary dedup over media bytes (CDN copies / mirrored
@@ -4674,6 +4693,35 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_start, event_type,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // stream-batch parity: the STREAMING sessionization must equal the
+    // exact batch-SQL answer — same oracle text as q_sessionize
+    "x_stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, sec,
+        |    lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev FROM e),
+        |s AS (
+        |  SELECT user_id, event_id, sec,
+        |    CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS is_new FROM l),
+        |g AS (
+        |  SELECT user_id, sec,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(sec) AS start_sec, max(sec) AS end_sec
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    // stream-batch parity: streaming windowed aggregation vs the batch
+    // hour-bucket SQL (decimal(18,6) — the streaming aggregate's sum
+    // type — instead of q_event_windows's 18,4)
+    "x_stream_windows" ->
+      """SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_json_extract" ->

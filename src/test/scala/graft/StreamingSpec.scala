@@ -12,6 +12,22 @@ import java.sql.Timestamp
 class StreamingSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("StreamBatchParity: streaming sessionize/windows equal their batch answers on the events corpus") {
+    import graft.streaming.StreamBatchParity
+    // real corpus, real file-source micro-batches, watermark-flushed
+    // results — must match the batch driver rows hash-exactly
+    val batchSessions = SparkEntry.queries("q_sessionize")(spark, sf()).collect().toSeq
+    val streamSessions = SparkEntry.queries("x_stream_sessionize")(spark, sf()).collect().toSeq
+    assert(streamSessions.size == batchSessions.size,
+      s"stream ${streamSessions.size} vs batch ${batchSessions.size} sessions")
+    assert(streamSessions == batchSessions)
+    val streamWins = SparkEntry.queries("x_stream_windows")(spark, sf())
+      .select("hour_start", "event_type", "n_events").collect().toSeq
+    val batchWins = SparkEntry.queries("q_event_windows")(spark, sf())
+      .select("hour_start", "event_type", "n_events").collect().toSeq
+    assert(streamWins == batchWins)
+  }
+
   test("file-source stream → chunks → vector records, exactly-once by checkpoint") {
     val in = Files.createTempDirectory("graft-stream-in").toString
     val out = Files.createTempDirectory("graft-stream-out").toString
