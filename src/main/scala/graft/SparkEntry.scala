@@ -2435,6 +2435,37 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seq"))
     }),
 
+    "i_pdf_borderless" -> ((s, dir) => {
+      // borderless whitespace-aligned PDF tables (r10 verdict item 2
+      // — the no-rules report shape): synthesize draws NOTHING — cells
+      // sit at repeated column x-starts on uniform-pitch baselines,
+      // and the reader recovers the grid from geometry alone
+      // (PdfElementReader.detectBorderlessTables: strict cluster
+      // alignment + uniform pitch + the short-cell guard), emitting
+      // the same pipe-markdown table element as every other table
+      // path. The reference reaches this shape only through hosted
+      // layout analysis (DocumentIntelligenceReader.cs Table
+      // elements); graft parses it in-process. Map-only at any
+      // corpus size.
+      import s.implicits._
+      import graft.sources.PdfElementReader
+      import graft.sources.PdfElementReader._
+      val base = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .as[(Long, String, String)]
+      val pdfDocs = base.map { case (id, lang, source) =>
+        (id, PdfElementReader.synthesize(Seq(Seq(
+          SHeading(1, s"Doc $id"),
+          SBorderlessTable(Seq(Seq("field", "value"),
+            Seq("lang", lang), Seq("source", source))),
+          SPara(s"end of doc $id")))))
+      }.toDF("doc_id", "content")
+      PdfElementReader.elements(s, pdfDocs).toDF()
+        .select(col("doc_id"), col("seq"), col("kind"), col("level"),
+          col("text"), col("page_number"))
+        .orderBy(col("doc_id"), col("seq"))
+    }),
+
     "i_auto_elements" -> ((s, dir) => {
       // format-sniffing reader router (AutoElementReader, r8): the
       // documents corpus is packaged into a MIXED-format binary
@@ -5027,6 +5058,21 @@ object SparkEntry {
     // row-rules replay: header, the recovered 2-column table (cells in
     // reading order), trailing paragraph — single page
     "i_pdf_rowrules" ->
+      """WITH base AS (SELECT doc_id, lang, source FROM documents)
+        |SELECT doc_id, CAST(seq AS INT) AS seq, kind,
+        |  CAST(level AS INT) AS level, text,
+        |  CAST(page AS INT) AS page_number FROM (
+        |  SELECT doc_id, 0 AS seq, 'header' AS kind, 1 AS level,
+        |    'Doc ' || doc_id AS text, 1 AS page FROM base
+        |  UNION ALL SELECT doc_id, 1, 'table', 0,
+        |    'field value lang ' || lang || ' source ' || source, 1 FROM base
+        |  UNION ALL SELECT doc_id, 2, 'paragraph', 0,
+        |    'end of doc ' || doc_id, 1 FROM base)
+        |ORDER BY doc_id, seq""".stripMargin,
+
+    // same roundtrip contract as i_pdf_rowrules, with NOTHING drawn:
+    // the recovered grid comes from whitespace geometry alone
+    "i_pdf_borderless" ->
       """WITH base AS (SELECT doc_id, lang, source FROM documents)
         |SELECT doc_id, CAST(seq AS INT) AS seq, kind,
         |  CAST(level AS INT) AS level, text,

@@ -1070,6 +1070,164 @@ object PdfElementReader {
       slab.map(_._2).toSet, GridBox(x0, xm, yBot, yTop)))
   }
 
+  // ------------------------------------------------------------------
+  // Borderless (whitespace-aligned) table detection (r10 verdict item
+  // 2 — the NO-RULES report shape): columns exist only as repeated
+  // x-start clusters, rows only as uniform-pitch baselines — what
+  // DocumentIntelligenceReader.cs recovers from hosted layout
+  // analysis for tables nothing was drawn around. Runs AFTER the
+  // ruled/row-rules detectors on the shows they did not consume.
+  // Same CONSERVATIVE degrade contract; the candidate bar is strictly
+  // higher than the ruled shapes because there is no ink to anchor
+  // on:
+  //   - a maximal run of ≥3 consecutive multi-show baselines (a
+  //     1-show line is prose; a 2-line run is a caption pair),
+  //   - UNIFORM row pitch (every gap within ±30% of the median —
+  //     report tables are typeset on a fixed leading; mixed prose
+  //     is not),
+  //   - every show starts ON a repeated column cluster (kerned prose
+  //     emits arbitrary x-starts → degrade), every line spans ≥2
+  //     clusters,
+  //   - the SHORT-CELL guard: a show's estimated glyph run
+  //     (0.55 em/char — Helvetica-ish average) must end before the
+  //     next column's start. This is what separates a real table
+  //     from justified two-column prose, whose lines FILL the column
+  //     and cross the next start under any metric estimate,
+  //   - NO painted rule within one row pitch of the run: ink nearby
+  //     means the ruled/row-rules detectors already adjudicated this
+  //     region (possibly degrading it as ambiguous) — re-claiming it
+  //     here would undo their refusal,
+  //   - the MaxLinesPerSlab cap, as everywhere: no real table packs
+  //     64+ rows on one page; denser runs read as running text.
+  // KNOWN BOUNDARY: a page of row-aligned short two-band lines (a
+  // two-column LIST typeset on shared baselines) is geometrically a
+  // 2-column borderless table and reads as one — disambiguating that
+  // needs semantics, not geometry (hosted-layout territory).
+  // ------------------------------------------------------------------
+  private def estShowEnd(s: Show): Double =
+    s.x + s.text.length * s.size * 0.55
+
+  private def detectBorderlessTables(showsIdx: Seq[(Show, Int)],
+                                     segs: Seq[Seg])
+      : Seq[(RuledTable, Set[Int], GridBox)] = {
+    if (showsIdx.size < 6) return Nil
+    val lines = bandLines(showsIdx)
+    val isCand = lines.map(_.size >= 2)
+    val out = ArrayBuffer.empty[(RuledTable, Set[Int], GridBox)]
+    var i = 0
+    while (i < lines.size) {
+      if (!isCand(i)) i += 1
+      else {
+        var j = i
+        while (j + 1 < lines.size && isCand(j + 1)) j += 1
+        borderlessFromRun(lines.slice(i, j + 1), segs).foreach(out += _)
+        i = j + 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def borderlessFromRun(run: Seq[Seq[(Show, Int)]], segs: Seq[Seg])
+      : Option[(RuledTable, Set[Int], GridBox)] = {
+    val tol = 3.0
+    if (run.size < 3 || run.size > MaxLinesPerSlab) return None
+    val ys = run.map(_.head._1.y)
+    val gaps = ys.zip(ys.tail).map { case (a, b) => a - b }
+    val med = gaps.sorted.apply(gaps.size / 2)
+    if (med <= 0.5) return None
+    if (!gaps.forall(g => g >= med * 0.7 && g <= med * 1.3)) return None
+    val starts = repeatedColumnStarts(run, tol)
+    if (starts.size < 2) return None
+    def colOf(s: Show): Int = columnOf(starts, s.x, tol)
+    // strict alignment: every show sits ON a cluster start
+    if (!run.forall(_.forall { case (s, _) =>
+        math.abs(s.x - starts(colOf(s))) <= tol })) return None
+    // every row genuinely spans ≥2 columns
+    if (!run.forall(ln => ln.map(p => colOf(p._1)).distinct.size >= 2))
+      return None
+    // short-cell guard: no cell's glyph estimate crosses the next column
+    if (!run.forall(_.forall { case (s, _) =>
+        val c = colOf(s)
+        c == starts.size - 1 || estShowEnd(s) <= starts(c + 1) - 2.0 }))
+      return None
+    val x0 = starts.head
+    val xm = run.flatMap(_.map(p => estShowEnd(p._1))).max
+    val yTop = ys.head; val yBot = ys.last
+    // rule-free contract: any ink within a row pitch of the run is the
+    // ruled detectors' (already-adjudicated) territory
+    val crossed = segs.exists { s =>
+      val (sx0, sx1) = (math.min(s.x1, s.x2), math.max(s.x1, s.x2))
+      val (sy0, sy1) = (math.min(s.y1, s.y2), math.max(s.y1, s.y2))
+      sx0 <= xm + tol && sx1 >= x0 - tol &&
+        sy0 <= yTop + med && sy1 >= yBot - med
+    }
+    if (crossed) return None
+    val nCols = starts.size
+    val rows = run.map { ln =>
+      val cells = Array.fill(nCols)(ArrayBuffer.empty[Show])
+      ln.foreach { case (s, _) => cells(colOf(s)) += s }
+      cells.map(cell =>
+        collapse(cell.sortBy(_.x).map(_.text).mkString(" "))).toSeq
+    }
+    if (rows.flatten.count(_.nonEmpty) < 2) return None
+    val md = new StringBuilder
+    md.append(rows.head.mkString("| ", " | ", " |")).append('\n')
+    md.append(Seq.fill(nCols)("---").mkString("| ", " | ", " |"))
+    rows.tail.foreach(r => md.append('\n').append(r.mkString("| ", " | ", " |")))
+    val text = collapse(rows.flatten.filter(_.nonEmpty).mkString(" "))
+    // topY one pitch above the first baseline — where a top rule would
+    // sit — so the table splices before the blocks below it
+    Some((RuledTable(yTop + med, x0, md.toString, text),
+      run.flatten.map(_._2).toSet, GridBox(x0, xm, yBot, yTop)))
+  }
+
+  // ------------------------------------------------------------------
+  // Two-column reading order (r10 verdict item 3 — the academic-paper
+  // shape): when the page's remaining shows form two disjoint x-bands
+  // whose baselines interleave, y-order interleaves the columns
+  // sentence-by-sentence; reading order is left column, then right.
+  // CONSERVATIVE: fire only when the WHOLE remaining page partitions
+  // — a full-width line (title, caption) spanning the gutter keeps
+  // y-order, as does any ambiguity below. Degrade is always the
+  // existing y-order, never lost text.
+  //   - the gutter is the widest x-gap no show's glyph estimate
+  //     crosses, ≥18pt wide, in the central half of the text span,
+  //   - ≥3 baselines per band, bands VERTICALLY overlapping by ≥50%
+  //     of the shorter band (side-by-side, not stacked blocks),
+  //   - bands whose baselines are mostly row-ALIGNED are a table/
+  //     list shape (the borderless detector's territory, or genuinely
+  //     ambiguous): keep y-order.
+  // ------------------------------------------------------------------
+  private def twoColumnSplit(rest: Seq[Show]): Option[(Seq[Show], Seq[Show])] = {
+    if (rest.size < 6) return None
+    val xLo = rest.map(_.x).min
+    val xHi = rest.map(estShowEnd).max
+    if (xHi - xLo < 100) return None
+    val iv = rest.map(s => (s.x, estShowEnd(s))).sortBy(_._1)
+    var curEnd = iv.head._2
+    var bestGap = 0.0; var bestAt = 0.0
+    iv.tail.foreach { case (a, b) =>
+      if (a > curEnd && a - curEnd > bestGap) {
+        bestGap = a - curEnd; bestAt = (a + curEnd) / 2
+      }
+      curEnd = math.max(curEnd, b)
+    }
+    if (bestGap < 18.0) return None
+    val frac = (bestAt - xLo) / (xHi - xLo)
+    if (frac < 0.25 || frac > 0.75) return None
+    val (l, r) = rest.partition(_.x < bestAt)
+    def baselines(ss: Seq[Show]): Seq[Double] =
+      ss.map(s => math.rint(s.y * 2) / 2).distinct.sorted
+    val lb = baselines(l); val rb = baselines(r)
+    if (lb.size < 3 || rb.size < 3) return None
+    val overlap = math.min(lb.max, rb.max) - math.max(lb.min, rb.min)
+    val minSpan = math.min(lb.max - lb.min, rb.max - rb.min)
+    if (minSpan <= 0 || overlap < 0.5 * minSpan) return None
+    val aligned = lb.count(y => rb.exists(z => math.abs(z - y) <= 0.5))
+    if (aligned * 2 > math.min(lb.size, rb.size)) return None
+    Some((l.sortBy(s => (-s.y, s.x)), r.sortBy(s => (-s.y, s.x))))
+  }
+
   private def detectGridIn(shows: Seq[Show], segs: Seq[Seg])
       : Option[(RuledTable, Set[Int], GridBox)] = {
     if (segs.isEmpty) return None
@@ -1279,16 +1437,27 @@ object PdfElementReader {
       if (content.isEmpty) (Nil: Seq[Line], Nil: Seq[RuledTable])
       else {
         val (lines, shows, segs) = interpretContent(content, fontsOf(res))
-        detectRuledTables(shows, segs) match {
-          case (tables, consumed) if tables.nonEmpty =>
-            // table text leaves the line stream (and the body-size
-            // vote): remaining shows rebuild with the same grouping
-            val rest = shows.zipWithIndex.collect {
-              case (s, i) if !consumed(i) => s
-            }
-            (rebuildLines(rest), tables)
-          case _ => (lines, Nil)
+        val (ruled, ruledConsumed) = detectRuledTables(shows, segs)
+        // borderless tables only compete for shows the ruled/row-rules
+        // detectors left behind
+        val borderless = detectBorderlessTables(
+          shows.zipWithIndex.filterNot(p => ruledConsumed(p._2)), segs)
+        val consumed = ruledConsumed ++ borderless.flatMap(_._2)
+        val tables = (ruled ++ borderless.map(_._1))
+          .sortBy(t => (-t.topY, t.x0))
+        val rest = shows.zipWithIndex.collect {
+          case (s, i) if !consumed(i) => s
         }
+        val twoCol = twoColumnSplit(rest)
+        val ordered = twoCol match {
+          case Some((left, right)) => left ++ right // column reading order
+          case None => rest // stream order (the r10-exact path)
+        }
+        if (tables.nonEmpty || twoCol.isDefined)
+          // table text leaves the line stream (and the body-size
+          // vote): remaining shows rebuild with the same grouping
+          (rebuildLines(ordered), tables)
+        else (lines, Nil)
       }
     }
 
@@ -1399,6 +1568,16 @@ object PdfElementReader {
     * [[detectRowRuleTables]] recovers. Needs ≥2 rows to emit (a
     * 1-row table collapses midrule onto bottomrule). */
   final case class SRowRuleTable(rows: Seq[Seq[String]]) extends SynthBlock
+  /** A borderless whitespace-aligned table: NOTHING is drawn — cells
+    * sit at repeated column x-starts on uniform-pitch baselines.
+    * Exactly the shape [[detectBorderlessTables]] recovers. Needs
+    * ≥3 rows (the detector's minimum run). */
+  final case class SBorderlessTable(rows: Seq[Seq[String]]) extends SynthBlock
+  /** Two-column prose (the academic-paper shape): left/right display
+    * lines in disjoint x-bands with interleaved (half-pitch offset,
+    * deliberately NOT row-aligned) baselines. Exactly the shape
+    * [[twoColumnSplit]] reorders into column-major reading order. */
+  final case class STwoColPara(left: Seq[String], right: Seq[String]) extends SynthBlock
 
   /** Font sizes the synthesis uses: body 11pt, headings 20/17/15/14/
     * 13/12.5 — all above the reader's body+0.6 header threshold and
@@ -1481,6 +1660,38 @@ object PdfElementReader {
             y = bot - BodySize * 2.5
             if (y < 40) y = 760.0
           }
+        case SBorderlessTable(rows0) =>
+          val rows = rows0.filter(_.nonEmpty)
+          if (rows.size >= 3) {
+            val nCols = rows.map(_.size).max
+            val colW = 120.0; val rowH = 16.0 // uniform pitch, no ink
+            val x0 = 72.0
+            val top = y
+            val szT = fmt(BodySize)
+            for ((row, r) <- rows.zipWithIndex; (cell, c) <- row.zipWithIndex
+                 if cell.nonEmpty) {
+              val cx = fmt(x0 + c * colW)
+              val cy = fmt(top - r * rowH - 12)
+              sb.append(s"BT /F1 $szT Tf $cx $cy Td (${escapeLiteral(cell)}) Tj ET\n")
+            }
+            y = top - rows.size * rowH - BodySize * 2.5
+            if (y < 40) y = 760.0
+          }
+        case STwoColPara(left, right) =>
+          val pitch = 13.0
+          val szT = fmt(BodySize)
+          val top = y
+          left.zipWithIndex.foreach { case (t, i) =>
+            sb.append(s"BT /F1 $szT Tf 72 ${fmt(top - 12 - i * pitch)} Td (${escapeLiteral(t)}) Tj ET\n")
+          }
+          // right band at x=330 (past any ≤36-char left line's glyph
+          // estimate), baselines offset half a pitch: interleaved, not
+          // row-aligned
+          right.zipWithIndex.foreach { case (t, i) =>
+            sb.append(s"BT /F1 $szT Tf 330 ${fmt(top - 12 - 6.0 - i * pitch)} Td (${escapeLiteral(t)}) Tj ET\n")
+          }
+          y = top - (math.max(left.size, right.size) * pitch + 18.0) - BodySize * 2.5
+          if (y < 40) y = 760.0
         case b =>
           val (size, text) = b match {
             case SHeading(l, t) => (headingSize(l), t)

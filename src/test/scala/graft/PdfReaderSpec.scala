@@ -367,6 +367,139 @@ class PdfReaderSpec extends SparkSpecBase {
     }
   }
 
+  // borderless tables (r10 verdict item 2 — the no-rules shape)
+
+  test("synthesized borderless table roundtrips as a pipe-markdown table") {
+    val pdf = synthesize(Seq(Seq(
+      SHeading(1, "Title"),
+      SBorderlessTable(Seq(Seq("name", "qty"), Seq("bolt", "7"), Seq("nut", "12"))),
+      SPara("after the table"))))
+    val got = PdfElementReader.parseBlocks(pdf)
+    assert(got.map(b => (b._1, b._4)) == Seq(
+      ("header", "Title"),
+      ("table", "name qty bolt 7 nut 12"),
+      ("paragraph", "after the table")), got.toString)
+    assert(got(1)._3 ==
+      "| name | qty |\n| --- | --- |\n| bolt | 7 |\n| nut | 12 |")
+    assert(got == PdfElementReader.parseBlocks(pdf)) // deterministic
+  }
+
+  test("borderless degrade: short runs, ragged pitch, overflowing cells all stay prose") {
+    // 2 rows only: below the ≥3-baseline bar — prose
+    val pdf2 = synthesize(Seq(Seq(
+      SBorderlessTable(Seq(Seq("a", "b"), Seq("1", "2"))), SPara("x"))))
+    // (the synthesizer itself refuses <3 rows, so nothing aligned is
+    // even emitted — parse must see only the paragraph)
+    assert(PdfElementReader.parseBlocks(pdf2).forall(_._1 != "table"))
+    // ragged pitch: three 2-show baselines at gaps 16 / 30 — prose
+    val ragged = onePage(
+      "BT /F1 11 Tf 72 700 Td (a1) Tj ET\nBT /F1 11 Tf 192 700 Td (b1) Tj ET\n" +
+        "BT /F1 11 Tf 72 684 Td (a2) Tj ET\nBT /F1 11 Tf 192 684 Td (b2) Tj ET\n" +
+        "BT /F1 11 Tf 72 654 Td (a3) Tj ET\nBT /F1 11 Tf 192 654 Td (b3) Tj ET")
+    assert(PdfElementReader.parseBlocks(ragged).forall(_._1 != "table"),
+      PdfElementReader.parseBlocks(ragged).toString)
+    // overflowing cell: the long first-column text's glyph estimate
+    // crosses the second column start — justified-2-col-prose
+    // territory, degrade
+    val long = "this cell text is far too long to fit"
+    val overflow = onePage(
+      (0 until 3).map { r =>
+        s"BT /F1 11 Tf 72 ${700 - 16 * r} Td ($long) Tj ET\n" +
+          s"BT /F1 11 Tf 192 ${700 - 16 * r} Td (v$r) Tj ET\n"
+      }.mkString)
+    assert(PdfElementReader.parseBlocks(overflow).forall(_._1 != "table"),
+      PdfElementReader.parseBlocks(overflow).toString)
+    // off-cluster show (kerned prose): one baseline's x matches no
+    // repeated cluster — degrade
+    val kerned = onePage(
+      "BT /F1 11 Tf 72 700 Td (a1) Tj ET\nBT /F1 11 Tf 192 700 Td (b1) Tj ET\n" +
+        "BT /F1 11 Tf 72 684 Td (a2) Tj ET\nBT /F1 11 Tf 145 684 Td (mid) Tj ET\n" +
+        "BT /F1 11 Tf 72 668 Td (a3) Tj ET\nBT /F1 11 Tf 192 668 Td (b3) Tj ET")
+    assert(PdfElementReader.parseBlocks(kerned).forall(_._1 != "table"),
+      PdfElementReader.parseBlocks(kerned).toString)
+  }
+
+  test("borderless refuses regions the ruled detectors already adjudicated") {
+    // aligned uniform rows WITH a horizontal rule through them: that
+    // ink is (possibly degraded) row-rules territory — borderless
+    // must not re-claim it
+    val ruled = onePage(
+      "BT /F1 11 Tf 72 700 Td (a1) Tj ET\nBT /F1 11 Tf 192 700 Td (b1) Tj ET\n" +
+        "72 692 m 312 692 l S\n" + // a single stray rule (< 3: no row-rules fire)
+        "BT /F1 11 Tf 72 684 Td (a2) Tj ET\nBT /F1 11 Tf 192 684 Td (b2) Tj ET\n" +
+        "BT /F1 11 Tf 72 668 Td (a3) Tj ET\nBT /F1 11 Tf 192 668 Td (b3) Tj ET")
+    assert(PdfElementReader.parseBlocks(ruled).forall(_._1 != "table"),
+      PdfElementReader.parseBlocks(ruled).toString)
+  }
+
+  test("borderless coexists with ruled and row-rules tables on one page") {
+    val pdf = synthesize(Seq(Seq(
+      SHeading(1, "Mixed"),
+      STable(Seq(Seq("g1", "g2"), Seq("1", "2"))),
+      SBorderlessTable(Seq(Seq("n1", "n2"), Seq("3", "4"), Seq("5", "6"))),
+      SPara("between"),
+      SRowRuleTable(Seq(Seq("r1", "r2"), Seq("7", "8"))),
+      SPara("end"))))
+    val got = PdfElementReader.parseBlocks(pdf)
+    assert(got.map(b => (b._1, b._4)) == Seq(
+      ("header", "Mixed"),
+      ("table", "g1 g2 1 2"),
+      ("table", "n1 n2 3 4 5 6"),
+      ("paragraph", "between"),
+      ("table", "r1 r2 7 8"),
+      ("paragraph", "end")), got.toString)
+  }
+
+  // two-column reading order (r10 verdict item 3)
+
+  test("two-column page reads left column then right, not interleaved") {
+    val left = Seq("left one", "left two", "left three", "left four")
+    val right = Seq("right one", "right two", "right three", "right four")
+    val pdf = synthesize(Seq(Seq(
+      STwoColPara(left, right))))
+    val got = PdfElementReader.parseBlocks(pdf)
+    val paras = got.filter(_._1 == "paragraph").map(_._4)
+    assert(paras == Seq(left.mkString(" "), right.mkString(" ")),
+      got.toString)
+    // and a second page with single-column prose is untouched
+    val both = synthesize(Seq(
+      Seq(STwoColPara(left, right)),
+      Seq(SPara("plain page two"))))
+    val got2 = PdfElementReader.parseBlocks(both)
+    assert(got2.map(b => (b._1, b._4, b._5)) == Seq(
+      ("paragraph", left.mkString(" "), 1),
+      ("paragraph", right.mkString(" "), 1),
+      ("paragraph", "plain page two", 2)), got2.toString)
+  }
+
+  test("two-column degrade: a full-width line spanning the gutter keeps y-order") {
+    // the title line's glyph estimate crosses the gutter, so no clean
+    // x-partition exists: the page must keep plain y-order
+    val pdf = onePage(
+      "BT /F1 11 Tf 72 720 Td (a full width title line spanning both columns here) Tj ET\n" +
+        (0 until 4).map { i =>
+          s"BT /F1 11 Tf 72 ${700 - 13 * i} Td (left $i) Tj ET\n" +
+            s"BT /F1 11 Tf 330 ${694 - 13 * i} Td (right $i) Tj ET\n"
+        }.mkString)
+    val got = PdfElementReader.parseBlocks(pdf)
+    val text = got.map(_._4).mkString(" ")
+    // y-order interleaves: "left 0" is followed by "right 0", not "left 1"
+    assert(text.indexOf("right 0") < text.indexOf("left 1"), got.toString)
+  }
+
+  test("two-column degrade: stacked bands (no vertical overlap) keep y-order") {
+    // two x-bands but the right sits entirely BELOW the left: these
+    // are sequential blocks, not columns — y-order already correct
+    val pdf = onePage(
+      (0 until 3).map(i =>
+        s"BT /F1 11 Tf 72 ${700 - 13 * i} Td (top $i) Tj ET\n").mkString +
+        (0 until 3).map(i =>
+          s"BT /F1 11 Tf 330 ${500 - 13 * i} Td (bottom $i) Tj ET\n").mkString)
+    val got = PdfElementReader.parseBlocks(pdf)
+    val text = got.map(_._4).mkString(" ")
+    assert(text.indexOf("top 2") < text.indexOf("bottom 0"), got.toString)
+  }
+
   test("row-rules and bordered grid coexist on one page") {
     val pdf = synthesize(Seq(Seq(
       SHeading(1, "Mixed"),
