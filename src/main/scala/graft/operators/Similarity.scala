@@ -687,6 +687,150 @@ object Similarity {
       .write.mode("append").parquet(s"$path/drift")
   }
 
+  /** Drift-triggered PARTIAL re-train of a persisted IVF index — the
+    * policy consumer of the drift table [[appendToIvfIndex]] writes,
+    * completing the index side of incremental ingestion: appends keep
+    * assignment cheap against frozen centroids, the drift audit
+    * records how far each list's content has walked from its
+    * centroid, and THIS decides when that walk has gone far enough
+    * to spend a re-train — per list, not per index.
+    *
+    * Trigger: a list whose LATEST drift observation has
+    * `mean_cos < minMeanCos` (the stored centroid no longer points
+    * where the list's mass does). Action, per drifted list only:
+    *   1. its centroid moves to the current list mean (one Lloyd
+    *      step restricted to the drifted lists — float-rounded, the
+    *      trained-IVF contract),
+    *   2. ONLY the drifted lists' vectors re-assign against the
+    *      updated centroid set (map-only broadcast argmax, the
+    *      [[knnIvf]] kernel); most stay put, movers relocate,
+    *   3. touched partitions (drifted ∪ destinations) rewrite
+    *      copy-on-write exactly like the append path — untouched
+    *      list directories keep their files byte-identical, emptied
+    *      ones are dropped,
+    *   4. the retrain logs the next drift generation for every
+    *      touched list (n_added = vectors that CHANGED list into it;
+    *      mean_cos recomputed against the new centroids — ≈1 for the
+    *      re-trained lists, which is what resets the trigger).
+    * Cost is bounded by the drifted lists' row counts plus the
+    * destination-partition rewrites — at 100 TB, re-training 2 of
+    * 4096 lists touches 2 list scans and a handful of directory
+    * rewrites, never the index.
+    *
+    * Returns the re-trained list ids (empty = trigger did not fire,
+    * index untouched).
+    */
+  def maybeRetrainIvfIndex(spark: SparkSession, path: String,
+                           minMeanCos: Double = 0.98): Seq[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val driftPath = new org.apache.hadoop.fs.Path(s"$path/drift")
+    val fs = driftPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(driftPath)) return Nil // nothing appended yet: no drift
+    val drift = spark.read.parquet(s"$path/drift")
+    val latestW = Window.partitionBy(col("list_id"))
+      .orderBy(col("generation").desc)
+    val drifted = drift
+      .withColumn("rk", row_number().over(latestW)).where(col("rk") === 1)
+      .where(col("mean_cos") < minMeanCos)
+      .select(col("list_id").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (drifted.isEmpty) return Nil
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val lists0 = spark.read.parquet(s"$path/lists")
+    // drifted lists' vectors, tagged with their origin list (partition-
+    // pruned read: only the drifted directories are opened)
+    val driftedVecs = lists0.where(col("list_id").isin(drifted: _*))
+      .select(col("vec_id"), col("embedding"),
+        col("list_id").cast("long").as("orig_list"))
+      .localCheckpoint(true)
+    // Lloyd step: drifted centroids move to their current list means
+    val means = driftedVecs
+      .select(col("orig_list").as("list_id"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("list_id"), col("d"))
+      .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("list_id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("d"), col("s"), col("n")))),
+        t => (t.getField("s") / t.getField("n")).cast("float")).as("newc"))
+    val updated = centroids
+      .select(col("list_id").cast("long").as("list_id"), col("centroid"))
+      .join(means, Seq("list_id"), "left")
+      .select(col("list_id"), coalesce(col("newc"), col("centroid")).as("centroid"))
+      .localCheckpoint(true) // consumed after its source file is overwritten
+    val centroidSet = foldCentroids(updated).localCheckpoint(true)
+    val reassigned = assignFolded(
+        driftedVecs.select(col("vec_id"), col("embedding")),
+        centroidSet, "vec_id", "embedding", probes = 1)
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+      .join(driftedVecs.select(col("vec_id"), col("orig_list")), Seq("vec_id"))
+      .localCheckpoint(true)
+    centroidSet.unpersist()
+    val touched = (drifted ++
+      reassigned.select(col("list_id")).distinct().collect().map(_.getLong(0)))
+      .distinct.sorted
+    val destOnly = touched.filterNot(drifted.toSet)
+    val existing = lists0
+      .where(col("list_id").isin(destOnly: _*))
+      .select(col("vec_id"), col("embedding"),
+        col("list_id").cast("long").as("list_id"))
+      .localCheckpoint(true)
+    val merged = existing
+      .union(reassigned.select(col("vec_id"), col("embedding"), col("list_id")))
+    val previous =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      merged.sortWithinPartitions(col("list_id"), col("vec_id"))
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$path/lists")
+    } finally {
+      previous match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    // a drifted list whose every vector moved elsewhere is gone — drop
+    // its directory (same contract as the append path)
+    val nonEmpty = merged.groupBy(col("list_id")).agg(count(lit(1)))
+      .select(col("list_id")).collect().map(_.getLong(0)).toSet
+    val listsFs = new org.apache.hadoop.fs.Path(s"$path/lists")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(nonEmpty).foreach { id =>
+      listsFs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/lists/list_id=$id"), true)
+      ()
+    }
+    updated.write.mode("overwrite").parquet(s"$path/centroids")
+    // log the retrain as the next generation so the trigger resets and
+    // the policy history stays in one append-only table
+    val gen = drift.agg(max(col("generation"))).head().getLong(0) + 1L
+    val moved = reassigned.where(col("list_id") =!= col("orig_list"))
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n_added"))
+    val dims = merged
+      .where(col("list_id").isin(touched: _*))
+      .select(col("list_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("list_id"), col("d"))
+      .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("list_id"))
+      .agg(max(col("n")).as("list_n"),
+        transform(
+          sort_array(collect_list(struct(col("d"), col("s"), col("n")))),
+          t => (t.getField("s") / t.getField("n")).cast("float"))
+          .as("list_mean"))
+    dims.join(moved, Seq("list_id"), "left")
+      .join(updated, Seq("list_id"))
+      .select(lit(gen).as("generation"), col("list_id"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"), col("list_n"),
+        VectorFunctions.cosine(col("list_mean"), col("centroid"))
+          .as("mean_cos"))
+      .write.mode("append").parquet(s"$path/drift")
+    driftedVecs.unpersist(); reassigned.unpersist(); existing.unpersist()
+    drifted
+  }
+
   /** Per-dimension embedding statistics (mean, variance, extremes) —
     * the embedding-health audit run before building an ANN index or
     * normalizing a corpus: a dimension whose variance collapses (or

@@ -185,6 +185,88 @@ class IvfFramesSpec extends SparkSpecBase {
     assert(gens == (0L to (gen2 + 1)).toSeq, gens.toString)
   }
 
+  test("maybeRetrainIvfIndex: fires only past the drift threshold, re-trains only drifted lists") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-retrain").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    Similarity.writeIvfIndex(emb.where(col("vec_id") < 100), dir, nLists = 4)
+    Similarity.appendToIvfIndex(spark, dir,
+      emb.where(col("vec_id") >= 400 && col("vec_id") < 450))
+    def listFiles(): Map[String, Set[(String, Long)]] = {
+      val root = new java.io.File(s"$dir/lists")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length())).toSet).toMap
+    }
+    def latestDrift(): Map[Long, Double] = {
+      val d = spark.read.parquet(s"$dir/drift")
+      val g = d.groupBy(col("list_id").cast("long").as("l"))
+        .agg(max(col("generation")).as("g"))
+      d.select(col("list_id").cast("long").as("l"), col("generation").as("g"),
+          col("mean_cos"))
+        .join(g, Seq("l", "g"))
+        .select(col("l"), col("mean_cos")).as[(Long, Double)].collect().toMap
+    }
+    val obs = latestDrift()
+    assert(obs.nonEmpty)
+    val minCos = obs.values.min
+
+    // NOT firing: threshold below every observation — index untouched
+    val before = listFiles()
+    val centBefore = spark.read.parquet(s"$dir/centroids")
+      .select(col("list_id").cast("long"), col("centroid"))
+      .as[(Long, Array[Float])].collect().toMap
+    assert(Similarity.maybeRetrainIvfIndex(spark, dir, minCos - 1e-9).isEmpty)
+    assert(listFiles() == before, "no-fire must leave every list file alone")
+
+    // FIRING: threshold just above the worst list — exactly the lists
+    // below it re-train
+    val thr = minCos + 1e-9
+    val expectDrifted = obs.filter(_._2 < thr).keys.toSeq.sorted
+    val got = Similarity.maybeRetrainIvfIndex(spark, dir, thr)
+    assert(got == expectDrifted && got.nonEmpty, s"got $got vs $expectDrifted")
+    // re-trained centroid moved; untouched lists' files are byte-identical
+    val centAfter = spark.read.parquet(s"$dir/centroids")
+      .select(col("list_id").cast("long"), col("centroid"))
+      .as[(Long, Array[Float])].collect().toMap
+    got.foreach(l => assert(!centAfter(l).sameElements(centBefore(l)),
+      s"drifted list $l centroid did not move"))
+    val after = listFiles()
+    val gen = spark.read.parquet(s"$dir/drift")
+      .agg(max(col("generation"))).head().getLong(0)
+    val touched = spark.read.parquet(s"$dir/drift")
+      .where(col("generation") === gen)
+      .select(col("list_id").cast("long")).as[Long].collect().toSet
+    before.keys.foreach { part =>
+      val id = part.stripPrefix("list_id=").toLong
+      if (!touched(id) && after.contains(part))
+        assert(after(part) == before(part), s"untouched $part was rewritten")
+      if (!got.contains(id))
+        assert(centAfter(id).sameElements(centBefore(id)),
+          s"non-drifted list $id centroid changed")
+    }
+    // index integrity: every id exactly once, nothing lost
+    val all = spark.read.parquet(s"$dir/lists")
+    assert(all.count() == 150 && all.select("vec_id").distinct().count() == 150)
+    // full probe still exact brute force over the corpus
+    val query = emb.where(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head()
+    val probed = Similarity.probeIvfIndex(spark, dir, query, k = 5, nProbe = 4)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    val bf = emb.where(col("vec_id") < 100)
+      .union(emb.where(col("vec_id") >= 400 && col("vec_id") < 450))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("embedding"),
+          typedlit(query.toSeq)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(probed == bf)
+    // the trigger reset: the re-trained lists do not fire again at the
+    // same threshold (their centroid now sits on their mean)
+    val second = Similarity.maybeRetrainIvfIndex(spark, dir, thr)
+    assert(second.intersect(got).isEmpty, s"retrained lists fired again: $second")
+  }
+
   test("trainCentroids: Lloyd iterations converge to well-separated cluster centers") {
     // three tight clusters on orthogonal axes; a bad seed (all three
     // seeds inside cluster A) must still migrate two centroids out
