@@ -3901,6 +3901,16 @@ object SparkEntry {
         s, events(s, dir).select(col("event_type"), col("value"), col("sec")))
     }),
 
+    "x_stream_drift" -> ((s, dir) => {
+      // STREAMING execution of the per-window PSI drift monitor
+      // (watermarked window histograms + the batch-side Laplace-
+      // smoothed baseline join inside foreachBatch), hash-gated
+      // against the same fixed-shape PSI SQL the batch q_drift gate
+      // uses — parity for the writer-shaped streaming operator class
+      graft.streaming.StreamBatchParity.driftMonitorParity(
+        s, events(s, dir).select(col("event_type"), col("sec")))
+    }),
+
     // ---------------------------------------------- multimodal
     "m_binary_dedup" -> ((s, dir) => {
       // exact binary dedup over media bytes (CDN copies / mirrored
@@ -4754,6 +4764,38 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // stream-batch parity: the streaming drift monitor's finalized
+    // windows vs the same Laplace-smoothed PSI unrolled in SQL (every
+    // window scores against the corpus's overall event_type histogram)
+    "x_stream_drift" ->
+      """WITH base AS (
+        |  SELECT event_type AS value, CAST(count(*) AS BIGINT) AS n_old
+        |  FROM events GROUP BY 1),
+        |wins AS (
+        |  SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS h,
+        |    event_type AS value, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM events GROUP BY 1, 2),
+        |hours AS (SELECT DISTINCT h FROM wins),
+        |bins AS (
+        |  SELECT hours.h, base.value, base.n_old,
+        |    COALESCE(wins.n_new, 0) AS n_new
+        |  FROM hours CROSS JOIN base
+        |  LEFT JOIN wins ON wins.h = hours.h AND wins.value = base.value),
+        |tot AS (
+        |  SELECT h, CAST(sum(n_old) AS BIGINT) AS t_old,
+        |    CAST(sum(n_new) AS BIGINT) AS t_new,
+        |    CAST(count(*) AS BIGINT) AS n_bins
+        |  FROM bins GROUP BY h)
+        |SELECT bins.h AS hour_start, tot.n_bins, tot.t_new,
+        |  round(sum(
+        |    ((n_new + 1) / CAST(t_new + n_bins AS DOUBLE) -
+        |     (n_old + 1) / CAST(t_old + n_bins AS DOUBLE)) *
+        |    ln(((n_new + 1) / CAST(t_new + n_bins AS DOUBLE)) /
+        |       ((n_old + 1) / CAST(t_old + n_bins AS DOUBLE)))), 6) AS psi
+        |FROM bins JOIN tot USING (h)
+        |GROUP BY 1, tot.n_bins, tot.t_new
+        |ORDER BY 1""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

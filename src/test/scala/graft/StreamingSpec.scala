@@ -26,6 +26,14 @@ class StreamingSpec extends SparkSpecBase {
     val batchWins = SparkEntry.queries("q_event_windows")(spark, sf())
       .select("hour_start", "event_type", "n_events").collect().toSeq
     assert(streamWins == batchWins)
+    // drift parity: one finalized row per event hour, a constant bin
+    // set (= the corpus's event_type alphabet), PSI ≥ 0 (it is a
+    // symmetrized-KL-style sum: every (p−q)·ln(p/q) term is ≥ 0)
+    val drift = SparkEntry.queries("x_stream_drift")(spark, sf()).collect()
+    val hours = batchWins.map(_.getLong(0)).distinct.size
+    assert(drift.length == hours, s"${drift.length} psi rows vs $hours hours")
+    assert(drift.map(_.getAs[Long]("n_bins")).distinct.length == 1)
+    assert(drift.forall(_.getAs[Double]("psi") >= 0.0))
   }
 
   test("file-source stream → chunks → vector records, exactly-once by checkpoint") {
