@@ -22,23 +22,34 @@ import java.nio.file.attribute.FileTime
   * Mechanics — why sentinels: append-mode watermarked operators only
   * EMIT state the watermark has passed, so a drained stream would
   * keep its youngest windows/sessions open forever. The harness
-  * stages the corpus as micro-batch 1 (single file — the initial
-  * watermark is 0, so nothing can be dropped as late), then two
-  * far-future sentinel rows as micro-batches 2 and 3 (`maxFilesPerTrigger=1`,
-  * strictly increasing file mtimes — the file source's batch order):
-  * batch 2 advances the watermark past every real event, batch 3
-  * executes with that watermark and flushes every session timeout /
-  * closed window. Sentinel rows are tagged (negative user, reserved
-  * event_type) and filtered from the returned result. State stays
-  * bounded the whole way: one open session per user / one row per
-  * open window — arrival-cardinality, never stream length, exactly
-  * as the same query would run unbounded at cluster scale.
+  * stages the corpus as [[DataBatches]] TIME-SLICED micro-batch
+  * files (equal slices of the event-time range, one file each,
+  * strictly increasing mtimes — the file source's batch order, one
+  * file per trigger), then two far-future sentinel rows as the final
+  * micro-batches: the first advances the watermark past every real
+  * event, the second executes under it and flushes every remaining
+  * session timeout / open window. Time-ordered slices make the
+  * incremental execution REAL — sessions and windows straddle batch
+  * boundaries and state carries across triggers, mid-stream
+  * finalization fires as the watermark advances — while proving no
+  * late drops: every batch-(i+1) event is newer than the slice
+  * boundary, which is newer than the watermark batch i left
+  * (max_i − delay < boundary_i). Sentinel rows are tagged (negative
+  * user, reserved event_type) and filtered from the returned result.
+  * State stays bounded the whole way: one open session per user /
+  * one row per open window — arrival-cardinality, never stream
+  * length, exactly as the same query would run unbounded at cluster
+  * scale.
   */
 object StreamBatchParity {
 
   /** Far enough that `sentinel1 − watermarkDelay` clears every real
     * event's session timeout (end + gap) and window close: one day. */
   private val SentinelGapSec = 86400L
+
+  /** Time slices the corpus stages as — each is one real micro-batch
+    * carrying state over to the next. */
+  private[streaming] val DataBatches = 4
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
@@ -68,7 +79,8 @@ object StreamBatchParity {
     * return the sink's contents pinned via localCheckpoint so the
     * temp tree can be deleted before the caller materializes. */
   private def runStreamWith(spark: SparkSession, corpus: DataFrame,
-                            sentinels: DataFrame)(
+                            sentinels: DataFrame,
+                            minSec: Long, maxSec: Long)(
       mkQuery: (DataFrame, String, String) =>
         org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
     val work = Files.createTempDirectory("graft-parity")
@@ -76,11 +88,31 @@ object StreamBatchParity {
     val schema: StructType = corpus.schema
     try {
       val t0 = System.currentTimeMillis()
-      stageFile(corpus, in, "000-corpus.parquet", t0)
-      // two sentinel batches: the first advances the watermark, the
-      // second runs under it and flushes all finalized state
-      stageFile(sentinels.limit(1).toDF(corpus.columns: _*), in, "001-sentinel.parquet", t0 + 600000L)
-      stageFile(sentinels.limit(1).toDF(corpus.columns: _*), in, "002-sentinel.parquet", t0 + 1200000L)
+      // time-sliced data batches: slice i holds [b_i, b_{i+1}) of the
+      // event-time range (first/last unbounded below/above, so the
+      // slices partition the corpus whatever min/max are), each its
+      // own micro-batch — state genuinely carries across triggers and
+      // no event can be late (batch i+1 is entirely newer than the
+      // watermark batch i left behind)
+      val range = maxSec - minSec
+      val sec = unix_seconds(col("ts"))
+      for (i <- 0 until DataBatches) {
+        val lo = minSec + range * i / DataBatches
+        val hi = minSec + range * (i + 1) / DataBatches
+        val slice =
+          if (DataBatches == 1) corpus
+          else if (i == 0) corpus.where(sec < hi)
+          else if (i == DataBatches - 1) corpus.where(sec >= lo)
+          else corpus.where(sec >= lo && sec < hi)
+        stageFile(slice, in, f"$i%03d-corpus.parquet", t0 + i * 60000L)
+      }
+      // two sentinel batches: the first advances the watermark past
+      // every real event, the second runs under it and flushes all
+      // remaining state
+      stageFile(sentinels.limit(1).toDF(corpus.columns: _*), in,
+        "900-sentinel.parquet", t0 + 600000L)
+      stageFile(sentinels.limit(1).toDF(corpus.columns: _*), in,
+        "901-sentinel.parquet", t0 + 1200000L)
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(in.toString)
@@ -97,8 +129,9 @@ object StreamBatchParity {
     * a plain streaming transform. */
   private def runStream(spark: SparkSession, corpus: DataFrame,
                         sentinels: DataFrame,
+                        minSec: Long, maxSec: Long,
                         transform: DataFrame => DataFrame): DataFrame =
-    runStreamWith(spark, corpus, sentinels) { (stream, out, ckpt) =>
+    runStreamWith(spark, corpus, sentinels, minSec, maxSec) { (stream, out, ckpt) =>
       transform(stream).writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -106,6 +139,14 @@ object StreamBatchParity {
         .format("parquet")
         .start()
     }
+
+  /** (min, max) event-time seconds of the corpus — slice boundaries
+    * for the staged batches and the sentinel offset base. */
+  private def timeBounds(corpus: DataFrame): (Long, Long) = {
+    val r = corpus.agg(min(unix_seconds(col("ts"))),
+      max(unix_seconds(col("ts")))).head()
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** Streaming sessionization of a batch events corpus, returned in
     * the q_sessionize shape (user_id, session_id, n_events, start_sec,
@@ -121,11 +162,11 @@ object StreamBatchParity {
     val corpus = events
       .select(col("user_id").cast("long").as("user_id"),
         timestamp_seconds(col("sec")).as("ts"))
-    val maxSec = corpus.agg(max(unix_seconds(col("ts")))).head().getLong(0)
+    val (minSec, maxSec) = timeBounds(corpus)
     val s1 = maxSec + SentinelGapSec
     val sentinels = spark.range(1)
       .select(lit(-1L).as("user_id"), timestamp_seconds(lit(s1)).as("ts"))
-    val closed = runStream(spark, corpus, sentinels,
+    val closed = runStream(spark, corpus, sentinels, minSec, maxSec,
       st => StreamingIngest.sessionizeStream(spark, st, gapSeconds,
         watermarkDelay = "30 minutes").toDF())
     val w = Window.partitionBy(col("user_id")).orderBy(col("start_sec"))
@@ -148,12 +189,12 @@ object StreamBatchParity {
       .select(col("event_type").cast("string").as("event_type"),
         col("value").cast("double").as("value"),
         timestamp_seconds(col("sec")).as("ts"))
-    val maxSec = corpus.agg(max(unix_seconds(col("ts")))).head().getLong(0)
+    val (minSec, maxSec) = timeBounds(corpus)
     val s1 = maxSec + SentinelGapSec
     val sentinels = spark.range(1)
       .select(lit("\u0000sentinel").as("event_type"), lit(0.0).as("value"),
         timestamp_seconds(lit(s1)).as("ts"))
-    val wins = runStream(spark, corpus, sentinels,
+    val wins = runStream(spark, corpus, sentinels, minSec, maxSec,
       st => StreamingIngest.eventWindowCounts(st,
         windowLen = "1 hour", watermark = "30 minutes"))
     wins
@@ -176,13 +217,13 @@ object StreamBatchParity {
     val corpus = events
       .select(col("event_type").cast("string").as("event_type"),
         timestamp_seconds(col("sec")).as("ts"))
-    val maxSec = corpus.agg(max(unix_seconds(col("ts")))).head().getLong(0)
+    val (minSec, maxSec) = timeBounds(corpus)
     val s1 = maxSec + SentinelGapSec
     val sentinels = spark.range(1)
       .select(lit("\u0000sentinel").as("event_type"),
         timestamp_seconds(lit(s1)).as("ts"))
     val baseline = corpus.select(col("event_type"))
-    val psi = runStreamWith(spark, corpus, sentinels) { (stream, out, ckpt) =>
+    val psi = runStreamWith(spark, corpus, sentinels, minSec, maxSec) { (stream, out, ckpt) =>
       StreamingIngest.driftMonitor(stream, baseline, "event_type",
           sinkPath = out, checkpoint = ckpt,
           windowLen = "1 hour", watermark = "30 minutes")
