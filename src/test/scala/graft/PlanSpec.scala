@@ -272,6 +272,27 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"pipeline must not shuffle:\n$plan")
   }
 
+  test("PDF reader legs (ruled / row-rules / borderless) are map-only flatMaps") {
+    // synthesize→parse is per-row work: no exchange may appear before
+    // the element stream (the readers must scale as a scan stage)
+    import graft.sources.PdfElementReader
+    import graft.sources.PdfElementReader._
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("lang")).as[(Long, String)]
+      .map { case (id, lang) =>
+        (id, PdfElementReader.synthesize(Seq(Seq(
+          SHeading(1, s"Doc $id"),
+          STable(Seq(Seq("a", "b"), Seq("1", "2"))),
+          SRowRuleTable(Seq(Seq("x", "y"), Seq("3", "4"), Seq("5", "6"))),
+          SBorderlessTable(Seq(Seq("field", "value"),
+            Seq("lang", lang), Seq("k", "v"))),
+          SPara("tail")))))
+      }.toDF("doc_id", "content")
+    val plan = executed(PdfElementReader.elements(spark, docs).toDF()).toString
+    assert(!plan.contains("Exchange"), s"PDF parse must not shuffle:\n$plan")
+  }
+
   private def physical(df: DataFrame): SparkPlan = executed(df)
 
   private def shuffles(df: DataFrame) = physical(df).collect {
