@@ -3911,6 +3911,59 @@ object SparkEntry {
         s, events(s, dir).select(col("event_type"), col("sec")))
     }),
 
+    "x_stream_dedup" -> ((s, dir) => {
+      // STREAMING execution of bounded-state dedup
+      // (dropDuplicatesWithinWatermark) over the events corpus plus
+      // injected at-least-once re-deliveries (same-ts copies and 60 s
+      // redelivered copies — both provably inside the eviction bound
+      // at every batch boundary), hash-gated against a plain scan of
+      // the unique-keyed original corpus: the streaming twin of exact
+      // dedup must drop every injected copy and nothing else
+      graft.streaming.StreamBatchParity.dedupParity(
+        s, events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("sec")))
+    }),
+
+    "x_stream_cdc" -> ((s, dir) => {
+      // STREAMING execution of the CDC MERGE: the d_cdc_apply
+      // changelog staged as seq-range micro-batches, each foreachBatch
+      // copy-on-write-merged into a parquet snapshot, and the FINAL
+      // snapshot hash-gated against the same batch last-writer-wins
+      // SQL — ops for one doc may straddle batch boundaries, so this
+      // proves cross-batch merge convergence, the invariant an
+      // incremental lakehouse pipeline rests on
+      val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.streaming.StreamBatchParity.cdcParity(s, base, cdcChangelog(base))
+        .select(col("doc_id"), sha2(col("text"), 256).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x_stream_ingest" -> ((s, dir) => {
+      // STREAMING execution of the ingestion pipeline itself — the
+      // reference's own shape (IngestionPipeline.cs is an async
+      // stream over documents): documents staged as id-range json
+      // micro-batches through chunkStream (reader → chunker →
+      // enrichers per trigger, checkpointed sink), final chunk rows
+      // hash-gated against the SAME batch SQL i_pipeline_e2e passes
+      graft.streaming.StreamBatchParity.ingestParity(
+        s, tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("chunk_id"), col("token_count"),
+          col("summary"), col("sentiment"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    "x_stream_join" -> ((s, dir) => {
+      // STREAMING execution of the bounded-state interval join in the
+      // view→purchase attribution shape (a streaming SELF-join: both
+      // sides filtered from one staged corpus stream), hash-gated
+      // against the batch interval-join SQL — eager inner-join
+      // emission plus provably-no-late-arrivals staging means the
+      // emitted pair set is exactly the batch answer
+      graft.streaming.StreamBatchParity.joinParity(
+        s, events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("sec")))
+    }),
+
     // ---------------------------------------------- multimodal
     "m_binary_dedup" -> ((s, dir) => {
       // exact binary dedup over media bytes (CDN copies / mirrored
@@ -4287,6 +4340,30 @@ object SparkEntry {
   )
 
   // ==================================================================
+  /** The canonical-pipeline oracle, shared verbatim by the batch row
+    * (i_pipeline_e2e) and its streaming-parity twin (x_stream_ingest):
+    * the parity claim IS that both executions satisfy one SQL. */
+  private lazy val pipelineE2eOracle: String = {
+    val posList = graft.operators.Processors.PositiveWords.map(w => s"'$w'").mkString(",")
+    val negList = graft.operators.Processors.NegativeWords.map(w => s"'$w'").mkString(",")
+    s"""WITH chunks AS (
+       |  SELECT doc_id, CAST(0 AS INT) AS chunk_id, text AS content,
+       |    CAST(len(${sqlToks("text")}) AS INT) AS token_count
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |scored AS (
+       |  SELECT doc_id, chunk_id, content, token_count,
+       |    len(list_filter(${sqlToks("lower(content)")}, x -> list_contains([$posList], x))) AS p,
+       |    len(list_filter(${sqlToks("lower(content)")}, x -> list_contains([$negList], x))) AS n
+       |  FROM chunks)
+       |SELECT doc_id, chunk_id, token_count,
+       |  array_to_string((${sqlToks("content")})[1:100], ' ') AS summary,
+       |  CASE WHEN p + n = 0 THEN 'Unknown'
+       |       WHEN p > n THEN 'Positive'
+       |       WHEN n > p THEN 'Negative'
+       |       ELSE 'Neutral' END AS sentiment
+       |FROM scored ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -4797,6 +4874,41 @@ object SparkEntry {
         |GROUP BY 1, tot.n_bins, tot.t_new
         |ORDER BY 1""".stripMargin,
 
+    // stream-batch parity: streaming bounded-state dedup of the
+    // redelivery-injected corpus must return exactly the original
+    // unique-keyed events table
+    "x_stream_dedup" ->
+      """SELECT event_id, user_id, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // stream-batch parity: the incrementally-MERGEd CDC snapshot must
+    // equal the batch last-writer-wins application — same changelog
+    // CTEs as d_cdc_apply, snapshot content only (the streamed
+    // snapshot carries no origin column)
+    "x_stream_cdc" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |ch AS (
+        |  SELECT doc_id, doc_id * 10 AS seq, 'U' AS op,
+        |    text || ' v1' AS text FROM base WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, doc_id * 10 + 1, 'U', text || ' v2'
+        |    FROM base WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, doc_id * 10 + 2, 'D', ''
+        |    FROM base WHERE doc_id % 11 = 0
+        |  UNION ALL SELECT doc_id + 500000000, doc_id * 10 + 3, 'I',
+        |    'inserted ' || CAST(doc_id AS VARCHAR)
+        |    FROM base WHERE doc_id % 13 = 0),
+        |last AS (
+        |  SELECT doc_id, op, text FROM (
+        |    SELECT doc_id, op, text, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY seq DESC, op DESC, text DESC) AS rk
+        |    FROM ch) WHERE rk = 1),
+        |merged AS (
+        |  SELECT b.doc_id, b.text FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM last l WHERE l.doc_id = b.doc_id)
+        |  UNION ALL SELECT doc_id, text FROM last WHERE op <> 'D')
+        |SELECT doc_id, sha256(text) AS digest
+        |FROM merged ORDER BY doc_id""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
@@ -5241,30 +5353,29 @@ object SparkEntry {
          |FROM documents WHERE length(trim(text)) > 0
          |ORDER BY doc_id, chunk_id""".stripMargin,
 
-    "i_pipeline_e2e" -> {
-      // canonical pipeline at default options (maxTokens=2000): every
-      // document is one chunk (text verbatim), then the summary and
-      // sentiment enrichers run over chunk content with their default
-      // vocabularies
-      val posList = graft.operators.Processors.PositiveWords.map(w => s"'$w'").mkString(",")
-      val negList = graft.operators.Processors.NegativeWords.map(w => s"'$w'").mkString(",")
-      s"""WITH chunks AS (
-         |  SELECT doc_id, CAST(0 AS INT) AS chunk_id, text AS content,
-         |    CAST(len(${sqlToks("text")}) AS INT) AS token_count
-         |  FROM documents WHERE length(trim(text)) > 0),
-         |scored AS (
-         |  SELECT doc_id, chunk_id, content, token_count,
-         |    len(list_filter(${sqlToks("lower(content)")}, x -> list_contains([$posList], x))) AS p,
-         |    len(list_filter(${sqlToks("lower(content)")}, x -> list_contains([$negList], x))) AS n
-         |  FROM chunks)
-         |SELECT doc_id, chunk_id, token_count,
-         |  array_to_string((${sqlToks("content")})[1:100], ' ') AS summary,
-         |  CASE WHEN p + n = 0 THEN 'Unknown'
-         |       WHEN p > n THEN 'Positive'
-         |       WHEN n > p THEN 'Negative'
-         |       ELSE 'Neutral' END AS sentiment
-         |FROM scored ORDER BY doc_id, chunk_id""".stripMargin
-    },
+    // canonical pipeline at default options (maxTokens=2000): every
+    // document is one chunk (text verbatim), then the summary and
+    // sentiment enrichers run over chunk content with their default
+    // vocabularies
+    "i_pipeline_e2e" -> pipelineE2eOracle,
+
+    // stream-batch parity: the STREAMING pipeline execution must
+    // satisfy the identical SQL the batch pipeline passes
+    "x_stream_ingest" -> pipelineE2eOracle,
+
+    // stream-batch parity: the streaming interval self-join's emitted
+    // pair set vs the batch interval join (truncated-second event
+    // times on both sides, the events-family convention)
+    "x_stream_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 1000000 AS sec FROM events)
+        |SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+        |  a.user_id, a.sec AS view_sec, b.sec AS purchase_sec
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.sec >= a.sec AND b.sec <= a.sec + 3600
+        |WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+        |ORDER BY view_id, purchase_id""".stripMargin,
 
     // coalesce: DuckDB array_to_string([]) is NULL where Spark
     // array_join(empty) is '' — zero-hit documents (sf1 has 348 of

@@ -74,6 +74,22 @@ object StreamBatchParity {
     } finally deleteRecursively(staging)
   }
 
+  /** [[stageFile]] for a json-source stream (the ingest stream's
+    * wire format): one json file named `name`, given mtime. */
+  private def stageJsonFile(df: DataFrame, dir: Path, name: String,
+                            mtimeMs: Long): Unit = {
+    val staging = Files.createTempDirectory("graft-parity-stage")
+    try {
+      df.coalesce(1).write.mode("overwrite").json(staging.toString)
+      val part = Files.list(staging).filter(_.getFileName.toString.endsWith(".json"))
+        .findFirst().orElseThrow(() => new IllegalStateException("no json part written"))
+      val target = dir.resolve(name)
+      Files.move(part, target)
+      Files.setLastModifiedTime(target, FileTime.fromMillis(mtimeMs))
+      ()
+    } finally deleteRecursively(staging)
+  }
+
   /** Stage corpus+sentinels as ordered micro-batch files, start the
     * query `mkQuery(stream, outDir, ckptDir)` builds, drain it, and
     * return the sink's contents pinned via localCheckpoint so the
@@ -213,6 +229,174 @@ object StreamBatchParity {
     * callback, not just the watermarked window state. `events` must
     * carry (event_type: string, sec: long epoch seconds).
     */
+  /** Streaming dedup of an at-least-once event feed, returned in
+    * exact-dedup shape (event_id, user_id, event_type):
+    * [[StreamingIngest.dedupStream]] over the corpus plus INJECTED
+    * re-deliveries — an exact same-timestamp copy for ids ≡0 (mod 3)
+    * and a 60-second-later redelivery for ids ≡0 (mod 5), the two
+    * shapes an at-least-once source actually produces. Both are
+    * provably dropped whatever the batch boundaries: a redelivery's
+    * previous-batch max event time can exceed the first arrival by at
+    * most one 60 s redelivery lag (time-ordered slices), far under
+    * the 2×30 min watermark-delay bound state eviction needs — so the
+    * streaming answer is exactly the original (unique-keyed) corpus,
+    * and the oracle is a plain scan of it. Dedup state is one row per
+    * key inside the delay window — arrival rate × delay, never stream
+    * length. `events` must carry (event_id, user_id: long,
+    * event_type: string, sec: long epoch seconds).
+    */
+  def dedupParity(spark: SparkSession, events: DataFrame): DataFrame = {
+    val original = events.select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      col("event_type").cast("string").as("event_type"),
+      timestamp_seconds(col("sec")).as("ts"))
+    val corpus = original
+      .unionByName(original.where(col("event_id") % 3 === 0))
+      .unionByName(original.where(col("event_id") % 5 === 0)
+        .withColumn("ts", timestamp_seconds(unix_seconds(col("ts")) + 60)))
+    val (minSec, maxSec) = timeBounds(corpus)
+    val s1 = maxSec + SentinelGapSec
+    val sentinels = spark.range(1)
+      .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        lit("\u0000sentinel").as("event_type"),
+        timestamp_seconds(lit(s1)).as("ts"))
+    val deduped = runStream(spark, corpus, sentinels, minSec, maxSec,
+      st => StreamingIngest.dedupStream(st, Seq("event_id"),
+        tsCol = "ts", watermarkDelay = "30 minutes"))
+    // ts stays out of the result: which arrival survives a same-batch
+    // race is engine-internal, but its key attributes are identical
+    deduped.where(col("event_id") >= 0)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Streaming execution of the INGESTION PIPELINE itself — the
+    * reference's own shape (its pipeline is an async stream over
+    * documents): the documents corpus staged as id-range json
+    * micro-batch files, run through [[StreamingIngest.chunkStream]]
+    * (reader → chunker → enrichers, one micro-batch per file) into an
+    * append parquet sink, and the chunk rows returned so the driver
+    * hash-gates them against the SAME batch SQL i_pipeline_e2e
+    * passes. The pipeline is stateless per document, so parity here
+    * is pure plumbing-correctness: schema through the json hop,
+    * checkpointed exactly-once sink, per-batch chunker/enricher
+    * execution. `documents` must carry the documentSchema columns
+    * (doc_id, text, lang, source).
+    */
+  def ingestParity(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val work = Files.createTempDirectory("graft-parity-ingest")
+    val in = Files.createDirectory(work.resolve("in"))
+    try {
+      val docs = documents.select(col("doc_id").cast("long"),
+        col("text").cast("string"), col("lang").cast("string"),
+        col("source").cast("string"))
+      val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+      val range = hi0 - lo0 + 1
+      val t0 = System.currentTimeMillis()
+      for (i <- 0 until DataBatches) {
+        val lo = lo0 + range * i / DataBatches
+        val hi = lo0 + range * (i + 1) / DataBatches
+        val slice =
+          if (i == DataBatches - 1) docs.where(col("doc_id") >= lo)
+          else docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+        stageJsonFile(slice, in, f"$i%03d-docs.json", t0 + i * 60000L)
+      }
+      val chunks = StreamingIngest.chunkStream(spark, in.toString,
+        maxFilesPerTrigger = 1)
+      chunks.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .option("path", work.resolve("out").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .start().awaitTermination()
+      spark.read.parquet(work.resolve("out").toString).localCheckpoint(true)
+    } finally deleteRecursively(work)
+  }
+
+  /** Stream-stream interval join parity, in the view→purchase
+    * attribution shape: left = 'view' events, right = 'purchase'
+    * events of the same user within one hour, both sides derived
+    * from ONE staged corpus stream (a streaming self-join).
+    * [[StreamingIngest.streamStreamJoin]] emits matches eagerly as
+    * the later side arrives; state eviction only discards a buffered
+    * row once the watermark proves no future match can exist, and the
+    * time-ordered slices prove nothing arrives late — so the emitted
+    * pair set is exactly the batch interval join, which is the oracle.
+    * Join state is bounded by arrival rate × (interval + delay),
+    * never stream length. `events` must carry (event_id, user_id:
+    * long, event_type: string, sec: long epoch seconds).
+    */
+  def joinParity(spark: SparkSession, events: DataFrame): DataFrame = {
+    val corpus = events.select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      col("event_type").cast("string").as("event_type"),
+      timestamp_seconds(col("sec")).as("ts"))
+    val (minSec, maxSec) = timeBounds(corpus)
+    val s1 = maxSec + SentinelGapSec
+    val sentinels = spark.range(1)
+      .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        lit("\u0000sentinel").as("event_type"),
+        timestamp_seconds(lit(s1)).as("ts"))
+    val pairs = runStream(spark, corpus, sentinels, minSec, maxSec,
+      st => StreamingIngest.streamStreamJoin(
+        st.where(col("event_type") === "view").drop("event_type"),
+        st.where(col("event_type") === "purchase").drop("event_type"),
+        "user_id", within = "1 hour", watermark = "30 minutes"))
+    pairs.select(col("event_id").as("view_id"),
+        col("r_event_id").as("purchase_id"), col("user_id"),
+        unix_seconds(col("ts")).as("view_sec"),
+        unix_seconds(col("r_ts")).as("purchase_sec"))
+      .orderBy(col("view_id"), col("purchase_id"))
+  }
+
+  /** Streaming CDC apply: the changelog staged as seq-range micro-
+    * batches (the replayable, seq-ordered source the CDC contract
+    * assumes), MERGEd incrementally into a parquet snapshot by
+    * [[StreamingIngest.cdcStream]]'s foreachBatch, and the FINAL
+    * snapshot returned — so the driver oracle hash-compares an
+    * incremental sequence of copy-on-write merges against the batch
+    * last-writer-wins SQL. Ops for one doc may straddle batch
+    * boundaries (seq-range slicing cuts mid-doc); cross-batch
+    * last-writer-wins must still converge to the same snapshot, which
+    * is exactly the invariant a lakehouse MERGE pipeline relies on.
+    * `base` must carry (doc_id: long, text: string); `changes`
+    * (doc_id, seq: long, op: I/U/D, text).
+    */
+  def cdcParity(spark: SparkSession, base: DataFrame,
+                changes: DataFrame): DataFrame = {
+    val work = Files.createTempDirectory("graft-parity-cdc")
+    val in = Files.createDirectory(work.resolve("in"))
+    val snap = work.resolve("snap").toString
+    try {
+      base.select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(snap)
+      val b = changes.agg(min(col("seq")), max(col("seq"))).head()
+      val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+      val range = hi0 - lo0 + 1
+      val t0 = System.currentTimeMillis()
+      for (i <- 0 until DataBatches) {
+        val lo = lo0 + range * i / DataBatches
+        val hi = lo0 + range * (i + 1) / DataBatches
+        val slice =
+          if (i == DataBatches - 1) changes.where(col("seq") >= lo)
+          else changes.where(col("seq") >= lo && col("seq") < hi)
+        stageFile(slice, in, f"$i%03d-changes.parquet", t0 + i * 60000L)
+      }
+      val stream = spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+      // AvailableNow honors maxFilesPerTrigger, so the drain is a real
+      // multi-batch incremental run, then the query stops itself
+      StreamingIngest.cdcStream(stream, snap,
+        work.resolve("ckpt").toString).start().awaitTermination()
+      spark.read.parquet(snap).localCheckpoint(true)
+    } finally deleteRecursively(work)
+  }
+
   def driftMonitorParity(spark: SparkSession, events: DataFrame): DataFrame = {
     val corpus = events
       .select(col("event_type").cast("string").as("event_type"),
