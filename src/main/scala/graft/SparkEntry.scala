@@ -3938,6 +3938,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x_stream_enrich" -> ((s, dir) => {
+      // STREAMING execution of stream-static enrichment: each event
+      // micro-batch map-side-joins a broadcast per-user profile
+      // dimension (derived batch-side from the same corpus), and the
+      // enriched row set is hash-gated against the batch join SQL —
+      // the standard metadata-attach path for an event stream
+      graft.streaming.StreamBatchParity.enrichParity(
+        s, events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("sec")))
+    }),
+
     "x_stream_ingest" -> ((s, dir) => {
       // STREAMING execution of the ingestion pipeline itself — the
       // reference's own shape (IngestionPipeline.cs is an async
@@ -5358,6 +5369,21 @@ object SparkEntry {
     // sentiment enrichers run over chunk content with their default
     // vocabularies
     "i_pipeline_e2e" -> pipelineE2eOracle,
+
+    // stream-batch parity: per-micro-batch broadcast dimension attach
+    // vs the batch join (dimension = per-user profile from the corpus)
+    "x_stream_enrich" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_us(ts) // 1000000 AS sec FROM events),
+        |d AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_total,
+        |    min(sec) AS first_seen_sec
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_id, e.user_id, e.event_type,
+        |  d.n_total, d.first_seen_sec
+        |FROM e JOIN d USING (user_id)
+        |ORDER BY e.event_id""".stripMargin,
 
     // stream-batch parity: the STREAMING pipeline execution must
     // satisfy the identical SQL the batch pipeline passes

@@ -353,6 +353,40 @@ object StreamBatchParity {
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
+  /** Stream-static enrichment parity: the events corpus streamed
+    * against a STATIC per-user profile dimension derived batch-side
+    * from the same corpus (n_total events, first-seen second), via
+    * [[StreamingIngest.streamStaticEnrich]] — the broadcast map-side
+    * join runs once per micro-batch, and the enriched row set must
+    * equal the batch join. Stateless, so parity proves the per-batch
+    * dimension attach path (re-read + broadcast each trigger), the
+    * standard way metadata reaches an event stream at any scale.
+    * `events` must carry (event_id, user_id: long, event_type:
+    * string, sec: long epoch seconds).
+    */
+  def enrichParity(spark: SparkSession, events: DataFrame): DataFrame = {
+    val corpus = events.select(
+      col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      col("event_type").cast("string").as("event_type"),
+      timestamp_seconds(col("sec")).as("ts"))
+    val dim = corpus.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_total"),
+      min(unix_seconds(col("ts"))).as("first_seen_sec"))
+    val (minSec, maxSec) = timeBounds(corpus)
+    val s1 = maxSec + SentinelGapSec
+    val sentinels = spark.range(1)
+      .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+        lit("\u0000sentinel").as("event_type"),
+        timestamp_seconds(lit(s1)).as("ts"))
+    val enriched = runStream(spark, corpus, sentinels, minSec, maxSec,
+      st => StreamingIngest.streamStaticEnrich(st, dim, "user_id"))
+    enriched.where(col("event_id") >= 0)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("n_total"), col("first_seen_sec"))
+      .orderBy(col("event_id"))
+  }
+
   /** Streaming CDC apply: the changelog staged as seq-range micro-
     * batches (the replayable, seq-ordered source the CDC contract
     * assumes), MERGEd incrementally into a parquet snapshot by
