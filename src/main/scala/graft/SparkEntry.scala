@@ -218,7 +218,11 @@ object SparkEntry {
     * composes with [[ngramPairsCte]] in the same WITH chain). Twin of
     * Dedup.minhashLshPairs(n=3, k=16, rowsPerBand=4, threshold=0.8).
     */
-  private lazy val minhashPairsCte: String = {
+  /** The minhash derivation chain (toks → shingle hashes → signatures
+    * → banded keys) over CTE `source` with name prefix `p` — shared by
+    * the self-join dedup oracles and the persisted-index probe oracle,
+    * which runs the chain over two corpora. */
+  private def minhashBandedCtes(p: String, source: String): String = {
     val k = 16; val rpb = 4
     val sigParts = (0 until k).map { i =>
       val a = 2L * i + 1
@@ -228,15 +232,19 @@ object SparkEntry {
     val bandKeys = (0 until k / rpb).map { band =>
       s"list_reduce(list_concat([CAST($band AS BIGINT)], sig[${band * rpb + 1}:${band * rpb + rpb}]), (acc, x) -> (acc * 31 + x) % 1000000007)"
     }.mkString(", ")
-    s"""mh_toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM corpus),
-       |mh_sh AS (
+    s"""${p}toks AS (SELECT doc_id, ${sqlToks("text")} AS t FROM $source),
+       |${p}sh AS (
        |  SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [${sqlHash("array_to_string(t, ' ')")}]
        |    ELSE list_transform(range(0, len(t) - 2),
        |         i -> ${sqlHash("array_to_string(t[i+1:i+3], ' ')")}) END) AS hashes
-       |  FROM mh_toks WHERE len(t) > 0),
-       |mh_sigs AS (SELECT doc_id, hashes, [$sigParts] AS sig FROM mh_sh WHERE len(hashes) > 0),
-       |mh_banded AS (SELECT doc_id, hashes, unnest([$bandKeys]) AS key,
-       |           unnest(range(0, ${k / rpb})) AS band FROM mh_sigs),
+       |  FROM ${p}toks WHERE len(t) > 0),
+       |${p}sigs AS (SELECT doc_id, hashes, [$sigParts] AS sig FROM ${p}sh WHERE len(hashes) > 0),
+       |${p}banded AS (SELECT doc_id, hashes, unnest([$bandKeys]) AS key,
+       |           unnest(range(0, ${k / rpb})) AS band FROM ${p}sigs)""".stripMargin
+  }
+
+  private lazy val minhashPairsCte: String = {
+    s"""${minhashBandedCtes("mh_", "corpus")},
        |mh_cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM mh_banded x JOIN mh_banded y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
@@ -3013,6 +3021,31 @@ object SparkEntry {
         .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
       Dedup.incrementalNgramPairs(docs, delta, n = 3, threshold = 0.8)
         .orderBy(col("a"), col("b"))
+    }),
+
+    "d_dedup_index" -> ((s, dir) => {
+      // persisted-LSH-index probe: the corpus's band keys + shingle
+      // signatures are built ONCE into a scratch index (one text
+      // pass), then the delta (every 10th doc re-arriving at +5e8)
+      // dedups purely against stored index rows — corpus text is
+      // never read during the probe, the property that makes
+      // incremental dedup O(delta + index) instead of O(corpus text)
+      // at 100 TB. Same (a,b,inter,na,nb) contract as d_dedup_minhash;
+      // the oracle replays build + probe from both corpora in SQL.
+      val docs = tbl(s, dir, "documents")
+      val delta = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
+      val idx = java.nio.file.Files.createTempDirectory("graft-dedup-index")
+      try {
+        Dedup.writeDedupIndex(docs, idx.toString)
+        Dedup.probeDedupIndex(s, idx.toString, delta)
+          .orderBy(col("a"), col("b"))
+          .localCheckpoint(true) // pin before the scratch index deletes
+      } finally {
+        java.nio.file.Files.walk(idx)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      }
     }),
 
     "d_snapshot_diff" -> ((s, dir) => {
@@ -6730,6 +6763,40 @@ object SparkEntry {
       s"""WITH corpus AS ($corpusWithDupsSql),
          |$minhashPairsCte
          |SELECT a, b, inter, na, nb FROM mh_pairs
+         |ORDER BY a, b""".stripMargin,
+
+    // persisted-index probe replay: the same minhash chain runs over
+    // the store and the delta separately; candidates are store↔delta
+    // and delta↔delta band-key collisions, verified by exact shingle
+    // intersection — byte-for-byte the contract probeDedupIndex
+    // computes from stored rows
+    "d_dedup_index" ->
+      s"""WITH store AS (SELECT doc_id, text FROM documents),
+         |delta AS (
+         |  SELECT doc_id + 500000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 10 = 0),
+         |${minhashBandedCtes("s_", "store")},
+         |${minhashBandedCtes("d_", "delta")},
+         |cand AS (
+         |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS a,
+         |    greatest(x.doc_id, y.doc_id) AS b
+         |  FROM s_banded x JOIN d_banded y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id <> y.doc_id
+         |  UNION
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM d_banded x JOIN d_banded y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |sigs AS (
+         |  SELECT doc_id, hashes FROM s_sigs
+         |  UNION ALL SELECT doc_id, hashes FROM d_sigs),
+         |verified AS (
+         |  SELECT a, b,
+         |    len(list_intersect(sa.hashes, sb.hashes)) AS inter,
+         |    len(sa.hashes) AS na, len(sb.hashes) AS nb
+         |  FROM cand JOIN sigs sa ON sa.doc_id = a
+         |    JOIN sigs sb ON sb.doc_id = b)
+         |SELECT a, b, inter, na, nb FROM verified
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
          |ORDER BY a, b""".stripMargin,
 
     // method-calibration replay: both production pipelines re-derived

@@ -774,4 +774,117 @@ object Dedup {
       .agg(count(lit(1)).as("n_chunks"), sum(col("dup")).as("n_dup"),
         sum(col("dup") * col("len")).as("dup_tokens"))
   }
+
+  // ------------------------------------------------------------------
+  // Persisted MinHash-LSH dedup index — the dedup-side twin of the
+  // persisted IVF index (Similarity.writeIvfIndex): shingles and band
+  // keys are computed ONCE per document and stored columnar, so
+  // deduplicating a delta batch against a 100 TB corpus probes fixed-
+  // width index rows instead of re-reading and re-shingling corpus
+  // text (incrementalNgramPairs' remaining scale cost). Layout:
+  //   <path>/bands       (key, doc_id) partitioned by band, files
+  //                      sorted by key → parquet row-group min/max
+  //                      stats skip non-matching buckets at scan time
+  //   <path>/signatures  (doc_id, sh: array<bigint>) the distinct
+  //                      shingle-hash sets — fixed-width longs (~half
+  //                      the text bytes), enough for EXACT Jaccard
+  //                      verification without touching text again
+  // ------------------------------------------------------------------
+
+  /** Index-side (doc_id, sh, bands) rows — identical derivation to
+    * [[minhashLshPairs]], so a probe against the store reproduces the
+    * batch pipeline's candidates exactly. */
+  private def indexRows(documents: DataFrame, n: Int, k: Int,
+                        rowsPerBand: Int): DataFrame =
+    documents
+      .where(col("text").rlike("\\S"))
+      .select(col("doc_id"),
+        TextFunctions.shingleHashes(col("text"), n).as("sh"))
+      .withColumn("bands", TextFunctions.lshBandKeys(
+        TextFunctions.minHashSignature(col("sh"), k), k, rowsPerBand))
+
+  /** Build the persisted index at `path`. One pass over the corpus
+    * text, then the text is never needed again: probes and appends
+    * touch only hashed longs. */
+  def writeDedupIndex(documents: DataFrame, path: String, n: Int = 3,
+                      k: Int = 16, rowsPerBand: Int = 4): Unit = {
+    val rows = indexRows(documents, n, k, rowsPerBand)
+      .localCheckpoint(true) // two writes below share one signature pass
+    rows.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "key")))
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band"), col("key"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    rows.select(col("doc_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$path/signatures")
+    rows.unpersist()
+  }
+
+  /** APPEND new documents to a persisted index. Append-only contract:
+    * doc_ids must be new (a changed document is a new id or a rebuild
+    * — the CDC snapshot path owns replacement); every pre-existing
+    * file stays byte-identical, because new band rows and signatures
+    * land in fresh files inside the same partitions. Append cost is
+    * O(batch), never O(index).
+    */
+  def appendToDedupIndex(spark: SparkSession, path: String,
+                         newDocuments: DataFrame, n: Int = 3, k: Int = 16,
+                         rowsPerBand: Int = 4): Unit = {
+    val rows = indexRows(newDocuments, n, k, rowsPerBand)
+      .localCheckpoint(true)
+    rows.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "key")))
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band"), col("key"))
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+    rows.select(col("doc_id"), col("sh"))
+      .write.mode("append").parquet(s"$path/signatures")
+    rows.unpersist()
+  }
+
+  /** Probe the index with a delta batch: near-duplicate pairs between
+    * delta and store (plus within the delta itself), verified by
+    * EXACT shingle Jaccard — the same (a, b, inter, na, nb) contract
+    * as [[minhashLshPairs]], computed without reading any corpus
+    * text. Candidate generation joins the delta's banded keys against
+    * the stored band rows (ids + 2 longs on the exchange, key-sorted
+    * files so row-group stats prune non-matching buckets); the verify
+    * leg fetches stored signatures for CANDIDATE ids only
+    * (pairs-bounded semi-join, AQE broadcasts the pair side).
+    */
+  def probeDedupIndex(spark: SparkSession, path: String, delta: DataFrame,
+                      n: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+                      threshold: Double = 0.8): DataFrame = {
+    val deltaRows = indexRows(delta, n, k, rowsPerBand)
+      .localCheckpoint(true) // banded probe + delta-side verify share it
+    val deltaBanded = deltaRows.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "key")))
+    val storeBanded = spark.read.parquet(s"$path/bands")
+      .select(col("band"), col("key"), col("doc_id"))
+    // store↔delta candidates plus delta-internal candidates (x < y so
+    // a pair appears once and self-pairs drop); a store doc never
+    // pairs with another store doc — that dedup already ran at build
+    val storeDelta = storeBanded.select(col("band"), col("key"), col("doc_id").as("x"))
+      .join(deltaBanded.select(col("band"), col("key"), col("doc_id").as("y")),
+        Seq("band", "key"))
+      .where(col("x") =!= col("y"))
+    val deltaDelta = deltaBanded.select(col("band"), col("key"), col("doc_id").as("x"))
+      .join(deltaBanded.select(col("band"), col("key"), col("doc_id").as("y")),
+        Seq("band", "key"))
+      .where(col("x") < col("y"))
+    val candidates = storeDelta.unionByName(deltaDelta)
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val sigs = spark.read.parquet(s"$path/signatures")
+      .unionByName(deltaRows.select(col("doc_id"), col("sh")))
+    candidates
+      .join(sigs.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sha"), col("shb"))).as("inter"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .where(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= threshold)
+  }
 }
