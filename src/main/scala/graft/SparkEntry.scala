@@ -302,10 +302,15 @@ object SparkEntry {
     * histogram, dim 16, L2-normalized, float-exact: integer counts,
     * double norm, round-to-nearest float cast).
     */
-  private lazy val vectorRecordsCte: String = {
+  private lazy val vectorRecordsCte: String = vectorRecordsCtes("documents")
+
+  /** The vector-record derivation chain over `source` — shared by the
+    * batch store oracles and the streaming-upsert parity oracle, which
+    * runs it over a revised corpus. */
+  private def vectorRecordsCtes(source: String): String = {
     val step = 48; val maxT = 64
     s"""toks AS (
-       |  SELECT doc_id, ${sqlToks("text")} AS t FROM documents),
+       |  SELECT doc_id, ${sqlToks("text")} AS t FROM $source),
        |n AS (SELECT doc_id, t, len(t) AS n FROM toks),
        |chunks AS (
        |  SELECT doc_id, CAST(u.i AS INT) AS chunk_id,
@@ -3982,6 +3987,20 @@ object SparkEntry {
           col("event_type"), col("sec")))
     }),
 
+    "x_stream_upsert" -> ((s, dir) => {
+      // STREAMING execution of incremental (upsert) vector-store
+      // ingestion: corpus micro-batches then a re-ingestion batch of
+      // revised docs; the dynamic-partition-overwrite writer must
+      // REPLACE the revised documents' records, so the final store
+      // hash-equals the batch writer's output over the revised corpus
+      graft.streaming.StreamBatchParity.upsertWriterParity(
+        s, tbl(s, dir, "documents"))
+        .select(col("key"), col("content"), col("context"), col("documentid"),
+          posexplode(col("embedding")).as(Seq("dim", "val")))
+        .withColumn("val", col("val").cast("double"))
+        .orderBy(col("documentid").cast("long"), col("key"), col("dim"))
+    }),
+
     "x_stream_ingest" -> ((s, dir) => {
       // STREAMING execution of the ingestion pipeline itself — the
       // reference's own shape (IngestionPipeline.cs is an async
@@ -5421,6 +5440,21 @@ object SparkEntry {
     // stream-batch parity: the STREAMING pipeline execution must
     // satisfy the identical SQL the batch pipeline passes
     "x_stream_ingest" -> pipelineE2eOracle,
+
+    // stream-batch parity: after the re-ingestion micro-batch, the
+    // incrementally-written store must equal the batch vector records
+    // over the REVISED corpus — replace-by-documentid, not append
+    "x_stream_upsert" ->
+      s"""WITH revised AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 0 THEN text || ' rev2' ELSE text END AS text
+         |  FROM documents),
+         |${vectorRecordsCtes("revised")}
+         |SELECT key, content, context, documentid,
+         |  CAST(r.range - 1 AS INT) AS dim,
+         |  CAST(embedding[CAST(r.range AS INT)] AS DOUBLE) AS val
+         |FROM vr CROSS JOIN range(1, 17) r
+         |ORDER BY CAST(documentid AS BIGINT), key, dim""".stripMargin,
 
     // stream-batch parity: the streaming interval self-join's emitted
     // pair set vs the batch interval join (truncated-second event

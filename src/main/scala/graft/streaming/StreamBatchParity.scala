@@ -316,6 +316,58 @@ object StreamBatchParity {
     } finally deleteRecursively(work)
   }
 
+  /** Streaming UPSERT-writer parity — the reference's incremental
+    * ingestion under streaming execution: the corpus staged as four
+    * id-range json micro-batches, then a FIFTH batch re-ingesting
+    * revised copies of every 10th document (text + " rev2");
+    * [[StreamingIngest.incrementalWriter]] runs the vector-store
+    * writer's dynamic-partition-overwrite per micro-batch, so the
+    * revised documents must REPLACE their previous records and the
+    * final store must equal the batch writer's output over the
+    * revised corpus — which is exactly what the driver's SQL oracle
+    * computes. Proves replace-by-documentid semantics survive
+    * incremental execution, checkpointing, and the copy-on-write
+    * bucket rewrite. `documents` must carry the documentSchema
+    * columns.
+    */
+  def upsertWriterParity(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import graft.operators.{ChunkerOptions, Chunkers}
+    val work = Files.createTempDirectory("graft-parity-upsert")
+    val in = Files.createDirectory(work.resolve("in"))
+    try {
+      val docs = documents.select(col("doc_id").cast("long"),
+        col("text").cast("string"), col("lang").cast("string"),
+        col("source").cast("string"))
+      val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+      val range = hi0 - lo0 + 1
+      val t0 = System.currentTimeMillis()
+      for (i <- 0 until DataBatches) {
+        val lo = lo0 + range * i / DataBatches
+        val hi = lo0 + range * (i + 1) / DataBatches
+        val slice =
+          if (i == DataBatches - 1) docs.where(col("doc_id") >= lo)
+          else docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+        stageJsonFile(slice, in, f"$i%03d-docs.json", t0 + i * 60000L)
+      }
+      // the re-ingestion batch: revised copies under the SAME ids —
+      // the incremental writer must replace, not append
+      val revised = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(col("text"), lit(" rev2")))
+      stageJsonFile(revised, in, "900-revised.json", t0 + 600000L)
+      val stream = spark.readStream.schema(StreamingIngest.documentSchema)
+        .option("maxFilesPerTrigger", 1)
+        .json(in.toString)
+      val chunks = Chunkers.tokenChunks(stream,
+          ChunkerOptions(maxTokens = 64, overlap = 16))
+        .withColumn("context", lit(""))
+      StreamingIngest.incrementalWriter(chunks,
+        work.resolve("out").toString, work.resolve("ckpt").toString,
+        dim = 16).start().awaitTermination()
+      spark.read.parquet(work.resolve("out").toString).localCheckpoint(true)
+    } finally deleteRecursively(work)
+  }
+
   /** Stream-stream interval join parity, in the view→purchase
     * attribution shape: left = 'view' events, right = 'purchase'
     * events of the same user within one hour, both sides derived
