@@ -859,7 +859,26 @@ object Dedup {
       .localCheckpoint(true) // banded probe + delta-side verify share it
     val deltaBanded = deltaRows.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "key")))
+    // per-band key bounds (≤ k/rowsPerBand rows — driver-bounded like
+    // any index metadata read) become an explicit pushed filter on the
+    // store scan: band is the partition column and key is the files'
+    // sort order, so partition pruning + parquet row-group min/max
+    // stats skip bucket ranges no delta key can touch — a JOIN alone
+    // would scan every band file in full
+    val bounds = deltaBanded.groupBy(col("band"))
+      .agg(min(col("key")).as("lo"), max(col("key")).as("hi")).collect()
+    if (bounds.isEmpty) {
+      // blank or empty delta: nothing can pair
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Int, Int, Int)]
+        .toDF("a", "b", "inter", "na", "nb")
+    }
+    val prune = bounds.map { r =>
+      col("band") === r.getInt(0) &&
+        col("key") >= r.getLong(1) && col("key") <= r.getLong(2)
+    }.reduce(_ || _)
     val storeBanded = spark.read.parquet(s"$path/bands")
+      .where(prune)
       .select(col("band"), col("key"), col("doc_id"))
     // store↔delta candidates plus delta-internal candidates (x < y so
     // a pair appears once and self-pairs drop); a store doc never

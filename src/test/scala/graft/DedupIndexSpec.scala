@@ -37,6 +37,14 @@ class DedupIndexSpec extends SparkSpecBase {
     assert(probe == full,
       s"probe-only: ${probe -- full}\nbatch-only: ${full -- probe}")
     assert(probe.nonEmpty) // the re-arrivals guarantee exact-dup pairs
+    // the per-band key bounds must reach the store scan as pushed
+    // filters (partition pruning on band + row-group stats on key) —
+    // the property that keeps probe IO sub-index at 100 TB
+    val plan = Dedup.probeDedupIndex(spark, dir, delta)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s+", " ").matches("(?s).*PushedFilters: \\[[^\\]]*key[^\\]]*\\].*"),
+      s"expected key bounds pushed into the bands scan:\n$plan")
   }
 
   test("appendToDedupIndex: pre-existing files byte-identical, probe equals full rebuild") {
