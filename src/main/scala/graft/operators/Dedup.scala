@@ -842,6 +842,29 @@ object Dedup {
     rows.unpersist()
   }
 
+  /** Compact the index — the OPTIMIZE step after many appends: each
+    * band partition's accumulated small files rewrite into key-sorted
+    * files (restoring the row-group-stat skipping writeDedupIndex
+    * guarantees), and the signature table coalesces likewise. Probe
+    * results are identical before and after (spec-asserted); cost is
+    * one pass over INDEX rows, never text. Run it on the lakehouse
+    * compaction cadence, not per append.
+    */
+  def compactDedupIndex(spark: SparkSession, path: String): Unit = {
+    val bands = spark.read.parquet(s"$path/bands")
+      .select(col("band"), col("key"), col("doc_id"))
+      .localCheckpoint(true) // materialize before overwriting its source
+    bands
+      .repartition(col("band"))
+      .sortWithinPartitions(col("band"), col("key"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    bands.unpersist()
+    val sigs = spark.read.parquet(s"$path/signatures")
+      .localCheckpoint(true)
+    sigs.write.mode("overwrite").parquet(s"$path/signatures")
+    sigs.unpersist()
+  }
+
   /** Probe the index with a delta batch: near-duplicate pairs between
     * delta and store (plus within the delta itself), verified by
     * EXACT shingle Jaccard — the same (a, b, inter, na, nb) contract

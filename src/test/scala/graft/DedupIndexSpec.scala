@@ -79,6 +79,29 @@ class DedupIndexSpec extends SparkSpecBase {
       pairSet(Dedup.probeDedupIndex(spark, rebuilt, delta)))
   }
 
+  test("compactDedupIndex: small files merge, probe results identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx-cmp").toString
+    val delta = docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Dedup.writeDedupIndex(docs.where(col("doc_id") % 4 === 0), dir)
+    // three appends → each band partition accumulates extra files
+    (1 to 3).foreach { m =>
+      Dedup.appendToDedupIndex(spark, dir, docs.where(col("doc_id") % 4 === m))
+    }
+    def nFiles(): Int = {
+      var n = 0
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach { p =>
+        if (p.toFile.isFile && p.toFile.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = pairSet(Dedup.probeDedupIndex(spark, dir, delta))
+    val filesBefore = nFiles()
+    Dedup.compactDedupIndex(spark, dir)
+    assert(nFiles() < filesBefore, s"compaction did not reduce $filesBefore files")
+    assert(pairSet(Dedup.probeDedupIndex(spark, dir, delta)) == before)
+  }
+
   test("probeDedupIndex: blank-text and empty deltas degrade cleanly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-didx-edge").toString
     Dedup.writeDedupIndex(docs.limit(50), dir)
