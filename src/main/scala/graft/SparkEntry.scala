@@ -243,6 +243,87 @@ object SparkEntry {
        |           unnest(range(0, ${k / rpb})) AS band FROM ${p}sigs)""".stripMargin
   }
 
+  /** x_stream_curate oracle: the four-batch index-backed admission
+    * sequence unrolled in SQL. Batch CTEs replicate curateParity's
+    * id-range staging (integer-division boundaries); per batch i,
+    * candidates come from the accumulated SURVIVORS' band rows (the
+    * index contents — rejected docs never index) plus the batch's own
+    * banded self-join, verified by exact shingle Jaccard ≥ 0.8; a
+    * batch doc drops when paired with any stored survivor or with a
+    * smaller-id doc of its own batch. Id-range staging makes every
+    * store id smaller than every later batch id, so the batch side of
+    * a cross pair is always the greater (`b`) — the unroll relies on
+    * that staging invariant.
+    */
+  private lazy val streamCurateSql: String = {
+    val nB = 4
+    def inter(sa: String, sb: String) = s"len(list_intersect($sa.hashes, $sb.hashes))"
+    def jac(sa: String, sb: String) =
+      s"CAST(${inter(sa, sb)} AS DOUBLE) / " +
+        s"(len($sa.hashes) + len($sb.hashes) - ${inter(sa, sb)}) >= 0.8"
+    val stats =
+      "stc AS (SELECT min(doc_id) AS lo0, max(doc_id) - min(doc_id) + 1 AS rng FROM corpus)"
+    val batches = (0 until nB).map { i =>
+      val lo = s"(SELECT lo0 + (rng * $i) // $nB FROM stc)"
+      val hi = s"(SELECT lo0 + (rng * ${i + 1}) // $nB FROM stc)"
+      val cond = if (i == nB - 1) s"doc_id >= $lo"
+        else s"doc_id >= $lo AND doc_id < $hi"
+      s"b$i AS (SELECT doc_id, text FROM corpus WHERE $cond)"
+    }
+    val banded = (0 until nB).map(i => minhashBandedCtes(s"c${i}_", s"b$i"))
+    val seed =
+      s"""dd0 AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM c0_banded x
+         |  JOIN c0_banded y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |drop0 AS (
+         |  SELECT DISTINCT b AS doc_id FROM dd0
+         |  JOIN c0_sigs sa ON sa.doc_id = dd0.a
+         |  JOIN c0_sigs sb ON sb.doc_id = dd0.b
+         |  WHERE ${jac("sa", "sb")}),
+         |s0 AS (SELECT doc_id FROM b0
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drop0))""".stripMargin
+    val steps = (1 until nB).map { i =>
+      val storeBanded = (0 until i).map(j =>
+        s"SELECT doc_id, band, key FROM c${j}_banded WHERE doc_id IN (SELECT doc_id FROM s$j)")
+        .mkString("\n  UNION ALL ")
+      val sigs = (0 to i).map(j => s"SELECT doc_id, hashes FROM c${j}_sigs")
+        .mkString("\n  UNION ALL ")
+      s"""stb$i AS (
+         |  $storeBanded),
+         |sg$i AS (
+         |  $sigs),
+         |cr$i AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM stb$i x
+         |  JOIN c${i}_banded y ON x.band = y.band AND x.key = y.key),
+         |dd$i AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM c${i}_banded x
+         |  JOIN c${i}_banded y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |drop$i AS (
+         |  SELECT DISTINCT b AS doc_id FROM cr$i
+         |  JOIN sg$i sa ON sa.doc_id = cr$i.a
+         |  JOIN sg$i sb ON sb.doc_id = cr$i.b
+         |  WHERE ${jac("sa", "sb")}
+         |  UNION
+         |  SELECT DISTINCT b AS doc_id FROM dd$i
+         |  JOIN sg$i sa ON sa.doc_id = dd$i.a
+         |  JOIN sg$i sb ON sb.doc_id = dd$i.b
+         |  WHERE ${jac("sa", "sb")}),
+         |s$i AS (SELECT doc_id FROM b$i
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drop$i))""".stripMargin
+    }
+    val accepts = (0 until nB)
+      .map(i => s"SELECT doc_id, $i AS batch FROM s$i").mkString("\n  UNION ALL ")
+    s"""WITH corpus AS ($corpusWithDupsSql),
+       |$stats,
+       |${batches.mkString(",\n")},
+       |${banded.mkString(",\n")},
+       |$seed,
+       |${steps.mkString(",\n")}
+       |SELECT doc_id, CAST(batch AS INTEGER) AS batch FROM (
+       |  $accepts)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val minhashPairsCte: String = {
     s"""${minhashBandedCtes("mh_", "corpus")},
        |mh_cand AS (
@@ -4027,6 +4108,22 @@ object SparkEntry {
           col("event_type"), col("sec")))
     }),
 
+    "x_stream_curate" -> ((s, dir) => {
+      // STREAMING index-backed curation — the continuous-crawl
+      // admission loop: the dup-injected corpus staged as four
+      // id-range micro-batches (the originals, an empty gap slice,
+      // then the exact copies at +1e8 and the near copies at +2e8,
+      // so rejections happen CROSS-batch against the persisted LSH
+      // index, not within one probe); each foreachBatch probes the
+      // index vs everything accepted so far, drops matched docs, and
+      // appends only survivors; the final accept set is hash-gated
+      // against the same admission sequence unrolled in SQL —
+      // proving the index build/append/probe lifecycle composes with
+      // checkpointed streaming to the exact batch-sequential answer
+      graft.streaming.StreamBatchParity.curateParity(
+        s, corpusWithDups(tbl(s, dir, "documents")))
+    }),
+
     // ---------------------------------------------- multimodal
     "m_binary_dedup" -> ((s, dir) => {
       // exact binary dedup over media bytes (CDN copies / mirrored
@@ -5469,6 +5566,10 @@ object SparkEntry {
         |  AND b.sec >= a.sec AND b.sec <= a.sec + 3600
         |WHERE a.event_type = 'view' AND b.event_type = 'purchase'
         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    // stream-batch parity: the streaming curation loop's accept set
+    // vs the four-batch admission sequence unrolled in SQL
+    "x_stream_curate" -> streamCurateSql,
 
     // coalesce: DuckDB array_to_string([]) is NULL where Spark
     // array_join(empty) is '' — zero-hit documents (sf1 has 348 of

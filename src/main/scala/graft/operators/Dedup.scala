@@ -794,8 +794,14 @@ object Dedup {
   /** Index-side (doc_id, sh, bands) rows — identical derivation to
     * [[minhashLshPairs]], so a probe against the store reproduces the
     * batch pipeline's candidates exactly. */
-  private def indexRows(documents: DataFrame, n: Int, k: Int,
-                        rowsPerBand: Int): DataFrame =
+  /** Hashed signature+band rows for `documents` — the persisted
+    * index's unit of storage and the probe's unit of work.
+    * private[graft] so the streaming curation loop can compute a
+    * batch's rows ONCE and share them between probe and append: the
+    * batch text is scanned and shingled a single time, which at
+    * continuous-ingestion scale halves the curation path's CPU. */
+  private[graft] def indexRows(documents: DataFrame, n: Int = 3, k: Int = 16,
+                               rowsPerBand: Int = 4): DataFrame =
     documents
       .where(col("text").rlike("\\S"))
       .select(col("doc_id"),
@@ -810,15 +816,31 @@ object Dedup {
                       k: Int = 16, rowsPerBand: Int = 4): Unit = {
     val rows = indexRows(documents, n, k, rowsPerBand)
       .localCheckpoint(true) // two writes below share one signature pass
+    writeIndexRows(rows, path, "overwrite")
+    rows.unpersist()
+  }
+
+  /** Write precomputed [[indexRows]] as the index's two tables. */
+  private def writeIndexRows(rows: DataFrame, path: String,
+                             saveMode: String): Unit = {
     rows.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band", "key")))
       .repartition(col("band"))
       .sortWithinPartitions(col("band"), col("key"))
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+      .write.mode(saveMode).partitionBy("band").parquet(s"$path/bands")
     rows.select(col("doc_id"), col("sh"))
-      .write.mode("overwrite").parquet(s"$path/signatures")
-    rows.unpersist()
+      .write.mode(saveMode).parquet(s"$path/signatures")
   }
+
+  /** [[writeDedupIndex]] / [[appendToDedupIndex]] from precomputed
+    * (already materialized) [[indexRows]] — the curation loop's path:
+    * the same rows that fed the probe land in the store without a
+    * second text scan. */
+  private[graft] def writeRowsAsDedupIndex(rows: DataFrame, path: String): Unit =
+    writeIndexRows(rows, path, "overwrite")
+
+  private[graft] def appendRowsToDedupIndex(rows: DataFrame, path: String): Unit =
+    writeIndexRows(rows, path, "append")
 
   /** APPEND new documents to a persisted index. Append-only contract:
     * doc_ids must be new (a changed document is a new id or a rebuild
@@ -832,13 +854,7 @@ object Dedup {
                          rowsPerBand: Int = 4): Unit = {
     val rows = indexRows(newDocuments, n, k, rowsPerBand)
       .localCheckpoint(true)
-    rows.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band", "key")))
-      .repartition(col("band"))
-      .sortWithinPartitions(col("band"), col("key"))
-      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
-    rows.select(col("doc_id"), col("sh"))
-      .write.mode("append").parquet(s"$path/signatures")
+    writeIndexRows(rows, path, "append")
     rows.unpersist()
   }
 
@@ -880,6 +896,15 @@ object Dedup {
                       threshold: Double = 0.8): DataFrame = {
     val deltaRows = indexRows(delta, n, k, rowsPerBand)
       .localCheckpoint(true) // banded probe + delta-side verify share it
+    probeDedupIndexRows(spark, path, deltaRows, threshold)
+  }
+
+  /** [[probeDedupIndex]] from precomputed (already materialized)
+    * [[indexRows]] — lets the curation loop share one signature pass
+    * between probe and append. */
+  private[graft] def probeDedupIndexRows(spark: SparkSession, path: String,
+                                         deltaRows: DataFrame,
+                                         threshold: Double): DataFrame = {
     val deltaBanded = deltaRows.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "key")))
     // per-band key bounds (≤ k/rowsPerBand rows — driver-bounded like
@@ -923,6 +948,31 @@ object Dedup {
     candidates
       .join(sigs.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
       .join(sigs.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sha"), col("shb"))).as("inter"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .where(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= threshold)
+  }
+
+  /** Within-set near-dup pairs from precomputed [[indexRows]] — the
+    * delta-delta leg of [[probeDedupIndexRows]] standing alone, i.e.
+    * [[minhashLshPairs]] without a second signature pass. Used by the
+    * curation loop's SEED batch (no store yet). */
+  private[graft] def selfPairsFromRows(rows: DataFrame,
+                                       threshold: Double): DataFrame = {
+    val banded = rows.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "key")))
+    val candidates = banded.select(col("band"), col("key"), col("doc_id").as("a"))
+      .join(banded.select(col("band"), col("key"), col("doc_id").as("b")),
+        Seq("band", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+    val sig = rows.select(col("doc_id"), col("sh"))
+    candidates
+      .join(sig.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+      .join(sig.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
       .select(col("a"), col("b"),
         size(array_intersect(col("sha"), col("shb"))).as("inter"),
         size(col("sha")).as("na"), size(col("shb")).as("nb"))

@@ -505,4 +505,47 @@ object StreamBatchParity {
       .where(col("hour_start") <= maxSec)
       .orderBy(col("hour_start"))
   }
+
+  /** Streaming index-backed curation parity — continuous near-dup
+    * admission control under real incremental execution: the corpus
+    * staged as four id-range micro-batches, each foreachBatch probing
+    * the persisted MinHash-LSH index for pairs vs everything already
+    * accepted, dropping matched batch docs, and appending only the
+    * survivors to the index ([[StreamingIngest.curateStream]]). The
+    * final accept set (doc_id, batch) is hash-gated against the same
+    * four-step admission sequence unrolled in SQL — proving the
+    * index's build/append/probe lifecycle composes with checkpointed
+    * streaming to the exact batch-sequential answer. `documents`
+    * must carry (doc_id: long, text: string).
+    */
+  def curateParity(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val work = Files.createTempDirectory("graft-parity-curate")
+    val in = Files.createDirectory(work.resolve("in"))
+    try {
+      val docs = documents.select(col("doc_id").cast("long"),
+        col("text").cast("string"))
+      val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+      val range = hi0 - lo0 + 1
+      val t0 = System.currentTimeMillis()
+      for (i <- 0 until DataBatches) {
+        val lo = lo0 + range * i / DataBatches
+        val hi = lo0 + range * (i + 1) / DataBatches
+        val slice =
+          if (i == DataBatches - 1) docs.where(col("doc_id") >= lo)
+          else docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+        stageFile(slice, in, f"$i%03d-docs.parquet", t0 + i * 60000L)
+      }
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+      StreamingIngest.curateStream(stream, work.resolve("idx").toString,
+        work.resolve("accept").toString, work.resolve("ckpt").toString)
+        .start().awaitTermination()
+      spark.read.parquet(work.resolve("accept").toString)
+        .select(col("doc_id"), col("batch").cast("int").as("batch"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally deleteRecursively(work)
+  }
 }

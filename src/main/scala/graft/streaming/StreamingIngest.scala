@@ -269,6 +269,107 @@ object StreamingIngest {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming index-backed CURATION — continuous corpus ingestion
+    * with near-duplicate admission control, the production shape of a
+    * crawl pipeline at 100 TB (the reference's incremental-ingestion
+    * option fused with its dedup intent): each micro-batch of
+    * documents (doc_id, text)
+    *
+    *  1. PROBES the persisted MinHash-LSH index at `indexPath`
+    *     ([[graft.operators.Dedup.probeDedupIndex]]) for verified
+    *     near-dup pairs against everything already ACCEPTED plus
+    *     within the batch itself — stored corpus text is never read,
+    *     so per-batch cost is O(batch + matched index buckets) even
+    *     when the accumulated corpus is 1000× every batch;
+    *  2. DROPS a batch document that pairs with any stored survivor,
+    *     or with a smaller-id document of its own batch (the
+    *     deterministic first-wins admission rule — pessimistic: the
+    *     greater of a within-batch pair drops even if its partner is
+    *     itself dropped by a store pair);
+    *  3. APPENDS only the survivors' band/signature rows to the index
+    *     ([[graft.operators.Dedup.appendToDedupIndex]] — append cost
+    *     O(batch), pre-existing index files untouched; rejected
+    *     documents are NOT indexed, so a later near-dup of a rejected
+    *     document is admitted unless it also matches a survivor);
+    *  4. EMITS (doc_id, batch) accept records via dynamic-partition
+    *     overwrite keyed on the batch id, so a replayed micro-batch
+    *     rewrites its own partition instead of duplicating (the index
+    *     append itself is exactly-once only under the checkpoint's
+    *     no-replay happy path — a lakehouse MERGE owns that at
+    *     production, same caveat as [[cdcStream]]).
+    *
+    * The first non-empty micro-batch has no index yet: its within-batch
+    * pairs come from the delta-delta leg alone (identical
+    * candidate+verify semantics to [[graft.operators.Dedup
+    * .minhashLshPairs]]) and its survivors seed the index. Either way
+    * the batch's signature rows are computed ONCE and shared between
+    * the probe and the index write — one text scan per batch.
+    */
+  def curateStream(docs: DataFrame, indexPath: String, acceptPath: String,
+                   checkpoint: String,
+                   threshold: Double = 0.8): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.Dedup
+        val spark = batch.sparkSession
+        val pinned = batch.select(col("doc_id"), col("text"))
+          .localCheckpoint(true) // anti-join + accept write share it
+        if (!pinned.isEmpty) {
+          val hasStore =
+            java.nio.file.Files.exists(java.nio.file.Paths.get(indexPath, "bands"))
+          // ONE signature pass per batch: the same materialized rows
+          // feed the probe AND the survivors' index append — the batch
+          // text is scanned and shingled once, not twice
+          val rows = Dedup.indexRows(pinned).localCheckpoint(true)
+          val pairs =
+            (if (hasStore) Dedup.probeDedupIndexRows(spark, indexPath, rows,
+                threshold)
+             else Dedup.selfPairsFromRows(rows, threshold))
+              .localCheckpoint(true) // two drop legs below
+          val bids = pinned.select(col("doc_id"))
+          // pair sides flagged by batch membership (ids + booleans on
+          // the exchange; AQE broadcasts the pair side) — `b` is the
+          // greater id by the pair contract, so within-batch pairs
+          // drop b, and a store pair drops whichever side is in-batch
+          val flagged = pairs
+            .join(bids.select(col("doc_id").as("a"), lit(true).as("a_in")),
+              Seq("a"), "left")
+            .join(bids.select(col("doc_id").as("b"), lit(true).as("b_in")),
+              Seq("b"), "left")
+            .select(col("a"), col("b"),
+              coalesce(col("a_in"), lit(false)).as("a_in"),
+              coalesce(col("b_in"), lit(false)).as("b_in"))
+          val dropped = flagged.where(col("a_in") && !col("b_in"))
+            .select(col("a").as("doc_id"))
+            .unionByName(flagged.where(col("b_in")).select(col("b").as("doc_id")))
+            .distinct()
+          val survivors = pinned.join(dropped, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true) // index write + accept write share it
+          // blank-text documents have no indexRows (they never
+          // shingle), so they can neither pair nor index — they admit
+          // without touching the store, and an all-blank seed batch
+          // writes no zero-file index a later read would choke on
+          val survivorRows = rows
+            .join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          if (!survivorRows.isEmpty) {
+            if (hasStore) Dedup.appendRowsToDedupIndex(survivorRows, indexPath)
+            else Dedup.writeRowsAsDedupIndex(survivorRows, indexPath)
+          }
+          survivors.select(col("doc_id"), lit(batchId).as("batch"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch").parquet(acceptPath)
+          survivors.unpersist()
+          pairs.unpersist()
+          rows.unpersist()
+        }
+        pinned.unpersist()
+        ()
+      }
+
   /** One closed user session. */
   final case class ClosedSession(user_id: Long, start_sec: Long, end_sec: Long, n_events: Long)
 

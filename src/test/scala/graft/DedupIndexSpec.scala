@@ -102,6 +102,87 @@ class DedupIndexSpec extends SparkSpecBase {
     assert(pairSet(Dedup.probeDedupIndex(spark, dir, delta)) == before)
   }
 
+  test("curateStream: cross-run admission, survivor-only index, restart resume") {
+    import java.nio.file.{Files, Paths}
+    val work = Files.createTempDirectory("graft-curate")
+    val in = Files.createDirectory(work.resolve("in"))
+    val idx = work.resolve("idx").toString
+    val accept = work.resolve("accept").toString
+    val ckpt = work.resolve("ckpt").toString
+    // one parquet file per staged arrival (the file source's batch unit)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-curate-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, in.resolve(name)); ()
+    }
+    val a = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val bT = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val cT = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      graft.streaming.StreamingIngest.curateStream(stream, idx, accept, ckpt)
+        .start().awaitTermination()
+    }
+    // run 1: within-batch dup drops (greater id), survivors seed the index
+    stage(Seq((0L, a), (5L, a), (15L, bT)).toDF("doc_id", "text"), "001.parquet")
+    run()
+    def acceptedSet(): Set[(Long, Int)] =
+      spark.read.parquet(accept)
+        .select(col("doc_id"), col("batch").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(acceptedSet() == Set((0L, 0), (15L, 0)))
+    // run 2 (a RESTART against the same checkpoint — only the new file
+    // processes): dups of batch-0 survivors drop against the PERSISTED
+    // index, a blank doc admits without indexing, fresh content admits
+    stage(Seq((22L, bT), (25L, " "), (33L, cT), (38L, a)).toDF("doc_id", "text"),
+      "002.parquet")
+    run()
+    assert(acceptedSet() ==
+      Set((0L, 0), (15L, 0), (25L, 1), (33L, 1)))
+    // the index holds SURVIVORS only — dropped ids never indexed, the
+    // blank admit never indexed (so a later near-dup of a REJECTED doc
+    // would admit unless it also matches a survivor)
+    val indexed = spark.read.parquet(s"$idx/signatures")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(0L, 15L, 33L))
+    Files.walk(work).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p); () })
+  }
+
+  test("curateParity: id-range staging admits first-seen across batch boundaries") {
+    // ids 0..38 slice at 9/19/29 → batches {0,5},{12,15},{22,25},{33,38}
+    val a = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val bT = (1 to 40).map(i => s"beta$i").mkString(" ")
+    val cT = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    val corpus = Seq(
+      (0L, a),    // batch 0 survivor
+      (5L, a),    // within-batch dup of 0 → dropped
+      (12L, a),   // batch 1: dup of the indexed survivor → dropped
+      (15L, bT),  // batch 1 survivor
+      (22L, bT),  // batch 2: dup of the batch-1 APPENDED survivor → dropped
+      (25L, " "), // batch 2: blank — admitted, never indexed
+      (33L, cT),  // batch 3 survivor
+      (38L, a)    // batch 3: dup of the batch-0 survivor, three appends later
+    ).toDF("doc_id", "text")
+    val got = graft.streaming.StreamBatchParity.curateParity(spark, corpus)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((0L, 0), (15L, 1), (25L, 2), (33L, 3)))
+    // empty middle slices (the corpusWithDups id-gap shape): ids 0..39
+    // put nothing in batches 1-2, and numbering still lands by range
+    val gappy = Seq((0L, a), (5L, bT), (39L, a)).toDF("doc_id", "text")
+    val got2 = graft.streaming.StreamBatchParity.curateParity(spark, gappy)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got2 == Set((0L, 0), (5L, 0)))
+  }
+
   test("probeDedupIndex: blank-text and empty deltas degrade cleanly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-didx-edge").toString
     Dedup.writeDedupIndex(docs.limit(50), dir)
