@@ -881,6 +881,35 @@ object Dedup {
     sigs.unpersist()
   }
 
+  /** OPTIMIZE-cadence policy for [[compactDedupIndex]] — the decision
+    * twin of `Similarity.maybeRetrainIvfIndex`: compact when
+    * accumulated appends have fragmented any band partition (or the
+    * signature table) past `maxFilesPerPartition` files, the point
+    * where the key-sorted row-group skipping [[writeDedupIndex]]
+    * guarantees degrades into per-small-file open overhead. The
+    * trigger check is a filesystem LISTING only (driver-bounded:
+    * nBands + 1 directories, no data read), so it can run after every
+    * append. Returns true iff a compaction ran.
+    */
+  def maybeCompactDedupIndex(spark: SparkSession, path: String,
+                             maxFilesPerPartition: Int = 8): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val bands = new Path(root, "bands")
+    if (!fs.exists(bands)) return false // nothing indexed yet
+    def parquetCount(p: Path): Int =
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val perBand = fs.listStatus(bands).toSeq.filter(_.isDirectory)
+      .map(d => parquetCount(d.getPath))
+    val worst = (perBand :+ parquetCount(new Path(root, "signatures"))).max
+    if (worst <= maxFilesPerPartition) false
+    else { compactDedupIndex(spark, path); true }
+  }
+
   /** Probe the index with a delta batch: near-duplicate pairs between
     * delta and store (plus within the delta itself), verified by
     * EXACT shingle Jaccard — the same (a, b, inter, na, nb) contract
