@@ -2560,6 +2560,38 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seq"))
     }),
 
+    "i_pdf_continuation" -> ((s, dir) => {
+      // multi-page table continuation (r11): page 1 ends with a
+      // ledger table, and for even doc_ids page 2 begins with the
+      // SAME header repeated — the reader stitches ONE table element
+      // spanning the break (repeated header dropped, first page
+      // number kept); odd doc_ids continue under a DIFFERENT header,
+      // which must NOT stitch — both behaviors hash-gated in one
+      // corpus. In-process recovery of the flowing report-table
+      // shape the reference reaches only through hosted layout
+      // analysis (DocumentIntelligenceReader.cs Table elements).
+      // Map-only at any corpus size.
+      import s.implicits._
+      import graft.sources.PdfElementReader
+      import graft.sources.PdfElementReader._
+      val base = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .as[(Long, String, String)]
+      val pdfDocs = base.map { case (id, lang, source) =>
+        val hdr = Seq("field", "value")
+        val hdr2 = if (id % 2 == 0) hdr else Seq("key", "detail")
+        (id, PdfElementReader.synthesize(Seq(
+          Seq(SPara(s"ledger for doc $id"),
+            STable(Seq(hdr, Seq("lang", lang)))),
+          Seq(STable(Seq(hdr2, Seq("source", source))),
+            SPara(s"end of doc $id")))))
+      }.toDF("doc_id", "content")
+      PdfElementReader.elements(s, pdfDocs).toDF()
+        .select(col("doc_id"), col("seq"), col("kind"), col("level"),
+          col("text"), col("page_number"))
+        .orderBy(col("doc_id"), col("seq"))
+    }),
+
     "i_auto_elements" -> ((s, dir) => {
       // format-sniffing reader router (AutoElementReader, r8): the
       // documents corpus is packaged into a MIXED-format binary
@@ -5397,6 +5429,26 @@ object SparkEntry {
         |    'field value lang ' || lang || ' source ' || source, 1 FROM base
         |  UNION ALL SELECT doc_id, 2, 'paragraph', 0,
         |    'end of doc ' || doc_id, 1 FROM base)
+        |ORDER BY doc_id, seq""".stripMargin,
+
+    // continuation replay: even docs stitch into one table whose text
+    // carries the header cells once; odd docs keep two tables
+    "i_pdf_continuation" ->
+      """WITH base AS (SELECT doc_id, lang, source FROM documents)
+        |SELECT doc_id, CAST(seq AS INT) AS seq, kind,
+        |  CAST(level AS INT) AS level, text,
+        |  CAST(page AS INT) AS page_number FROM (
+        |  SELECT doc_id, 0 AS seq, 'paragraph' AS kind, 0 AS level,
+        |    'ledger for doc ' || doc_id AS text, 1 AS page FROM base
+        |  UNION ALL SELECT doc_id, 1, 'table', 0,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'field value lang ' || lang || ' source ' || source
+        |      ELSE 'field value lang ' || lang END, 1 FROM base
+        |  UNION ALL SELECT doc_id, 2, 'table', 0,
+        |    'key detail source ' || source, 2 FROM base WHERE doc_id % 2 = 1
+        |  UNION ALL SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 3 END, 'paragraph', 0,
+        |    'end of doc ' || doc_id, 2 FROM base)
         |ORDER BY doc_id, seq""".stripMargin,
 
     // mixed-format routing replay: whichever of the four formats

@@ -1516,7 +1516,74 @@ object PdfElementReader {
       }
       out ++= elems.map(_._2)
     }
-    out.toSeq
+    stitchContinuationTables(out.toSeq)
+  }
+
+  /** Multi-page table continuation (the report/ledger shape a hosted
+    * layout service also resolves: a long table flows across a page
+    * break, conventionally repeating its header row on the new page).
+    * Conservative stitch: a table that is the LAST element of its page
+    * merges with a table that is the FIRST element of the NEXT page
+    * only when the continuation repeats the header row AND the column
+    * separator EXACTLY (same cells, same column count) — the repeated
+    * header is dropped and the body rows append, keeping the first
+    * page's number. Any other adjacency — a caption between them, a
+    * differing header, a column-count change, a page gap — keeps both
+    * tables (ambiguity degrades, the house reader contract). Chains
+    * fold left, so a three-page table stitches into one element.
+    * Detector-agnostic: ruled, row-rules, and borderless tables all
+    * emit the same pipe-markdown, so a table may continue under a
+    * different ink style than it started with.
+    *
+    * Documented boundary: two INDEPENDENT tables with identical
+    * headers sitting flush against a shared page break (no caption,
+    * no intervening text) are indistinguishable from a continuation
+    * and read as one — the same resolution hosted layout analysis
+    * applies.
+    */
+  private def stitchContinuationTables(
+      elems: Seq[(String, Int, String, String, Int)])
+    : Seq[(String, Int, String, String, Int)] = {
+    val n = elems.length
+    if (n < 2) return elems
+    // first/last-of-page flags on ORIGINAL positions: merging can only
+    // consume a whole page-leading table, so the flags stay valid for
+    // every later fold step (a merged run's tail keeps its own flag)
+    val firstOf = Array.tabulate(n)(i => i == 0 || elems(i - 1)._5 != elems(i)._5)
+    val lastOf = Array.tabulate(n)(i => i == n - 1 || elems(i + 1)._5 != elems(i)._5)
+    def mdLines(md: String): Array[String] = md.split("\n", -1)
+    def headerRepeats(a: String, b: String): Boolean = {
+      val (la, lb) = (mdLines(a), mdLines(b))
+      la.length >= 3 && lb.length >= 3 && la(0) == lb(0) && la(1) == lb(1)
+    }
+    val out = ArrayBuffer.empty[((String, Int, String, String, Int), Int)]
+    elems.zipWithIndex.foreach { case (e, i) =>
+      val mergeable = out.nonEmpty && {
+        val (prev, tailIdx) = out.last
+        prev._1 == "table" && e._1 == "table" &&
+          lastOf(tailIdx) && firstOf(i) &&
+          e._5 == elems(tailIdx)._5 + 1 &&
+          headerRepeats(prev._3, e._3)
+      }
+      if (mergeable) {
+        val (prev, _) = out.last
+        val bLines = mdLines(e._3)
+        val md = prev._3 + "\n" + bLines.drop(2).mkString("\n")
+        // the text field repeats the header cells at its front (it was
+        // built rows-first) — strip that prefix when it matches, keep
+        // the whole text otherwise (never silently lose cell text)
+        val headText = collapse(bLines(0).stripPrefix("|").stripSuffix("|")
+          .split("\\|", -1).map(_.trim).filter(_.nonEmpty).mkString(" "))
+        val bodyText =
+          if (headText.nonEmpty && e._4.startsWith(headText))
+            e._4.drop(headText.length).trim
+          else e._4
+        val text = if (bodyText.isEmpty) prev._4
+          else prev._4 + " " + bodyText
+        out(out.length - 1) = ((prev._1, prev._2, md, text, prev._5), i)
+      } else out += ((e, i))
+    }
+    out.map(_._1).toSeq
   }
 
   /** documents(doc_id, content: binary) → Dataset[DocElement] — the

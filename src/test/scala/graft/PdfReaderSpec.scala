@@ -855,4 +855,73 @@ class PdfReaderSpec extends SparkSpecBase {
     assert(got.forall(_.metadata == Map("src" -> "crawl")))
     assert(got.forall(_.doc_id == 7L))
   }
+
+  // ------------------------------------------------------------------
+  // Multi-page table continuation (r11): a table flowing across a page
+  // break with its header repeated stitches into ONE element; every
+  // ambiguous adjacency keeps both tables.
+  // ------------------------------------------------------------------
+  private val contHeader = Seq("item", "qty")
+
+  test("continuation stitch: repeated-header table across a page break merges") {
+    val pdf = synthesize(Seq(
+      Seq(SPara("intro paragraph before the ledger"),
+        STable(Seq(contHeader, Seq("apples", "1"), Seq("pears", "2")))),
+      Seq(STable(Seq(contHeader, Seq("plums", "3"), Seq("figs", "4"))),
+        SPara("prose after the table ends"))))
+    val blocks = PdfElementReader.parseBlocks(pdf)
+    assert(blocks.map(b => (b._1, b._5)) == Seq(
+      ("paragraph", 1), ("table", 1), ("paragraph", 2)))
+    val md = blocks(1)._3
+    assert(md == Seq(
+      "| item | qty |", "| --- | --- |",
+      "| apples | 1 |", "| pears | 2 |",
+      "| plums | 3 |", "| figs | 4 |").mkString("\n"))
+    // header cells appear ONCE in the text field
+    assert(blocks(1)._4 == "item qty apples 1 pears 2 plums 3 figs 4")
+  }
+
+  test("continuation stitch: three-page chain folds, across detector styles") {
+    // the table STARTS ruled, continues as row-rules, ends borderless —
+    // all three emit the same pipe-md, so the stitch is ink-agnostic
+    val pdf = synthesize(Seq(
+      Seq(STable(Seq(contHeader, Seq("a", "1")))),
+      Seq(SRowRuleTable(Seq(contHeader, Seq("b", "2"), Seq("c", "3")))),
+      Seq(SBorderlessTable(Seq(contHeader, Seq("d", "4"), Seq("e", "5"))),
+        SPara("done"))))
+    val blocks = PdfElementReader.parseBlocks(pdf)
+    assert(blocks.map(b => (b._1, b._5)) == Seq(("table", 1), ("paragraph", 3)))
+    val body = blocks.head._3.split("\n").drop(2).toSeq
+    assert(body == Seq("| a | 1 |", "| b | 2 |", "| c | 3 |",
+      "| d | 4 |", "| e | 5 |"))
+  }
+
+  test("continuation stitch degrades: differing header, caption between, empty page") {
+    // a DIFFERENT header on the next page is a new table
+    val diff = synthesize(Seq(
+      Seq(STable(Seq(contHeader, Seq("a", "1")))),
+      Seq(STable(Seq(Seq("sku", "qty"), Seq("b", "2"))))))
+    assert(PdfElementReader.parseBlocks(diff).count(_._1 == "table") == 2)
+    // a caption between the tables breaks first-of-page → two tables
+    val caption = synthesize(Seq(
+      Seq(STable(Seq(contHeader, Seq("a", "1")))),
+      Seq(SPara("Table 2 continued differently"),
+        STable(Seq(contHeader, Seq("b", "2"))))))
+    assert(PdfElementReader.parseBlocks(caption).count(_._1 == "table") == 2)
+    // an empty page between is a page GAP, not an adjacency
+    val gap = synthesize(Seq(
+      Seq(STable(Seq(contHeader, Seq("a", "1")))),
+      Seq.empty,
+      Seq(STable(Seq(contHeader, Seq("b", "2"))))))
+    val gapBlocks = PdfElementReader.parseBlocks(gap)
+    assert(gapBlocks.count(_._1 == "table") == 2)
+    assert(gapBlocks.map(_._5) == Seq(1, 3))
+    // same-page tables never stitch (the side-by-side / stacked shape
+    // is the ruled detector's own two-tables contract)
+    val same = synthesize(Seq(
+      Seq(STable(Seq(contHeader, Seq("a", "1"))),
+        SPara("between"),
+        STable(Seq(contHeader, Seq("b", "2"))))))
+    assert(PdfElementReader.parseBlocks(same).count(_._1 == "table") == 2)
+  }
 }
