@@ -4156,6 +4156,20 @@ object SparkEntry {
         s, corpusWithDups(tbl(s, dir, "documents")))
     }),
 
+    "x_stream_ivf" -> ((s, dir) => {
+      // STREAMING IVF index maintenance — the ANN twin of
+      // x_stream_curate: embeddings staged as id-range micro-batches
+      // (batch 0 seeds the index and FREEZES its centroids), then a
+      // re-ingestion batch of NEGATED copies of every 10th vector
+      // under the same ids; the final ANN answer, read from the
+      // persisted store alone through the partition-pruned probe
+      // path, is hash-gated against the whole sequence replayed in
+      // SQL — frozen-centroid assignment, upsert-by-id replacement,
+      // and the COW store all survive checkpointed streaming
+      graft.streaming.StreamBatchParity.ivfUpsertParity(
+        s, tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+    }),
+
     // ---------------------------------------------- multimodal
     "m_binary_dedup" -> ((s, dir) => {
       // exact binary dedup over media bytes (CDN copies / mirrored
@@ -5622,6 +5636,52 @@ object SparkEntry {
     // stream-batch parity: the streaming curation loop's accept set
     // vs the four-batch admission sequence unrolled in SQL
     "x_stream_curate" -> streamCurateSql,
+
+    // stream-batch parity: the streaming IVF upsert's final probe
+    // answer vs the frozen-centroid / replace-by-id sequence in SQL
+    // (centroids sampled from the batch-0 id-range slice exactly as
+    // writeIvfIndex's modulo selection; every 10th vector carries its
+    // re-ingested NEGATED embedding)
+    "x_stream_ivf" ->
+      s"""WITH bounds AS (
+         |  SELECT min(vec_id) AS lo0, max(vec_id) - min(vec_id) + 1 AS rng
+         |  FROM embeddings),
+         |b0 AS (
+         |  SELECT vec_id, embedding FROM embeddings, bounds
+         |  WHERE vec_id >= lo0 AND vec_id < lo0 + rng // 4),
+         |params AS (SELECT greatest(1, count(*) // 8) AS step FROM b0),
+         |centroids AS (
+         |  SELECT vec_id AS list_id, embedding AS centroid FROM b0, params
+         |  WHERE vec_id % params.step = 0 ORDER BY vec_id LIMIT 8),
+         |final AS (
+         |  SELECT vec_id, CASE WHEN vec_id % 10 = 0
+         |    THEN list_transform(embedding, x -> CAST(-x AS FLOAT))
+         |    ELSE embedding END AS embedding FROM embeddings),
+         |corpus_assign AS (
+         |  SELECT vec_id AS nbr_id, embedding AS nbr_emb, list_id FROM (
+         |    SELECT f.vec_id, f.embedding, c.list_id,
+         |      row_number() OVER (PARTITION BY f.vec_id
+         |        ORDER BY ${sqlCos("f.embedding", "c.centroid")} DESC, c.list_id) AS r
+         |    FROM final f, centroids c)
+         |  WHERE r = 1),
+         |query_assign AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, list_id FROM (
+         |    SELECT f.vec_id, f.embedding, c.list_id,
+         |      row_number() OVER (PARTITION BY f.vec_id
+         |        ORDER BY ${sqlCos("f.embedding", "c.centroid")} DESC, c.list_id) AS r
+         |    FROM final f, centroids c WHERE f.vec_id < 5)
+         |  WHERE r <= 4),
+         |scored AS (
+         |  SELECT DISTINCT query_id, nbr_id, ${sqlCos("q_emb", "nbr_emb")} AS cos
+         |  FROM query_assign q JOIN corpus_assign n USING (list_id)
+         |  WHERE query_id <> nbr_id),
+         |ranked AS (
+         |  SELECT query_id, nbr_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, nbr_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, nbr_id, round(cos, 6) AS cos FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // coalesce: DuckDB array_to_string([]) is NULL where Spark
     // array_join(empty) is '' — zero-hit documents (sf1 has 348 of

@@ -548,4 +548,78 @@ object StreamBatchParity {
         .localCheckpoint(true)
     } finally deleteRecursively(work)
   }
+
+  /** Streaming IVF maintenance parity — the ANN-index twin of
+    * [[curateParity]]: embeddings staged as four id-range
+    * micro-batches (the first seeds the index and freezes its
+    * centroids), then a FIFTH batch re-ingesting NEGATED copies of
+    * every 10th vector under the same ids — the upsert must REPLACE
+    * them, visibly flipping their cosines. The final ANN answer is
+    * computed from the persisted store alone through the production
+    * read path ([[graft.operators.Similarity.probeIvfIndex]] —
+    * partition-pruned list scans), and is hash-gated against the
+    * whole sequence replayed in SQL: centroids from the batch-0
+    * id-range slice, every FINAL vector (re-ingested ids carrying
+    * their revised embeddings) assigned to its frozen nearest
+    * centroid, queries probing their top-nProbe lists. `embeddings`
+    * must carry (vec_id: long, embedding: array<float>).
+    */
+  def ivfUpsertParity(spark: SparkSession, embeddings: DataFrame,
+                      nLists: Int = 8, nProbe: Int = 4,
+                      k: Int = 5): DataFrame = {
+    import graft.operators.Similarity
+    val work = Files.createTempDirectory("graft-parity-ivfup")
+    val in = Files.createDirectory(work.resolve("in"))
+    val idx = work.resolve("idx").toString
+    try {
+      val vecs = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+      val b = vecs.agg(min(col("vec_id")), max(col("vec_id"))).head()
+      val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+      val range = hi0 - lo0 + 1
+      val t0 = System.currentTimeMillis()
+      for (i <- 0 until DataBatches) {
+        val lo = lo0 + range * i / DataBatches
+        val hi = lo0 + range * (i + 1) / DataBatches
+        val slice =
+          if (i == DataBatches - 1) vecs.where(col("vec_id") >= lo)
+          else vecs.where(col("vec_id") >= lo && col("vec_id") < hi)
+        stageFile(slice, in, f"$i%03d-vecs.parquet", t0 + i * 60000L)
+      }
+      // the re-ingestion batch: negated copies under the SAME ids
+      val revised = vecs.where(col("vec_id") % 10 === 0)
+        .withColumn("embedding",
+          transform(col("embedding"), x => (-x).cast("float")))
+      stageFile(revised, in, "900-revised.parquet", t0 + 600000L)
+      val stream = spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in.toString)
+      StreamingIngest.ivfUpsertStream(stream, idx,
+        work.resolve("ckpt").toString, nLists)
+        .start().awaitTermination()
+      // final answer from the persisted store through the production
+      // probe path: per query, the top-nProbe lists' partitions scan
+      // (self row dropped — cos(q,q)=1 always leads, so k+1 covers it)
+      val queries = spark.read.parquet(s"$idx/lists")
+        .where(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val perQuery = queries.map { case (qid, emb) =>
+        // k+1 then drop self: cos(q,q) = 1 strictly leads (random
+        // floats admit no other exact-1 cosine), so exactly k remain
+        Similarity.probeIvfIndex(spark, idx, emb, k = k + 1, nProbe = nProbe)
+          .where(col("vec_id") =!= qid)
+          .select(lit(qid).as("query_id"), col("vec_id").as("nbr_id"), col("cos"))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("nbr_id"))
+      perQuery.reduce(_.unionByName(_))
+        .withColumn("rank", row_number().over(w))
+        .select(col("query_id"), col("rank"), col("nbr_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint(true)
+    } finally deleteRecursively(work)
+  }
 }

@@ -370,6 +370,45 @@ object StreamingIngest {
         ()
       }
 
+  /** Streaming IVF index maintenance — the ANN-side twin of
+    * [[curateStream]]: each micro-batch of (vec_id, embedding) rows
+    * UPSERTs into the persisted IVF index at `indexPath`. The first
+    * non-empty batch seeds the index ([[graft.operators.Similarity
+    * .writeIvfIndex]] — centroids sampled from that batch and then
+    * FROZEN, the standard IVF maintenance trade); every later batch
+    * assigns against the frozen centroids and replaces re-ingested
+    * vec_ids wherever their stale copies live
+    * ([[graft.operators.Similarity.appendToIvfIndex]] — copy-on-write
+    * touched-partition rewrite, untouched list directories
+    * byte-identical, per-list centroid drift recorded to
+    * `indexPath/drift` for the re-train policy to consume offline).
+    * Per-batch cost is O(batch + touched lists), never O(index), so
+    * the stream sustains continuous embedding ingestion however large
+    * the accumulated store. Exactly-once caveat as [[cdcStream]]: a
+    * replayed batch re-appends; a lakehouse MERGE owns that at
+    * production.
+    */
+  def ivfUpsertStream(vecs: DataFrame, indexPath: String, checkpoint: String,
+                      nLists: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.Similarity
+        val spark = batch.sparkSession
+        val pinned = batch.select(col("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        if (!pinned.isEmpty) {
+          val hasStore = java.nio.file.Files.exists(
+            java.nio.file.Paths.get(indexPath, "centroids"))
+          if (hasStore) Similarity.appendToIvfIndex(spark, indexPath, pinned)
+          else Similarity.writeIvfIndex(pinned, indexPath, nLists)
+        }
+        pinned.unpersist()
+        ()
+      }
+
   /** One closed user session. */
   final case class ClosedSession(user_id: Long, start_sec: Long, end_sec: Long, n_events: Long)
 

@@ -267,6 +267,61 @@ class IvfFramesSpec extends SparkSpecBase {
     assert(second.intersect(got).isEmpty, s"retrained lists fired again: $second")
   }
 
+  test("ivfUpsertStream: seed freezes centroids, restart upserts replace by id") {
+    import java.nio.file.{Files, Paths}
+    val work = Files.createTempDirectory("graft-ivfup")
+    val in = Files.createDirectory(work.resolve("in"))
+    val idx = work.resolve("idx").toString
+    val ckpt = work.resolve("ckpt").toString
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-ivfup-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, in.resolve(name)); ()
+    }
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(4)(d => (((seed * 31 + d * 7) % 19) - 9).toFloat)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      graft.streaming.StreamingIngest.ivfUpsertStream(stream, idx, ckpt,
+        nLists = 4).start().awaitTermination()
+    }
+    // run 1 seeds: centroids sampled from THIS batch, then frozen
+    stage((0L until 10L).map(i => (i, vec(i.toInt).toSeq)).toDF("vec_id", "embedding"),
+      "001.parquet")
+    run()
+    val frozen = spark.read.parquet(s"$idx/centroids")
+      .orderBy(col("list_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    assert(frozen.nonEmpty && frozen.size <= 4)
+    // run 2 (restart, same checkpoint): new ids append, id 5 re-ingests
+    // NEGATED — the upsert must replace its stored row, not add one
+    val neg5 = vec(5).map(x => -x)
+    stage(((10L until 20L).map(i => (i, vec(i.toInt).toSeq)) :+ ((5L, neg5.toSeq)))
+      .toDF("vec_id", "embedding"), "002.parquet")
+    run()
+    val store = spark.read.parquet(s"$idx/lists")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(store.map(_._1).sorted.toSeq == (0L until 20L), "one row per id")
+    assert(store.toMap.apply(5L).toSeq == neg5.toSeq, "re-ingested id replaced")
+    // centroids FROZEN: byte-for-byte the seed batch's sample
+    val after = spark.read.parquet(s"$idx/centroids")
+      .orderBy(col("list_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    assert(after == frozen, "append moved the frozen centroids")
+    Files.walk(work).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p); () })
+  }
+
   test("trainCentroids: Lloyd iterations converge to well-separated cluster centers") {
     // three tight clusters on orthogonal axes; a bad seed (all three
     // seeds inside cluster A) must still migrate two centroids out
