@@ -44,14 +44,28 @@ object PlanDump {
       ("d_zorder", "Z-order layout report: the Morton interleave is a 16-term integer expression inside whole-stage codegen (map-only, after a broadcast 1-row max join); both layouts aggregate map-side to ≤256 file rows before the final 2-row report — no corpus-sized exchange at all."),
       ("s_silhouette", "Silhouette audit: embeddings are consumed in the scan stage (broadcast nLists-row centroid join + cosine projection); the per-vector ranking window and per-list aggregate shuffle (vec_id, list_id, cos/micro-long) scalars — embedding arrays never ride an exchange."),
       ("g_shortest_path", "Multi-source BFS: per round, ONLY the frontier joins the materialized (src-partitioned) edge table — total join work across all rounds is O(|E|); the visited anti-join is node-sized and every exchange carries two longs."),
-      ("q_skyline", "Pareto skyline: the corpus reduces map-side to the supplier aggregate; a broadcast coarse-bucket min table prunes dominated points BEFORE the exact pass, so the global sort window runs over the frontier-dense residual, not the corpus.")
+      ("q_skyline", "Pareto skyline: the corpus reduces map-side to the supplier aggregate; a broadcast coarse-bucket min table prunes dominated points BEFORE the exact pass, so the global sort window runs over the frontier-dense residual, not the corpus."),
+      ("d_dedup_index!probe", "Persisted-index probe (r11; the LIVE probe plan — the driver row pins its result before deleting the scratch index, which would dump as a bare RDD scan): the store scan's PushedFilters carries the delta's per-band key bounds (band is the partition column, key the files' sort order — partition pruning + row-group min/max stats skip bucket ranges no delta key can touch); candidate and verify exchanges carry ids + longs, and stored corpus TEXT is never read — probe IO is O(delta + matched buckets) however large the index.")
     )
     out.append("# PLANS — physical-plan evidence (sf0.01, local[32])\n\n")
     out.append("Regenerate with `sbt \"runMain graft.PlanDump\"`.\n")
     for ((name, note) <- picks) {
-      val df = SparkEntry.queries(name)(spark, dir)
-      out.append(s"\n## $name\n\n$note\n\n```\n")
-      out.append(df.queryExecution.executedPlan.toString.linesIterator.map(_.take(160)).take(40).mkString("\n"))
+      val df = if (name == "d_dedup_index!probe") {
+        // live probe plan over a scratch index (see note above)
+        import org.apache.spark.sql.functions.col
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val delta = docs.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
+        val idx = Files.createTempDirectory("graft-plandump-didx")
+        graft.operators.Dedup.writeDedupIndex(docs, idx.toString)
+        graft.operators.Dedup.probeDedupIndex(spark, idx.toString, delta)
+      } else SparkEntry.queries(name)(spark, dir)
+      // the probe plan's store scan (the PushedFilters evidence) sits
+      // below the 40-line cut — give that one entry more room
+      val cap = if (name.endsWith("!probe")) 70 else 40
+      out.append(s"\n## ${name.stripSuffix("!probe")}\n\n$note\n\n```\n")
+      out.append(df.queryExecution.executedPlan.toString.linesIterator.map(_.take(200)).take(cap).mkString("\n"))
       out.append("\n```\n")
     }
     Files.writeString(Paths.get("/root/repo/PLANS.md"), out.toString)
