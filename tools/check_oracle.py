@@ -56,6 +56,12 @@ def main():
     if os.environ.get("DUCKDB_MAX_TEMP_SIZE"):
         con.execute("SET max_temp_directory_size="
                     f"'{os.environ['DUCKDB_MAX_TEMP_SIZE']}'")
+    # semicolon-separated extra SET statements (e.g.
+    # "preserve_insertion_order=false;threads=8") — lets a huge-SF
+    # oracle trade ordering buffers / parallel aggregate states for
+    # memory without changing the default driver-replica behavior
+    for stmt in filter(None, os.environ.get("DUCKDB_EXTRA_SET", "").split(";")):
+        con.execute(f"SET {stmt}")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
         # driver testdata = single files; GenData output = spark dirs
