@@ -858,6 +858,31 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "q13_custdist" -> ((s, dir) => {
+      // TPC-H Q13's shape — the outer-join count DISTRIBUTION: count
+      // per-customer orders through a LEFT join (customers with no
+      // orders must survive as c_count = 0), then the distribution of
+      // those counts. The two-level aggregate is the canonical
+      // "aggregate of an aggregate" plan: the first groupBy shuffles
+      // on the join key it already has (AQE broadcasts the customer
+      // side), the second shuffles |distinct counts| rows — the wide
+      // fact table never moves twice. Filter: only open-or-filled
+      // orders count toward a customer's tally (the Q13 comment-filter
+      // stand-in on this schema).
+      val cust = tbl(s, dir, "customer").select(col("c_custkey"))
+      val ord = tbl(s, dir, "orders")
+        .where(col("o_orderstatus") =!= "P")
+        .select(col("o_custkey"), col("o_orderkey"))
+      val perCust = cust
+        .join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     "q_rollup" -> ((s, dir) => {
       tbl(s, dir, "customer")
         .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -4653,6 +4678,17 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN c_acctbal <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpositive,
         |  count(*) AS n_customers
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // TPC-H Q13 shape: LEFT-join count distribution — zero-order
+    // customers must appear in the c_count = 0 bucket
+    "q13_custdist" ->
+      """WITH per_cust AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'P'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM per_cust
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "q_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers

@@ -93,6 +93,20 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q13: outer-join count distribution — fact scan pruned, no cartesian, two bounded aggregates") {
+    val df = SparkEntry.queries("q13_custdist")(spark, sf())
+    val plan = formatted(df)
+    assert(!plan.contains("CartesianProduct"))
+    // the orders scan reads only the join key + counted key + filter col
+    val readSchemas = plan.linesIterator.filter(_.trim.startsWith("ReadSchema:")).toSeq
+    assert(readSchemas.exists(s => s.contains("o_custkey") && !s.contains("o_totalprice")),
+      s"orders scan should prune to join/count/filter columns:\n$readSchemas")
+    // the status filter reaches the orders scan
+    assert(plan.contains("o_orderstatus"), "status filter should appear in the plan")
+    // both aggregates are partial before their exchanges (map-side combine)
+    assert(plan.contains("partial_count"), "expected map-side partial aggregation")
+  }
+
   test("q01: partial (map-side) aggregation before the shuffle") {
     val plan = executed(SparkEntry.queries("q01_pricing_summary")(spark, sf())).toString
     assert(plan.contains("HashAggregate"))
