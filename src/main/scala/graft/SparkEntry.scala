@@ -883,6 +883,32 @@ object SparkEntry {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
+    "q21_sole_late" -> ((s, dir) => {
+      // TPC-H Q21's shape — the EXISTS / NOT-EXISTS chain ("suppliers
+      // who kept orders waiting": a supplier with a late line on a
+      // multi-supplier order where NO OTHER supplier was late),
+      // re-expressed as the one-pass double-aggregate rewrite instead
+      // of two correlated self-joins: per-(order, supplier) late
+      // flags, per-order supplier/late-supplier counts, then the
+      // qualifying pairs filter — lineitem shuffles once on
+      // (orderkey, suppkey) and the second aggregate moves only the
+      // collapsed per-pair rows. l_shipdate past a fixed cutoff
+      // stands in for receipt-past-commit on this schema.
+      val li = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > lit("1997-06-30 00:00:00")).as("late"))
+      val perOS = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("late"))
+      val perO = perOS.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+      perOS.where(col("late"))
+        .join(perO, Seq("l_orderkey"))
+        .where(col("n_supp") > 1 && col("n_late") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("l_suppkey"))
+    }),
+
     "q_rollup" -> ((s, dir) => {
       tbl(s, dir, "customer")
         .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -4689,6 +4715,23 @@ object SparkEntry {
         |  GROUP BY c.c_custkey)
         |SELECT c_count, count(*) AS custdist FROM per_cust
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // TPC-H Q21 shape: EXISTS/NOT-EXISTS chain as the double-aggregate
+    // rewrite — sole late supplier on a multi-supplier order
+    "q21_sole_late" ->
+      """WITH per_os AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+        |      THEN 1 ELSE 0 END) = 1 AS late
+        |  FROM lineitem GROUP BY 1, 2),
+        |per_o AS (
+        |  SELECT l_orderkey, count(*) AS n_supp,
+        |    CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |  FROM per_os GROUP BY 1)
+        |SELECT l_suppkey, count(*) AS numwait
+        |FROM per_os JOIN per_o USING (l_orderkey)
+        |WHERE late AND n_supp > 1 AND n_late = 1
+        |GROUP BY l_suppkey ORDER BY numwait DESC, l_suppkey""".stripMargin,
 
     "q_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers
