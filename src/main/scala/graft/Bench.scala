@@ -62,10 +62,12 @@ object Bench {
     def family(k: String): String = k.substring(0, 1)
     val famMedian = first.toSeq.groupBy(kv => family(kv._1))
       .map { case (f, qs) => f -> median(qs.map(_._2)) }
+    // retime EVERY suspect (no fixed cap): a quiet run has only a
+    // handful and a noisy one needs all of them retimed — a cap lets
+    // whichever spikes rank 9th survive into the committed artifact
     val suspects = first.toSeq
       .filter { case (k, v) => !failed(k) && v > 2.5 * famMedian(family(k)) }
       .sortBy { case (k, v) => -(v / famMedian(family(k))) }
-      .take(8)
       .map(_._1)
     val fnByName = selected.toMap
     val retimed = suspects.flatMap { name =>

@@ -50,6 +50,7 @@ object PlanDump {
     out.append("# PLANS — physical-plan evidence (sf0.01, local[32])\n\n")
     out.append("Regenerate with `sbt \"runMain graft.PlanDump\"`.\n")
     for ((name, note) <- picks) {
+      var scratch: Option[java.nio.file.Path] = None
       val df = if (name == "d_dedup_index!probe") {
         // live probe plan over a scratch index (see note above)
         import org.apache.spark.sql.functions.col
@@ -58,6 +59,7 @@ object PlanDump {
         val delta = docs.where(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
         val idx = Files.createTempDirectory("graft-plandump-didx")
+        scratch = Some(idx)
         graft.operators.Dedup.writeDedupIndex(docs, idx.toString)
         graft.operators.Dedup.probeDedupIndex(spark, idx.toString, delta)
       } else SparkEntry.queries(name)(spark, dir)
@@ -67,6 +69,12 @@ object PlanDump {
       out.append(s"\n## ${name.stripSuffix("!probe")}\n\n$note\n\n```\n")
       out.append(df.queryExecution.executedPlan.toString.linesIterator.map(_.take(200)).take(cap).mkString("\n"))
       out.append("\n```\n")
+      // the plan string is captured above — drop the scratch index so
+      // repeated PlanDump runs don't accumulate sf0.01 indexes in /tmp
+      scratch.foreach { p =>
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.deleteIfExists(q))
+      }
     }
     Files.writeString(Paths.get("/root/repo/PLANS.md"), out.toString)
     spark.stop()

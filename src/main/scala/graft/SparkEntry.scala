@@ -256,7 +256,7 @@ object SparkEntry {
     * that staging invariant.
     */
   private lazy val streamCurateSql: String = {
-    val nB = 4
+    val nB = graft.streaming.StreamBatchParity.DataBatches
     def inter(sa: String, sb: String) = s"len(list_intersect($sa.hashes, $sb.hashes))"
     def jac(sa: String, sb: String) =
       s"CAST(${inter(sa, sb)} AS DOUBLE) / " +

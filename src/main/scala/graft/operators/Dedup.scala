@@ -791,15 +791,15 @@ object Dedup {
   //                      verification without touching text again
   // ------------------------------------------------------------------
 
-  /** Index-side (doc_id, sh, bands) rows — identical derivation to
-    * [[minhashLshPairs]], so a probe against the store reproduces the
-    * batch pipeline's candidates exactly. */
   /** Hashed signature+band rows for `documents` — the persisted
-    * index's unit of storage and the probe's unit of work.
-    * private[graft] so the streaming curation loop can compute a
-    * batch's rows ONCE and share them between probe and append: the
-    * batch text is scanned and shingled a single time, which at
-    * continuous-ingestion scale halves the curation path's CPU. */
+    * index's unit of storage and the probe's unit of work. The
+    * derivation is identical to [[minhashLshPairs]]'s, so a probe
+    * against the store reproduces the batch pipeline's candidates
+    * exactly. private[graft] so the streaming curation loop can
+    * compute a batch's rows ONCE and share them between probe and
+    * append: the batch text is scanned and shingled a single time,
+    * which at continuous-ingestion scale halves the curation path's
+    * CPU. */
   private[graft] def indexRows(documents: DataFrame, n: Int = 3, k: Int = 16,
                                rowsPerBand: Int = 4): DataFrame =
     documents
@@ -982,6 +982,14 @@ object Dedup {
         size(col("sha")).as("na"), size(col("shb")).as("nb"))
       .where(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")) >= threshold)
+      // a replayed (non-idempotent) append can leave a doc's signature
+      // row in the store twice with identical content; the verify joins
+      // then fan each such candidate into duplicate pair rows. Dedup
+      // HERE, on the already-thresholded pair set (pairs-bounded, not
+      // O(store) — deduping the signature scan itself would shuffle the
+      // whole index). Duplicates are byte-identical by the append
+      // contract, so keying on (a, b) is exact.
+      .dropDuplicates("a", "b")
   }
 
   /** Within-set near-dup pairs from precomputed [[indexRows]] — the

@@ -49,7 +49,10 @@ object StreamBatchParity {
 
   /** Time slices the corpus stages as — each is one real micro-batch
     * carrying state over to the next. */
-  private[streaming] val DataBatches = 4
+  // private[graft] (not [streaming]): SparkEntry.streamCurateSql unrolls
+  // exactly this many batch CTEs — deriving it here keeps the oracle and
+  // the harness from silently diverging if the batch count changes
+  private[graft] val DataBatches = 4
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {

@@ -20,6 +20,19 @@ import org.apache.spark.sql.types._
   */
 object StreamingIngest {
 
+  /** Does `child` exist under `root`? Resolved through the Hadoop
+    * FileSystem bound to the path's scheme (like
+    * [[graft.operators.Dedup.maybeCompactDedupIndex]]), so index
+    * stores on hdfs:// or s3a:// — the 100 TB production shape — are
+    * detected correctly; a java.nio check would see only local disk
+    * and silently re-seed the index every micro-batch. */
+  private def storeExists(spark: SparkSession, root: String,
+                          child: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(root, child)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   val documentSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
@@ -318,8 +331,7 @@ object StreamingIngest {
         val pinned = batch.select(col("doc_id"), col("text"))
           .localCheckpoint(true) // anti-join + accept write share it
         if (!pinned.isEmpty) {
-          val hasStore =
-            java.nio.file.Files.exists(java.nio.file.Paths.get(indexPath, "bands"))
+          val hasStore = storeExists(spark, indexPath, "bands")
           // ONE signature pass per batch: the same materialized rows
           // feed the probe AND the survivors' index append — the batch
           // text is scanned and shingled once, not twice
@@ -400,8 +412,7 @@ object StreamingIngest {
         val pinned = batch.select(col("vec_id"), col("embedding"))
           .localCheckpoint(true)
         if (!pinned.isEmpty) {
-          val hasStore = java.nio.file.Files.exists(
-            java.nio.file.Paths.get(indexPath, "centroids"))
+          val hasStore = storeExists(spark, indexPath, "centroids")
           if (hasStore) Similarity.appendToIvfIndex(spark, indexPath, pinned)
           else Similarity.writeIvfIndex(pinned, indexPath, nLists)
         }
