@@ -2511,6 +2511,82 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seq"))
     }),
 
+    "i_xlsx_elements" -> ((s, dir) => {
+      // the in-process XLSX reader (XlsxElementReader — the
+      // spreadsheet leg of the MarkItDownReader twin, r11 verdict
+      // item 1) over a deterministic SpreadsheetML packaging of the
+      // documents corpus: a two-sheet workbook per document whose
+      // "meta" sheet exercises a MERGED title row (value duplicated
+      // into the covered cell — the reader must blank it), shared
+      // strings, inline strings, and a numeric cell, and whose "body"
+      // sheet carries the document text in a cell — sheet order,
+      // value decoding, and merged-cell normalization all hash-gated
+      // corpus-wide (structural and hostile-input cases are
+      // spec-tested in XlsxReaderSpec). Packaging (zip+XML synthesis)
+      // and parsing both run inside typed map/flatMap stages:
+      // map-only, no shuffle, at any corpus size.
+      import s.implicits._
+      import graft.sources.XlsxElementReader
+      import graft.sources.XlsxElementReader._
+      val base = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .as[(Long, String, String, String, Long)]
+      val xlsxDocs = base.map { case (id, text, lang, source, nChars) =>
+        (id, XlsxElementReader.synthesize(Seq(
+          SSheet("meta", Seq(
+            Seq(SShared(s"Doc $id"), SShared(s"Doc $id")),
+            Seq(SShared("field"), SShared("value")),
+            Seq(SShared("lang"), SShared(lang)),
+            Seq(SShared("source"), SInline(source)),
+            Seq(SShared("n_chars"), SNum(nChars.toString))),
+            merges = Seq("A1:B1")),
+          SSheet("body", Seq(
+            Seq(SInline("text"), SInline(Option(text).getOrElse(""))))))))
+      }.toDF("doc_id", "content")
+      XlsxElementReader.elements(s, xlsxDocs).toDF()
+        .select(col("doc_id"), col("seq"), col("kind"), col("level"), col("text"))
+        .orderBy(col("doc_id"), col("seq"))
+    }),
+
+    "i_pptx_elements" -> ((s, dir) => {
+      // the in-process PPTX reader (PptxElementReader — the
+      // presentation leg of the MarkItDownReader twin, r11 verdict
+      // item 2) over a deterministic PresentationML packaging of the
+      // documents corpus: slide 1 carries title/body/image
+      // placeholders, slide 2 a table plus speaker NOTES (resolved
+      // through the slide's own rels part and emitted as footers) —
+      // titles/paragraphs/images/tables/notes and slide-as-page
+      // numbering all hash-gated corpus-wide (placeholder and
+      // robustness cases are spec-tested in PptxReaderSpec).
+      // Packaging and parsing run in typed map/flatMap stages:
+      // map-only, no shuffle, at any corpus size.
+      import s.implicits._
+      import graft.sources.PptxElementReader
+      import graft.sources.PptxElementReader._
+      val base = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .as[(Long, String, String, String, Long)]
+      val pptxDocs = base.map { case (id, text, lang, source, nChars) =>
+        (id, PptxElementReader.synthesize(Seq(
+          PSlide(Seq(
+            PTitle(s"Doc $id"),
+            PBody(Seq("body: " + Option(text).getOrElse(""),
+              "lang: " + lang, "source: " + source)),
+            PImage(s"fig $id"))),
+          PSlide(Seq(
+            PTitle("stats"),
+            PTable(Seq(Seq("stat", "value"),
+              Seq("n_chars", nChars.toString)))),
+            notes = Seq(s"end of doc $id")))))
+      }.toDF("doc_id", "content")
+      PptxElementReader.elements(s, pptxDocs).toDF()
+        .select(col("doc_id"), col("seq"), col("kind"), col("level"),
+          col("text"), col("page_number"))
+        .orderBy(col("doc_id"), col("seq"))
+    }),
+
     "i_pdf_elements" -> ((s, dir) => {
       // the in-process PDF reader (PdfElementReader — the third leg
       // of the MarkItDownReader twin, r8: tolerant COS scanner +
@@ -2644,18 +2720,23 @@ object SparkEntry {
     }),
 
     "i_auto_elements" -> ((s, dir) => {
-      // format-sniffing reader router (AutoElementReader, r8): the
-      // documents corpus is packaged into a MIXED-format binary
-      // column — doc_id % 4 selects markdown / HTML / DOCX / PDF —
-      // and one elements() call routes each row by magic bytes. The
-      // oracle is the strongest form of the reader-agnostic claim:
-      // the SAME two canonical rows per document REGARDLESS of which
-      // format carried it, so any reader diverging from the shared
-      // element contract fails the hash. Packaging + detection +
-      // parsing fuse into one typed map/flatMap — map-only at any
-      // corpus size.
+      // format-sniffing reader router (AutoElementReader, r8; OOXML
+      // three-way discrimination r12): the documents corpus is
+      // packaged into a MIXED-format binary column — doc_id % 6
+      // selects markdown / HTML / DOCX / PDF / XLSX / PPTX — and one
+      // elements() call routes each row by magic bytes (the three
+      // OOXML families all start "PK" and are told apart by their
+      // [Content_Types].xml declaration). The oracle is the
+      // strongest form of the reader-agnostic claim: the SAME two
+      // canonical rows per document REGARDLESS of which format
+      // carried it (xlsx differs only in the body row's kind — a
+      // sheet has no paragraph concept, its table IS the body), so
+      // any reader diverging from the shared element contract fails
+      // the hash. Packaging + detection + parsing fuse into one typed
+      // map/flatMap — map-only at any corpus size.
       import s.implicits._
-      import graft.sources.{AutoElementReader, DocxElementReader, PdfElementReader}
+      import graft.sources.{AutoElementReader, DocxElementReader,
+        PdfElementReader, PptxElementReader, XlsxElementReader}
       val base = tbl(s, dir, "documents")
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
@@ -2663,7 +2744,7 @@ object SparkEntry {
         val text = Option(textRaw).getOrElse("")
         val title = s"Doc $id"
         val body = "body: " + text
-        val bytes = (id % 4) match {
+        val bytes = (id % 6) match {
           case 0 => s"# $title\n\n$body"
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           case 1 => s"<html><body><h1>$title</h1><p>$body</p></body></html>"
@@ -2671,9 +2752,16 @@ object SparkEntry {
           case 2 => DocxElementReader.synthesize(Seq(
             DocxElementReader.SHeading(1, title),
             DocxElementReader.SPara(body)))
-          case _ => PdfElementReader.synthesize(Seq(Seq(
+          case 3 => PdfElementReader.synthesize(Seq(Seq(
             PdfElementReader.SHeading(1, title),
             PdfElementReader.SPara(body))))
+          case 4 => XlsxElementReader.synthesize(Seq(
+            XlsxElementReader.SSheet(title,
+              Seq(Seq(XlsxElementReader.SInline(body))))))
+          case _ => PptxElementReader.synthesize(Seq(
+            PptxElementReader.PSlide(Seq(
+              PptxElementReader.PTitle(title),
+              PptxElementReader.PBody(Seq(body))))))
         }
         (id, bytes)
       }.toDF("doc_id", "content")
@@ -5472,6 +5560,48 @@ object SparkEntry {
         |    'end of doc ' || doc_id FROM base)
         |ORDER BY doc_id, seq""".stripMargin,
 
+    // replay of the deterministic XLSX packaging: the reader must
+    // unzip, resolve sheets through the workbook rels, decode shared/
+    // inline/numeric cells, and blank the merged-covered title cell;
+    // element order is fixed by the synthesis template (table text =
+    // non-empty cells joined in row-major order)
+    "i_xlsx_elements" ->
+      """WITH base AS (SELECT doc_id, text, lang, source, n_chars FROM documents)
+        |SELECT doc_id, CAST(seq AS INT) AS seq, kind,
+        |  CAST(level AS INT) AS level, text FROM (
+        |  SELECT doc_id, 0 AS seq, 'header' AS kind, 1 AS level,
+        |    'meta' AS text FROM base
+        |  UNION ALL SELECT doc_id, 1, 'table', 0,
+        |    'Doc ' || doc_id || ' field value lang ' || lang ||
+        |    ' source ' || source || ' n_chars ' || n_chars FROM base
+        |  UNION ALL SELECT doc_id, 2, 'header', 1, 'body' FROM base
+        |  UNION ALL SELECT doc_id, 3, 'table', 0,
+        |    trim(regexp_replace('text ' || text, '\s+', ' ', 'g')) FROM base)
+        |ORDER BY doc_id, seq""".stripMargin,
+
+    // replay of the deterministic PPTX packaging: the reader must
+    // unzip, order slides through the presentation rels, map the
+    // placeholder types, recover the table grid, and resolve the
+    // notes part through the slide's own rels; slide = page
+    "i_pptx_elements" ->
+      """WITH base AS (SELECT doc_id, text, lang, source, n_chars FROM documents)
+        |SELECT doc_id, CAST(seq AS INT) AS seq, kind,
+        |  CAST(level AS INT) AS level, text,
+        |  CAST(page AS INT) AS page_number FROM (
+        |  SELECT doc_id, 0 AS seq, 'header' AS kind, 1 AS level,
+        |    'Doc ' || doc_id AS text, 1 AS page FROM base
+        |  UNION ALL SELECT doc_id, 1, 'paragraph', 0,
+        |    trim(regexp_replace('body: ' || text, '\s+', ' ', 'g')), 1 FROM base
+        |  UNION ALL SELECT doc_id, 2, 'paragraph', 0, 'lang: ' || lang, 1 FROM base
+        |  UNION ALL SELECT doc_id, 3, 'paragraph', 0, 'source: ' || source, 1 FROM base
+        |  UNION ALL SELECT doc_id, 4, 'image', 0, 'fig ' || doc_id, 1 FROM base
+        |  UNION ALL SELECT doc_id, 5, 'header', 1, 'stats', 2 FROM base
+        |  UNION ALL SELECT doc_id, 6, 'table', 0,
+        |    'stat value n_chars ' || n_chars, 2 FROM base
+        |  UNION ALL SELECT doc_id, 7, 'footer', 0,
+        |    'end of doc ' || doc_id, 2 FROM base)
+        |ORDER BY doc_id, seq""".stripMargin,
+
     // replay of the deterministic PDF packaging: the reader must
     // scan the COS objects, inflate the content streams, interpret
     // the text operators, and re-derive structure from font sizes;
@@ -5549,14 +5679,16 @@ object SparkEntry {
     // are identical — only the detected-format audit column varies
     "i_auto_elements" ->
       """WITH base AS (SELECT doc_id, text,
-        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'markdown'
-        |    WHEN 1 THEN 'html' WHEN 2 THEN 'docx' ELSE 'pdf' END AS format
+        |  CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 'markdown'
+        |    WHEN 1 THEN 'html' WHEN 2 THEN 'docx' WHEN 3 THEN 'pdf'
+        |    WHEN 4 THEN 'xlsx' ELSE 'pptx' END AS format
         |  FROM documents)
         |SELECT doc_id, CAST(seq AS INT) AS seq, kind,
         |  CAST(level AS INT) AS level, text, format FROM (
         |  SELECT doc_id, 0 AS seq, 'header' AS kind, 1 AS level,
         |    'Doc ' || doc_id AS text, format FROM base
-        |  UNION ALL SELECT doc_id, 1, 'paragraph', 0,
+        |  UNION ALL SELECT doc_id, 1,
+        |    CASE WHEN format = 'xlsx' THEN 'table' ELSE 'paragraph' END, 0,
         |    trim(regexp_replace('body: ' || text, '\s+', ' ', 'g')),
         |    format FROM base)
         |ORDER BY doc_id, seq""".stripMargin,

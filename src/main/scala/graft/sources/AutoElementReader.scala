@@ -4,7 +4,7 @@ import graft.model.DocElement
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Format-sniffing reader router: one ingest entry point for a mixed
-  * corpus of markdown / HTML / DOCX / PDF binaries, dispatching each
+  * corpus of markdown / HTML / DOCX / XLSX / PPTX / PDF binaries, dispatching each
   * row to the matching in-process reader by magic bytes. The
   * reference wires exactly one IngestionDocumentReader per pipeline
   * (DataIngestionPipeline ctor takes a single reader;
@@ -17,9 +17,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *
   * Detection (first bytes, after whitespace where textual):
   *   - `%PDF-`            → [[PdfElementReader]]
-  *   - `PK`   → zip container → [[DocxElementReader]]
-  *     (a zip without word/document.xml degrades to empty there —
-  *     the same contract as a corrupt DOCX)
+  *   - `PK`   → OOXML container → [[DocxElementReader]] /
+  *     [[XlsxElementReader]] / [[PptxElementReader]], discriminated
+  *     by the package's OWN type declaration ([Content_Types].xml
+  *     Override content types — the OPC-correct sniff) with a
+  *     part-name fallback (word/document.xml | xl/workbook.xml |
+  *     ppt/presentation.xml) when that part is missing or
+  *     unparseable; an unrecognized zip routes to DOCX and degrades
+  *     to empty there (the same contract as a corrupt DOCX)
   *   - leading `<`        → [[HtmlElementReader]] (covers `<!DOCTYPE`,
   *     `<html`, fragments)
   *   - anything else      → [[MarkdownElementReader]] (UTF-8 text)
@@ -27,7 +32,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * Every reader emits the same (kind, level, markdown, text) stream,
   * so a mixed corpus yields ONE uniform element table — the
   * reader-agnostic claim made structural (the i_auto_elements driver
-  * row proves all four readers emit identical canonical rows for the
+  * row proves the readers emit identical canonical rows for the
   * same logical document).
   */
 object AutoElementReader {
@@ -39,7 +44,7 @@ object AutoElementReader {
     // compressed payload can coincidentally contain "%PDF-" in its
     // first KB, and no real PDF starts with a local-file header)
     if (bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
-      bytes(2) == 3 && bytes(3) == 4) return "docx"
+      bytes(2) == 3 && bytes(3) == 4) return detectOoxml(bytes)
     // %PDF- anywhere in the first 1024 bytes, not just offset 0: the
     // PDF spec (ISO 32000-1 §7.5.2 note; Acrobat's documented
     // tolerance) allows junk before the header, and real crawl files
@@ -55,6 +60,34 @@ object AutoElementReader {
     }
     // textual: the shared text router (BOM/ws skip, tag-open check)
     detectText(bytes)
+  }
+
+  /** Discriminate the three OOXML families inside a zip container.
+    * Primary: the package's own [Content_Types].xml Override content
+    * types (the OPC-correct sniff — part names are conventional, the
+    * content-type declaration is normative). Fallback when that part
+    * is missing/unparseable/bomb-capped: the conventional main part
+    * names. A zip that is neither (a plain archive, an epub, a jar)
+    * routes to DOCX, whose parser degrades to zero elements — the
+    * same observable contract as a corrupt DOCX, and the zero-element
+    * fallback in [[docElements]] then marks the loss. */
+  private[sources] def detectOoxml(bytes: Array[Byte]): String = {
+    val ct = Ooxml.zipParts(bytes, _ == "[Content_Types].xml")
+      .get("[Content_Types].xml").flatMap(Ooxml.parseXml)
+    ct match {
+      case Some(types) =>
+        val declared = Ooxml.kids(types, "Override")
+          .flatMap(_.attrs.get("ContentType"))
+        if (declared.exists(_.contains("wordprocessingml"))) return "docx"
+        if (declared.exists(_.contains("spreadsheetml"))) return "xlsx"
+        if (declared.exists(_.contains("presentationml"))) return "pptx"
+      case None =>
+    }
+    val names = Ooxml.zipEntryNames(bytes).toSet
+    if (names.contains("word/document.xml")) "docx"
+    else if (names.contains("xl/workbook.xml")) "xlsx"
+    else if (names.contains("ppt/presentation.xml")) "pptx"
+    else "docx"
   }
 
   /** Does the prefix read as text? Used to decide whether a document
@@ -100,6 +133,14 @@ object AutoElementReader {
       case "docx" =>
         DocxElementReader.parseBlocks(bytes).map {
           case (k, l, m, t) => (k, l, m, t, None)
+        }
+      case "xlsx" =>
+        XlsxElementReader.parseBlocks(bytes).map {
+          case (k, l, m, t) => (k, l, m, t, None)
+        }
+      case "pptx" =>
+        PptxElementReader.parseBlocks(bytes).map {
+          case (k, l, m, t, slide) => (k, l, m, t, Some(slide))
         }
       case "html" =>
         HtmlElementReader.parseBlocks(

@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.model.DocElement
+import graft.sources.Ooxml._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import scala.collection.mutable.ArrayBuffer
 
@@ -57,142 +58,14 @@ import scala.collection.mutable.ArrayBuffer
   */
 object DocxElementReader {
 
-  /** Decompression cap per zip part — a crawl-sourced zip bomb must
-    * not OOM an executor; a real document.xml is a few MB. */
-  val MaxPartBytes: Int = 64 << 20
-
-  /** XML tree depth cap (flatten beyond): WordprocessingML nests
-    * shallowly in practice; a crafted deep document must not blow the
-    * parse or walker stack (same guard as the HTML reader). */
-  private val MaxDepth = 256
-
-  // ------------------------------------------------------------------
-  // Zip container
-  // ------------------------------------------------------------------
-  /** Extract the wanted parts of a zip, bounded by [[MaxPartBytes]]
-    * each. Returns what was readable — a corrupt central directory or
-    * truncated stream yields the entries decoded before the damage. */
-  private def zipParts(bytes: Array[Byte],
-                       wanted: Set[String]): Map[String, Array[Byte]] = {
-    val out = Map.newBuilder[String, Array[Byte]]
-    val zin = new java.util.zip.ZipInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try {
-      var entry = zin.getNextEntry
-      var remaining = wanted
-      while (entry != null && remaining.nonEmpty) {
-        val name = entry.getName
-        if (remaining.contains(name)) {
-          val buf = new java.io.ByteArrayOutputStream
-          val chunk = new Array[Byte](8192)
-          var n = zin.read(chunk)
-          var ok = true
-          while (n >= 0 && ok) {
-            buf.write(chunk, 0, n)
-            if (buf.size > MaxPartBytes) ok = false // bomb guard: drop part
-            else n = zin.read(chunk)
-          }
-          if (ok) { out += name -> buf.toByteArray; remaining -= name }
-        }
-        entry = zin.getNextEntry
-      }
-    } catch { case _: Exception => /* truncated/corrupt: keep what we have */ }
-    finally zin.close()
-    out.result()
-  }
-
-  // ------------------------------------------------------------------
-  // Minimal XML tree (StAX, secured)
-  // ------------------------------------------------------------------
-  private final case class XNode(name: String,
-                                 attrs: Map[String, String],
-                                 children: ArrayBuffer[AnyRef]) // XNode | String
-
-  // one factory per executor thread: XMLInputFactory.newInstance()
-  // runs an SPI classpath scan — per-DOCUMENT it dominated the parse
-  // (the sf1 i_docx_elements row spent ~20s of a 380s inventory in
-  // factory lookups); factories aren't guaranteed thread-safe, so
-  // ThreadLocal rather than a shared val
-  private val xmlFactoryTL =
-    ThreadLocal.withInitial[javax.xml.stream.XMLInputFactory] { () =>
-      val f = javax.xml.stream.XMLInputFactory.newInstance()
-      // XXE hardening: crawled DOCX is untrusted content
-      f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
-      f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-      f
-    }
-
-  private def xmlFactory(): javax.xml.stream.XMLInputFactory =
-    xmlFactoryTL.get()
-
-  /** Parse XML bytes into a namespace-stripped tree (local names only:
-    * WordprocessingML prefixes are fixed in practice, and keying on
-    * local names keeps the walker independent of prefix spelling).
-    * Malformed XML → None. */
-  private def parseXml(bytes: Array[Byte]): Option[XNode] = {
-    import javax.xml.stream.XMLStreamConstants._
-    try {
-      val r = xmlFactory().createXMLStreamReader(
-        new java.io.ByteArrayInputStream(bytes))
-      try {
-        val root = XNode("#root", Map.empty, ArrayBuffer.empty)
-        var stack: List[XNode] = List(root)
-        var depth = 0
-        // opens appended-but-not-pushed past the depth cap: their
-        // matching closes must be swallowed, not pop real ancestors
-        // (else one >MaxDepth spike re-parents the rest of the body)
-        var skippedDepth = 0
-        while (r.hasNext) {
-          r.next() match {
-            case START_ELEMENT =>
-              val attrs = (0 until r.getAttributeCount).map { i =>
-                r.getAttributeLocalName(i) -> r.getAttributeValue(i)
-              }.toMap
-              val node = XNode(r.getLocalName, attrs, ArrayBuffer.empty)
-              stack.head.children += node
-              // depth cap: append-but-don't-push flattens crafted nesting
-              if (depth < MaxDepth) { stack = node :: stack; depth += 1 }
-              else skippedDepth += 1
-            case END_ELEMENT =>
-              if (skippedDepth > 0) skippedDepth -= 1
-              else if (stack.tail.nonEmpty) { stack = stack.tail; depth -= 1 }
-            case CHARACTERS | CDATA =>
-              if (!r.isWhiteSpace || stack.head.name == "t")
-                stack.head.children += r.getText
-            case _ =>
-          }
-        }
-        root.children.collectFirst { case n: XNode => n }
-      } finally r.close()
-    } catch { case _: Exception => None }
-  }
-
-  private def kids(n: XNode): Seq[XNode] =
-    n.children.collect { case c: XNode => c }.toSeq
-  private def kids(n: XNode, name: String): Seq[XNode] =
-    n.children.collect { case c: XNode if c.name == name => c }.toSeq
-  private def first(n: XNode, name: String): Option[XNode] =
-    n.children.collectFirst { case c: XNode if c.name == name => c }
-
-  /** word/_rels/document.xml.rels → Id → Target (hyperlink URLs,
-    * image media paths). */
-  private def parseRels(bytes: Array[Byte]): Map[String, String] =
-    parseXml(bytes) match {
-      case Some(root) =>
-        kids(root, "Relationship").flatMap { rel =>
-          for (id <- rel.attrs.get("Id"); t <- rel.attrs.get("Target"))
-            yield id -> t
-        }.toMap
-      case None => Map.empty
-    }
+  /** Decompression cap per zip part (shared OOXML guard — see
+    * [[Ooxml.MaxPartBytes]]); re-exported because the bomb specs and
+    * scaladoc reference it here. */
+  val MaxPartBytes: Int = Ooxml.MaxPartBytes
 
   // ------------------------------------------------------------------
   // WordprocessingML walk
   // ------------------------------------------------------------------
-  private val WsRun = java.util.regex.Pattern.compile("\\s+")
-  private def collapse(s: String): String =
-    WsRun.matcher(s).replaceAll(" ").trim
-
   private val HeadingStyle = java.util.regex.Pattern.compile(
     "(?i)heading([1-9])")
 
@@ -400,19 +273,8 @@ object DocxElementReader {
           else (collapse(cellMd.toString), collapse(cellTx.toString))
         cell +: Seq.fill(span - 1)(("", ""))
       }
-    }.filter(_.nonEmpty)
-    if (rows.isEmpty) None
-    else {
-      val header = rows.head
-      val md = new StringBuilder
-      md.append(header.map(_._1).mkString("| ", " | ", " |")).append('\n')
-      md.append(Seq.fill(header.size)("---").mkString("| ", " | ", " |"))
-      rows.tail.foreach { r =>
-        md.append('\n').append(r.map(_._1).mkString("| ", " | ", " |"))
-      }
-      val text = collapse(rows.flatMap(_.map(_._2)).filter(_.nonEmpty).mkString(" "))
-      Some(("table", 0, md.toString, text))
     }
+    tableFromGrid(rows)
   }
 
   /** Parse one DOCX binary into ordered (kind, level, markdown, text) —
@@ -519,18 +381,6 @@ object DocxElementReader {
     def apply(text: String): SPara = SPara(Seq(SRun(text)))
   }
 
-  private def xesc(s: String): String = {
-    val sb = new StringBuilder
-    s.foreach {
-      case '&' => sb.append("&amp;")
-      case '<' => sb.append("&lt;")
-      case '>' => sb.append("&gt;")
-      case '"' => sb.append("&quot;")
-      case c => sb.append(c)
-    }
-    sb.toString
-  }
-
   /** Build a minimal DOCX package (deterministic bytes for fixed
     * input: zip entry times pinned, insertion order fixed). */
   def synthesize(blocks: Seq[SynthBlock]): Array[Byte] = {
@@ -609,24 +459,9 @@ object DocxElementReader {
         """<Default Extension="xml" ContentType="application/xml"/>""" +
         """<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>""" +
         "</Types>"
-    val bos = new java.io.ByteArrayOutputStream
-    val zos = new java.util.zip.ZipOutputStream(bos)
-    // BEST_SPEED: the parse side still exercises inflate, but default
-    // compression made corpus-wide packaging the single most
-    // expensive bench row (20.5s of the sf1 inventory's 380s); the
-    // synthesized XML is tiny, so the ratio loss is irrelevant
-    zos.setLevel(java.util.zip.Deflater.BEST_SPEED)
-    def put(name: String, content: String): Unit = {
-      val e = new java.util.zip.ZipEntry(name)
-      e.setTime(0L) // pinned: byte-identical output for fixed input
-      zos.putNextEntry(e)
-      zos.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      zos.closeEntry()
-    }
-    put("[Content_Types].xml", contentTypes)
-    put("word/document.xml", documentXml)
-    put("word/_rels/document.xml.rels", relsXml)
-    zos.close()
-    bos.toByteArray
+    zipPackage(Seq(
+      "[Content_Types].xml" -> contentTypes,
+      "word/document.xml" -> documentXml,
+      "word/_rels/document.xml.rels" -> relsXml))
   }
 }

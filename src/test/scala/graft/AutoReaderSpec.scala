@@ -155,4 +155,35 @@ class AutoReaderSpec extends SparkSpecBase {
     AutoElementReader.parseBlocks(
       Array.fill[Byte](50000)(rnd.nextInt(256).toByte)) // must not throw
   }
+
+  test("OOXML routing: Content_Types discriminates docx/xlsx/pptx") {
+    import graft.sources.{DocxElementReader => D, XlsxElementReader => X, PptxElementReader => P}
+    val docx = D.synthesize(Seq(D.SHeading(1, "w")))
+    val xlsx = X.synthesize(Seq(X.SSheet("s", Seq(Seq(X.SInline("v"))))))
+    val pptx = P.synthesize(Seq(P.PSlide(Seq(P.PTitle("t")))))
+    assert(AutoElementReader.detect(docx) == "docx")
+    assert(AutoElementReader.detect(xlsx) == "xlsx")
+    assert(AutoElementReader.detect(pptx) == "pptx")
+    // parseBlocks dispatches to the right reader; pptx carries slide
+    // numbers as pages, the pageless formats carry None
+    assert(AutoElementReader.parseBlocks(xlsx).map(b => (b._1, b._4, b._5)) ==
+      Seq(("header", "s", None), ("table", "v", None)))
+    assert(AutoElementReader.parseBlocks(pptx).map(b => (b._1, b._4, b._5)) ==
+      Seq(("header", "t", Some(1))))
+    // docElements records the discriminated format in metadata
+    assert(AutoElementReader.docElements(1L, xlsx).head.metadata("format") == "xlsx")
+    assert(AutoElementReader.docElements(2L, pptx).head.metadata("format") == "pptx")
+  }
+
+  test("OOXML routing falls back to part names when Content_Types is absent") {
+    val noCt = graft.sources.Ooxml.zipPackage(Seq(
+      "xl/workbook.xml" ->
+        """<workbook xmlns:r="r"><sheets><sheet name="n" sheetId="1" r:id="rId1"/></sheets></workbook>""",
+      "xl/_rels/workbook.xml.rels" ->
+        """<Relationships><Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""",
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>z</t></is></c></row></sheetData></worksheet>"""))
+    assert(AutoElementReader.detect(noCt) == "xlsx")
+    assert(AutoElementReader.parseBlocks(noCt).map(_._4) == Seq("n", "z"))
+  }
 }
