@@ -2609,11 +2609,18 @@ object SparkEntry {
       // page 2 ends with a RULED table (r9): synthesize draws the
       // grid with m/l strokes and the reader's bordered-grid detector
       // (detectRuledTable) must recover the same pipe-markdown table
-      // element the DOCX/HTML readers emit — corpus-wide, hash-exact
+      // element the DOCX/HTML readers emit — corpus-wide, hash-exact.
+      // EVEN docs additionally place an image XObject on page 1
+      // (r11 verdict item 3): the Do-placement scan must emit the
+      // `image` element with its /Alt text in reading order on even
+      // docs and NOTHING on odd docs — presence and absence both
+      // hash-gated (i_enrich_imagealt's PDF-sourced path)
       val pdfDocs = base.map { case (id, text, lang, source) =>
+        val page1 = Seq(SHeading(1, s"Doc $id"),
+          SPara("body: " + Option(text).getOrElse(""))) ++
+          (if (id % 2 == 0) Seq(SImage(s"fig $id")) else Nil)
         (id, PdfElementReader.synthesize(Seq(
-          Seq(SHeading(1, s"Doc $id"),
-            SPara("body: " + Option(text).getOrElse(""))),
+          page1,
           Seq(SPara("lang: " + lang), SPara("source: " + source),
             SPara(s"end of doc $id"),
             STable(Seq(Seq("field", "value"),
@@ -5608,7 +5615,8 @@ object SparkEntry {
     // element order and page split are fixed by the synthesis
     // template (whitespace collapses exactly like the other readers)
     "i_pdf_elements" ->
-      """WITH base AS (SELECT doc_id, text, lang, source FROM documents)
+      """WITH base AS (SELECT doc_id, text, lang, source,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS img FROM documents)
         |SELECT doc_id, CAST(seq AS INT) AS seq, kind,
         |  CAST(level AS INT) AS level, text,
         |  CAST(page AS INT) AS page_number FROM (
@@ -5616,11 +5624,13 @@ object SparkEntry {
         |    'Doc ' || doc_id AS text, 1 AS page FROM base
         |  UNION ALL SELECT doc_id, 1, 'paragraph', 0,
         |    trim(regexp_replace('body: ' || text, '\s+', ' ', 'g')), 1 FROM base
-        |  UNION ALL SELECT doc_id, 2, 'paragraph', 0, 'lang: ' || lang, 2 FROM base
-        |  UNION ALL SELECT doc_id, 3, 'paragraph', 0, 'source: ' || source, 2 FROM base
-        |  UNION ALL SELECT doc_id, 4, 'paragraph', 0,
+        |  UNION ALL SELECT doc_id, 2, 'image', 0,
+        |    'fig ' || doc_id, 1 FROM base WHERE img = 1
+        |  UNION ALL SELECT doc_id, 2 + img, 'paragraph', 0, 'lang: ' || lang, 2 FROM base
+        |  UNION ALL SELECT doc_id, 3 + img, 'paragraph', 0, 'source: ' || source, 2 FROM base
+        |  UNION ALL SELECT doc_id, 4 + img, 'paragraph', 0,
         |    'end of doc ' || doc_id, 2 FROM base
-        |  UNION ALL SELECT doc_id, 5, 'table', 0,
+        |  UNION ALL SELECT doc_id, 5 + img, 'table', 0,
         |    'field value lang ' || lang || ' source ' || source, 2 FROM base)
         |ORDER BY doc_id, seq""".stripMargin,
 

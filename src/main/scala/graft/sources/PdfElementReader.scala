@@ -42,10 +42,12 @@ import scala.collection.mutable.ArrayBuffer
   *     rank — the same structural stream every other reader emits.
   *
   * Documented out of scope (degrade, never throw): encrypted files,
-  * non-Flate filters (DCT/JBIG2/... are image data anyway), exotic
+  * non-Flate filters for TEXT content (DCT/JBIG2/... are image data
+  * anyway — image XObjects are placed as `image` elements by their
+  * Do operators without decoding pixels, alt text from /Alt), exotic
   * CMaps, rotated/columnar layout analysis, tables (ambiguous
   * without ruling-line analysis — a PDF "table" is just positioned
-  * text), image XObjects. Malformed or unsupported input yields the
+  * text). Malformed or unsupported input yields the
   * elements parsed so far — one bad crawl document must not fail a
   * 100 TB job. Parsing runs inside a typed flatMap: one binary row
   * in, N element rows out — narrow, shuffle-free, map-only at any
@@ -612,13 +614,21 @@ object PdfElementReader {
   private final case class Seg(x1: Double, y1: Double,
                                x2: Double, y2: Double)
 
+  /** One image XObject placement (a Do of an /Subtype/Image name):
+    * device-space x and TOP y from the CTM at the Do (top = f + |d| —
+    * the image unit square maps its height onto d; rotation is out of
+    * scope, documented). */
+  private final case class ImgPlace(x: Double, topY: Double, name: String)
+
   private def interpretContent(content: Array[Byte],
-                               fonts: Map[String, FontInfo])
-      : (Seq[Line], Seq[Show], Seq[Seg]) = {
+                               fonts: Map[String, FontInfo],
+                               imageNames: Set[String])
+      : (Seq[Line], Seq[Show], Seq[Seg], Seq[ImgPlace]) = {
     val lx = new Lexer(content, 0)
     val lines = ArrayBuffer.empty[Line]
     val shows = ArrayBuffer.empty[Show]
     val segs = ArrayBuffer.empty[Seg]
+    val images = ArrayBuffer.empty[ImgPlace]
     val pending = ArrayBuffer.empty[Seg] // path under construction
     val sb = new StringBuilder
     var curFont: FontInfo = FontInfo(Map.empty, twoByte = false)
@@ -632,7 +642,11 @@ object PdfElementReader {
     var leading = 0.0
     var maxSize = 0.0
     var haveLine = false
-    var stack = List.empty[(FontInfo, Double, Double, Double)]
+    // current transformation matrix [a b 0; c d 0; e f 1] — tracked
+    // ONLY to place image Do operators; text positioning keeps its
+    // original Td/Tm model (the r8-exact path)
+    var ctm = Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    var stack = List.empty[(FontInfo, Double, Double, Double, Array[Double])]
 
     def flushLine(): Unit = {
       if (haveLine && sb.nonEmpty)
@@ -772,10 +786,29 @@ object PdfElementReader {
             val id = indexOfBytes(lx.b, "ID", lx.pos)
             val ei = if (id >= 0) indexOfBytes(lx.b, "EI", id + 2) else -1
             lx.pos = if (ei >= 0) ei + 2 else lx.end
-          case "q" => stack = (curFont, fontSize, tmScale, xScale) :: stack
+          case "cm" =>
+            // CTM' = M · CTM (matrix pre-concatenation, ISO 32000-1 §8.3.4)
+            val (a2, b2, c2, d2, e2, f2) =
+              (num(6), num(5), num(4), num(3), num(2), num(1))
+            ctm = Array(
+              a2 * ctm(0) + b2 * ctm(2), a2 * ctm(1) + b2 * ctm(3),
+              c2 * ctm(0) + d2 * ctm(2), c2 * ctm(1) + d2 * ctm(3),
+              e2 * ctm(0) + f2 * ctm(2) + ctm(4),
+              e2 * ctm(1) + f2 * ctm(3) + ctm(5))
+          case "Do" =>
+            // image XObject placement in reading order; Form XObjects
+            // (and unknown names) are skipped — their nested content
+            // is out of scope, documented
+            operands.lastOption.collect {
+              case PName(nm) if imageNames(nm) =>
+                images += ImgPlace(ctm(4), ctm(5) + math.abs(ctm(3)), nm)
+            }
+          case "q" =>
+            stack = (curFont, fontSize, tmScale, xScale, ctm) :: stack
           case "Q" => stack match {
-            case (f, s, t, xs) :: rest =>
+            case (f, s, t, xs, m) :: rest =>
               curFont = f; fontSize = s; tmScale = t; xScale = xs
+              ctm = m
               stack = rest
             case Nil =>
           }
@@ -785,7 +818,7 @@ object PdfElementReader {
       } else lx.pos += 1
     }
     flushLine()
-    (lines.toSeq, shows.toSeq, segs.toSeq)
+    (lines.toSeq, shows.toSeq, segs.toSeq, images.toSeq)
   }
 
   // ------------------------------------------------------------------
@@ -1419,9 +1452,29 @@ object PdfElementReader {
         name -> FontInfo(toUni, twoByte, enc)
       }).toMap
 
+    // /Resources /XObject entries whose dict says /Subtype /Image:
+    // name -> alt text (/Alt string when present, decoded Latin-1 —
+    // the reference's AlternativeText surface,
+    // DocumentIntelligenceReader.cs:182-190). Pixels are never decoded.
+    def imageAltsOf(res: Option[PDict]): Map[String, String] =
+      (for {
+        r <- res.toSeq
+        xDict <- dictOf(r.m.getOrElse("XObject", PNull)).toSeq
+        (name, xRef) <- xDict.m.toSeq
+        x <- dictOf(xRef).toSeq
+        if x.m.get("Subtype").contains(PName("Image"))
+      } yield {
+        val alt = resolve(x.m.getOrElse("Alt", PNull)) match {
+          case PStr(b) => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+          case _ => ""
+        }
+        name -> alt
+      }).toMap
+
     // per page: decode contents (single stream or array), interpret
-    val pageContent: Seq[(Seq[Line], Seq[RuledTable])] =
+    val pageContent: Seq[(Seq[Line], Seq[RuledTable], Seq[(Double, Double, String)])] =
       pages.toSeq.map { case (page, res) =>
+      val imageAlts = imageAltsOf(res)
       val streams = resolve(page.m.getOrElse("Contents", PNull)) match {
         case s: PStream => Seq(s)
         case PArr(items) => items.map(resolve(_)).collect { case s: PStream => s }
@@ -1434,9 +1487,15 @@ object PdfElementReader {
           parts.foreach { p => out.write(p); out.write('\n') }
           out.toByteArray
       }
-      if (content.isEmpty) (Nil: Seq[Line], Nil: Seq[RuledTable])
+      if (content.isEmpty)
+        (Nil: Seq[Line], Nil: Seq[RuledTable],
+          Nil: Seq[(Double, Double, String)])
       else {
-        val (lines, shows, segs) = interpretContent(content, fontsOf(res))
+        val (lines, shows, segs, places) =
+          interpretContent(content, fontsOf(res), imageAlts.keySet)
+        // (topY, x, alt) per placement, reading order resolved later
+        val imgs = places.map(pl => (pl.topY, pl.x,
+          imageAlts.getOrElse(pl.name, "")))
         val (ruled, ruledConsumed) = detectRuledTables(shows, segs)
         // borderless tables only compete for shows the ruled/row-rules
         // detectors left behind
@@ -1456,15 +1515,16 @@ object PdfElementReader {
         if (tables.nonEmpty || twoCol.isDefined)
           // table text leaves the line stream (and the body-size
           // vote): remaining shows rebuild with the same grouping
-          (rebuildLines(ordered), tables)
-        else (lines, Nil)
+          (rebuildLines(ordered), tables, imgs)
+        else (lines, Nil, imgs)
       }
     }
 
     // body size = dominant size weighted by text length; headers are
     // larger sizes, leveled by rank
     val allLines = pageContent.flatMap(_._1)
-    if (allLines.isEmpty && pageContent.forall(_._2.isEmpty)) return Nil
+    if (allLines.isEmpty && pageContent.forall(_._2.isEmpty) &&
+      pageContent.forall(_._3.isEmpty)) return Nil
     def sizeKey(s: Double): Double = math.rint(s * 2) / 2 // 0.5pt classes
     val weightBySize = allLines.groupBy(l => sizeKey(l.size))
       .map { case (s, ls) => s -> ls.map(_.text.length).sum }
@@ -1477,7 +1537,7 @@ object PdfElementReader {
       case (s, i) => s -> math.min(i + 1, 6) }.toMap
 
     val out = ArrayBuffer.empty[(String, Int, String, String, Int)]
-    pageContent.zipWithIndex.foreach { case ((lines, tables), pageIdx) =>
+    pageContent.zipWithIndex.foreach { case ((lines, tables, images), pageIdx) =>
       // group consecutive lines into blocks: same size class AND a
       // y-gap under ~1.8× the size reads as one paragraph
       val blocks = ArrayBuffer.empty[ArrayBuffer[Line]]
@@ -1513,6 +1573,16 @@ object PdfElementReader {
         val at = elems.indexWhere(_._1 < t.topY)
         val elem = ((t.topY, ("table", 0, t.md, t.text, pageIdx + 1)))
         if (at < 0) elems += elem else elems.insert(at, elem)
+      }
+      // image placements splice in the same way (top-y reading order,
+      // left-to-right for side-by-side figures); text = alt, like the
+      // DOCX/HTML image legs — i_enrich_imagealt's PDF-sourced path
+      images.sortBy { case (topY, x, _) => (-topY, x) }.foreach {
+        case (topY, _, alt) =>
+          val at = elems.indexWhere(_._1 < topY)
+          val elem = ((topY,
+            ("image", 0, s"![${collapse(alt)}]()", collapse(alt), pageIdx + 1)))
+          if (at < 0) elems += elem else elems.insert(at, elem)
       }
       out ++= elems.map(_._2)
     }
@@ -1623,6 +1693,11 @@ object PdfElementReader {
   sealed trait SynthBlock
   final case class SHeading(level: Int, text: String) extends SynthBlock
   final case class SPara(text: String) extends SynthBlock
+  /** An image XObject placement (q cm /ImN Do Q) with /Alt alt text —
+    * exactly the shape the reader's Do scan emits as an `image`
+    * element. The pixel payload is a tiny constant gray square (the
+    * reader never decodes pixels). */
+  final case class SImage(alt: String) extends SynthBlock
   /** A fully-bordered ruled table: the grid is DRAWN (m/l strokes)
     * and each cell's text placed inside it — what a report-style
     * exporter emits, and exactly the shape [[detectRuledTable]]
@@ -1673,6 +1748,9 @@ object PdfElementReader {
 
   def synthesize(pages: Seq[Seq[SynthBlock]]): Array[Byte] = {
     val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    // image XObjects registered during content generation: alt text
+    // per name, names unique across the whole file (shared Resources)
+    val imageAlts = ArrayBuffer.empty[String]
     def contentFor(blocks: Seq[SynthBlock]): Array[Byte] = {
       val sb = new StringBuilder
       var y = 760.0
@@ -1759,6 +1837,14 @@ object PdfElementReader {
           }
           y = top - (math.max(left.size, right.size) * pitch + 18.0) - BodySize * 2.5
           if (y < 40) y = 760.0
+        case SImage(alt) =>
+          imageAlts += alt
+          val n = imageAlts.size
+          val h = 48.0; val w = 64.0
+          val bottom = y - h
+          sb.append(s"q ${fmt(w)} 0 0 ${fmt(h)} 72 ${fmt(bottom)} cm /Im$n Do Q\n")
+          y = bottom - BodySize * 2.5
+          if (y < 40) y = 760.0
         case b =>
           val (size, text) = b match {
             case SHeading(l, t) => (headingSize(l), t)
@@ -1783,12 +1869,12 @@ object PdfElementReader {
     }
 
     // object layout: 1 Catalog, 2 Pages, 3 Font, then per page i:
-    // (4+2i) Page, (5+2i) its content stream
+    // (4+2i) Page, (5+2i) its content stream; image XObjects (if any)
+    // follow from 4+2*nPages, one per SImage in encounter order
     val nPages = pages.length
     val objs = ArrayBuffer.empty[(Int, Array[Byte])]
     val kidRefs = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
     objs += 1 -> "<< /Type /Catalog /Pages 2 0 R >>".getBytes(latin1)
-    objs += 2 -> s"<< /Type /Pages /Kids [ $kidRefs ] /Count $nPages /Resources << /Font << /F1 3 0 R >> >> >>".getBytes(latin1)
     objs += 3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>".getBytes(latin1)
     pages.zipWithIndex.foreach { case (blocks, i) =>
       val content = contentFor(blocks)
@@ -1801,6 +1887,32 @@ object PdfElementReader {
       streamObj.write("\nendstream".getBytes(latin1))
       objs += (5 + 2 * i) -> streamObj.toByteArray
     }
+    val imgBase = 4 + 2 * nPages
+    imageAlts.zipWithIndex.foreach { case (alt, k) =>
+      // 4 gray pixels, flate-compressed — valid but never decoded
+      val px = {
+        val d = new java.util.zip.Deflater()
+        d.setInput(Array[Byte](0x60, 0x60, 0x60, 0x60)); d.finish()
+        val out = new java.io.ByteArrayOutputStream
+        val buf = new Array[Byte](64)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        d.end(); out.toByteArray
+      }
+      val streamObj = new java.io.ByteArrayOutputStream
+      streamObj.write((s"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 " +
+        s"/ColorSpace /DeviceGray /BitsPerComponent 8 " +
+        s"/Alt (${escapeLiteral(alt)}) /Filter /FlateDecode " +
+        s"/Length ${px.length} >>\nstream\n").getBytes(latin1))
+      streamObj.write(px)
+      streamObj.write("\nendstream".getBytes(latin1))
+      objs += (imgBase + k) -> streamObj.toByteArray
+    }
+    val xobjDict =
+      if (imageAlts.isEmpty) ""
+      else " /XObject << " + imageAlts.indices.map(k =>
+        s"/Im${k + 1} ${imgBase + k} 0 R").mkString(" ") + " >>"
+    objs += 2 -> (s"<< /Type /Pages /Kids [ $kidRefs ] /Count $nPages " +
+      s"/Resources << /Font << /F1 3 0 R >>$xobjDict >> >>").getBytes(latin1)
 
     val out = new java.io.ByteArrayOutputStream
     out.write("%PDF-1.5\n%âãÏÓ\n".getBytes(latin1))

@@ -924,4 +924,63 @@ class PdfReaderSpec extends SparkSpecBase {
         STable(Seq(contHeader, Seq("b", "2"))))))
     assert(PdfElementReader.parseBlocks(same).count(_._1 == "table") == 2)
   }
+
+  // ------------------------------------------------------------------
+  // Image XObject placements (r12): Do -> image element, /Alt alt text
+  // ------------------------------------------------------------------
+
+  test("image Do placement emits an image element in reading order") {
+    val got = PdfElementReader.parseBlocks(synthesize(Seq(Seq(
+      SHeading(1, "Title"), SPara("before fig"),
+      SImage("a scenic chart"), SPara("after fig")))))
+    assert(got.map(b => (b._1, b._4, b._5)) == Seq(
+      ("header", "Title", 1), ("paragraph", "before fig", 1),
+      ("image", "a scenic chart", 1), ("paragraph", "after fig", 1)))
+    assert(got(2)._3 == "![a scenic chart]()")
+  }
+
+  test("an image XObject without /Alt emits an empty-text image element") {
+    val bytes = synthesize(Seq(Seq(SPara("p"), SImage("MARKER"))))
+    val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val noAlt = raw.replace("/Alt (MARKER) ", "")
+    val got = PdfElementReader.parseBlocks(
+      noAlt.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(got.map(b => (b._1, b._4)) == Seq(
+      ("paragraph", "p"), ("image", "")))
+  }
+
+  test("a Do of a missing or non-image XObject emits nothing") {
+    val bytes = synthesize(Seq(Seq(SPara("p"), SImage("x"))))
+    val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val form = raw.replace("/Subtype /Image", "/Subtype /Form")
+    val gotForm = PdfElementReader.parseBlocks(
+      form.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(gotForm.map(b => (b._1, b._4)) == Seq(("paragraph", "p")))
+    // drop the XObject registration from the Resources dict (the Do
+    // itself sits inside the compressed content stream): the operand
+    // name no longer resolves to an image and must be skipped
+    val xat = raw.indexOf(" /XObject << ")
+    assert(xat > 0)
+    val missing = raw.substring(0, xat) +
+      raw.substring(raw.indexOf(" >>", xat) + 3)
+    val gotMissing = PdfElementReader.parseBlocks(
+      missing.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(gotMissing.map(b => (b._1, b._4)) == Seq(("paragraph", "p")))
+  }
+
+  test("an image-only PDF still emits its image elements") {
+    val got = PdfElementReader.parseBlocks(synthesize(Seq(Seq(
+      SImage("lonely figure")))))
+    assert(got.map(b => (b._1, b._4, b._5)) == Seq(
+      ("image", "lonely figure", 1)))
+  }
+
+  test("multiple images keep placement order across pages") {
+    val got = PdfElementReader.parseBlocks(synthesize(Seq(
+      Seq(SPara("p1"), SImage("fig one")),
+      Seq(SImage("fig two"), SPara("p2")))))
+    assert(got.map(b => (b._1, b._4, b._5)) == Seq(
+      ("paragraph", "p1", 1), ("image", "fig one", 1),
+      ("image", "fig two", 2), ("paragraph", "p2", 2)))
+  }
 }
