@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -856,6 +856,93 @@ object Dedup {
       .localCheckpoint(true)
     writeIndexRows(rows, path, "append")
     rows.unpersist()
+  }
+
+  /** DELETE documents from a persisted index — the retraction leg the
+    * lifecycle was missing (a CDC `D` op or right-to-be-forgotten
+    * request must be able to LEAVE the index, not just never enter
+    * it). Copy-on-write at FILE granularity, the analogue of
+    * `Similarity.appendToIvfIndex`'s touched-partition rewrite — a
+    * band PARTITION can't be the COW unit here because every doc owns
+    * one row in every band, so any delete touches all partitions;
+    * files are the honest unit:
+    *
+    *   1. the deleted ids' signatures are fetched by semi-join and
+    *      their band keys RECOMPUTED from the stored shingle hashes
+    *      (the index is self-describing — no text needed), giving the
+    *      same per-band key bounds the probe pushes into the store
+    *      scan, so locating victims reads matched buckets, not bands;
+    *   2. band/signature FILES holding victim rows are identified via
+    *      input_file_name (driver-bounded: a file list, the same
+    *      order of metadata maybeCompactDedupIndex lists);
+    *   3. only those files rewrite (survivors re-append key-sorted
+    *      into the same partition dirs), then the originals delete —
+    *      every untouched file stays byte-identical.
+    *
+    * Crash caveat (documented, same family as the append-replay
+    * note): between the survivor write and the original-file delete a
+    * reader can see victim rows twice; the probe's pair-level dedup
+    * absorbs the fan-out and a re-run of the delete converges.
+    * Returns the number of files rewritten (0 = nothing matched).
+    */
+  def removeFromDedupIndex(spark: SparkSession, path: String,
+                           docIds: DataFrame, k: Int = 16,
+                           rowsPerBand: Int = 4): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path, "bands"))) return 0
+    val ids = docIds.select(col(docIds.columns.head).cast("long").as("doc_id"))
+      .distinct().localCheckpoint(true)
+    try {
+      // victims' stored signatures → recomputed band keys → the same
+      // pushed per-band bounds the probe uses (≤ nBands rows)
+      val victims = spark.read.parquet(s"$path/signatures")
+        .join(ids, Seq("doc_id"), "left_semi")
+        .withColumn("bands", TextFunctions.lshBandKeys(
+          TextFunctions.minHashSignature(col("sh"), k),
+          k, rowsPerBand))
+        .localCheckpoint(true)
+      val delBanded = victims.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "key")))
+      val bounds = delBanded.groupBy(col("band"))
+        .agg(min(col("key")).as("lo"), max(col("key")).as("hi")).collect()
+      if (bounds.isEmpty) { victims.unpersist(); return 0 }
+      val prune = bounds.map { r =>
+        col("band") === r.getInt(0) &&
+          col("key") >= r.getLong(1) && col("key") <= r.getLong(2)
+      }.reduce(_ || _)
+
+      // one table's COW cycle: find victim files, re-append survivors,
+      // drop originals. Sorting restores the band table's row-group-
+      // stat skipping; the signature table has no sort contract.
+      def rewrite(table: String, pruneExpr: Option[Column],
+                  sortCols: Seq[Column]): Int = {
+        val base = s"$path/$table"
+        val scan0 = spark.read.option("basePath", base).parquet(base)
+        val scan = pruneExpr.map(scan0.where).getOrElse(scan0)
+        val files = scan.withColumn("__f", input_file_name())
+          .join(ids, Seq("doc_id"), "left_semi")
+          .select(col("__f")).distinct().collect().map(_.getString(0))
+        if (files.isEmpty) return 0
+        val survivors = spark.read.option("basePath", base)
+          .parquet(files: _*)
+          .join(ids, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true) // materialize before mutating the source
+        val writer0 = survivors.sortWithinPartitions(sortCols: _*)
+        val writer =
+          if (table == "bands") writer0.write.mode("append").partitionBy("band")
+          else writer0.write.mode("append")
+        writer.parquet(base)
+        survivors.unpersist()
+        files.foreach(f => { fs.delete(new Path(f), false); () })
+        files.length
+      }
+      val nBandFiles = rewrite("bands", Some(prune),
+        Seq(col("band"), col("key")))
+      val nSigFiles = rewrite("signatures", None, Seq(col("doc_id")))
+      victims.unpersist()
+      nBandFiles + nSigFiles
+    } finally ids.unpersist()
   }
 
   /** Compact the index — the OPTIMIZE step after many appends: each

@@ -14,6 +14,19 @@ class DedupIndexSpec extends SparkSpecBase {
   private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
     .select(col("doc_id"), col("text"))
 
+  /** (relative path -> (length, mtime)) of every parquet file under
+    * `dir` — the byte-identity fingerprint the COW specs compare. */
+  private def fileSnapshot(dir: String): Map[String, (Long, Long)] = {
+    val root = java.nio.file.Paths.get(dir)
+    val out = scala.collection.mutable.Map[String, (Long, Long)]()
+    java.nio.file.Files.walk(root).forEach { pth =>
+      val f = pth.toFile
+      if (f.isFile && f.getName.endsWith(".parquet"))
+        out(root.relativize(pth).toString) = (f.length(), f.lastModified())
+    }
+    out.toMap
+  }
+
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Int, Int)] =
     df.select(col("a"), col("b"), col("inter"), col("na"), col("nb"))
       .collect()
@@ -229,5 +242,110 @@ class DedupIndexSpec extends SparkSpecBase {
     val got = Dedup.probeDedupIndex(spark, dir, empty)
     assert(got.isEmpty)
     assert(got.columns.toSeq == Seq("a", "b", "inter", "na", "nb"))
+  }
+
+  test("removeFromDedupIndex: probe-after-delete equals rebuild-without, untouched files byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx-del").toString
+    val store = docs.where(col("doc_id") % 3 =!= 0)
+    val victims = store.where(col("doc_id") % 5 === 1).select(col("doc_id"))
+    val delta = docs.where(col("doc_id") % 3 === 0)
+      .unionByName(docs.where(col("doc_id") % 5 === 1))
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    Dedup.writeDedupIndex(store, dir)
+    // fragment the index first so deletion has untouched files to spare
+    Dedup.appendToDedupIndex(spark, dir,
+      docs.where(col("doc_id") % 3 === 2)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val beforeFiles = fileSnapshot(dir)
+    val rewritten = Dedup.removeFromDedupIndex(spark, dir, victims)
+    assert(rewritten > 0)
+    val afterFiles = fileSnapshot(dir)
+    // COW: every surviving pre-delete file is byte-identical; some
+    // pre-delete files are gone (the rewritten ones)
+    val surviving = beforeFiles.keySet.intersect(afterFiles.keySet)
+    assert(surviving.nonEmpty, "delete rewrote every file — no COW")
+    surviving.foreach { pth =>
+      assert(afterFiles(pth) == beforeFiles(pth), s"untouched $pth changed")
+    }
+    assert((beforeFiles.keySet -- afterFiles.keySet).nonEmpty,
+      "no victim file was removed")
+    // semantics: probe(after delete) == probe(rebuild without victims)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-didx-del-rb").toString
+    val keptStore = store.join(victims, Seq("doc_id"), "left_anti")
+      .unionByName(docs.where(col("doc_id") % 3 === 2)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    Dedup.writeDedupIndex(keptStore, rebuilt)
+    assert(pairSet(Dedup.probeDedupIndex(spark, dir, delta)) ==
+      pairSet(Dedup.probeDedupIndex(spark, rebuilt, delta)))
+    // the store no longer signals against the deleted docs: a delta
+    // re-arrival of a victim text must produce NO store pair with the
+    // victim id
+    val pairs = Dedup.probeDedupIndex(spark, dir, delta)
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    val offenders = pairs.select(col("a"), col("b")).collect()
+      .filter(r => victimIds(r.getLong(0)) || victimIds(r.getLong(1)))
+    assert(offenders.isEmpty, s"deleted ids still pair: ${offenders.toSeq}")
+  }
+
+  test("removeFromDedupIndex: unknown ids and missing index are no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx-noop").toString
+    assert(Dedup.removeFromDedupIndex(spark, s"$dir/never-built",
+      Seq(1L).toDF("doc_id")) == 0)
+    Dedup.writeDedupIndex(docs.limit(50), dir)
+    val before = fileSnapshot(dir)
+    assert(Dedup.removeFromDedupIndex(spark, dir,
+      Seq(999999999L).toDF("doc_id")) == 0)
+    val after = fileSnapshot(dir)
+    assert(after == before, "a no-op delete mutated the index")
+  }
+
+  test("removeFromDedupIndex composes with curateStream: a retraction mid-stream unblocks re-admission") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft-curate-del")
+    val in = Files.createDirectory(work.resolve("in"))
+    val idx = work.resolve("idx").toString
+    val accept = work.resolve("accept").toString
+    val ckpt = work.resolve("ckpt").toString
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-curate-del-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, in.resolve(name)); ()
+    }
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      graft.streaming.StreamingIngest.curateStream(stream, idx, accept, ckpt)
+        .start().awaitTermination()
+    }
+    val a = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val bT = (1 to 40).map(i => s"beta$i").mkString(" ")
+    // batch 0: two survivors seed the index
+    stage(Seq((1L, a), (2L, bT)).toDF("doc_id", "text"), "001.parquet")
+    run()
+    // right-to-be-forgotten: retract doc 1 from the index mid-stream
+    assert(graft.operators.Dedup.removeFromDedupIndex(spark, idx,
+      Seq(1L).toDF("doc_id")) > 0)
+    // batch 1: a re-arrival of the RETRACTED text must now ADMIT (the
+    // index no longer holds doc 1); a re-arrival of the kept text must
+    // still DROP against survivor 2
+    stage(Seq((10L, a), (11L, bT)).toDF("doc_id", "text"), "002.parquet")
+    run()
+    val accepted = spark.read.parquet(accept)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(accepted == Set(1L, 2L, 10L),
+      s"retraction did not unblock re-admission: $accepted")
+    // and the re-admitted doc took doc 1's place in the index
+    val indexed = spark.read.parquet(s"$idx/signatures")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(indexed == Set(2L, 10L))
+    Files.walk(work).sorted(java.util.Comparator.reverseOrder())
+      .forEach(pth => { Files.deleteIfExists(pth); () })
   }
 }
