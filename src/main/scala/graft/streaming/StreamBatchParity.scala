@@ -596,8 +596,14 @@ object StreamBatchParity {
       val stream = spark.readStream.schema(vecs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(in.toString)
+      // retrainEvery = 0: this harness hash-gates the FROZEN-centroid
+      // upsert semantics against a SQL oracle that replays exactly
+      // that; the in-loop re-train policy (r12) is spec-gated
+      // separately (IvfFramesSpec) where the partial Lloyd step can
+      // be asserted against the operator itself rather than unrolled
+      // in SQL
       StreamingIngest.ivfUpsertStream(stream, idx,
-        work.resolve("ckpt").toString, nLists)
+        work.resolve("ckpt").toString, nLists, retrainEvery = 0)
         .start().awaitTermination()
       // final answer from the persisted store through the production
       // probe path: per query, the top-nProbe lists' partitions scan

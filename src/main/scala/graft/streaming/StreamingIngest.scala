@@ -399,9 +399,25 @@ object StreamingIngest {
     * the accumulated store. Exactly-once caveat as [[cdcStream]]: a
     * replayed batch re-appends; a lakehouse MERGE owns that at
     * production.
+    *
+    * The frozen-centroid trade is NOT permanent: after each append the
+    * drift-triggered partial re-train policy runs in-loop
+    * ([[graft.operators.Similarity.maybeRetrainIvfIndex]] — its
+    * trigger check reads only the drift table, so per-batch cost is
+    * index METADATA, and a fire re-assigns only the drifted lists'
+    * vectors with copy-on-write partition rewrites). `retrainEvery`
+    * spaces the check for operators who want re-train on a coarser
+    * cadence than ingestion (0 disables — the pre-r12 offline-only
+    * behavior); `retrainMinMeanCos` is the policy threshold.
     */
   def ivfUpsertStream(vecs: DataFrame, indexPath: String, checkpoint: String,
-                      nLists: Int = 16): DataStreamWriter[org.apache.spark.sql.Row] =
+                      nLists: Int = 16,
+                      retrainEvery: Int = 1,
+                      retrainMinMeanCos: Double = 0.98)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    // local batch counter, not batchId: a restarted stream's first
+    // batch must be eligible regardless of checkpoint offsets
+    val appendsSinceCheck = new java.util.concurrent.atomic.AtomicInteger(0)
     vecs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -413,12 +429,21 @@ object StreamingIngest {
           .localCheckpoint(true)
         if (!pinned.isEmpty) {
           val hasStore = storeExists(spark, indexPath, "centroids")
-          if (hasStore) Similarity.appendToIvfIndex(spark, indexPath, pinned)
-          else Similarity.writeIvfIndex(pinned, indexPath, nLists)
+          if (hasStore) {
+            Similarity.appendToIvfIndex(spark, indexPath, pinned)
+            if (retrainEvery > 0 &&
+              appendsSinceCheck.incrementAndGet() >= retrainEvery) {
+              appendsSinceCheck.set(0)
+              Similarity.maybeRetrainIvfIndex(spark, indexPath,
+                retrainMinMeanCos)
+              ()
+            }
+          } else Similarity.writeIvfIndex(pinned, indexPath, nLists)
         }
         pinned.unpersist()
         ()
       }
+  }
 
   /** One closed user session. */
   final case class ClosedSession(user_id: Long, start_sec: Long, end_sec: Long, n_events: Long)

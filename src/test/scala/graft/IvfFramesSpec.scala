@@ -291,8 +291,10 @@ class IvfFramesSpec extends SparkSpecBase {
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.FloatType)))))
         .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      // retrainEvery = 0: this test documents the bare frozen-centroid
+      // upsert semantics; the in-loop re-train policy has its own spec
       graft.streaming.StreamingIngest.ivfUpsertStream(stream, idx, ckpt,
-        nLists = 4).start().awaitTermination()
+        nLists = 4, retrainEvery = 0).start().awaitTermination()
     }
     // run 1 seeds: centroids sampled from THIS batch, then frozen
     stage((0L until 10L).map(i => (i, vec(i.toInt).toSeq)).toDF("vec_id", "embedding"),
@@ -391,5 +393,93 @@ class IvfFramesSpec extends SparkSpecBase {
     val out = Multimodal.resizeStub(media, 224, 224).head()
     assert(out.getAs[Int]("target_width") == 224)
     assert(out.getAs[Array[Byte]]("content").sameElements("abc".getBytes))
+  }
+
+  test("ivfUpsertStream: in-loop drift policy fires one partial re-train; no-fire appends leave centroids byte-identical") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft-ivfrt")
+    val in = Files.createDirectory(work.resolve("in"))
+    val idx = work.resolve("idx").toString
+    val ckpt = work.resolve("ckpt").toString
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft-ivfrt-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, in.resolve(name)); ()
+    }
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      // DEFAULT wiring: policy check after every append
+      graft.streaming.StreamingIngest.ivfUpsertStream(stream, idx, ckpt,
+        nLists = 2).start().awaitTermination()
+    }
+    def jit(i: Long): Float = ((i % 5) * 0.01).toFloat
+    // two tight clusters on orthogonal axes
+    val clusterA = (0L until 10L).map(i => (i, Seq(10f, 0f, 0f, jit(i))))
+    val clusterB = (10L until 20L).map(i => (i, Seq(0f, 10f, 0f, jit(i))))
+    stage((clusterA ++ clusterB).toDF("vec_id", "embedding"), "001.parquet")
+    run()
+    def centroids(): Seq[(Long, Seq[Float])] =
+      spark.read.parquet(s"$idx/centroids").orderBy(col("list_id"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val frozen = centroids()
+    // drifting upsert: every A vector rotates halfway toward e2 — it
+    // stays nearest its old list, but that list's mean swings to
+    // cos ≈ 0.7 against the frozen centroid, far below the 0.98 gate
+    val rotated = (0L until 10L).map(i => (i, Seq(7f, 0f, 7f, jit(i))))
+    stage(rotated.toDF("vec_id", "embedding"), "002.parquet")
+    run()
+    val after = centroids()
+    assert(after != frozen, "drift did not fire an in-loop re-train")
+    // PARTIAL: at least one centroid is byte-equal to its frozen value
+    // (the undrifted cluster's list is never touched)
+    val frozenMap = frozen.toMap
+    assert(after.exists { case (id, c) => frozenMap.get(id).contains(c) },
+      s"re-train touched every centroid: $frozen -> $after")
+    // exactly ONE re-train ran: generations are 0 (the append) and 1
+    // (the re-train log), nothing more
+    val maxGen = spark.read.parquet(s"$idx/drift")
+      .agg(max(col("generation"))).head().getLong(0)
+    assert(maxGen == 1L, s"expected generations 0,1 — got max $maxGen")
+    // probes stay EXACT through the production path after the re-train
+    val q = Array(7f, 0f, 7f, 0f)
+    val got = Similarity.probeIvfIndex(spark, idx, q, k = 5, nProbe = 2)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val store = spark.read.parquet(s"$idx/lists")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosine(col("embedding"),
+          typedlit(q.toSeq)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == store)
+    // no-fire batch: fresh ids aligned with a CURRENT list mean — the
+    // policy check runs and declines; the centroid files stay
+    // byte-identical (values AND mtimes)
+    def centroidFiles(): Map[String, (Long, Long)] = {
+      val root = java.nio.file.Paths.get(idx, "centroids")
+      val out = scala.collection.mutable.Map[String, (Long, Long)]()
+      java.nio.file.Files.walk(root).forEach { pth =>
+        val f = pth.toFile
+        if (f.isFile && f.getName.endsWith(".parquet"))
+          out(root.relativize(pth).toString) = (f.length(), f.lastModified())
+      }
+      out.toMap
+    }
+    val filesBefore = centroidFiles()
+    val aligned = (100L until 103L).map(i => (i, Seq(0f, 10f, 0f, jit(i))))
+    stage(aligned.toDF("vec_id", "embedding"), "003.parquet")
+    run()
+    assert(centroidFiles() == filesBefore,
+      "a no-drift append mutated the centroids")
+    Files.walk(work).sorted(java.util.Comparator.reverseOrder())
+      .forEach(pth => { Files.deleteIfExists(pth); () })
   }
 }
