@@ -255,7 +255,17 @@ object SparkEntry {
     * a cross pair is always the greater (`b`) — the unroll relies on
     * that staging invariant.
     */
-  private lazy val streamCurateSql: String = {
+  private lazy val streamCurateSql: String = streamCurateSqlFor(false)
+
+  /** x_stream_retract oracle: [[streamCurateSql]] with the mid-stream
+    * retraction modeled — the batch-0 contribution to every later
+    * store side keeps ODD survivors only (the harness retracts every
+    * even id of the seed slice after batch 0 commits). Batch 0's own
+    * accept rows are untouched: retraction removes index signal, not
+    * admission history. */
+  private lazy val streamRetractSql: String = streamCurateSqlFor(true)
+
+  private def streamCurateSqlFor(retractEvenSeed: Boolean): String = {
     val nB = graft.streaming.StreamBatchParity.DataBatches
     def inter(sa: String, sb: String) = s"len(list_intersect($sa.hashes, $sb.hashes))"
     def jac(sa: String, sb: String) =
@@ -283,9 +293,15 @@ object SparkEntry {
          |s0 AS (SELECT doc_id FROM b0
          |  WHERE doc_id NOT IN (SELECT doc_id FROM drop0))""".stripMargin
     val steps = (1 until nB).map { i =>
-      val storeBanded = (0 until i).map(j =>
-        s"SELECT doc_id, band, key FROM c${j}_banded WHERE doc_id IN (SELECT doc_id FROM s$j)")
-        .mkString("\n  UNION ALL ")
+      // the retraction variant drops the seed batch's EVEN survivors
+      // from every later store side (their band rows left the index
+      // between batch 0 and batch 1)
+      val storeBanded = (0 until i).map { j =>
+        val keep =
+          if (retractEvenSeed && j == 0) "SELECT doc_id FROM s0 WHERE doc_id % 2 <> 0"
+          else s"SELECT doc_id FROM s$j"
+        s"SELECT doc_id, band, key FROM c${j}_banded WHERE doc_id IN ($keep)"
+      }.mkString("\n  UNION ALL ")
       val sigs = (0 to i).map(j => s"SELECT doc_id, hashes FROM c${j}_sigs")
         .mkString("\n  UNION ALL ")
       s"""stb$i AS (
@@ -3287,6 +3303,36 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    "d_dedup_retract" -> ((s, dir) => {
+      // the index DELETE leg (r12), oracle-gated end-to-end: build a
+      // scratch index over the WHOLE corpus, RETRACT every doc_id%7==1
+      // (removeFromDedupIndex — file-level COW, victims' band keys
+      // recomputed from their stored signatures), then probe a delta
+      // that includes RE-ARRIVALS of the retracted texts. The oracle
+      // replays build+probe in SQL over a store that never contained
+      // the victims — so the hash proves retraction leaves the index
+      // observationally identical to never having indexed them: victim
+      // re-arrivals pair only with surviving near-dups, never with the
+      // retracted ids.
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val victims = docs.where(col("doc_id") % 7 === 1).select(col("doc_id"))
+      val delta = docs
+        .where(col("doc_id") % 10 === 0 || col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
+      val idx = java.nio.file.Files.createTempDirectory("graft-dedup-retract")
+      try {
+        Dedup.writeDedupIndex(docs, idx.toString)
+        Dedup.removeFromDedupIndex(s, idx.toString, victims)
+        Dedup.probeDedupIndex(s, idx.toString, delta)
+          .orderBy(col("a"), col("b"))
+          .localCheckpoint(true) // pin before the scratch index deletes
+      } finally {
+        java.nio.file.Files.walk(idx)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      }
+    }),
+
     "d_dedup_index" -> ((s, dir) => {
       // persisted-LSH-index probe: the corpus's band keys + shingle
       // signatures are built ONCE into a scratch index (one text
@@ -4299,6 +4345,22 @@ object SparkEntry {
       // proving the index build/append/probe lifecycle composes with
       // checkpointed streaming to the exact batch-sequential answer
       graft.streaming.StreamBatchParity.curateParity(
+        s, corpusWithDups(tbl(s, dir, "documents")))
+    }),
+
+    "x_stream_retract" -> ((s, dir) => {
+      // RIGHT-TO-BE-FORGOTTEN composed with streaming curation (r12):
+      // batch 0 admits and seeds the index; every even id of the seed
+      // slice then RETRACTS via removeFromDedupIndex (file-level COW;
+      // non-indexed ids no-op, so the request needs no knowledge of
+      // what survived); the stream RESUMES from its checkpoint over
+      // batches 1..3, whose admissions must reflect the reduced index
+      // — retracted texts re-admit, kept survivors still block — while
+      // batch 0's accept rows stay untouched (retraction removes index
+      // signal, not admission history). Hash-gated against the same
+      // sequence unrolled in SQL with the seed batch's store
+      // contribution filtered to odd survivors.
+      graft.streaming.StreamBatchParity.curateRetractParity(
         s, corpusWithDups(tbl(s, dir, "documents")))
     }),
 
@@ -5857,6 +5919,7 @@ object SparkEntry {
     // stream-batch parity: the streaming curation loop's accept set
     // vs the four-batch admission sequence unrolled in SQL
     "x_stream_curate" -> streamCurateSql,
+    "x_stream_retract" -> streamRetractSql,
 
     // stream-batch parity: the streaming IVF upsert's final probe
     // answer vs the frozen-centroid / replace-by-id sequence in SQL
@@ -7238,6 +7301,39 @@ object SparkEntry {
     // and delta↔delta band-key collisions, verified by exact shingle
     // intersection — byte-for-byte the contract probeDedupIndex
     // computes from stored rows
+    // retraction replay: the store side simply NEVER CONTAINS the
+    // victims — probing the post-delete index must hash-match probing
+    // an index that never indexed them (the right-to-be-forgotten
+    // observational contract)
+    "d_dedup_retract" ->
+      s"""WITH store AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 1),
+         |delta AS (
+         |  SELECT doc_id + 500000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 10 = 0 OR doc_id % 7 = 1),
+         |${minhashBandedCtes("s_", "store")},
+         |${minhashBandedCtes("d_", "delta")},
+         |cand AS (
+         |  SELECT DISTINCT least(x.doc_id, y.doc_id) AS a,
+         |    greatest(x.doc_id, y.doc_id) AS b
+         |  FROM s_banded x JOIN d_banded y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id <> y.doc_id
+         |  UNION
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM d_banded x JOIN d_banded y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |sigs AS (
+         |  SELECT doc_id, hashes FROM s_sigs
+         |  UNION ALL SELECT doc_id, hashes FROM d_sigs),
+         |verified AS (
+         |  SELECT a, b,
+         |    len(list_intersect(sa.hashes, sb.hashes)) AS inter,
+         |    len(sa.hashes) AS na, len(sb.hashes) AS nb
+         |  FROM cand JOIN sigs sa ON sa.doc_id = a
+         |    JOIN sigs sb ON sb.doc_id = b)
+         |SELECT a, b, inter, na, nb FROM verified
+         |WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+         |ORDER BY a, b""".stripMargin,
+
     "d_dedup_index" ->
       s"""WITH store AS (SELECT doc_id, text FROM documents),
          |delta AS (

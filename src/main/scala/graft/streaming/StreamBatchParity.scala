@@ -552,6 +552,61 @@ object StreamBatchParity {
     } finally deleteRecursively(work)
   }
 
+  /** [[curateParity]] with a RETRACTION between the seed batch and the
+    * rest of the stream — the right-to-be-forgotten composition
+    * (driver row x_stream_retract): batch 0 admits and seeds the
+    * index; then every EVEN id of the batch-0 slice retracts via
+    * [[graft.operators.Dedup.removeFromDedupIndex]] (ids that were
+    * dropped or never indexed no-op, so the request needs no knowledge
+    * of what survived); the stream then RESUMES from the same
+    * checkpoint over batches 1..n. Later batches must dedup against
+    * the REDUCED index — a re-arrival of a retracted text admits, a
+    * re-arrival of a kept survivor still drops — while the retracted
+    * docs keep their batch-0 accept rows (retraction removes index
+    * signal, not history). The SQL oracle unrolls the same sequence
+    * with the batch-0 store contribution filtered to odd ids. */
+  def curateRetractParity(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val work = Files.createTempDirectory("graft-parity-retract")
+    val in = Files.createDirectory(work.resolve("in"))
+    try {
+      val docs = documents.select(col("doc_id").cast("long"),
+        col("text").cast("string"))
+      val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+      val range = hi0 - lo0 + 1
+      val t0 = System.currentTimeMillis()
+      def slice(i: Int) = {
+        val lo = lo0 + range * i / DataBatches
+        val hi = lo0 + range * (i + 1) / DataBatches
+        if (i == DataBatches - 1) docs.where(col("doc_id") >= lo)
+        else docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+      }
+      def run(): Unit = {
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(in.toString)
+        StreamingIngest.curateStream(stream, work.resolve("idx").toString,
+          work.resolve("accept").toString, work.resolve("ckpt").toString)
+          .start().awaitTermination()
+      }
+      // run 1: the seed batch alone
+      stageFile(slice(0), in, "000-docs.parquet", t0)
+      run()
+      // the mid-stream retraction request
+      graft.operators.Dedup.removeFromDedupIndex(spark,
+        work.resolve("idx").toString,
+        slice(0).where(col("doc_id") % 2 === 0).select(col("doc_id")))
+      // run 2: the rest of the stream resumes from the checkpoint
+      for (i <- 1 until DataBatches)
+        stageFile(slice(i), in, f"$i%03d-docs.parquet", t0 + i * 60000L)
+      run()
+      spark.read.parquet(work.resolve("accept").toString)
+        .select(col("doc_id"), col("batch").cast("int").as("batch"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint(true)
+    } finally deleteRecursively(work)
+  }
+
   /** Streaming IVF maintenance parity — the ANN-index twin of
     * [[curateParity]]: embeddings staged as four id-range
     * micro-batches (the first seeds the index and freezes its
