@@ -46,6 +46,31 @@ object VectorStoreWriter {
 
   val NumBuckets = 256
 
+  /** Scale-adaptive creation-time layout (r12 optimization round):
+    * sizing targets for [[chooseNumBuckets]]. ~64k records/bucket is
+    * 100-300 MB of parquet at typical chunk+embedding row widths (the
+    * guide's 128 MB - 1 GB file-size band); the floor keeps enough
+    * buckets for parallel reads of a small store, the cap bounds
+    * partition-directory cardinality at any corpus size.
+    */
+  val TargetRowsPerBucket = 65536L
+  val MinBuckets = 8
+  val MaxBuckets = 65536
+
+  /** Bucket count for a store whose seed batch has `nRows` records:
+    * smallest power of two whose buckets stay under
+    * [[TargetRowsPerBucket]], clamped to [MinBuckets, MaxBuckets].
+    * Power of two so a later re-bucketing compaction can split or
+    * merge buckets pairwise without re-hashing every record.
+    */
+  def chooseNumBuckets(nRows: Long): Int = {
+    val need = math.max(1L, (nRows + TargetRowsPerBucket - 1) / TargetRowsPerBucket)
+    val capped = math.min(need, MaxBuckets.toLong).toInt
+    val p2 = Integer.highestOneBit(capped)
+    val up = if (p2.toLong < need && p2 < MaxBuckets) p2 << 1 else p2
+    math.max(MinBuckets, math.min(MaxBuckets, up))
+  }
+
   val Cosine = "cosine"
   val Dot = "dot"
   val Euclidean = "euclidean"
@@ -100,6 +125,44 @@ object VectorStoreWriter {
     ) ++ extras: _*)
   }
 
+  /** [[write]] with a creation-time PERSISTED bucket layout — the
+    * incremental-ingestion entry point (r12 optimization round). The
+    * bucket count is a correctness invariant of the store, not a
+    * tuning knob: `pmod(xxhash64(documentid), n)` must be stable
+    * across every batch or a re-ingested document's old records
+    * (hashed under a different modulus) would never be replaced. So
+    * the count is chosen ONCE, from the seed batch's size
+    * ([[chooseNumBuckets]] — scale-adaptive instead of a constant 256
+    * directories for stores of any size), recorded in
+    * `_layout.json` (underscore-prefixed: parquet readers ignore it),
+    * and every later write reuses the recorded value. The layout file
+    * is written BEFORE the seed data so a crash between the two
+    * leaves an empty store with a pinned layout that a re-run honors.
+    */
+  def writeWithLayout(records: DataFrame, path: String): Unit = {
+    val session = records.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(session.sparkContext.hadoopConfiguration)
+    val layoutFile = new org.apache.hadoop.fs.Path(path, "_layout.json")
+    val n =
+      if (fs.exists(layoutFile)) {
+        val in = fs.open(layoutFile)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        "\"numBuckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt)
+          .getOrElse(throw new IllegalStateException(
+            s"unreadable store layout at $layoutFile: $txt"))
+      } else {
+        val chosen = chooseNumBuckets(records.count())
+        val out = fs.create(layoutFile, true)
+        try out.write(s"""{"numBuckets":$chosen}""".getBytes("UTF-8"))
+        finally out.close()
+        chosen
+      }
+    write(records, path, incremental = true, numBuckets = n)
+  }
+
   /** Write records bucketed by document. Incremental mode is a
     * copy-on-write upsert: records of re-ingested documents are
     * replaced, every other document's records survive — including ones
@@ -117,8 +180,14 @@ object VectorStoreWriter {
     try {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(session.sparkContext.hadoopConfiguration)
+      // data presence, not directory presence: metadata files
+      // (_layout.json, _SUCCESS) alone must not trigger the survivor
+      // read of an empty store
       val sinkExists = fs.exists(new org.apache.hadoop.fs.Path(path)) &&
-        fs.listStatus(new org.apache.hadoop.fs.Path(path)).nonEmpty
+        fs.listStatus(new org.apache.hadoop.fs.Path(path)).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
       val toWrite =
         if (!incremental || !sinkExists) bucketed
         else {
@@ -135,6 +204,15 @@ object VectorStoreWriter {
           bucketed.union(survivors)
         }
       toWrite
+        // hash-cluster rows by bucket before the partitioned write
+        // (the write.distribution-mode=hash discipline): without it
+        // every task holding rows of a bucket opens its own file in
+        // that bucket's directory, so one incremental batch writes
+        // O(tasks × buckets) near-empty files and the NEXT batch's
+        // survivor scan re-lists and re-opens them all — file count
+        // (and the per-batch listing) now stays bounded by the bucket
+        // count however many tasks feed the writer
+        .repartition(col("doc_bucket"))
         // cluster each output file by (documentid, key): parquet
         // row-group min/max stats then prune documentid point lookups
         // (the incremental path's per-document delete/replace) without

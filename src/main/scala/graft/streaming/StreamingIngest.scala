@@ -127,7 +127,11 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        VectorStoreWriter.write(batch, sinkPath)
+        // layout-aware write: bucket count chosen from the SEED batch
+        // (scale-adaptive) and persisted, so every later micro-batch
+        // hashes under the same modulus (replace-by-documentid's
+        // correctness invariant) — see VectorStoreWriter.writeWithLayout
+        VectorStoreWriter.writeWithLayout(batch, sinkPath)
       }
 
   /** Streaming CDC apply: each micro-batch of changelog rows (seq, op

@@ -96,6 +96,36 @@ class PipelineSpec extends SparkSpecBase {
     assert(contents("2") == "doc two") // survived the shared-bucket rewrite
   }
 
+  test("writeWithLayout: bucket count chosen at creation, persisted, and honored by appends") {
+    val dir = Files.createTempDirectory("graft-vsw-layout").toString
+    def recs(rows: (Long, Int, String, String)*) =
+      VectorStoreWriter.toVectorRecords(
+        rows.toSeq.toDF("doc_id", "chunk_id", "content", "context"), 16)
+    // the sizing policy itself: floor, target-row scaling, power of 2, cap
+    assert(VectorStoreWriter.chooseNumBuckets(0L) == VectorStoreWriter.MinBuckets)
+    assert(VectorStoreWriter.chooseNumBuckets(1000L) == VectorStoreWriter.MinBuckets)
+    assert(VectorStoreWriter.chooseNumBuckets(
+      VectorStoreWriter.TargetRowsPerBucket * 20) == 32) // 20 → next pow2
+    assert(VectorStoreWriter.chooseNumBuckets(Long.MaxValue / 4)
+      == VectorStoreWriter.MaxBuckets)
+    // seed write records the layout...
+    VectorStoreWriter.writeWithLayout(
+      recs((1L, 0, "doc one v1", ""), (2L, 0, "doc two", "")), dir)
+    val layout = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_layout.json")), "UTF-8")
+    assert(layout == s"""{"numBuckets":${VectorStoreWriter.MinBuckets}}""")
+    // ...and the replace-by-documentid contract holds across later
+    // writes (same modulus → the old records are found and replaced)
+    VectorStoreWriter.writeWithLayout(recs((1L, 0, "doc one v2", "")), dir)
+    val contents = spark.read.parquet(dir)
+      .select("documentid", "content").as[(String, String)].collect().toMap
+    assert(contents == Map("1" -> "doc one v2", "2" -> "doc two"))
+    // bucket-directory cardinality is the recorded layout's, not NumBuckets
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("doc_bucket="))
+    assert(bucketDirs.length <= VectorStoreWriter.MinBuckets)
+  }
+
   test("incremental write: a mid-write failure leaves the store intact (crash safety)") {
     // the reference deletes stale keys only AFTER inserting new chunks
     // (VectorStoreWriter.cs:70-80) to avoid a delete-then-fail window;
