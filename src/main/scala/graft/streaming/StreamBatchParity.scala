@@ -105,6 +105,11 @@ object StreamBatchParity {
     val work = Files.createTempDirectory("graft-parity")
     val in = Files.createDirectory(work.resolve("in"))
     val schema: StructType = corpus.schema
+    // pin the corpus once: the staging loop below filters it
+    // DataBatches times and the partition sizing needs its row count —
+    // without the checkpoint every slice re-executed the whole corpus
+    // pipeline (r12 optimization round, guide §5: reuse > recompute)
+    val pinned = corpus.localCheckpoint(true)
     try {
       val t0 = System.currentTimeMillis()
       // time-sliced data batches: slice i holds [b_i, b_{i+1}) of the
@@ -113,16 +118,17 @@ object StreamBatchParity {
       // own micro-batch — state genuinely carries across triggers and
       // no event can be late (batch i+1 is entirely newer than the
       // watermark batch i left behind)
+      val nRows = pinned.count()
       val range = maxSec - minSec
       val sec = unix_seconds(col("ts"))
       for (i <- 0 until DataBatches) {
         val lo = minSec + range * i / DataBatches
         val hi = minSec + range * (i + 1) / DataBatches
         val slice =
-          if (DataBatches == 1) corpus
-          else if (i == 0) corpus.where(sec < hi)
-          else if (i == DataBatches - 1) corpus.where(sec >= lo)
-          else corpus.where(sec >= lo && sec < hi)
+          if (DataBatches == 1) pinned
+          else if (i == 0) pinned.where(sec < hi)
+          else if (i == DataBatches - 1) pinned.where(sec >= lo)
+          else pinned.where(sec >= lo && sec < hi)
         stageFile(slice, in, f"$i%03d-corpus.parquet", t0 + i * 60000L)
       }
       // two sentinel batches: the first advances the watermark past
@@ -135,13 +141,27 @@ object StreamBatchParity {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(in.toString)
-      val query = mkQuery(stream, work.resolve("out").toString,
-        work.resolve("ckpt").toString)
+      // the streaming query runs at a data-derived state width
+      // (StreamingIngest.statePartitionsFor — streaming has no AQE
+      // coalescing, and this harness creates a fresh checkpoint per
+      // run, so the width is free to follow the staged corpus size);
+      // restored after the drain so batch queries are untouched
+      val confKey = "spark.sql.shuffle.partitions"
+      val previous = spark.conf.get(confKey)
+      spark.conf.set(confKey,
+        StreamingIngest.statePartitionsFor(spark, nRows).toString)
       try {
-        query.processAllAvailable()
-      } finally query.stop()
+        val query = mkQuery(stream, work.resolve("out").toString,
+          work.resolve("ckpt").toString)
+        try {
+          query.processAllAvailable()
+        } finally query.stop()
+      } finally spark.conf.set(confKey, previous)
       spark.read.parquet(work.resolve("out").toString).localCheckpoint(true)
-    } finally deleteRecursively(work)
+    } finally {
+      pinned.unpersist()
+      deleteRecursively(work)
+    }
   }
 
   /** [[runStreamWith]] specialized to an append-mode parquet sink over
@@ -294,6 +314,8 @@ object StreamBatchParity {
       val docs = documents.select(col("doc_id").cast("long"),
         col("text").cast("string"), col("lang").cast("string"),
         col("source").cast("string"))
+        // pinned: the staging loop slices this DataBatches(+1) times
+        .localCheckpoint(true)
       val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (lo0, hi0) = (b.getLong(0), b.getLong(1))
       val range = hi0 - lo0 + 1
@@ -341,6 +363,8 @@ object StreamBatchParity {
       val docs = documents.select(col("doc_id").cast("long"),
         col("text").cast("string"), col("lang").cast("string"),
         col("source").cast("string"))
+        // pinned: the staging loop slices this DataBatches(+1) times
+        .localCheckpoint(true)
       val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (lo0, hi0) = (b.getLong(0), b.getLong(1))
       val range = hi0 - lo0 + 1
@@ -463,7 +487,10 @@ object StreamBatchParity {
     try {
       base.select(col("doc_id"), col("text"))
         .write.mode("overwrite").parquet(snap)
-      val b = changes.agg(min(col("seq")), max(col("seq"))).head()
+      // pinned: the bounds agg + DataBatches slices below would
+      // otherwise re-execute the (4-way-union) changelog each time
+      val changes2 = changes.localCheckpoint(true)
+      val b = changes2.agg(min(col("seq")), max(col("seq"))).head()
       val (lo0, hi0) = (b.getLong(0), b.getLong(1))
       val range = hi0 - lo0 + 1
       val t0 = System.currentTimeMillis()
@@ -471,8 +498,8 @@ object StreamBatchParity {
         val lo = lo0 + range * i / DataBatches
         val hi = lo0 + range * (i + 1) / DataBatches
         val slice =
-          if (i == DataBatches - 1) changes.where(col("seq") >= lo)
-          else changes.where(col("seq") >= lo && col("seq") < hi)
+          if (i == DataBatches - 1) changes2.where(col("seq") >= lo)
+          else changes2.where(col("seq") >= lo && col("seq") < hi)
         stageFile(slice, in, f"$i%03d-changes.parquet", t0 + i * 60000L)
       }
       val stream = spark.readStream.schema(changes.schema)
@@ -527,6 +554,9 @@ object StreamBatchParity {
     try {
       val docs = documents.select(col("doc_id").cast("long"),
         col("text").cast("string"))
+        // pinned: the staging loop slices this DataBatches times (and
+        // the retract variant re-filters slice 0 for the victim ids)
+        .localCheckpoint(true)
       val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (lo0, hi0) = (b.getLong(0), b.getLong(1))
       val range = hi0 - lo0 + 1
@@ -571,6 +601,9 @@ object StreamBatchParity {
     try {
       val docs = documents.select(col("doc_id").cast("long"),
         col("text").cast("string"))
+        // pinned: the staging loop slices this DataBatches times (and
+        // the retract variant re-filters slice 0 for the victim ids)
+        .localCheckpoint(true)
       val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
       val (lo0, hi0) = (b.getLong(0), b.getLong(1))
       val range = hi0 - lo0 + 1
@@ -631,6 +664,7 @@ object StreamBatchParity {
     val idx = work.resolve("idx").toString
     try {
       val vecs = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+        .localCheckpoint(true) // pinned: sliced DataBatches+1 times below
       val b = vecs.agg(min(col("vec_id")), max(col("vec_id"))).head()
       val (lo0, hi0) = (b.getLong(0), b.getLong(1))
       val range = hi0 - lo0 + 1

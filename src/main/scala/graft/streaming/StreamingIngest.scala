@@ -33,6 +33,24 @@ object StreamingIngest {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Scale-adaptive shuffle/state partition count for a streaming
+    * query whose staged input holds `nRows` arrivals (r12 optimization
+    * round). Streaming state stores have no AQE partition coalescing:
+    * the count fixes into the checkpoint at the first micro-batch and
+    * every trigger then pays a per-partition state-commit (and, for a
+    * stream-stream join, FOUR state stores per partition), so a width
+    * inherited from the core count over-partitions small stages —
+    * hundreds of near-empty state files per trigger. ~64k arrivals per
+    * partition, floored at 4 for parallelism, CAPPED at the session's
+    * configured shuffle width: the cluster-scale setting stays
+    * authoritative, this only coalesces DOWN, exactly what AQE would
+    * do to a batch plan of the same size.
+    */
+  def statePartitionsFor(spark: SparkSession, nRows: Long): Int = {
+    val configured = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.min(configured, math.max(4, math.ceil(nRows / 65536.0).toInt))
+  }
+
   val documentSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
