@@ -500,6 +500,12 @@ object Similarity {
     val centroids = sampleCentroids(vectors, nLists)
     val centroidSet = foldCentroids(centroids).localCheckpoint(true)
     assignFolded(vectors, centroidSet, "vec_id", "embedding", probes = 1)
+      // hash-cluster by list before the partitioned write: otherwise
+      // every input task opens a file in every list directory it
+      // touches (O(tasks × lists) near-empty files per write); one
+      // shuffle of (id, embedding, list_id) rows bounds the file count
+      // by the list count
+      .repartition(col("list_id"))
       // vec_id-clustered files: appendToIvfIndex's upsert staleness
       // scan prunes on parquet row-group stats instead of reading
       // every list
@@ -624,8 +630,11 @@ object Similarity {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       // cluster file contents by vec_id so the upsert's staleness
-      // semi-join (and any point lookup) prunes on row-group stats
-      merged.sortWithinPartitions(col("list_id"), col("vec_id"))
+      // semi-join (and any point lookup) prunes on row-group stats;
+      // repartition first so each touched list rewrites as one file,
+      // not one per feeding task (writeIvfIndex's discipline)
+      merged.repartition(col("list_id"))
+        .sortWithinPartitions(col("list_id"), col("vec_id"))
         .write.mode("overwrite").partitionBy("list_id")
         .parquet(s"$path/lists")
     } finally {
@@ -781,7 +790,8 @@ object Similarity {
       spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      merged.sortWithinPartitions(col("list_id"), col("vec_id"))
+      merged.repartition(col("list_id"))
+        .sortWithinPartitions(col("list_id"), col("vec_id"))
         .write.mode("overwrite").partitionBy("list_id")
         .parquet(s"$path/lists")
     } finally {
