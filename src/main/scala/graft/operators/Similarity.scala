@@ -610,10 +610,13 @@ object Similarity {
     val staleLists = lists0.join(batchIds, Seq("vec_id"), "left_semi")
       .select(col("list_id").cast("long").as("list_id")).distinct()
     // touched lists: ≤ nLists values — index metadata, driver-bounded
-    // exactly like the probe's centroid read
-    val touched = (assigned.select(col("list_id")).distinct()
-        .collect().map(_.getLong(0)) ++
-      staleLists.collect().map(_.getLong(0))).distinct.sorted
+    // exactly like the probe's centroid read. ONE collect for both
+    // legs (batch destinations ∪ stale homes): the streaming upsert
+    // loop runs this per micro-batch, so every saved driver action is
+    // a saved action per trigger (guide §1.2: fewer passes first)
+    val touched = assigned.select(col("list_id")).distinct()
+      .unionByName(staleLists).distinct()
+      .collect().map(_.getLong(0)).sorted
     // survivors of the touched partitions only (minus re-ingested
     // ids), MATERIALIZED so we never overwrite a path we are still
     // lazily reading from
@@ -645,32 +648,13 @@ object Similarity {
           spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
-    // dynamic overwrite only rewrites partitions PRESENT in the write:
-    // a touched list whose every row was a stale copy of a re-ingested
-    // id (and that received nothing new) has zero merged rows, so its
-    // directory — now all-stale — survives the overwrite and a probe
-    // would return the dead copies alongside the new ones. Drop those
-    // emptied partitions explicitly (touched is ≤ nLists — index
-    // metadata, driver-bounded).
-    val nonEmpty = merged.groupBy(col("list_id")).agg(count(lit(1)))
-      .select(col("list_id")).collect().map(_.getLong(0)).toSet
-    val listsFs = new org.apache.hadoop.fs.Path(s"$path/lists")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(nonEmpty).foreach { id =>
-      listsFs.delete(
-        new org.apache.hadoop.fs.Path(s"$path/lists/list_id=$id"), true)
-      ()
-    }
     // drift audit: post-append list mean vs the frozen centroid.
     // Means round through FLOAT (the trained-IVF contract) so the
-    // audit is insensitive to double-sum association order.
-    val fs = new org.apache.hadoop.fs.Path(s"$path/drift")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gen =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/drift")))
-        spark.read.parquet(s"$path/drift")
-          .agg(max(col("generation"))).head().getLong(0) + 1L
-      else 0L
+    // audit is insensitive to double-sum association order. ONE
+    // aggregate over merged yields BOTH the drift means and the
+    // surviving-list set (the emptied-partition check below used to
+    // run its own full count over merged every micro-batch — the
+    // drift pass already visits every merged row, so share it).
     val dims = merged.select(col("list_id"),
         posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy(col("list_id"), col("d"))
@@ -681,6 +665,30 @@ object Similarity {
           sort_array(collect_list(struct(col("d"), col("s"), col("n")))),
           t => (t.getField("s") / t.getField("n")).cast("float"))
           .as("list_mean"))
+      .localCheckpoint(true) // consumers: emptied-dir check + drift write
+    // dynamic overwrite only rewrites partitions PRESENT in the write:
+    // a touched list whose every row was a stale copy of a re-ingested
+    // id (and that received nothing new) has zero merged rows, so its
+    // directory — now all-stale — survives the overwrite and a probe
+    // would return the dead copies alongside the new ones. Drop those
+    // emptied partitions explicitly (touched is ≤ nLists — index
+    // metadata, driver-bounded).
+    val nonEmpty = dims.select(col("list_id"))
+      .collect().map(_.getLong(0)).toSet
+    val listsFs = new org.apache.hadoop.fs.Path(s"$path/lists")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(nonEmpty).foreach { id =>
+      listsFs.delete(
+        new org.apache.hadoop.fs.Path(s"$path/lists/list_id=$id"), true)
+      ()
+    }
+    val fs = new org.apache.hadoop.fs.Path(s"$path/drift")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/drift")))
+        spark.read.parquet(s"$path/drift")
+          .agg(max(col("generation"))).head().getLong(0) + 1L
+      else 0L
     val added = assigned.groupBy(col("list_id"))
       .agg(count(lit(1)).as("n_added"))
     // LEFT join: a list rewritten only because stale copies were
@@ -694,6 +702,8 @@ object Similarity {
         VectorFunctions.cosine(col("list_mean"), col("centroid"))
           .as("mean_cos"))
       .write.mode("append").parquet(s"$path/drift")
+    dims.unpersist()
+    ()
   }
 
   /** Drift-triggered PARTIAL re-train of a persisted IVF index — the
@@ -802,10 +812,26 @@ object Similarity {
           spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
+    // ONE aggregate over merged yields both the next drift generation's
+    // means and the surviving-list set (same fusion as the append path:
+    // merged rows only contain touched lists, so the old
+    // where(isin(touched)) re-filter and the separate emptied-partition
+    // count were both redundant passes)
+    val dims = merged
+      .select(col("list_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("list_id"), col("d"))
+      .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("list_id"))
+      .agg(max(col("n")).as("list_n"),
+        transform(
+          sort_array(collect_list(struct(col("d"), col("s"), col("n")))),
+          t => (t.getField("s") / t.getField("n")).cast("float"))
+          .as("list_mean"))
+      .localCheckpoint(true) // consumers: emptied-dir check + drift write
     // a drifted list whose every vector moved elsewhere is gone — drop
     // its directory (same contract as the append path)
-    val nonEmpty = merged.groupBy(col("list_id")).agg(count(lit(1)))
-      .select(col("list_id")).collect().map(_.getLong(0)).toSet
+    val nonEmpty = dims.select(col("list_id"))
+      .collect().map(_.getLong(0)).toSet
     val listsFs = new org.apache.hadoop.fs.Path(s"$path/lists")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(nonEmpty).foreach { id =>
@@ -819,17 +845,6 @@ object Similarity {
     val gen = drift.agg(max(col("generation"))).head().getLong(0) + 1L
     val moved = reassigned.where(col("list_id") =!= col("orig_list"))
       .groupBy(col("list_id")).agg(count(lit(1)).as("n_added"))
-    val dims = merged
-      .where(col("list_id").isin(touched: _*))
-      .select(col("list_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .groupBy(col("list_id"), col("d"))
-      .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
-      .groupBy(col("list_id"))
-      .agg(max(col("n")).as("list_n"),
-        transform(
-          sort_array(collect_list(struct(col("d"), col("s"), col("n")))),
-          t => (t.getField("s") / t.getField("n")).cast("float"))
-          .as("list_mean"))
     dims.join(moved, Seq("list_id"), "left")
       .join(updated, Seq("list_id"))
       .select(lit(gen).as("generation"), col("list_id"),
@@ -838,6 +853,7 @@ object Similarity {
           .as("mean_cos"))
       .write.mode("append").parquet(s"$path/drift")
     driftedVecs.unpersist(); reassigned.unpersist(); existing.unpersist()
+    dims.unpersist()
     drifted
   }
 
