@@ -43,6 +43,13 @@ object Kernels {
   def bpeEncodeWord(s: String,
                     ranks: java.util.HashMap[String, Integer]): Array[UTF8String] =
     native.bpeEncodeWord(s, ranks)
+  def tokenPolyHashes(s: String): Array[Long] = native.tokenPolyHashes(s)
+  def pqEncode(emb: ArrayData, isDouble: Boolean,
+               books: Array[Array[Array[Float]]]): Array[Int] =
+    native.pqEncode(emb, isDouble, books)
+  def pqAdc(q: ArrayData, isDouble: Boolean, codes: ArrayData,
+            books: Array[Array[Array[Float]]]): Double =
+    native.pqAdc(q, isDouble, codes, books)
   def mmrSelect(cands: ArrayData, k: Int, lambda: Double): Array[Long] =
     native.mmrSelect(cands, k, lambda)
 }

@@ -662,6 +662,104 @@ object native {
     syms.iterator.map(UTF8String.fromString).toArray
   }
 
+  /** One-pass twin of `explode(tokens(text))` + per-token
+    * [[polyHash]]: the portable hash of every whitespace token, in
+    * token order — the (doc_id, token-hash) stream every LM-statistic
+    * operator keys on (unigram/bigram vocab joins, NB classifier,
+    * DSIR-adjacent scoring). The HOF chain materializes a UTF8String
+    * per token just to hash it; this hashes straight from the source
+    * string's offsets ([[tokenOffsets]] split semantics — Java \s,
+    * empties removed), allocating only the output array. Hash values
+    * are [[polyHash]] bit-for-bit, so every DuckDB oracle and spec is
+    * unchanged. */
+  def tokenPolyHashes(s: String): Array[Long] = {
+    val off = tokenOffsets(s)
+    val out = new Array[Long](off.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = polyHash(s, off(2 * i), off(2 * i + 1), 0L)
+      i += 1
+    }
+    out
+  }
+
+  /** PQ-encode one vector against a fixed codebook set: for each of
+    * the m subspaces, the 0-based index of the codebook entry with the
+    * minimal squared L2 to the vector's slice. Bit-identical to the
+    * HOF formulation it replaces (`array_position(dists,
+    * array_min(dists)) - 1` over per-entry `l2sq` folds): each
+    * distance sums (x − y)² left-to-right in index order with doubles
+    * throughout, and strict `<` keeps the FIRST minimum — the
+    * lowest-code tie-break. A slice shorter than the vector contract
+    * clamps at the vector's end (the HOF's zip_with would null the
+    * whole distance there; neither shape occurs under the fixed-dim
+    * contract). */
+  def pqEncode(emb: ArrayData, isDouble: Boolean,
+               books: Array[Array[Array[Float]]]): Array[Int] = {
+    val m = books.length
+    val nEmb = emb.numElements()
+    val out = new Array[Int](m)
+    var mi = 0
+    var off = 0
+    while (mi < m) {
+      val book = books(mi)
+      val sub = if (book.length > 0) book(0).length else 0
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var ci = 0
+      while (ci < book.length) {
+        val entry = book(ci)
+        var s = 0.0
+        var j = 0
+        val lim = math.min(sub, nEmb - off)
+        while (j < lim) {
+          val x = if (isDouble) emb.getDouble(off + j) else emb.getFloat(off + j).toDouble
+          val d = x - entry(j).toDouble
+          s += d * d
+          j += 1
+        }
+        if (s < bestD) { bestD = s; best = ci }
+        ci += 1
+      }
+      out(mi) = best
+      off += sub
+      mi += 1
+    }
+    out
+  }
+
+  /** Asymmetric PQ distance for one (query, codes) pair: Σ over
+    * subspaces of the squared L2 between the query's slice and the
+    * coded entry. Same association as the HOF aggregate it replaces:
+    * each subspace sums its own subtotal left-to-right, subtotals add
+    * in subspace order. */
+  def pqAdc(q: ArrayData, isDouble: Boolean, codes: ArrayData,
+            books: Array[Array[Array[Float]]]): Double = {
+    val m = books.length
+    val nQ = q.numElements()
+    var total = 0.0
+    var mi = 0
+    var off = 0
+    while (mi < m) {
+      val book = books(mi)
+      val sub = if (book.length > 0) book(0).length else 0
+      val entry = book(codes.getInt(mi))
+      var s = 0.0
+      var j = 0
+      val lim = math.min(sub, nQ - off)
+      while (j < lim) {
+        val x = if (isDouble) q.getDouble(off + j) else q.getFloat(off + j).toDouble
+        val d = x - entry(j).toDouble
+        s += d * d
+        j += 1
+      }
+      total += s
+      off += sub
+      mi += 1
+    }
+    total
+  }
+
   // ---------------------------------------------------------------- exprs
   //
   // Every expression implements BOTH eval (nullSafeEval) and real
@@ -889,6 +987,57 @@ object native {
       copy(child = newChild)
   }
 
+  case class TokenPolyHashesExpr(child: Expression, lowercase: Boolean)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val u = input.asInstanceOf[UTF8String]
+      new GenericArrayData(
+        tokenPolyHashes((if (lowercase) u.toLowerCase else u).toString))
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"new $GAD($N.tokenPolyHashes(${genText(c, lowercase)}))")
+    override protected def withNewChildInternal(newChild: Expression): TokenPolyHashesExpr =
+      copy(child = newChild)
+  }
+
+  case class PqEncodeExpr(child: Expression, books: Seq[Seq[Seq[Float]]])
+      extends UnaryExpression {
+    @transient private lazy val built: Array[Array[Array[Float]]] =
+      books.map(_.map(_.toArray).toArray).toArray
+    private lazy val isDouble =
+      child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      new GenericArrayData(pqEncode(input.asInstanceOf[ArrayData], isDouble, built))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftPqBooks", built, "float[][][]")
+      defineCodeGen(ctx, ev, c => s"new $GAD($N.pqEncode($c, $isDouble, $ref))")
+    }
+    override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+      copy(child = newChild)
+  }
+
+  case class PqAdcExpr(left: Expression, right: Expression,
+                       books: Seq[Seq[Seq[Float]]])
+      extends BinaryExpression {
+    @transient private lazy val built: Array[Array[Array[Float]]] =
+      books.map(_.map(_.toArray).toArray).toArray
+    private lazy val isDouble =
+      left.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(q: Any, codes: Any): Any =
+      pqAdc(q.asInstanceOf[ArrayData], isDouble, codes.asInstanceOf[ArrayData], built)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftPqBooks", built, "float[][][]")
+      defineCodeGen(ctx, ev, (q, codes) => s"$N.pqAdc($q, $isDouble, $codes, $ref)")
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqAdcExpr =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class MmrSelectExpr(child: Expression, k: Int, lambda: Double)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -999,4 +1148,10 @@ object native {
     col(BpeEncodeExpr(ex(word), merges))
   def mmrSelect(cands: Column, k: Int, lambda: Double): Column =
     col(MmrSelectExpr(ex(cands), k, lambda))
+  def tokenPolyHashes(text: Column, lowercase: Boolean = false): Column =
+    col(TokenPolyHashesExpr(ex(text), lowercase))
+  def pqEncode(emb: Column, books: Seq[Seq[Seq[Float]]]): Column =
+    col(PqEncodeExpr(ex(emb), books))
+  def pqAdc(q: Column, codes: Column, books: Seq[Seq[Seq[Float]]]): Column =
+    col(PqAdcExpr(ex(q), ex(codes), books))
 }

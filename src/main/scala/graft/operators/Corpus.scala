@@ -793,28 +793,74 @@ object Corpus {
     * contamination estimate (n-gram overlap of pretraining sources,
     * GPT-3 appendix-C style, lifted from doc-level to corpus-level).
     *
-    * Scale shape: the corpus reduces to distinct (group, window-hash)
-    * pairs via a map-side-combined aggregate — raw text never
-    * shuffles, and the ~60-bit wide hash family keeps cross-group
+    * Scale shape (≤ 62 groups — the common case; groups are
+    * enumerable sources/langs/shards, pinned by one bounded distinct):
+    * each group gets a BIT, and the corpus collapses through ONE
+    * fixed-width exchange — groupBy(hash).agg(bit_or(mask)) — a pure
+    * codegen HashAggregate with map-side combine (an earlier
+    * collect_set formulation hit ObjectHashAggregate's sort-based
+    * fallback past 128 keys and ran 2.5× SLOWER at sf10 than the
+    * self-join it replaced; long masks keep the buffer fixed-width).
+    * The per-mask counts then map-side-combine to ≤ |observed mask
+    * combos| rows, and totals/pairs are HOF expansions of those
+    * bounded rows — the corpus is never touched again. Raw text never
+    * shuffles; the ~60-bit wide hash family keeps cross-group
     * birthday collisions from inflating the overlap at 10^10+
-    * distinct windows (same reasoning as [[decontaminate]]). The
-    * self-join keys on the hash: per-hash fan-out is bounded by
-    * #groups² — groups are enumerable (sources, langs), not
-    * corpus-scaled — and the pair counts map-side-combine to
-    * ≤ #groups² rows. Zero-overlap pairs still appear, via the
-    * bounded per-group-total cross join.
+    * distinct windows (same reasoning as [[decontaminate]]). Beyond
+    * 62 groups the operator falls back to the distinct (g, h)
+    * self-join shape (hash-keyed, per-hash fan-out ≤ #groups²) — the
+    * same adaptive-strategy trade as Dedup.connectedComponents'
+    * local/distributed switch. Zero-overlap pairs still appear, via
+    * the bounded per-group-total cross join.
     */
   def corpusOverlap(docs: DataFrame, groupCol: String, n: Int = 8): DataFrame = {
-    val fp = docs
+    val fpRaw = docs
       .select(col(groupCol).as("g"),
         explode(graft.functions.native.shingleHashes(col("text"), n, wide = true)).as("h"))
-      .distinct()
-      .localCheckpoint(true) // three consumers: totals + both join sides
-    val totals = fp.groupBy(col("g")).agg(count(lit(1)).as("n_fp"))
-    val shared = fp.as("a")
-      .join(fp.as("b"), col("a.h") === col("b.h") && col("a.g") < col("b.g"))
-      .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
-      .agg(count(lit(1)).as("shared"))
+    // the group universe: bounded, enumerable by contract (one tiny
+    // distinct — the balancedSample quota-fold class of driver read)
+    val names = docs.select(col(groupCol).cast("string").as("g")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val (totals, shared) =
+      if (names.length <= 62) {
+        val bit = names.zipWithIndex
+          .map { case (g, i) => when(col("g") === g, lit(1L << i)) }
+          .reduce((a, b) => coalesce(a, b))
+        val masks = fpRaw.select(bit.as("m"), col("h"))
+          .groupBy(col("h")).agg(bit_or(col("m")).as("mask"))
+        val maskCounts = masks.groupBy(col("mask"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true) // consumers: totals + pair expansion
+        val nameArr = array(names.map(lit): _*)
+        val powers = array(names.indices.map(i => lit(1L << i)): _*)
+        val bitsOf = filter(sequence(lit(0), lit(names.length - 1)),
+          i => col("mask").bitwiseAND(element_at(powers, i + 1)) =!= 0L)
+        val totalsDf = maskCounts
+          .select(explode(transform(bitsOf, i => element_at(nameArr, i + 1))).as("g"),
+            col("cnt"))
+          .groupBy(col("g")).agg(sum(col("cnt")).as("n_fp"))
+        val sharedDf = maskCounts
+          .select(col("cnt"), bitsOf.as("bs"))
+          .where(size(col("bs")) >= 2)
+          .select(col("cnt"), explode(flatten(transform(
+            sequence(lit(0), size(col("bs")) - 2),
+            i => transform(
+              slice(col("bs"), i + 2, size(col("bs"))),
+              bj => struct(element_at(nameArr, element_at(col("bs"), i + 1) + 1).as("src_a"),
+                element_at(nameArr, bj + 1).as("src_b")))))).as("p"))
+          .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+          .agg(sum(col("cnt")).as("shared"))
+        (totalsDf, sharedDf)
+      } else {
+        val fp = fpRaw.distinct()
+          .localCheckpoint(true) // three consumers: totals + both join sides
+        val totalsDf = fp.groupBy(col("g")).agg(count(lit(1)).as("n_fp"))
+        val sharedDf = fp.as("a")
+          .join(fp.as("b"), col("a.h") === col("b.h") && col("a.g") < col("b.g"))
+          .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
+          .agg(count(lit(1)).as("shared"))
+        (totalsDf, sharedDf)
+      }
     totals.as("ta")
       .join(totals.as("tb"), col("ta.g") < col("tb.g"))
       .select(col("ta.g").as("src_a"), col("tb.g").as("src_b"),

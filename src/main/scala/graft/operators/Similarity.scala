@@ -260,31 +260,6 @@ object Similarity {
           slice(e("embedding"), mi * sub + 1, lit(sub)))).as("books"))
   }
 
-  /** Squared L2 over two float slices, summed in index order (the
-    * cross-engine-reproducible association; doubles throughout).
-    */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0d), (s, v) => s + v)
-
-  /** PQ-encode: each vector's `m` nearest sub-codes — argmin of
-    * subspace L2², ties to the lowest code id. Map-only (the folded
-    * codebook row is broadcast; no exchange anywhere).
-    */
-  private def pqCodes(emb: Column, m: Int, sub: Int, nCodes: Int): Column =
-    transform(sequence(lit(0), lit(m - 1)), mi => {
-      // argmin as position-of-min: array_position returns the FIRST
-      // index of the minimum, which IS the lowest-code tie-break (no
-      // named struct here — aliases inside lambdas are stripped when
-      // the enclosing select also carries a generator)
-      val dists = transform(sequence(lit(0), lit(nCodes - 1)), ci =>
-        l2sq(slice(emb, mi * sub + 1, lit(sub)),
-          element_at(element_at(col("books"), mi + 1), ci + 1)))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    })
-
   /** PQ ANN via asymmetric distance computation: corpus vectors
     * collapse to `m` small code ids (64-dim float → 8 bytes at
     * m=8 — a 32× scan-footprint cut, THE scale path when embeddings
@@ -303,25 +278,40 @@ object Similarity {
     */
   def knnPq(corpus: DataFrame, queries: DataFrame, k: Int = 10,
             m: Int = 8, nCodes: Int = 16, dim: Int = 64): DataFrame = {
-    val sub = dim / m
-    val books = pqCodebooks(corpus, m, nCodes, dim).localCheckpoint(true)
-    val coded = corpus.crossJoin(broadcast(books))
-      .select(col("vec_id").as("nbr_id"),
-        pqCodes(col("embedding"), m, sub, nCodes).as("codes"), col("books"))
+    // codebooks collected once — m × nCodes × (dim/m) floats of
+    // driver-bounded codebook metadata (the probeIvfIndex centroid-read
+    // class; the previous localCheckpoint(true) of the 1-row fold was
+    // equally eager). Baked into the scan-stage kernels as a codegen
+    // reference object, encoding and ADC run as ONE fused loop per row
+    // instead of m × nCodes interpreted HOF lambdas (each allocating a
+    // slice + zip array) per vector — the same kernel trade as
+    // nearestCentroids, bit-identical fold order (guide §1.2 step 2).
+    val books = collectBooks(corpus, m, nCodes, dim)
+    val coded = corpus.select(col("vec_id").as("nbr_id"),
+      graft.functions.native.pqEncode(col("embedding"), books).as("codes"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0d), (acc, mi) =>
-      acc + l2sq(slice(col("q_emb"), mi * sub + 1, lit(sub)),
-        element_at(element_at(col("books"), mi + 1),
-          element_at(col("codes"), mi + 1) + 1)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("dist").asc, col("nbr_id").asc)
     coded.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("nbr_id"))
-      .select(col("query_id"), col("nbr_id"), adc.as("dist"))
+      .select(col("query_id"), col("nbr_id"),
+        graft.functions.native.pqAdc(col("q_emb"), col("codes"), books).as("dist"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("dist"), col("rank"))
   }
+
+  /** [[pqCodebooks]] pulled to the driver for the kernel paths: one
+    * 1-row head() of m × nCodes × (dim/m) floats — index metadata,
+    * the same driver-bounded class as probeIvfIndex's centroid read. */
+  private def collectBooks(corpus: DataFrame, m: Int, nCodes: Int,
+                           dim: Int): Seq[Seq[Seq[Float]]] =
+    // Row stores nested arrays as mutable ArraySeqs — deep-convert to
+    // immutable so the expression's constructor arg is a plain Seq
+    pqCodebooks(corpus, m, nCodes, dim).head()
+      .getSeq[scala.collection.Seq[scala.collection.Seq[Float]]](0)
+      .iterator.map(b => b.iterator.map(_.toIndexedSeq).toIndexedSeq)
+      .toIndexedSeq
 
   /** IVF-PQ — the canonical billion-scale ANN composition (FAISS's
     * default index family): coarse quantization prunes the search to
@@ -343,24 +333,23 @@ object Similarity {
   def knnIvfPq(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                nLists: Int = 16, nProbe: Int = 4,
                m: Int = 8, nCodes: Int = 16, dim: Int = 64): DataFrame = {
-    val sub = dim / m
     val centroidSet = foldCentroids(sampleCentroids(corpus, nLists)).localCheckpoint(true)
-    val books = pqCodebooks(corpus, m, nCodes, dim).localCheckpoint(true)
-    val coded = corpus.crossJoin(broadcast(centroidSet)).crossJoin(broadcast(books))
+    // codebooks as a kernel reference object (see knnPq): the corpus
+    // scan's encode is one fused loop, and the codes rows no longer
+    // carry the books array through the probe join
+    val books = collectBooks(corpus, m, nCodes, dim)
+    val coded = corpus.crossJoin(broadcast(centroidSet))
       .select(col("vec_id").as("nbr_id"),
         explode(VectorFunctions.nearestCentroids(col("embedding"), col("cents"), 1))
           .as("list_id"),
-        pqCodes(col("embedding"), m, sub, nCodes).as("codes"), col("books"))
+        graft.functions.native.pqEncode(col("embedding"), books).as("codes"))
     val probed = assignFolded(queries, centroidSet, "query_id", "q_emb", probes = nProbe)
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0d), (acc, mi) =>
-      acc + l2sq(slice(col("q_emb"), mi * sub + 1, lit(sub)),
-        element_at(element_at(col("books"), mi + 1),
-          element_at(col("codes"), mi + 1) + 1)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("dist").asc, col("nbr_id").asc)
     broadcast(probed).join(coded, Seq("list_id"))
       .where(col("query_id") =!= col("nbr_id"))
-      .select(col("query_id"), col("nbr_id"), adc.as("dist"))
+      .select(col("query_id"), col("nbr_id"),
+        graft.functions.native.pqAdc(col("q_emb"), col("codes"), books).as("dist"))
       .dropDuplicates("query_id", "nbr_id")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

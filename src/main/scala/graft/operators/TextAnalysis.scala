@@ -401,11 +401,12 @@ object TextAnalysis {
     * corpus-stats pass; a curated reference corpus plugs in unchanged.
     */
   def unigramScore(documents: DataFrame, reference: DataFrame): DataFrame = {
+    // fused kernel: lower + tokenize + per-token hash in one scan-stage
+    // pass — no per-token UTF8String materialization (hash values are
+    // polyHash bit-for-bit, oracles unchanged)
     def hashedTokens(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+
-        explode(TextFunctions.tokens(lower(col("text")))).as("token"): _*)
-        .withColumn("h", TextFunctions.portableHash(col("token")))
-        .drop("token")
+      df.select(cols :+ explode(graft.functions.native
+        .tokenPolyHashes(col("text"), lowercase = true)).as("h"): _*)
     val vocab = hashedTokens(reference)
       .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
     hashedTokens(documents, col("doc_id"))
@@ -444,8 +445,7 @@ object TextAnalysis {
     */
   def bigramScore(documents: DataFrame, reference: DataFrame): DataFrame = {
     def hashedBigrams(df: DataFrame, cols: Column*): DataFrame = {
-      val hs = transform(TextFunctions.tokens(lower(col("text"))),
-        t => graft.functions.native.polyHash(t))
+      val hs = graft.functions.native.tokenPolyHashes(col("text"), lowercase = true)
       df.select(cols :+ hs.as("hs"): _*)
         .where(size(col("hs")) >= 2)
         .select(cols :+ explode(transform(sequence(lit(0), size(col("hs")) - 2),
@@ -456,8 +456,8 @@ object TextAnalysis {
     val bgVocab = hashedBigrams(reference)
       .groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("bg_cnt"))
     val uniVocab = reference
-      .select(explode(TextFunctions.tokens(lower(col("text")))).as("token"))
-      .select(TextFunctions.portableHash(col("token")).as("h2"))
+      .select(explode(graft.functions.native
+        .tokenPolyHashes(col("text"), lowercase = true)).as("h2"))
       .groupBy(col("h2")).agg(count(lit(1)).as("uni_cnt"))
     hashedBigrams(documents, col("doc_id"))
       .join(bgVocab, Seq("h1", "h2"), "left")
@@ -600,9 +600,8 @@ object TextAnalysis {
   def naiveBayesClassify(documents: DataFrame, train: DataFrame,
                          labelCol: String = "label"): DataFrame = {
     def toks(df: DataFrame, cols: Column*): DataFrame =
-      df.select(cols :+ explode(TextFunctions.tokens(lower(col("text")))).as("token"): _*)
-        .withColumn("h", TextFunctions.portableHash(col("token")))
-        .drop("token")
+      df.select(cols :+ explode(graft.functions.native
+        .tokenPolyHashes(col("text"), lowercase = true)).as("h"): _*)
     val model = toks(train, col(labelCol).as("cls"))
       .groupBy(col("cls"), col("h"))
       .agg(count(lit(1)).as("cnt"))

@@ -91,6 +91,57 @@ object KernelPropsSpec extends Properties("native-kernels") {
     toks == modelTokens(s)
   }
 
+  property("tokenPolyHashes == per-token BigInt fold of the regex split") =
+    forAll(text) { s =>
+      native.tokenPolyHashes(s).toList == modelTokens(s).map(modelHash)
+    }
+
+  // PQ kernels vs a plain-Scala model with the SAME association order
+  // (per-subspace subtotal summed left-to-right, doubles throughout) —
+  // the fold-order parity the oracle hash gate rests on
+  private val pqVec: Gen[(Array[Float], Array[Array[Array[Float]]])] = for {
+    m <- Gen.choose(1, 4)
+    sub <- Gen.choose(1, 4)
+    nCodes <- Gen.choose(1, 5)
+    emb <- Gen.listOfN(m * sub, Gen.choose(-8, 8).map(_.toFloat / 4f))
+    books <- Gen.listOfN(m, Gen.listOfN(nCodes,
+      Gen.listOfN(sub, Gen.choose(-8, 8).map(_.toFloat / 4f))))
+  } yield (emb.toArray, books.map(_.map(_.toArray).toArray).toArray)
+
+  private def modelL2sq(a: Array[Float], off: Int, b: Array[Float]): Double = {
+    var s = 0.0
+    for (j <- b.indices) { val d = a(off + j).toDouble - b(j).toDouble; s += d * d }
+    s
+  }
+
+  property("pqEncode == first-argmin of per-subspace L2 folds") = forAll(pqVec) {
+    case (emb, books) =>
+      val got = native.pqEncode(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(emb),
+        false, books)
+      val want = books.indices.map { mi =>
+        val sub = books(mi)(0).length
+        val d = books(mi).map(e => modelL2sq(emb, mi * sub, e))
+        d.indexOf(d.min)
+      }
+      got.toSeq == want
+  }
+
+  property("pqAdc == subspace-ordered sum of coded-entry L2 folds") = forAll(pqVec) {
+    case (emb, books) =>
+      val codes = books.indices.map(mi =>
+        (emb(0).abs * 100).toInt % books(mi).length).toArray
+      val got = native.pqAdc(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(emb), false,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(codes), books)
+      var want = 0.0
+      for (mi <- books.indices) {
+        val sub = books(mi)(0).length
+        want += modelL2sq(emb, mi * sub, books(mi)(codes(mi)))
+      }
+      got == want
+  }
+
   property("shingleHashes == distinct space-joined window hashes (with <n fallback)") =
     forAll(text, Gen.choose(1, 5)) { (s, n) =>
       val toks = modelTokens(s)
