@@ -113,27 +113,35 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
+    // SPARSE iteration (r12): a node absent from auth/hub has score 0,
+    // and zero scores contribute nothing to either sum — so the
+    // per-round reattach-zeros joins against the node table (2 × iters
+    // node-sized joins) are pure waste; zeros reattach ONCE at the
+    // end. Values stay exact: every score is an integer-valued double
+    // (sums of 1.0s, then sums of integer sums — far below 2^53 at
+    // ~×maxdeg growth per half-step), so dropping/adding zero rows
+    // cannot move any sum by even an ulp.
     var auth = nodes.select(col("node"), lit(1.0).as("auth"))
     var hub = nodes.select(col("node"), lit(1.0).as("hub"))
     for (i <- 1 to iters) {
-      auth = nodes
-        .join(hub.join(e, hub("node") === e("src"))
-            .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("v")),
-          Seq("node"), "left")
-        .select(col("node"), coalesce(col("v"), lit(0.0)).as("auth"))
-      hub = nodes
-        .join(auth.join(e, auth("node") === e("dst"))
-            .groupBy(col("src").as("node")).agg(sum(col("auth")).as("v")),
-          Seq("node"), "left")
-        .select(col("node"), coalesce(col("v"), lit(0.0)).as("hub"))
+      auth = hub.join(e, hub("node") === e("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth"))
+      hub = auth.join(e, auth("node") === e("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub"))
       if (i % 2 == 0 && i < iters) {
         auth = auth.localCheckpoint(true)
         hub = hub.localCheckpoint(true)
       }
     }
-    // materialize once: the raw table feeds both the 1-row max agg
-    // and the normalized output (§5 materialize-once rule)
-    val raw = auth.join(hub, Seq("node")).localCheckpoint(true)
+    // reattach the zero rows once, materialize once: the raw table
+    // feeds both the 1-row max agg and the normalized output (§5
+    // materialize-once rule)
+    val raw = nodes
+      .join(auth, Seq("node"), "left")
+      .join(hub, Seq("node"), "left")
+      .select(col("node"), coalesce(col("auth"), lit(0.0)).as("auth"),
+        coalesce(col("hub"), lit(0.0)).as("hub"))
+      .localCheckpoint(true)
     val mx = raw.agg(max(col("auth")).as("am"), max(col("hub")).as("hm"))
     raw.crossJoin(broadcast(mx))
       .select(col("node"), (col("auth") / col("am")).as("auth"),
