@@ -50,6 +50,9 @@ object Kernels {
   def pqAdc(q: ArrayData, isDouble: Boolean, codes: ArrayData,
             books: Array[Array[Array[Float]]]): Double =
     native.pqAdc(q, isDouble, codes, books)
+  def sq8Cos(ea: ArrayData, eb: ArrayData, isDouble: Boolean,
+             stats: ArrayData): Array[Double] =
+    native.sq8Cos(ea, eb, isDouble, stats)
   def mmrSelect(cands: ArrayData, k: Int, lambda: Double): Array[Long] =
     native.mmrSelect(cands, k, lambda)
 }

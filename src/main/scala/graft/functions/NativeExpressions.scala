@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -760,6 +760,70 @@ object native {
     total
   }
 
+  /** Spark's exact double `round(x)` at scale 0 (Round codegen for
+    * DoubleType: BigDecimal.valueOf → setScale(0, HALF_UP) →
+    * doubleValue — NaN/±Inf pass through untouched). */
+  private def sparkRound0(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Fused SQ8-audit cosines for one vector pair: returns
+    * [cos_full, cos_sq8] where cos_full is the full-precision cosine
+    * and cos_sq8 the cosine of both vectors after int8 scalar
+    * quantization against per-dimension [mn, mx] bounds (`stats` =
+    * mns ++ mxs, 2×dim doubles). Bit-identical to the HOF chain it
+    * replaces: each of the six accumulators (dot/na/nb, full and
+    * dequantized) sums left-to-right in index order with doubles
+    * throughout; the dequantize is `mn + round((x−mn)·255/(mx−mn)) ·
+    * (mx−mn)/255` with Spark's exact double round (HALF_UP via
+    * BigDecimal.valueOf), and the mx==mn dimension passes x through.
+    * Tail dimensions beyond min(|a|,|b|) feed only their own norm
+    * (the HOF's zip_with(a,a)/zip_with(b,b) shape); dimensions beyond
+    * the stats width pass through unquantized — neither shape occurs
+    * under the fixed-dim contract. */
+  def sq8Cos(ea: ArrayData, eb: ArrayData, isDouble: Boolean,
+             stats: ArrayData): Array[Double] = {
+    val nA = ea.numElements()
+    val nB = eb.numElements()
+    val dim = stats.numElements() / 2
+    @inline def get(a: ArrayData, i: Int): Double =
+      if (isDouble) a.getDouble(i) else a.getFloat(i).toDouble
+    @inline def dq(x: Double, i: Int): Double =
+      if (i >= dim) x
+      else {
+        val mn = stats.getDouble(i)
+        val mx = stats.getDouble(dim + i)
+        if (mx == mn) x
+        else mn + sparkRound0((x - mn) * 255 / (mx - mn)) * (mx - mn) / 255
+      }
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var qdot = 0.0; var qna = 0.0; var qnb = 0.0
+    val lim = math.min(nA, nB)
+    var i = 0
+    while (i < lim) {
+      val xa = get(ea, i); val xb = get(eb, i)
+      dot += xa * xb; na += xa * xa; nb += xb * xb
+      val qa = dq(xa, i); val qb = dq(xb, i)
+      qdot += qa * qb; qna += qa * qa; qnb += qb * qb
+      i += 1
+    }
+    while (i < nA) { // a-only tail: norms see the full array
+      val xa = get(ea, i); na += xa * xa
+      val qa = dq(xa, i); qna += qa * qa; i += 1
+    }
+    i = lim
+    while (i < nB) {
+      val xb = get(eb, i); nb += xb * xb
+      val qb = dq(xb, i); qnb += qb * qb; i += 1
+    }
+    @inline def cos(d: Double, n1: Double, n2: Double): Double = {
+      val s1 = math.sqrt(n1); val s2 = math.sqrt(n2)
+      if (s1 * s2 == 0) 0.0 else d / (s1 * s2)
+    }
+    Array(cos(dot, na, nb), cos(qdot, qna, qnb))
+  }
+
   // ---------------------------------------------------------------- exprs
   //
   // Every expression implements BOTH eval (nullSafeEval) and real
@@ -1038,6 +1102,23 @@ object native {
       copy(left = newLeft, right = newRight)
   }
 
+  case class Sq8CosExpr(first: Expression, second: Expression,
+                        third: Expression) extends TernaryExpression {
+    private lazy val isDouble =
+      first.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override protected def nullSafeEval(a: Any, b: Any, st: Any): Any =
+      new GenericArrayData(sq8Cos(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], isDouble, st.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b, st) => s"new $GAD($N.sq8Cos($a, $b, $isDouble, $st))")
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression,
+        newThird: Expression): Sq8CosExpr =
+      copy(first = newFirst, second = newSecond, third = newThird)
+  }
+
   case class MmrSelectExpr(child: Expression, k: Int, lambda: Double)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -1154,4 +1235,6 @@ object native {
     col(PqEncodeExpr(ex(emb), books))
   def pqAdc(q: Column, codes: Column, books: Seq[Seq[Seq[Float]]]): Column =
     col(PqAdcExpr(ex(q), ex(codes), books))
+  def sq8Cos(ea: Column, eb: Column, stats: Column): Column =
+    col(Sq8CosExpr(ex(ea), ex(eb), ex(stats)))
 }

@@ -1027,37 +1027,30 @@ object Similarity {
     * over (float coord, float dim-min/max) inputs, identical in the
     * SQL replay. Scale: the 64-row dim-stats aggregate map-side
     * combines and broadcasts back; the cosine pass is pairs-bounded.
+    *
+    * r12: both cosines evaluate in ONE fused kernel pass per pair
+    * ([[graft.functions.native.sq8Cos]] — bit-identical fold order to
+    * the HOF chain it replaced, KernelPropsSpec-pinned) instead of
+    * ~15 interpreted lambda evaluations per dimension; the broadcast
+    * stats row rides as one concatenated mns++mxs array.
     */
   def sq8Audit(vectors: DataFrame, pairs: DataFrame): DataFrame = {
     val st = vectors.select(posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
     val stRow = st
       .agg(sort_array(collect_list(struct(col("d"), col("mn"), col("mx")))).as("s"))
-      .select(transform(col("s"), t => t.getField("mn").cast("double")).as("mns"),
-        transform(col("s"), t => t.getField("mx").cast("double")).as("mxs"))
-    def toD(e: Column): Column = transform(e, x => x.cast("double"))
-    def dq(e: Column): Column =
-      transform(sequence(lit(0), size(e) - 1), i => {
-        val x = element_at(e, i + 1).cast("double")
-        val mn = element_at(col("mns"), i + 1)
-        val mx = element_at(col("mxs"), i + 1)
-        when(mx === mn, x).otherwise(
-          mn + round((x - mn) * 255 / (mx - mn)) * (mx - mn) / 255)
-      })
-    def fold(e: Column): Column = aggregate(e, lit(0.0), (acc, v) => acc + v)
-    def cosD(a: Column, b: Column): Column = {
-      val dot = fold(zip_with(a, b, (x, y) => x * y))
-      val na = sqrt(fold(zip_with(a, a, (x, y) => x * y)))
-      val nb = sqrt(fold(zip_with(b, b, (x, y) => x * y)))
-      when(na * nb === 0, 0.0).otherwise(dot / (na * nb))
-    }
+      .select(concat(
+        transform(col("s"), t => t.getField("mn").cast("double")),
+        transform(col("s"), t => t.getField("mx").cast("double"))).as("stats"))
     pairs
       .join(vectors.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
       .join(vectors.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
       .crossJoin(broadcast(stRow))
       .select(col("a"), col("b"),
-        round(cosD(toD(col("ea")), toD(col("eb"))), 6).as("cos_full"),
-        round(cosD(dq(col("ea")), dq(col("eb"))), 6).as("cos_sq8"))
+        graft.functions.native.sq8Cos(col("ea"), col("eb"), col("stats")).as("cc"))
+      .select(col("a"), col("b"),
+        round(element_at(col("cc"), 1), 6).as("cos_full"),
+        round(element_at(col("cc"), 2), 6).as("cos_sq8"))
       .withColumn("err", round(abs(col("cos_full") - col("cos_sq8")), 6))
   }
 

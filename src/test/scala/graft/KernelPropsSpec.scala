@@ -142,6 +142,56 @@ object KernelPropsSpec extends Properties("native-kernels") {
       got == want
   }
 
+  // sq8Cos vs a plain-Scala model replicating the HOF chain it
+  // replaced: separate left-to-right folds for each accumulator,
+  // Spark's exact double round (BigDecimal.valueOf + HALF_UP) in the
+  // dequantize, mx==mn pass-through, and sqrt-before-product zero
+  // guard. Bit-exact equality (== on doubles), not approximate.
+  private val sq8Vec: Gen[(Array[Float], Array[Float], Array[Double], Array[Double])] =
+    for {
+      dim <- Gen.choose(1, 8)
+      ea <- Gen.listOfN(dim, Gen.choose(-16, 16).map(_.toFloat / 4f))
+      eb <- Gen.listOfN(dim, Gen.choose(-16, 16).map(_.toFloat / 4f))
+      // bounds: sometimes degenerate (mn == mx), sometimes real
+      mns <- Gen.listOfN(dim, Gen.choose(-5, 0).map(_.toDouble))
+      spans <- Gen.listOfN(dim, Gen.frequency(1 -> Gen.const(0.0),
+        4 -> Gen.choose(1, 10).map(_.toDouble)))
+    } yield (ea.toArray, eb.toArray, mns.toArray,
+      mns.zip(spans).map { case (m, s) => m + s }.toArray)
+
+  private def modelRound0(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def modelDq(e: Array[Float], mns: Array[Double], mxs: Array[Double]): Array[Double] =
+    e.indices.map { i =>
+      val x = e(i).toDouble
+      if (mxs(i) == mns(i)) x
+      else mns(i) + modelRound0((x - mns(i)) * 255 / (mxs(i) - mns(i))) *
+        (mxs(i) - mns(i)) / 255
+    }.toArray
+
+  private def modelCos(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) dot += a(i) * b(i)
+    for (i <- a.indices) na += a(i) * a(i)
+    for (i <- b.indices) nb += b(i) * b(i)
+    val sa = math.sqrt(na); val sb = math.sqrt(nb)
+    if (sa * sb == 0) 0.0 else dot / (sa * sb)
+  }
+
+  property("sq8Cos == (full cosine, dequantized cosine) HOF folds") =
+    forAll(sq8Vec) { case (ea, eb, mns, mxs) =>
+      val got = native.sq8Cos(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(ea),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(eb),
+        false,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(mns ++ mxs))
+      val wantFull = modelCos(ea.map(_.toDouble), eb.map(_.toDouble))
+      val wantSq8 = modelCos(modelDq(ea, mns, mxs), modelDq(eb, mns, mxs))
+      got.length == 2 && got(0) == wantFull && got(1) == wantSq8
+    }
+
   property("shingleHashes == distinct space-joined window hashes (with <n fallback)") =
     forAll(text, Gen.choose(1, 5)) { (s, n) =>
       val toks = modelTokens(s)
