@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and json-parses the LAST
+// stdout line. sbt's default LoggedOutput strategy prefixes the forked
+// process's stdout with "[info] " and appends its own "[success] Total
+// time ..." banner, so the parse failed two rounds running (r12 verdict
+// item 2). StdoutOutput passes the forked JVM's stdout through verbatim,
+// and showSuccess drops the trailing banner — the bench's one-line JSON
+// is then genuinely the last stdout line under any invocation.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by another setting —
+// exclude it from the unused-key lint (the warning goes to stdout, where
+// it would sit above the bench's JSON line in captured output).
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -814,15 +814,23 @@ object Corpus {
     * the bounded per-group-total cross join.
     */
   def corpusOverlap(docs: DataFrame, groupCol: String, n: Int = 8): DataFrame = {
+    // group values ride as strings in BOTH branches (one output schema,
+    // one pair orientation — lexicographic); null groups are excluded
+    // up front, matching the old self-join whose null-propagating
+    // comparisons silently dropped them
     val fpRaw = docs
-      .select(col(groupCol).as("g"),
+      .where(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
         explode(graft.functions.native.shingleHashes(col("text"), n, wide = true)).as("h"))
     // the group universe: bounded, enumerable by contract (one tiny
     // distinct — the balancedSample quota-fold class of driver read)
-    val names = docs.select(col(groupCol).cast("string").as("g")).distinct()
+    val names = docs.where(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g")).distinct()
       .collect().map(_.getString(0)).sorted
     val (totals, shared) =
-      if (names.length <= 62) {
+      // empty universe routes to the fallback: its joins handle zero
+      // groups, while the bitmask branch's reduce over bit exprs can't
+      if (names.nonEmpty && names.length <= 62) {
         val bit = names.zipWithIndex
           .map { case (g, i) => when(col("g") === g, lit(1L << i)) }
           .reduce((a, b) => coalesce(a, b))

@@ -895,18 +895,20 @@ object Dedup {
       .distinct().localCheckpoint(true)
     try {
       // victims' stored signatures → recomputed band keys → the same
-      // pushed per-band bounds the probe uses (≤ nBands rows)
-      val victims = spark.read.parquet(s"$path/signatures")
+      // pushed per-band bounds the probe uses (≤ nBands rows). The
+      // bounds aggregate is the subtree's ONLY consumer, so it runs
+      // directly — the former localCheckpoint was one extra pass over
+      // the victim signatures per retraction (r13 round)
+      val delBanded = spark.read.parquet(s"$path/signatures")
         .join(ids, Seq("doc_id"), "left_semi")
         .withColumn("bands", TextFunctions.lshBandKeys(
           TextFunctions.minHashSignature(col("sh"), k),
           k, rowsPerBand))
-        .localCheckpoint(true)
-      val delBanded = victims.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band", "key")))
+        .select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band", "key")))
       val bounds = delBanded.groupBy(col("band"))
         .agg(min(col("key")).as("lo"), max(col("key")).as("hi")).collect()
-      if (bounds.isEmpty) { victims.unpersist(); return 0 }
+      if (bounds.isEmpty) return 0
       val prune = bounds.map { r =>
         col("band") === r.getInt(0) &&
           col("key") >= r.getLong(1) && col("key") <= r.getLong(2)
@@ -940,7 +942,6 @@ object Dedup {
       val nBandFiles = rewrite("bands", Some(prune),
         Seq(col("band"), col("key")))
       val nSigFiles = rewrite("signatures", None, Seq(col("doc_id")))
-      victims.unpersist()
       nBandFiles + nSigFiles
     } finally ids.unpersist()
   }

@@ -538,6 +538,91 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[probeIvfIndex]] for MANY queries in one pass (r13 optimization
+    * round): the centroid table is read ONCE (it was re-collected per
+    * query), every query's nProbe lists resolve driver-side from that
+    * one read, and a SINGLE partition-pruned scan of the union of
+    * probed lists serves every query — per query, rows outside its
+    * own probe set are filtered through the broadcast
+    * (query_id → probe lists) table, and the per-query top-k keeps
+    * [[probeIvfIndex]]'s exact (cos desc, vec_id asc) total order, so
+    * the result is row-identical to Q independent probes at the cost
+    * of one centroid read and one store scan. */
+  def probeIvfIndexBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                         queries: Seq[(Long, Array[Float])],
+                         k: Int = 10, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else d / den
+    }
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("list_id"), col("centroid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rows = queries.map { case (qid, q) =>
+      val probeIds = cents
+        .map { case (id, c) => (id, cosLocal(q, c)) }
+        .sortBy { case (id, cos) => (-cos, id) }
+        .take(nProbe).map(_._1)
+      org.apache.spark.sql.Row(qid, q.toSeq, probeIds.toSeq)
+    }
+    val qSchema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("qemb", ArrayType(FloatType)),
+      StructField("probe_lists", ArrayType(LongType))))
+    val qdf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), qSchema)
+    val allLists = queries.indices
+      .flatMap(i => rows(i).getSeq[Long](2)).distinct.sorted
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    spark.read.parquet(s"$path/lists")
+      .where(col("list_id").isin(allLists: _*))
+      .join(broadcast(qdf),
+        array_contains(col("probe_lists"), col("list_id").cast("long")))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.cosine(col("embedding"), col("qemb")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+  }
+
+  /** Next drift generation for the index at `path`: the `_gen` marker
+    * (an underscore file parquet readers ignore, maintained by every
+    * drift append) when present; a legacy store without one falls back
+    * to the max-generation aggregate the marker replaced (one saved
+    * Spark job per micro-batch in the streaming upsert loop). */
+  private def nextDriftGen(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Long = {
+    val driftDir = new org.apache.hadoop.fs.Path(s"$path/drift")
+    val fs = driftDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(driftDir)) return 0L
+    val marker = new org.apache.hadoop.fs.Path(s"$path/drift/_gen")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      txt.toLong + 1L
+    } else
+      spark.read.parquet(s"$path/drift")
+        .agg(max(col("generation"))).head().getLong(0) + 1L
+  }
+
+  /** Record `gen` as the latest drift generation (see [[nextDriftGen]]). */
+  private def writeDriftGen(spark: org.apache.spark.sql.SparkSession,
+                            path: String, gen: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/drift/_gen")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Incrementally UPSERT vectors into a persisted IVF index — the
     * production follow-on to [[writeIvfIndex]], and the index-side
     * twin of the reference's incremental vector-store ingestion
@@ -585,7 +670,6 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("list_id"))
       .localCheckpoint(true) // consumers: touched ids, merge, drift
     centroidSet.unpersist()
-    if (assigned.isEmpty) return
     val lists0 = spark.read.parquet(s"$path/lists")
     // UPSERT semantics (the reference's incremental ingestion replaces
     // re-ingested ids): a re-ingested vector's STALE version may live
@@ -593,19 +677,23 @@ object Similarity {
     // so locate stale partitions with one id semi-join over the store —
     // lists are written sorted by vec_id inside each file, so parquet
     // row-group stats prune the scan to the groups that can match.
-    val batchIds = assigned.select(col("vec_id")).distinct()
-      .localCheckpoint(true)
-    // (partition-column type inference reads list_id back as int)
+    // The batch-id set rides INSIDE each consumer (assigned is already
+    // materialized, so the distinct is a local re-read — r13: its
+    // former localCheckpoint was one more driver job per micro-batch).
+    def batchIds = assigned.select(col("vec_id")).distinct()
     val staleLists = lists0.join(batchIds, Seq("vec_id"), "left_semi")
       .select(col("list_id").cast("long").as("list_id")).distinct()
     // touched lists: ≤ nLists values — index metadata, driver-bounded
     // exactly like the probe's centroid read. ONE collect for both
     // legs (batch destinations ∪ stale homes): the streaming upsert
     // loop runs this per micro-batch, so every saved driver action is
-    // a saved action per trigger (guide §1.2: fewer passes first)
+    // a saved action per trigger (guide §1.2: fewer passes first).
+    // An empty batch surfaces here as an empty touched set (the
+    // separate isEmpty pre-check was another per-batch driver job).
     val touched = assigned.select(col("list_id")).distinct()
       .unionByName(staleLists).distinct()
       .collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
     // survivors of the touched partitions only (minus re-ingested
     // ids), MATERIALIZED so we never overwrite a path we are still
     // lazily reading from
@@ -615,8 +703,12 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         col("list_id").cast("long").as("list_id"))
       .localCheckpoint(true)
-    batchIds.unpersist()
-    val merged = existing.union(assigned)
+    // is_new tags assigned rows through the drift aggregate, so ONE
+    // pass yields per-list means AND the per-list added count (the
+    // separate added-aggregate-and-join is gone); the store write
+    // drops the tag
+    val merged = existing.withColumn("is_new", lit(0L))
+      .union(assigned.withColumn("is_new", lit(1L)))
     val previous =
       spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -625,7 +717,7 @@ object Similarity {
       // semi-join (and any point lookup) prunes on row-group stats;
       // repartition first so each touched list rewrites as one file,
       // not one per feeding task (writeIvfIndex's discipline)
-      merged.repartition(col("list_id"))
+      merged.drop("is_new").repartition(col("list_id"))
         .sortWithinPartitions(col("list_id"), col("vec_id"))
         .write.mode("overwrite").partitionBy("list_id")
         .parquet(s"$path/lists")
@@ -640,21 +732,25 @@ object Similarity {
     // drift audit: post-append list mean vs the frozen centroid.
     // Means round through FLOAT (the trained-IVF contract) so the
     // audit is insensitive to double-sum association order. ONE
-    // aggregate over merged yields BOTH the drift means and the
-    // surviving-list set (the emptied-partition check below used to
-    // run its own full count over merged every micro-batch — the
-    // drift pass already visits every merged row, so share it).
-    val dims = merged.select(col("list_id"),
+    // aggregate over merged yields the drift means, the per-list
+    // added count (via the is_new tag — every merged row carries it,
+    // so counting movers costs nothing extra) AND the surviving-list
+    // set; it is COLLECTED once — ≤ touched lists of (mean, counts),
+    // the same driver-bounded index-metadata class as the centroid
+    // read — replacing a localCheckpoint job plus a second collect
+    // (r13: two more per-micro-batch driver jobs gone).
+    val dimsRows = merged.select(col("list_id"), col("is_new"),
         posexplode(col("embedding")).as(Seq("d", "x")))
       .groupBy(col("list_id"), col("d"))
-      .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+      .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"),
+        sum(col("is_new")).as("nn"))
       .groupBy(col("list_id"))
-      .agg(max(col("n")).as("list_n"),
+      .agg(max(col("n")).as("list_n"), max(col("nn")).as("n_added"),
         transform(
           sort_array(collect_list(struct(col("d"), col("s"), col("n")))),
           t => (t.getField("s") / t.getField("n")).cast("float"))
           .as("list_mean"))
-      .localCheckpoint(true) // consumers: emptied-dir check + drift write
+      .collect()
     // dynamic overwrite only rewrites partitions PRESENT in the write:
     // a touched list whose every row was a stale copy of a re-ingested
     // id (and that received nothing new) has zero merged rows, so its
@@ -662,8 +758,7 @@ object Similarity {
     // would return the dead copies alongside the new ones. Drop those
     // emptied partitions explicitly (touched is ≤ nLists — index
     // metadata, driver-bounded).
-    val nonEmpty = dims.select(col("list_id"))
-      .collect().map(_.getLong(0)).toSet
+    val nonEmpty = dimsRows.map(_.getLong(0)).toSet
     val listsFs = new org.apache.hadoop.fs.Path(s"$path/lists")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(nonEmpty).foreach { id =>
@@ -671,27 +766,33 @@ object Similarity {
         new org.apache.hadoop.fs.Path(s"$path/lists/list_id=$id"), true)
       ()
     }
-    val fs = new org.apache.hadoop.fs.Path(s"$path/drift")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gen =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/drift")))
-        spark.read.parquet(s"$path/drift")
-          .agg(max(col("generation"))).head().getLong(0) + 1L
-      else 0L
-    val added = assigned.groupBy(col("list_id"))
-      .agg(count(lit(1)).as("n_added"))
-    // LEFT join: a list rewritten only because stale copies were
-    // removed (content changed, nothing added) still gets a drift row
-    // — its mean moved too, and a silent reindex observable is no
+    // next generation from the _gen marker (one saved aggregate job
+    // per micro-batch; legacy stores fall back to the aggregate)
+    val gen = nextDriftGen(spark, path)
+    val dims = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(dimsRows.toSeq).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("list_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("list_n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_added",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("list_mean",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    // a list rewritten only because stale copies were removed (content
+    // changed, nothing added) still gets a drift row (n_added = 0) —
+    // its mean moved too, and a silent reindex observable is no
     // observable at all
-    dims.join(added, Seq("list_id"), "left")
-      .join(centroids, Seq("list_id"))
+    dims.join(centroids, Seq("list_id"))
       .select(lit(gen).as("generation"), col("list_id"),
-        coalesce(col("n_added"), lit(0L)).as("n_added"), col("list_n"),
+        col("n_added"), col("list_n"),
         VectorFunctions.cosine(col("list_mean"), col("centroid"))
           .as("mean_cos"))
       .write.mode("append").parquet(s"$path/drift")
-    dims.unpersist()
+    writeDriftGen(spark, path, gen)
     ()
   }
 
@@ -830,8 +931,9 @@ object Similarity {
     }
     updated.write.mode("overwrite").parquet(s"$path/centroids")
     // log the retrain as the next generation so the trigger resets and
-    // the policy history stays in one append-only table
-    val gen = drift.agg(max(col("generation"))).head().getLong(0) + 1L
+    // the policy history stays in one append-only table (generation
+    // from the _gen marker — kept in step with the append path)
+    val gen = nextDriftGen(spark, path)
     val moved = reassigned.where(col("list_id") =!= col("orig_list"))
       .groupBy(col("list_id")).agg(count(lit(1)).as("n_added"))
     dims.join(moved, Seq("list_id"), "left")
@@ -841,6 +943,7 @@ object Similarity {
         VectorFunctions.cosine(col("list_mean"), col("centroid"))
           .as("mean_cos"))
       .write.mode("append").parquet(s"$path/drift")
+    writeDriftGen(spark, path, gen)
     driftedVecs.unpersist(); reassigned.unpersist(); existing.unpersist()
     dims.unpersist()
     drifted

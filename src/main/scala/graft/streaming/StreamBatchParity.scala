@@ -93,51 +93,129 @@ object StreamBatchParity {
     } finally deleteRecursively(staging)
   }
 
+  /** Stage every listed slice of `df` (which must carry an integer
+    * `__slice` column) as ONE file per slice in `dir` via a SINGLE
+    * Spark job: a hash repartition on the slice value means exactly
+    * one task writes each slice, the partitioned write lays each out
+    * under `__slice=i/`, and the driver then just renames the part
+    * files into mtime-ordered position (r13 optimization round, guide
+    * §1.2: the per-slice filter+coalesce(1) staging paid one full
+    * plan→job cycle per micro-batch file — 4-6 driver round-trips per
+    * parity query — for work one partitioned write does in one pass).
+    * A slice with no rows (the curate harness stages a deliberate
+    * id-gap batch) produces no directory; it falls back to the
+    * single-file empty write so the staged batch SEQUENCE — and with
+    * it batch ids, watermark advancement and checkpoint offsets — is
+    * identical to the per-slice staging it replaces. */
+  private def stageSliced(df: DataFrame, dir: Path,
+                          files: Seq[(Int, String, Long)],
+                          json: Boolean): Unit = {
+    val staging = Files.createTempDirectory("graft-parity-stage")
+    try {
+      val w = df.repartition(col("__slice"))
+        .write.mode("overwrite").partitionBy("__slice")
+      if (json) w.json(staging.toString) else w.parquet(staging.toString)
+      val ext = if (json) ".json" else ".parquet"
+      for ((idx, name, mtimeMs) <- files) {
+        val pdir = staging.resolve(s"__slice=$idx")
+        val part =
+          if (Files.exists(pdir))
+            Files.list(pdir).filter(_.getFileName.toString.endsWith(ext))
+              .findFirst()
+          else java.util.Optional.empty[Path]()
+        if (part.isPresent) {
+          val target = dir.resolve(name)
+          Files.move(part.get, target)
+          Files.setLastModifiedTime(target, FileTime.fromMillis(mtimeMs))
+          ()
+        } else {
+          val empty = df.drop("__slice").where(lit(false))
+          if (json) stageJsonFile(empty, dir, name, mtimeMs)
+          else stageFile(empty, dir, name, mtimeMs)
+        }
+      }
+    } finally deleteRecursively(staging)
+  }
+
+  /** Slice index of an id/seq value for the id-range staging loops:
+    * slice i covers [lo0 + range*i/n, lo0 + range*(i+1)/n), the last
+    * unbounded above — exactly the per-slice filters it replaces. */
+  private def idSlice(id: org.apache.spark.sql.Column, lo0: Long,
+                      range: Long): org.apache.spark.sql.Column =
+    (1 until DataBatches).map(i => lo0 + range * i / DataBatches)
+      .zipWithIndex
+      .foldRight(lit(DataBatches - 1): org.apache.spark.sql.Column) {
+        case ((cut, i), acc) => when(id < cut, lit(i)).otherwise(acc)
+      }
+
+  /** Run `body` (a streaming drain whose per-trigger batch jobs
+    * inherit the session shuffle width) at the data-derived width
+    * [[StreamingIngest.statePartitionsFor]] computes — coalesce-down
+    * only, restored afterwards so batch queries are untouched. */
+  private def withStreamWidth[A](spark: SparkSession, nRows: Long)(body: => A): A = {
+    val confKey = "spark.sql.shuffle.partitions"
+    val previous = spark.conf.get(confKey)
+    spark.conf.set(confKey,
+      StreamingIngest.statePartitionsFor(spark, nRows).toString)
+    try body finally spark.conf.set(confKey, previous)
+  }
+
   /** Stage corpus+sentinels as ordered micro-batch files, start the
     * query `mkQuery(stream, outDir, ckptDir)` builds, drain it, and
     * return the sink's contents pinned via localCheckpoint so the
-    * temp tree can be deleted before the caller materializes. */
+    * temp tree can be deleted before the caller materializes.
+    * `mkSentinel` builds the one-row sentinel from s1 (the far-future
+    * watermark-advancing event time). Returns (result, minSec, maxSec).
+    */
   private def runStreamWith(spark: SparkSession, corpus: DataFrame,
-                            sentinels: DataFrame,
-                            minSec: Long, maxSec: Long)(
+                            mkSentinel: Long => DataFrame)(
       mkQuery: (DataFrame, String, String) =>
-        org.apache.spark.sql.streaming.StreamingQuery): DataFrame = {
+        org.apache.spark.sql.streaming.StreamingQuery): (DataFrame, Long, Long) = {
     val work = Files.createTempDirectory("graft-parity")
     val in = Files.createDirectory(work.resolve("in"))
     val schema: StructType = corpus.schema
-    // pin the corpus once: the staging loop below filters it
-    // DataBatches times and the partition sizing needs its row count —
-    // without the checkpoint every slice re-executed the whole corpus
-    // pipeline (r12 optimization round, guide §5: reuse > recompute)
+    // pin the corpus once: the slice staging and the partition sizing
+    // both read it — without the checkpoint every consumer re-executed
+    // the whole corpus pipeline (r12 optimization round, guide §5)
     val pinned = corpus.localCheckpoint(true)
     try {
       val t0 = System.currentTimeMillis()
+      // ONE job computes the event-time bounds AND the row count (was
+      // three driver actions: a timeBounds agg over the UN-pinned
+      // corpus, then a count over the pinned one — r13 round)
+      val b = pinned.agg(min(unix_seconds(col("ts"))),
+        max(unix_seconds(col("ts"))), count(lit(1))).head()
+      val (minSec, maxSec, nRows) = (b.getLong(0), b.getLong(1), b.getLong(2))
       // time-sliced data batches: slice i holds [b_i, b_{i+1}) of the
       // event-time range (first/last unbounded below/above, so the
       // slices partition the corpus whatever min/max are), each its
       // own micro-batch — state genuinely carries across triggers and
       // no event can be late (batch i+1 is entirely newer than the
       // watermark batch i left behind)
-      val nRows = pinned.count()
       val range = maxSec - minSec
       val sec = unix_seconds(col("ts"))
-      for (i <- 0 until DataBatches) {
-        val lo = minSec + range * i / DataBatches
-        val hi = minSec + range * (i + 1) / DataBatches
-        val slice =
-          if (DataBatches == 1) pinned
-          else if (i == 0) pinned.where(sec < hi)
-          else if (i == DataBatches - 1) pinned.where(sec >= lo)
-          else pinned.where(sec >= lo && sec < hi)
-        stageFile(slice, in, f"$i%03d-corpus.parquet", t0 + i * 60000L)
+      val cuts = (1 until DataBatches).map(i => minSec + range * i / DataBatches)
+      val slice = cuts.zipWithIndex.foldRight(lit(DataBatches - 1): org.apache.spark.sql.Column) {
+        case ((cut, i), acc) => when(sec < cut, lit(i)).otherwise(acc)
       }
       // two sentinel batches: the first advances the watermark past
       // every real event, the second runs under it and flushes all
-      // remaining state
-      stageFile(sentinels.limit(1).toDF(corpus.columns: _*), in,
-        "900-sentinel.parquet", t0 + 600000L)
-      stageFile(sentinels.limit(1).toDF(corpus.columns: _*), in,
-        "901-sentinel.parquet", t0 + 1200000L)
+      // remaining state. The first rides the staging job as the last
+      // slice; the second is byte-identical, so it is a driver-side
+      // file copy, not another Spark job.
+      val sentinel = mkSentinel(maxSec + SentinelGapSec)
+        .limit(1).toDF(corpus.columns: _*)
+      stageSliced(
+        pinned.withColumn("__slice", slice)
+          .unionByName(sentinel.withColumn("__slice", lit(DataBatches))),
+        in,
+        (0 until DataBatches).map(i =>
+          (i, f"$i%03d-corpus.parquet", t0 + i * 60000L)) :+
+          ((DataBatches, "900-sentinel.parquet", t0 + 600000L)),
+        json = false)
+      val s2 = in.resolve("901-sentinel.parquet")
+      Files.copy(in.resolve("900-sentinel.parquet"), s2)
+      Files.setLastModifiedTime(s2, FileTime.fromMillis(t0 + 1200000L))
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(in.toString)
@@ -157,7 +235,8 @@ object StreamBatchParity {
           query.processAllAvailable()
         } finally query.stop()
       } finally spark.conf.set(confKey, previous)
-      spark.read.parquet(work.resolve("out").toString).localCheckpoint(true)
+      (spark.read.parquet(work.resolve("out").toString).localCheckpoint(true),
+        minSec, maxSec)
     } finally {
       pinned.unpersist()
       deleteRecursively(work)
@@ -167,10 +246,9 @@ object StreamBatchParity {
   /** [[runStreamWith]] specialized to an append-mode parquet sink over
     * a plain streaming transform. */
   private def runStream(spark: SparkSession, corpus: DataFrame,
-                        sentinels: DataFrame,
-                        minSec: Long, maxSec: Long,
-                        transform: DataFrame => DataFrame): DataFrame =
-    runStreamWith(spark, corpus, sentinels, minSec, maxSec) { (stream, out, ckpt) =>
+                        mkSentinel: Long => DataFrame,
+                        transform: DataFrame => DataFrame): (DataFrame, Long, Long) =
+    runStreamWith(spark, corpus, mkSentinel) { (stream, out, ckpt) =>
       transform(stream).writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -178,14 +256,6 @@ object StreamBatchParity {
         .format("parquet")
         .start()
     }
-
-  /** (min, max) event-time seconds of the corpus — slice boundaries
-    * for the staged batches and the sentinel offset base. */
-  private def timeBounds(corpus: DataFrame): (Long, Long) = {
-    val r = corpus.agg(min(unix_seconds(col("ts"))),
-      max(unix_seconds(col("ts")))).head()
-    (r.getLong(0), r.getLong(1))
-  }
 
   /** Streaming sessionization of a batch events corpus, returned in
     * the q_sessionize shape (user_id, session_id, n_events, start_sec,
@@ -201,11 +271,9 @@ object StreamBatchParity {
     val corpus = events
       .select(col("user_id").cast("long").as("user_id"),
         timestamp_seconds(col("sec")).as("ts"))
-    val (minSec, maxSec) = timeBounds(corpus)
-    val s1 = maxSec + SentinelGapSec
-    val sentinels = spark.range(1)
-      .select(lit(-1L).as("user_id"), timestamp_seconds(lit(s1)).as("ts"))
-    val closed = runStream(spark, corpus, sentinels, minSec, maxSec,
+    val (closed, _, _) = runStream(spark, corpus,
+      s1 => spark.range(1)
+        .select(lit(-1L).as("user_id"), timestamp_seconds(lit(s1)).as("ts")),
       st => StreamingIngest.sessionizeStream(spark, st, gapSeconds,
         watermarkDelay = "30 minutes").toDF())
     val w = Window.partitionBy(col("user_id")).orderBy(col("start_sec"))
@@ -228,12 +296,10 @@ object StreamBatchParity {
       .select(col("event_type").cast("string").as("event_type"),
         col("value").cast("double").as("value"),
         timestamp_seconds(col("sec")).as("ts"))
-    val (minSec, maxSec) = timeBounds(corpus)
-    val s1 = maxSec + SentinelGapSec
-    val sentinels = spark.range(1)
-      .select(lit("\u0000sentinel").as("event_type"), lit(0.0).as("value"),
-        timestamp_seconds(lit(s1)).as("ts"))
-    val wins = runStream(spark, corpus, sentinels, minSec, maxSec,
+    val (wins, _, maxSec) = runStream(spark, corpus,
+      s1 => spark.range(1)
+        .select(lit("\u0000sentinel").as("event_type"), lit(0.0).as("value"),
+          timestamp_seconds(lit(s1)).as("ts")),
       st => StreamingIngest.eventWindowCounts(st,
         windowLen = "1 hour", watermark = "30 minutes"))
     wins
@@ -278,13 +344,11 @@ object StreamBatchParity {
       .unionByName(original.where(col("event_id") % 3 === 0))
       .unionByName(original.where(col("event_id") % 5 === 0)
         .withColumn("ts", timestamp_seconds(unix_seconds(col("ts")) + 60)))
-    val (minSec, maxSec) = timeBounds(corpus)
-    val s1 = maxSec + SentinelGapSec
-    val sentinels = spark.range(1)
-      .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
-        lit("\u0000sentinel").as("event_type"),
-        timestamp_seconds(lit(s1)).as("ts"))
-    val deduped = runStream(spark, corpus, sentinels, minSec, maxSec,
+    val (deduped, _, _) = runStream(spark, corpus,
+      s1 => spark.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          lit("\u0000sentinel").as("event_type"),
+          timestamp_seconds(lit(s1)).as("ts")),
       st => StreamingIngest.dedupStream(st, Seq("event_id"),
         tsCol = "ts", watermarkDelay = "30 minutes"))
     // ts stays out of the result: which arrival survives a same-batch
@@ -314,29 +378,34 @@ object StreamBatchParity {
       val docs = documents.select(col("doc_id").cast("long"),
         col("text").cast("string"), col("lang").cast("string"),
         col("source").cast("string"))
-        // pinned: the staging loop slices this DataBatches(+1) times
+        // pinned: bounds agg + slice staging read it
         .localCheckpoint(true)
-      val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+      // ONE job: id bounds + row count (partition sizing below)
+      val b = docs.agg(min(col("doc_id")), max(col("doc_id")),
+        count(lit(1))).head()
+      val (lo0, hi0, nRows) = (b.getLong(0), b.getLong(1), b.getLong(2))
       val range = hi0 - lo0 + 1
       val t0 = System.currentTimeMillis()
-      for (i <- 0 until DataBatches) {
-        val lo = lo0 + range * i / DataBatches
-        val hi = lo0 + range * (i + 1) / DataBatches
-        val slice =
-          if (i == DataBatches - 1) docs.where(col("doc_id") >= lo)
-          else docs.where(col("doc_id") >= lo && col("doc_id") < hi)
-        stageJsonFile(slice, in, f"$i%03d-docs.json", t0 + i * 60000L)
-      }
+      stageSliced(docs.withColumn("__slice", idSlice(col("doc_id"), lo0, range)),
+        in,
+        (0 until DataBatches).map(i =>
+          (i, f"$i%03d-docs.json", t0 + i * 60000L)),
+        json = true)
       val chunks = StreamingIngest.chunkStream(spark, in.toString,
         maxFilesPerTrigger = 1)
-      chunks.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", work.resolve("ckpt").toString)
-        .option("path", work.resolve("out").toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet")
-        .start().awaitTermination()
+      // data-derived shuffle width for the per-trigger batch jobs, the
+      // same coalesce-down [[StreamingIngest.statePartitionsFor]]
+      // applies to the stateful streams (r12 verdict item 1: the
+      // custom staging loops never got the override)
+      withStreamWidth(spark, nRows) {
+        chunks.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .option("path", work.resolve("out").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet")
+          .start().awaitTermination()
+      }
       spark.read.parquet(work.resolve("out").toString).localCheckpoint(true)
     } finally deleteRecursively(work)
   }
@@ -363,34 +432,37 @@ object StreamBatchParity {
       val docs = documents.select(col("doc_id").cast("long"),
         col("text").cast("string"), col("lang").cast("string"),
         col("source").cast("string"))
-        // pinned: the staging loop slices this DataBatches(+1) times
+        // pinned: bounds agg + slice staging read it
         .localCheckpoint(true)
-      val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+      val b = docs.agg(min(col("doc_id")), max(col("doc_id")),
+        count(lit(1))).head()
+      val (lo0, hi0, nRows) = (b.getLong(0), b.getLong(1), b.getLong(2))
       val range = hi0 - lo0 + 1
       val t0 = System.currentTimeMillis()
-      for (i <- 0 until DataBatches) {
-        val lo = lo0 + range * i / DataBatches
-        val hi = lo0 + range * (i + 1) / DataBatches
-        val slice =
-          if (i == DataBatches - 1) docs.where(col("doc_id") >= lo)
-          else docs.where(col("doc_id") >= lo && col("doc_id") < hi)
-        stageJsonFile(slice, in, f"$i%03d-docs.json", t0 + i * 60000L)
-      }
       // the re-ingestion batch: revised copies under the SAME ids —
-      // the incremental writer must replace, not append
+      // the incremental writer must replace, not append. It rides the
+      // SAME staging job as the DataBatches slices (slice DataBatches).
       val revised = docs.where(col("doc_id") % 10 === 0)
         .withColumn("text", concat(col("text"), lit(" rev2")))
-      stageJsonFile(revised, in, "900-revised.json", t0 + 600000L)
+      stageSliced(
+        docs.withColumn("__slice", idSlice(col("doc_id"), lo0, range))
+          .unionByName(revised.withColumn("__slice", lit(DataBatches))),
+        in,
+        (0 until DataBatches).map(i =>
+          (i, f"$i%03d-docs.json", t0 + i * 60000L)) :+
+          ((DataBatches, "900-revised.json", t0 + 600000L)),
+        json = true)
       val stream = spark.readStream.schema(StreamingIngest.documentSchema)
         .option("maxFilesPerTrigger", 1)
         .json(in.toString)
       val chunks = Chunkers.tokenChunks(stream,
           ChunkerOptions(maxTokens = 64, overlap = 16))
         .withColumn("context", lit(""))
-      StreamingIngest.incrementalWriter(chunks,
-        work.resolve("out").toString, work.resolve("ckpt").toString,
-        dim = 16).start().awaitTermination()
+      withStreamWidth(spark, nRows) {
+        StreamingIngest.incrementalWriter(chunks,
+          work.resolve("out").toString, work.resolve("ckpt").toString,
+          dim = 16).start().awaitTermination()
+      }
       spark.read.parquet(work.resolve("out").toString).localCheckpoint(true)
     } finally deleteRecursively(work)
   }
@@ -414,13 +486,11 @@ object StreamBatchParity {
       col("user_id").cast("long").as("user_id"),
       col("event_type").cast("string").as("event_type"),
       timestamp_seconds(col("sec")).as("ts"))
-    val (minSec, maxSec) = timeBounds(corpus)
-    val s1 = maxSec + SentinelGapSec
-    val sentinels = spark.range(1)
-      .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
-        lit("\u0000sentinel").as("event_type"),
-        timestamp_seconds(lit(s1)).as("ts"))
-    val pairs = runStream(spark, corpus, sentinels, minSec, maxSec,
+    val (pairs, _, _) = runStream(spark, corpus,
+      s1 => spark.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          lit("\u0000sentinel").as("event_type"),
+          timestamp_seconds(lit(s1)).as("ts")),
       st => StreamingIngest.streamStreamJoin(
         st.where(col("event_type") === "view").drop("event_type"),
         st.where(col("event_type") === "purchase").drop("event_type"),
@@ -449,16 +519,19 @@ object StreamBatchParity {
       col("user_id").cast("long").as("user_id"),
       col("event_type").cast("string").as("event_type"),
       timestamp_seconds(col("sec")).as("ts"))
+    // the static dimension is pinned ONCE: streamStaticEnrich re-reads
+    // its static side every micro-batch, and without the checkpoint
+    // each trigger re-ran the whole corpus aggregate (r13 round,
+    // guide §5: reuse > recompute)
     val dim = corpus.groupBy(col("user_id")).agg(
       count(lit(1)).as("n_total"),
       min(unix_seconds(col("ts"))).as("first_seen_sec"))
-    val (minSec, maxSec) = timeBounds(corpus)
-    val s1 = maxSec + SentinelGapSec
-    val sentinels = spark.range(1)
-      .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
-        lit("\u0000sentinel").as("event_type"),
-        timestamp_seconds(lit(s1)).as("ts"))
-    val enriched = runStream(spark, corpus, sentinels, minSec, maxSec,
+      .localCheckpoint(true)
+    val (enriched, _, _) = runStream(spark, corpus,
+      s1 => spark.range(1)
+        .select(lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+          lit("\u0000sentinel").as("event_type"),
+          timestamp_seconds(lit(s1)).as("ts")),
       st => StreamingIngest.streamStaticEnrich(st, dim, "user_id"))
     enriched.where(col("event_id") >= 0)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -487,28 +560,28 @@ object StreamBatchParity {
     try {
       base.select(col("doc_id"), col("text"))
         .write.mode("overwrite").parquet(snap)
-      // pinned: the bounds agg + DataBatches slices below would
-      // otherwise re-execute the (4-way-union) changelog each time
+      // pinned: the bounds agg + slice staging read the (4-way-union)
+      // changelog
       val changes2 = changes.localCheckpoint(true)
-      val b = changes2.agg(min(col("seq")), max(col("seq"))).head()
-      val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+      val b = changes2.agg(min(col("seq")), max(col("seq")),
+        count(lit(1))).head()
+      val (lo0, hi0, nRows) = (b.getLong(0), b.getLong(1), b.getLong(2))
       val range = hi0 - lo0 + 1
       val t0 = System.currentTimeMillis()
-      for (i <- 0 until DataBatches) {
-        val lo = lo0 + range * i / DataBatches
-        val hi = lo0 + range * (i + 1) / DataBatches
-        val slice =
-          if (i == DataBatches - 1) changes2.where(col("seq") >= lo)
-          else changes2.where(col("seq") >= lo && col("seq") < hi)
-        stageFile(slice, in, f"$i%03d-changes.parquet", t0 + i * 60000L)
-      }
+      stageSliced(changes2.withColumn("__slice", idSlice(col("seq"), lo0, range)),
+        in,
+        (0 until DataBatches).map(i =>
+          (i, f"$i%03d-changes.parquet", t0 + i * 60000L)),
+        json = false)
       val stream = spark.readStream.schema(changes.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(in.toString)
       // AvailableNow honors maxFilesPerTrigger, so the drain is a real
       // multi-batch incremental run, then the query stops itself
-      StreamingIngest.cdcStream(stream, snap,
-        work.resolve("ckpt").toString).start().awaitTermination()
+      withStreamWidth(spark, nRows) {
+        StreamingIngest.cdcStream(stream, snap,
+          work.resolve("ckpt").toString).start().awaitTermination()
+      }
       spark.read.parquet(snap).localCheckpoint(true)
     } finally deleteRecursively(work)
   }
@@ -517,13 +590,11 @@ object StreamBatchParity {
     val corpus = events
       .select(col("event_type").cast("string").as("event_type"),
         timestamp_seconds(col("sec")).as("ts"))
-    val (minSec, maxSec) = timeBounds(corpus)
-    val s1 = maxSec + SentinelGapSec
-    val sentinels = spark.range(1)
-      .select(lit("\u0000sentinel").as("event_type"),
-        timestamp_seconds(lit(s1)).as("ts"))
     val baseline = corpus.select(col("event_type"))
-    val psi = runStreamWith(spark, corpus, sentinels, minSec, maxSec) { (stream, out, ckpt) =>
+    val (psi, _, maxSec) = runStreamWith(spark, corpus,
+      s1 => spark.range(1)
+        .select(lit("\u0000sentinel").as("event_type"),
+          timestamp_seconds(lit(s1)).as("ts"))) { (stream, out, ckpt) =>
       StreamingIngest.driftMonitor(stream, baseline, "event_type",
           sinkPath = out, checkpoint = ckpt,
           windowLen = "1 hour", watermark = "30 minutes")
@@ -554,27 +625,26 @@ object StreamBatchParity {
     try {
       val docs = documents.select(col("doc_id").cast("long"),
         col("text").cast("string"))
-        // pinned: the staging loop slices this DataBatches times (and
-        // the retract variant re-filters slice 0 for the victim ids)
+        // pinned: bounds agg + slice staging read it
         .localCheckpoint(true)
-      val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+      val b = docs.agg(min(col("doc_id")), max(col("doc_id")),
+        count(lit(1))).head()
+      val (lo0, hi0, nRows) = (b.getLong(0), b.getLong(1), b.getLong(2))
       val range = hi0 - lo0 + 1
       val t0 = System.currentTimeMillis()
-      for (i <- 0 until DataBatches) {
-        val lo = lo0 + range * i / DataBatches
-        val hi = lo0 + range * (i + 1) / DataBatches
-        val slice =
-          if (i == DataBatches - 1) docs.where(col("doc_id") >= lo)
-          else docs.where(col("doc_id") >= lo && col("doc_id") < hi)
-        stageFile(slice, in, f"$i%03d-docs.parquet", t0 + i * 60000L)
-      }
+      stageSliced(docs.withColumn("__slice", idSlice(col("doc_id"), lo0, range)),
+        in,
+        (0 until DataBatches).map(i =>
+          (i, f"$i%03d-docs.parquet", t0 + i * 60000L)),
+        json = false)
       val stream = spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(in.toString)
-      StreamingIngest.curateStream(stream, work.resolve("idx").toString,
-        work.resolve("accept").toString, work.resolve("ckpt").toString)
-        .start().awaitTermination()
+      withStreamWidth(spark, nRows) {
+        StreamingIngest.curateStream(stream, work.resolve("idx").toString,
+          work.resolve("accept").toString, work.resolve("ckpt").toString)
+          .start().awaitTermination()
+      }
       spark.read.parquet(work.resolve("accept").toString)
         .select(col("doc_id"), col("batch").cast("int").as("batch"))
         .orderBy(col("doc_id"))
@@ -601,37 +671,42 @@ object StreamBatchParity {
     try {
       val docs = documents.select(col("doc_id").cast("long"),
         col("text").cast("string"))
-        // pinned: the staging loop slices this DataBatches times (and
-        // the retract variant re-filters slice 0 for the victim ids)
+        // pinned: bounds agg + both staging passes read it (and the
+        // retraction re-filters the seed range for the victim ids)
         .localCheckpoint(true)
-      val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+      val b = docs.agg(min(col("doc_id")), max(col("doc_id")),
+        count(lit(1))).head()
+      val (lo0, hi0, nRows) = (b.getLong(0), b.getLong(1), b.getLong(2))
       val range = hi0 - lo0 + 1
       val t0 = System.currentTimeMillis()
-      def slice(i: Int) = {
-        val lo = lo0 + range * i / DataBatches
-        val hi = lo0 + range * (i + 1) / DataBatches
-        if (i == DataBatches - 1) docs.where(col("doc_id") >= lo)
-        else docs.where(col("doc_id") >= lo && col("doc_id") < hi)
-      }
+      val cut1 = lo0 + range / DataBatches
       def run(): Unit = {
         val stream = spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(in.toString)
-        StreamingIngest.curateStream(stream, work.resolve("idx").toString,
-          work.resolve("accept").toString, work.resolve("ckpt").toString)
-          .start().awaitTermination()
+        withStreamWidth(spark, nRows) {
+          StreamingIngest.curateStream(stream, work.resolve("idx").toString,
+            work.resolve("accept").toString, work.resolve("ckpt").toString)
+            .start().awaitTermination()
+        }
       }
-      // run 1: the seed batch alone
-      stageFile(slice(0), in, "000-docs.parquet", t0)
+      // run 1: the seed batch alone (one single-file staging job)
+      stageFile(docs.where(col("doc_id") < cut1), in, "000-docs.parquet", t0)
       run()
       // the mid-stream retraction request
       graft.operators.Dedup.removeFromDedupIndex(spark,
         work.resolve("idx").toString,
-        slice(0).where(col("doc_id") % 2 === 0).select(col("doc_id")))
-      // run 2: the rest of the stream resumes from the checkpoint
-      for (i <- 1 until DataBatches)
-        stageFile(slice(i), in, f"$i%03d-docs.parquet", t0 + i * 60000L)
+        docs.where(col("doc_id") < cut1 && col("doc_id") % 2 === 0)
+          .select(col("doc_id")))
+      // run 2: the rest of the stream resumes from the checkpoint —
+      // slices 1..n staged by ONE partitioned-write job
+      stageSliced(
+        docs.where(col("doc_id") >= cut1)
+          .withColumn("__slice", idSlice(col("doc_id"), lo0, range)),
+        in,
+        (1 until DataBatches).map(i =>
+          (i, f"$i%03d-docs.parquet", t0 + i * 60000L)),
+        json = false)
       run()
       spark.read.parquet(work.resolve("accept").toString)
         .select(col("doc_id"), col("batch").cast("int").as("batch"))
@@ -664,24 +739,25 @@ object StreamBatchParity {
     val idx = work.resolve("idx").toString
     try {
       val vecs = embeddings.select(col("vec_id").cast("long"), col("embedding"))
-        .localCheckpoint(true) // pinned: sliced DataBatches+1 times below
-      val b = vecs.agg(min(col("vec_id")), max(col("vec_id"))).head()
-      val (lo0, hi0) = (b.getLong(0), b.getLong(1))
+        .localCheckpoint(true) // pinned: bounds agg + slice staging read it
+      val b = vecs.agg(min(col("vec_id")), max(col("vec_id")),
+        count(lit(1))).head()
+      val (lo0, hi0, nRows) = (b.getLong(0), b.getLong(1), b.getLong(2))
       val range = hi0 - lo0 + 1
       val t0 = System.currentTimeMillis()
-      for (i <- 0 until DataBatches) {
-        val lo = lo0 + range * i / DataBatches
-        val hi = lo0 + range * (i + 1) / DataBatches
-        val slice =
-          if (i == DataBatches - 1) vecs.where(col("vec_id") >= lo)
-          else vecs.where(col("vec_id") >= lo && col("vec_id") < hi)
-        stageFile(slice, in, f"$i%03d-vecs.parquet", t0 + i * 60000L)
-      }
-      // the re-ingestion batch: negated copies under the SAME ids
+      // the re-ingestion batch: negated copies under the SAME ids —
+      // staged by the same single job as the DataBatches slices
       val revised = vecs.where(col("vec_id") % 10 === 0)
         .withColumn("embedding",
           transform(col("embedding"), x => (-x).cast("float")))
-      stageFile(revised, in, "900-revised.parquet", t0 + 600000L)
+      stageSliced(
+        vecs.withColumn("__slice", idSlice(col("vec_id"), lo0, range))
+          .unionByName(revised.withColumn("__slice", lit(DataBatches))),
+        in,
+        (0 until DataBatches).map(i =>
+          (i, f"$i%03d-vecs.parquet", t0 + i * 60000L)) :+
+          ((DataBatches, "900-revised.parquet", t0 + 600000L)),
+        json = false)
       val stream = spark.readStream.schema(vecs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(in.toString)
@@ -691,9 +767,11 @@ object StreamBatchParity {
       // separately (IvfFramesSpec) where the partial Lloyd step can
       // be asserted against the operator itself rather than unrolled
       // in SQL
-      StreamingIngest.ivfUpsertStream(stream, idx,
-        work.resolve("ckpt").toString, nLists, retrainEvery = 0)
-        .start().awaitTermination()
+      withStreamWidth(spark, nRows) {
+        StreamingIngest.ivfUpsertStream(stream, idx,
+          work.resolve("ckpt").toString, nLists, retrainEvery = 0)
+          .start().awaitTermination()
+      }
       // final answer from the persisted store through the production
       // probe path: per query, the top-nProbe lists' partitions scan
       // (self row dropped — cos(q,q)=1 always leads, so k+1 covers it)
@@ -702,17 +780,20 @@ object StreamBatchParity {
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
-      val perQuery = queries.map { case (qid, emb) =>
-        // k+1 then drop self: cos(q,q) = 1 strictly leads (random
-        // floats admit no other exact-1 cosine), so exactly k remain
-        Similarity.probeIvfIndex(spark, idx, emb, k = k + 1, nProbe = nProbe)
-          .where(col("vec_id") =!= qid)
-          .select(lit(qid).as("query_id"), col("vec_id").as("nbr_id"), col("cos"))
-      }
+      // k+1 then drop self: cos(q,q) = 1 strictly leads (random
+      // floats admit no other exact-1 cosine), so exactly k remain.
+      // All queries probe in ONE batched pass (r13: the per-query
+      // probeIvfIndex loop re-collected the centroid table and
+      // re-scanned shared list directories once per query) — row-
+      // identical to the loop by probeIvfIndexBatch's order contract.
+      val hits = Similarity.probeIvfIndexBatch(spark, idx,
+        queries.toSeq, k = k + 1, nProbe = nProbe)
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("nbr_id"), col("cos"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("nbr_id"))
-      perQuery.reduce(_.unionByName(_))
+      hits
         .withColumn("rank", row_number().over(w))
         .select(col("query_id"), col("rank"), col("nbr_id"),
           round(col("cos"), 6).as("cos"))

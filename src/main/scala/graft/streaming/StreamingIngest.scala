@@ -358,16 +358,21 @@ object StreamingIngest {
           // feed the probe AND the survivors' index append — the batch
           // text is scanned and shingled once, not twice
           val rows = Dedup.indexRows(pinned).localCheckpoint(true)
+          // the pair set feeds exactly ONE consumer now (the dropped-id
+          // projection below), so it needs no checkpoint of its own —
+          // one saved per-micro-batch driver job (r13 round)
           val pairs =
-            (if (hasStore) Dedup.probeDedupIndexRows(spark, indexPath, rows,
-                threshold)
-             else Dedup.selfPairsFromRows(rows, threshold))
-              .localCheckpoint(true) // two drop legs below
+            if (hasStore) Dedup.probeDedupIndexRows(spark, indexPath, rows,
+              threshold)
+            else Dedup.selfPairsFromRows(rows, threshold)
           val bids = pinned.select(col("doc_id"))
           // pair sides flagged by batch membership (ids + booleans on
           // the exchange; AQE broadcasts the pair side) — `b` is the
           // greater id by the pair contract, so within-batch pairs
-          // drop b, and a store pair drops whichever side is in-batch
+          // drop b, and a store pair drops whichever side is in-batch.
+          // ONE pass picks the dropped id per pair (the two filter
+          // legs + union it replaces selected the same set: b_in → b;
+          // a_in && !b_in → a)
           val flagged = pairs
             .join(bids.select(col("doc_id").as("a"), lit(true).as("a_in")),
               Seq("a"), "left")
@@ -376,9 +381,8 @@ object StreamingIngest {
             .select(col("a"), col("b"),
               coalesce(col("a_in"), lit(false)).as("a_in"),
               coalesce(col("b_in"), lit(false)).as("b_in"))
-          val dropped = flagged.where(col("a_in") && !col("b_in"))
-            .select(col("a").as("doc_id"))
-            .unionByName(flagged.where(col("b_in")).select(col("b").as("doc_id")))
+          val dropped = flagged.where(col("b_in") || col("a_in"))
+            .select(when(col("b_in"), col("b")).otherwise(col("a")).as("doc_id"))
             .distinct()
           val survivors = pinned.join(dropped, Seq("doc_id"), "left_anti")
             .localCheckpoint(true) // index write + accept write share it
@@ -397,7 +401,6 @@ object StreamingIngest {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch").parquet(acceptPath)
           survivors.unpersist()
-          pairs.unpersist()
           rows.unpersist()
         }
         pinned.unpersist()

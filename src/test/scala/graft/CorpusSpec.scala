@@ -390,6 +390,32 @@ class CorpusSpec extends SparkSpecBase {
     assert(m(("g1", "g3"))._1 == 0L && m(("g1", "g3"))._3 == 0.0)
   }
 
+  test("corpusOverlap: empty input, null groups, and non-string group columns") {
+    // empty corpus: no groups → no pairs, not an exception
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "g", "text")
+    assert(Corpus.corpusOverlap(empty, "g", n = 8).collect().isEmpty)
+    // null group rows are ignored (the old self-join's null-propagating
+    // comparisons dropped them silently); remaining pair unaffected
+    val withNull = Seq(
+      (1L, "g1", "one two three four five six seven eight nine ten"),
+      (2L, "g2", "one two three four five six seven eight nine ten"),
+      (3L, null.asInstanceOf[String], "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "g", "text")
+    val gotNull = Corpus.corpusOverlap(withNull, "g", n = 8).collect()
+    assert(gotNull.length == 1)
+    assert(gotNull.head.getAs[Long]("shared") == 3L)
+    // non-string group column: both branches emit STRING group values
+    // with lexicographic pair orientation ("10" < "2")
+    val numeric = Seq(
+      (1L, 2L, "one two three four five six seven eight nine ten"),
+      (2L, 10L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "g", "text")
+    val gotNum = Corpus.corpusOverlap(numeric, "g", n = 8).collect()
+    assert(gotNum.length == 1)
+    assert(gotNum.head.getAs[String]("src_a") == "10" &&
+      gotNum.head.getAs[String]("src_b") == "2")
+  }
+
   test("naiveBayesClassify: argmax picks the dominant class; all-OOV ties break by name") {
     val train = Seq(
       ("en", "the cat sat on the mat"), ("en", "the dog ate the food"),
